@@ -1,0 +1,70 @@
+"""CDC routing: Maxwell envelope -> op-typed, table-routed streams.
+
+Reference: OdsBaseDbApp.scala:65-163 — per-record fastjson walk, op-type
+decode (:116-126), fact routing to dynamic Kafka topics (:130-142), dim
+rows upserted to Redis KV (:144-163); FACT/DIM table lists re-read from
+Redis and re-broadcast each batch (:94-108).
+
+Rebuild (SURVEY §2.3 P10-P12, §2.6 O6): one from_json + a when/otherwise op
+decode; routing is two filters on broadcast ``isin`` lists; the dynamic
+topic name is a computed column the Kafka sink consumes directly. Dim rows
+MERGE into a dim table instead of Redis — so enrichment becomes a join, not
+per-record KV I/O (the 100 TB stance of SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import CDC_ENVELOPE_SCHEMA
+
+# OdsBaseDbApp.scala:116-124: bootstrap-insert/insert -> I, update -> U,
+# delete -> D, anything else dropped.
+_OP_DECODE = (
+    F.when(F.col("type").isin("bootstrap-insert", "insert"), "I")
+    .when(F.col("type") == "update", "U")
+    .when(F.col("type") == "delete", "D")
+    .otherwise(F.lit(None))
+)
+
+
+def parse_cdc(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """P1 for the DB stream (OdsBaseDbApp.scala:65-71)."""
+    return raw.select(
+        F.from_json(F.col(value_col), CDC_ENVELOPE_SCHEMA).alias("m")
+    ).select("m.*")
+
+
+def decode_op(parsed: DataFrame) -> DataFrame:
+    """P10: op decode + drop unknown types (OdsBaseDbApp.scala:116-126)."""
+    return parsed.withColumn("op", _OP_DECODE).filter(F.col("op").isNotNull())
+
+
+def route_facts(decoded: DataFrame, fact_tables: list[str]) -> DataFrame:
+    """P11: fact rows -> payload + computed destination topic
+    ``DWD_<TABLE>_<OP>`` (OdsBaseDbApp.scala:130-142, name at :135).
+
+    The ``topic`` column feeds Spark's Kafka sink directly (dynamic topic
+    routing is built-in when the sink has a topic column)."""
+    return decoded.filter(F.col("table").isin(fact_tables)).select(
+        F.concat(F.lit("DWD_"), F.upper("table"), F.lit("_"), F.col("op")).alias(
+            "topic"
+        ),
+        F.col("data").alias("value"),
+        F.col("table"),
+        F.col("op"),
+        F.col("ts"),
+    )
+
+
+def route_dims(decoded: DataFrame, dim_tables: list[str]) -> DataFrame:
+    """P12: dim rows -> (table, id, payload) for MERGE into the dim store
+    (OdsBaseDbApp.scala:144-163; key extraction :156-158)."""
+    return decoded.filter(F.col("table").isin(dim_tables)).select(
+        F.col("table"),
+        F.get_json_object("data", "$.id").alias("id"),
+        F.col("data").alias("value"),
+        F.col("op"),
+        F.col("ts"),
+    )

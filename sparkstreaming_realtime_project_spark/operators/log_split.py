@@ -1,0 +1,157 @@
+"""Log-split: one raw behavior-log stream -> 5 typed outputs.
+
+Reference: OdsBaseLogApp.scala:93-208 — per-record fastjson walks routing to
+5 Kafka topics (error/page/display/action/start). Re-expressed as ONE
+``from_json`` shred plus five filtered/exploded projections over the same
+parsed DataFrame (SURVEY §2.3 P1,P3-P8).
+
+Scale: the whole stage is narrow (no shuffle) — parse + filter + explode +
+project, exactly as the reference's map-only DAG (SURVEY §4 末), so it
+pipelines at scan speed regardless of cluster size. The parsed frame is
+computed once and reused by all five outputs inside one foreachBatch
+(streaming) or one cached DataFrame (batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import LOG_ENVELOPE_SCHEMA
+
+_COMMON_COLS = ["ar", "uid", "os", "ch", "is_new", "md", "mid", "vc", "ba"]
+
+
+def parse_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """P1: schema-on-read JSON shred (OdsBaseLogApp.scala:69-78).
+
+    Corrupt records land with all-null sections instead of the reference's
+    executor-killing exception.
+    """
+    return raw.select(
+        F.from_json(F.col(value_col), LOG_ENVELOPE_SCHEMA).alias("log")
+    ).select("log.*")
+
+
+def _common(df: DataFrame) -> list:
+    # P4: OdsBaseLogApp.scala:117-128
+    return [F.col(f"common.{c}").alias(c) for c in _COMMON_COLS] + [F.col("ts")]
+
+
+def error_log(parsed: DataFrame) -> DataFrame:
+    """P3: err section present -> whole record to the error output, raw
+    (OdsBaseLogApp.scala:111-115). err wins routing; other branches still
+    see the record in the reference (err is checked first, then the rest
+    continue) — we reproduce that: error output does NOT subtract from
+    page/start outputs."""
+    return parsed.filter(F.col("err").isNotNull()).select(
+        *_common(parsed), F.col("err")
+    )
+
+
+def page_log(parsed: DataFrame) -> DataFrame:
+    """P5: page branch -> flat 16-col PageLog (OdsBaseLogApp.scala:130-144,
+    bean/PageLog.scala:6-23)."""
+    return parsed.filter(F.col("page").isNotNull()).select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.uid").alias("user_id"),
+        F.col("common.ar").alias("province_id"),
+        F.col("common.ch").alias("channel"),  # reference typo 'channer' fixed (SURVEY §2.9)
+        F.col("common.is_new").alias("is_new"),
+        F.col("common.md").alias("model"),
+        F.col("common.os").alias("operate_system"),
+        F.col("common.vc").alias("version_code"),
+        F.col("common.ba").alias("brand"),
+        F.col("page.page_id").alias("page_id"),
+        F.col("page.last_page_id").alias("last_page_id"),
+        F.col("page.item").alias("page_item"),
+        F.col("page.item_type").alias("page_item_type"),
+        F.col("page.during_time").alias("during_time"),
+        F.col("page.source_type").alias("source_type"),
+        F.col("ts"),
+    )
+
+
+def page_display_log(parsed: DataFrame) -> DataFrame:
+    """P6: explode displays[] -> one row per display, denormalized with all
+    page+common fields (OdsBaseLogApp.scala:147-164, bean/PageDisplayLog)."""
+    base = parsed.filter(
+        F.col("page").isNotNull() & (F.size("displays") > 0)
+    ).select("common", "page", "ts", F.explode("displays").alias("d"))
+    return base.select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.uid").alias("user_id"),
+        F.col("common.ar").alias("province_id"),
+        F.col("common.ch").alias("channel"),
+        F.col("common.is_new").alias("is_new"),
+        F.col("common.md").alias("model"),
+        F.col("common.os").alias("operate_system"),
+        F.col("common.vc").alias("version_code"),
+        F.col("common.ba").alias("brand"),
+        F.col("page.page_id").alias("page_id"),
+        F.col("page.last_page_id").alias("last_page_id"),
+        F.col("page.item").alias("page_item"),
+        F.col("page.item_type").alias("page_item_type"),
+        F.col("page.during_time").alias("during_time"),
+        F.col("page.source_type").alias("source_type"),
+        F.col("d.display_type").alias("display_type"),
+        F.col("d.item").alias("display_item"),
+        F.col("d.item_type").alias("display_item_type"),
+        F.col("d.order").alias("display_order"),
+        F.col("d.pos_id").alias("display_pos_id"),
+        F.col("ts"),
+    )
+
+
+def page_action_log(parsed: DataFrame) -> DataFrame:
+    """P7: explode actions[] (OdsBaseLogApp.scala:167-182); the per-action
+    ts overrides the envelope ts (bean/PageActionLog.scala:6-27)."""
+    base = parsed.filter(
+        F.col("page").isNotNull() & (F.size("actions") > 0)
+    ).select("common", "page", F.explode("actions").alias("a"))
+    return base.select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.uid").alias("user_id"),
+        F.col("common.ar").alias("province_id"),
+        F.col("common.ch").alias("channel"),
+        F.col("common.is_new").alias("is_new"),
+        F.col("common.md").alias("model"),
+        F.col("common.os").alias("operate_system"),
+        F.col("common.vc").alias("version_code"),
+        F.col("common.ba").alias("brand"),
+        F.col("page.page_id").alias("page_id"),
+        F.col("page.last_page_id").alias("last_page_id"),
+        F.col("page.item").alias("page_item"),
+        F.col("page.item_type").alias("page_item_type"),
+        F.col("page.during_time").alias("during_time"),
+        F.col("page.source_type").alias("source_type"),
+        F.col("a.action_id").alias("action_id"),
+        F.col("a.item").alias("action_item"),
+        F.col("a.item_type").alias("action_item_type"),
+        F.col("a.ts").alias("action_ts"),
+        F.col("a.ts").alias("ts"),
+    )
+
+
+def start_log(parsed: DataFrame) -> DataFrame:
+    """P8: start branch -> StartLog (OdsBaseLogApp.scala:186-201)."""
+    return parsed.filter(F.col("start").isNotNull()).select(
+        *_common(parsed),
+        F.col("start.entry").alias("entry"),
+        F.col("start.loading_time").alias("loading_time"),
+        F.col("start.open_ad_id").alias("open_ad_id"),
+        F.col("start.open_ad_ms").alias("open_ad_ms"),
+        F.col("start.open_ad_skip_ms").alias("open_ad_skip_ms"),
+    )
+
+
+def split_all(parsed: DataFrame) -> dict[str, DataFrame]:
+    """The full 5-way split (OdsBaseLogApp.scala:93-208). One input record
+    fans out to 0..(1+|displays|+|actions|) rows across outputs."""
+    return {
+        "error": error_log(parsed),
+        "page": page_log(parsed),
+        "display": page_display_log(parsed),
+        "action": page_action_log(parsed),
+        "start": start_log(parsed),
+    }

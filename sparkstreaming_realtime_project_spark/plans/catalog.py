@@ -1,0 +1,645 @@
+"""Query catalog: every SURVEY.md §2 operator expressed over the driver
+testdata tables, each with a DuckDB-oracle SQL twin.
+
+This is the correctness surface the driver checks (CORRECTNESS_r{N}.json):
+for each entry, the Spark plan and the oracle SQL must produce identical
+row sets (names, schema, values). Conventions keeping the hash stable:
+
+- every computed column is aliased identically on both sides;
+- timestamps leave the plan as epoch-micros (``unix_micros`` /
+  ``epoch_us``) or formatted strings — never raw timestamp objects;
+- floating aggregates are rounded to 2 decimals on both sides;
+- hour-of-day is the reference's zero-padded 'HH' string (SURVEY §2.7 F2).
+
+The gmall-shaped pipeline semantics (log envelope, CDC, order-wide) are
+exercised on their natural fixtures in tests/; here the same operators run
+against the TPC-H-ish tables so the oracle can see them:
+
+  events   ~ behavior log stream (user_id~mid, ts, event_type, props JSON)
+  customer/nation/region ~ dimension enrichment chain
+  orders x lineitem      ~ order_info x order_detail 1:N wide join
+  part.p_name            ~ sku_name text match/highlight target
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import highlight, text_match
+from ..sources.batch import load_table
+
+# Fixed parameters (events span 2024-01; lineitem dates are TPC-H classic).
+TD = "2024-01-05"  # "today" for the DAU-style queries
+Q1_CUTOFF = "1998-09-02"
+ITEM_QUERY = "spark join"  # documents text match
+PART_QUERY = "small bolt"  # part.p_name match (A4 analog)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # None -> rows-only check (non-SQL-expressible)
+    survey: str  # SURVEY §2 line items this covers
+    bench: bool = False  # include in bench.py headline set
+
+
+_REGISTRY: list[QuerySpec] = []
+
+
+def _register(name, survey, sql, bench=False):
+    def deco(fn):
+        _REGISTRY.append(QuerySpec(name, fn, sql, survey, bench))
+        return fn
+
+    return deco
+
+
+def registry() -> list[QuerySpec]:
+    return list(_REGISTRY)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan + filter + 8-agg groupBy).
+# Exercises pushdown, partial aggregation, codegen — the bench headline.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    "A-group aggregate core; P4 projection; pushdown showcase",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                   AS avg_qty,
+           round(avg(l_extendedprice), 2)                              AS avg_price,
+           round(avg(l_discount), 2)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-group: projection / filter / flatten (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p_json_extract",
+    "P1/P2 schema-on-read JSON parse (OdsBaseLogApp.scala:69-78)",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def p_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@_register(
+    "p_filter_route",
+    "P3 error-split predicate routing (OdsBaseLogApp.scala:111-115)",
+    """
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def p_filter_route(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    )
+
+
+@_register(
+    "p_explode_tokens",
+    "P6/P7 array flatten via explode (OdsBaseLogApp.scala:147-182)",
+    """
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+    FROM documents
+    """,
+)
+def p_explode_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    return docs.select("doc_id", F.explode(toks).alias("token"))
+
+
+@_register(
+    "p_cdc_decode",
+    "P10/P11 CDC op decode + dynamic topic routing (OdsBaseDbApp.scala:116-142)",
+    """
+    SELECT event_id,
+           CASE WHEN event_type IN ('signup', 'view') THEN 'I'
+                WHEN event_type = 'click' THEN 'U'
+                WHEN event_type = 'error' THEN 'D' END AS op,
+           'DWD_' || upper(event_type) || '_' ||
+           CASE WHEN event_type IN ('signup', 'view') THEN 'I'
+                WHEN event_type = 'click' THEN 'U'
+                WHEN event_type = 'error' THEN 'D' END AS topic
+    FROM events
+    WHERE event_type IN ('signup', 'view', 'click', 'error')
+    """,
+)
+def p_cdc_decode(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type").isin("signup", "view"), "I")
+        .when(F.col("event_type") == "click", "U")
+        .when(F.col("event_type") == "error", "D")
+    )
+    return (
+        ev.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "event_id",
+            "op",
+            F.concat(F.lit("DWD_"), F.upper("event_type"), F.lit("_"), F.col("op")).alias(
+                "topic"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-group: joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j_dim_enrich",
+    "J1/J2 dim enrichment as broadcast left joins (DwdDauApp.scala:149-185)",
+    """
+    SELECT c_custkey, c_name, c_mktsegment,
+           n_name AS nation_name, r_name AS region_name
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def j_dim_enrich(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@_register(
+    "j_order_wide",
+    "J4/J5 1:N wide join + F4 date derivation (DwdOrderApp.scala:170-175,148-155)",
+    """
+    SELECT l_orderkey AS order_id, l_linenumber AS detail_id,
+           o_custkey AS user_id, o_orderstatus AS order_status,
+           round(o_totalprice, 2) AS total_amount,
+           l_partkey AS sku_id, round(l_quantity, 2) AS sku_num,
+           round(l_extendedprice, 2) AS split_total_amount,
+           strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+           strftime(o_orderdate, '%H') AS create_hour
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+    bench=True,
+)
+def j_order_wide(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("detail_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.round("o_totalprice", 2).alias("total_amount"),
+        F.col("l_partkey").alias("sku_id"),
+        F.round("l_quantity", 2).alias("sku_num"),
+        F.round("l_extendedprice", 2).alias("split_total_amount"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("create_date"),
+        F.date_format("o_orderdate", "HH").alias("create_hour"),
+    )
+
+
+@_register(
+    "j_full_outer",
+    "J3 per-batch fullOuterJoin shape (DwdOrderApp.scala:170-175)",
+    """
+    WITH i AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'),
+         d AS (SELECT l_orderkey, count(*) AS n_returned
+               FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+    SELECT coalesce(i.o_orderkey, d.l_orderkey) AS order_id,
+           i.o_orderstatus AS order_status, d.n_returned AS n_returned
+    FROM i FULL OUTER JOIN d ON i.o_orderkey = d.l_orderkey
+    """,
+)
+def j_full_outer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    i = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
+    d = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+    )
+    return i.join(d, i.o_orderkey == d.l_orderkey, "full_outer").select(
+        F.coalesce("o_orderkey", "l_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("n_returned"),
+    )
+
+
+@_register(
+    "j_semi_anti",
+    "semi/anti joins (SURVEY §2.4 'absent — free in Spark')",
+    """
+    SELECT c_custkey, c_name, 'no_urgent' AS tag FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c_custkey, c_name, 'has_urgent' AS tag FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j_semi_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cond = c.c_custkey == urgent.o_custkey
+    anti = c.join(urgent, cond, "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_urgent").alias("tag")
+    )
+    semi = c.join(urgent, cond, "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_urgent").alias("tag")
+    )
+    return anti.unionAll(semi)
+
+
+# ---------------------------------------------------------------------------
+# A-group: serving aggregations (SURVEY §2.5) over events/part analogs
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a_dau_total",
+    "A1 daily active count (PublisherMapperImpl.java:51-69)",
+    f"""
+    SELECT count(DISTINCT user_id) AS dau_total
+    FROM events WHERE strftime(ts, '%Y-%m-%d') = '{TD}'
+    """,
+)
+def a_dau_total(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.date_format("ts", "yyyy-MM-dd") == TD).agg(
+        F.countDistinct("user_id").alias("dau_total")
+    )
+
+
+@_register(
+    "a_dau_hourly",
+    "A2 hourly histogram (PublisherMapperImpl.java:73-103) + F2 'HH' derivation",
+    f"""
+    SELECT strftime(ts, '%H') AS hr, count(DISTINCT user_id) AS ct
+    FROM events WHERE strftime(ts, '%Y-%m-%d') = '{TD}'
+    GROUP BY 1
+    """,
+)
+def a_dau_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.date_format("ts", "yyyy-MM-dd") == TD)
+        .groupBy(F.date_format("ts", "HH").alias("hr"))
+        .agg(F.countDistinct("user_id").alias("ct"))
+    )
+
+
+@_register(
+    "a_dau_compare",
+    "A3 today-vs-yesterday (PublisherMapperImpl.java:107-125) + F8 date_sub",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hr,
+           count(DISTINCT user_id) AS ct
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN ('{TD}', strftime(DATE '{TD}' - INTERVAL 1 DAY, '%Y-%m-%d'))
+    GROUP BY 1, 2
+    """,
+)
+def a_dau_compare(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    yd = F.date_format(F.date_sub(F.to_date(F.lit(TD)), 1), "yyyy-MM-dd")
+    dt = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        ev.filter((dt == TD) | (dt == yd))
+        .groupBy(dt.alias("dt"), F.date_format("ts", "HH").alias("hr"))
+        .agg(F.countDistinct("user_id").alias("ct"))
+    )
+
+
+_PART_MATCH_SQL = " AND ".join(
+    f"list_contains(list_filter(string_split_regex(lower(p_name), '\\s+'), x -> x <> ''), '{t}')"
+    for t in PART_QUERY.split()
+)
+
+
+@_register(
+    "a_stats_by_item_segment",
+    "A4+A6 match + grouped sum + recode (PublisherMapperImpl.java:136-176)",
+    f"""
+    SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN '建筑'
+                WHEN c_mktsegment = 'AUTOMOBILE' THEN '汽车'
+                ELSE c_mktsegment END AS name,
+           round(sum(l_extendedprice), 2) AS value
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE {_PART_MATCH_SQL}
+    GROUP BY 1 ORDER BY 1
+    """,
+    bench=True,
+)
+def a_stats_by_item_segment(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    seg = (
+        F.when(F.col("c_mktsegment") == "BUILDING", "建筑")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "汽车")
+        .otherwise(F.col("c_mktsegment"))
+    )
+    return (
+        li.join(F.broadcast(p.filter(text_match(F.col("p_name"), PART_QUERY))),
+                li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(seg.alias("name"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"))
+        .orderBy("name")
+    )
+
+
+@_register(
+    "a_stats_by_item_band",
+    "A4+A5 match + band recode aggregation (PublisherServiceImpl.java:59-78)",
+    f"""
+    SELECT CASE WHEN p_size < 20 THEN 'under20'
+                WHEN p_size <= 29 THEN '20to29'
+                ELSE '30plus' END AS name,
+           round(sum(l_extendedprice), 2) AS value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_PART_MATCH_SQL}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def a_stats_by_item_band(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    band = (
+        F.when(F.col("p_size") < 20, "under20")
+        .when(F.col("p_size") <= 29, "20to29")
+        .otherwise("30plus")
+    )
+    return (
+        li.join(F.broadcast(p.filter(text_match(F.col("p_name"), PART_QUERY))),
+                li.l_partkey == p.p_partkey)
+        .groupBy(band.alias("name"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"))
+        .orderBy("name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-group scalar surface + pagination + windows + set ops (SURVEY §2.7/2.8)
+# ---------------------------------------------------------------------------
+
+_DOC_MATCH_SQL = " AND ".join(
+    f"list_contains(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), '{t}')"
+    for t in ITEM_QUERY.split()
+)
+_DOC_HL_SQL = (
+    r"regexp_replace(text, '(?i)\b(spark|join)\b', '<em>\1</em>', 'g')"
+)
+
+
+@_register(
+    "f_text_match_highlight",
+    "F9 analyzed AND-match + F10 highlight (PublisherMapperImpl.java:143,199-218)",
+    f"""
+    SELECT doc_id, {_DOC_HL_SQL} AS sku_name
+    FROM documents WHERE {_DOC_MATCH_SQL}
+    """,
+)
+def f_text_match_highlight(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(text_match(F.col("text"), ITEM_QUERY)).select(
+        "doc_id", highlight(F.col("text"), ITEM_QUERY).alias("sku_name")
+    )
+
+
+@_register(
+    "q_detail_page",
+    "pagination: deterministic ORDER BY + LIMIT/OFFSET (PublisherServiceImpl.java:41-47)",
+    f"""
+    SELECT doc_id, n_chars, {_DOC_HL_SQL} AS sku_name
+    FROM documents WHERE {_DOC_MATCH_SQL}
+    ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 20
+    """,
+)
+def q_detail_page(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(text_match(F.col("text"), ITEM_QUERY))
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .offset(20)
+        .limit(20)
+        .select("doc_id", "n_chars", highlight(F.col("text"), ITEM_QUERY).alias("sku_name"))
+    )
+
+
+@_register(
+    "w_topk_per_group",
+    "window functions / top-k (SURVEY §2.8, 'free in Spark')",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def w_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn"
+        )
+    )
+
+
+@_register(
+    "u_union_split",
+    "set ops: union (inverse of the 5-way split, OdsBaseLogApp.scala:93-101)",
+    """
+    SELECT event_id, 'err_stream' AS stream, user_id FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, 'buy_stream' AS stream, user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def u_union_split(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("err_stream").alias("stream"), "user_id"
+    )
+    buy = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.lit("buy_stream").alias("stream"), "user_id"
+    )
+    return err.unionAll(buy)
+
+
+# ---------------------------------------------------------------------------
+# O-group: stateful streaming semantics, batch-checkable (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "o_dedup_first_per_day",
+    "O1 streaming distinct-by-(key,day), deterministic first-event variant "
+    "(DwdDauApp.scala:87-135)",
+    """
+    SELECT user_id, dt, event_id AS first_event_id, ts_us AS first_ts_us FROM (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, event_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def o_dedup_first_per_day(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    w = Window.partitionBy("user_id", "dt").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "dt",
+            F.col("event_id").alias("first_event_id"),
+            F.unix_micros("ts").alias("first_ts_us"),
+        )
+    )
+
+
+@_register(
+    "o_window_tumbling",
+    "tumbling event-time window aggregation (SURVEY §2.6 'absent in ref, free in Spark')",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+           count(*) AS ct, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def o_window_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("ct"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "ct",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "o_session_window",
+    "session windows, 30 min gap (SURVEY §2.6; islands-equivalent oracle)",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged)
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def o_session_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
