@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers:
+
+- brute-force top-k: broadcast the (small) query set against all
+  candidates; cosine evaluated as JVM higher-order functions over
+  array<double> — no Python, no UDF. Cost O(|Q| x N): the baseline and
+  the verifier for the bucketed path.
+- sign-LSH / IVF-style bucketed top-k: partition vectors into buckets by
+  the sign pattern of a few projections, probe only the query's bucket.
+  At 100 TB the bucket column is a partition key: a query touches one
+  bucket's files instead of the full corpus. Hyperplanes are pluggable;
+  the default uses axis-aligned dims so an external SQL oracle can
+  replay it exactly (random hyperplanes = pass explicit coefficient
+  lists).
+
+All arithmetic is double, accumulated left-to-right (aggregate with 0.0
+init), which is bit-identical to DuckDB's list_reduce over DOUBLE[] —
+that's what lets the oracle hash-match float outputs after round(4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def as_double_vec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query row.
+
+    ``queries`` is expected small (it's broadcast); candidates stream
+    through executors partition-local — the only shuffle is the final
+    per-query top-k, bounded at |Q| x k rows by the window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 2, 3)) -> Column:
+    """Sign-pattern bucket id: '101' = dims 1,3 non-negative, dim 2
+    negative (1-based element_at). Axis-aligned hyperplane LSH."""
+    bits = [
+        F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def knn_bucketed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket. Join key = bucket, so the pair fan-out is N/2^bits per query
+    instead of N. Multi-probe (flipping low-margin bits) is the standard
+    recall knob — out of scope for the oracle query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("qv"),
+    ).withColumn("bucket", sign_bucket(F.col("qv"), dims))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("cv"),
+    ).withColumn("bucket", sign_bucket(F.col("cv"), dims))
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "bucket", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+        )
+    )
+
+
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine >= threshold.
+
+    O(N^2) as written — correct baseline for the oracle. The scale path
+    buckets both sides first (sign_bucket join) and accepts the recall
+    loss, or uses the MinHash-style banding over quantized vectors."""
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), as_double_vec(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), as_double_vec(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )

@@ -643,3 +643,325 @@ def o_session_window(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X-group: LLM-data-pipeline extension operators (north-star, BASELINE.json)
+# Implementations live in operators/{dedup,similarity,textstats,multimodal}.py;
+# each catalog entry replays the exact pipeline in portable SQL (md5-based
+# hashing, double arithmetic with identical accumulation order).
+# ---------------------------------------------------------------------------
+
+from ..operators import dedup as _dd
+from ..operators import multimodal as _mm
+from ..operators import similarity as _sim
+from ..operators import textstats as _ts
+
+# shared SQL fragments -------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB twin of operators.dedup.word_shingles (distinct word n-grams,
+    whole-token-string fallback for short docs)."""
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_distinct([array_to_string(t[i:i+{n - 1}], ' ') FOR i IN range(1, len(t) - {n - 2})]) "
+        f"ELSE [array_to_string(t, ' ')] END"
+    )
+
+
+_JACCARD_VERIFY_SQL = """
+sz AS (SELECT doc_id, s, len(s) AS ln FROM sh),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+               (sa.ln + sb.ln - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+  FROM cand JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+_MINHASH_K, _MINHASH_BANDS = 16, 4
+_R = _MINHASH_K // _MINHASH_BANDS
+_MH_COLS = ",\n         ".join(
+    f"min(md5('{j}:' || g)) AS h{j}" for j in range(_MINHASH_K)
+)
+_BAND_SQL = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({key}) AS key FROM mh".format(
+        b=b, key="||".join(f"h{b * _R + i}" for i in range(_R))
+    )
+    for b in range(_MINHASH_BANDS)
+)
+
+
+@_register(
+    "x_dedup_exact",
+    "exact dedup via content-hash groupBy (north-star; K3 idempotent-key analog)",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def x_dedup_exact(spark, sf_dir):
+    return _dd.dedup_exact(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "x_dedup_ngram_jaccard",
+    "n-gram Jaccard near-dup pairs, exact shingle join (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+    {_JACCARD_VERIFY_SQL}
+    """,
+    bench=True,
+)
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.jaccard_pairs(_dd.with_shingles(docs, "text", "doc_id", 3), 0.8)
+
+
+@_register(
+    "x_dedup_minhash_lsh",
+    "MinHash+LSH near-dup: shingle -> 16 minhashes -> 4 bands -> verify (north-star scale path)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    mh AS (SELECT doc_id,
+         {_MH_COLS}
+       FROM ex GROUP BY doc_id),
+    bands AS (
+  {_BAND_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    {_JACCARD_VERIFY_SQL}
+    """,
+    bench=True,
+)
+def x_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.minhash_dedup_pairs(
+        docs, "text", "doc_id", n=3, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
+    )
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_BIT_SQL = ",\n      ".join(
+    "CASE WHEN list_sum(list_transform(t, tok -> CASE WHEN "
+    f"instr('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1 >= 8 "
+    "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+    for j in range(_SIMHASH_BITS)
+)
+
+
+@_register(
+    "x_simhash_signature",
+    "SimHash 16-bit signatures, narrow aggregate over token array (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id, concat(
+      {_SIMHASH_BIT_SQL}) AS simhash
+    FROM toks
+    """,
+)
+def x_simhash_signature(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _dd.simhash_expr("text", _SIMHASH_BITS).alias("simhash")
+    )
+
+
+# embedding similarity -------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), "
+    "(x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@_register(
+    "x_dedup_embedding",
+    "embedding-cosine near-dup pairs (north-star; brute-force baseline)",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_cos_sql('a.v', 'b.v')}, 4) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.45
+    """,
+)
+def x_dedup_embedding(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_near_pairs(emb, 0.45)
+
+
+@_register(
+    "x_knn_bruteforce",
+    "brute-force cosine top-k similarity search (north-star baseline)",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'e.v')} AS sim
+      FROM q JOIN e ON e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    bench=True,
+)
+def x_knn_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+_BUCKET_SQL = (
+    "concat(CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END)"
+)
+
+
+@_register(
+    "x_knn_bucketed",
+    "sign-LSH bucketed approximate top-k (north-star scale path)",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM base),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, q.bucket AS bucket, e.vec_id AS neighbor_id,
+             {_cos_sql('qv', 'e.v')} AS sim
+      FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.query_id)
+    SELECT query_id, bucket, neighbor_id, rank, round(sim, 4) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def x_knn_bucketed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.knn_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+# text analysis --------------------------------------------------------------
+
+_STOPSET_SQL = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+@_register(
+    "x_text_stats",
+    "token counting + quality scoring, single narrow pass (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 4) AS avg_token_len,
+           round(len(list_filter(t, x -> list_contains({_STOPSET_SQL}, x))) * 1.0 / len(t), 4) AS stopword_ratio,
+           round(least(1.0, len(t) / 100.0) *
+                 (1.0 - len(list_filter(t, x -> list_contains({_STOPSET_SQL}, x))) * 1.0 / len(t)), 4) AS quality_score
+    FROM toks
+    """,
+)
+def x_text_stats(spark, sf_dir):
+    return _ts.token_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _marker_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> list_contains([{lst}], x)))"
+
+
+_LANG_SCORES_SQL = ",\n           ".join(
+    f"{_marker_sql(words)} AS score_{lang}" for lang, words in _ts.LANG_MARKERS.items()
+)
+
+
+@_register(
+    "x_lang_guess",
+    "language-ID heuristic via marker stopwords (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    s AS (SELECT doc_id,
+           {_LANG_SCORES_SQL}
+          FROM toks)
+    SELECT doc_id, score_en, score_de, score_fr, score_es,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr
+                     AND score_en >= score_es AND score_en > 0 THEN 'en'
+                WHEN score_de >= score_fr AND score_de >= score_es
+                     AND score_de > 0 THEN 'de'
+                WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+                WHEN score_es > 0 THEN 'es'
+                ELSE 'unk' END AS lang_guess
+    FROM s
+    """,
+)
+def x_lang_guess(spark, sf_dir):
+    return _ts.lang_guess(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "x_fingerprint",
+    "document fingerprinting: content hash + min-shingle hash (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, text, {_shingles_sql(4)} AS s FROM toks)
+    SELECT doc_id, md5(text) AS content_hash,
+           list_aggregate(list_transform(s, g -> md5(g)), 'min') AS shingle_fp
+    FROM sh
+    """,
+)
+def x_fingerprint(spark, sf_dir):
+    return _ts.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id", n=4)
+
+
+# multimodal -----------------------------------------------------------------
+
+
+@_register(
+    "x_multimodal_meta",
+    "multimodal binary payload + typed metadata derivation (north-star)",
+    """
+    SELECT doc_id, 'text' AS modality, 'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def x_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mm = _mm.attach_binary_payload(docs, "text")
+    return mm.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+@_register(
+    "x_multimodal_decode",
+    "stubbed media decode via mapInPandas (north-star; rows-only check — "
+    "decode output is pandas-UDF-derived, not SQL-expressible)",
+    None,
+)
+def x_multimodal_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mm = _mm.attach_binary_payload(docs, "text")
+    return _mm.decode_features(mm, "doc_id")
