@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes through the ``noop`` sink so the full plan
+materializes (a bare count() would let Catalyst prune the projections
+away and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreaming_realtime_project_spark.plans import catalog
+from sparkstreaming_realtime_project_spark.session import get_spark
+
+# queries measured per round: all catalog entries flagged bench=True plus
+# the stateful-semantics heavyweights.
+EXTRA_BENCH = ["o_dedup_first_per_day", "o_session_window", "a_dau_compare"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = [s for s in catalog.registry() if s.bench or s.name in EXTRA_BENCH]
+    timings: dict[str, float] = {}
+    for spec in specs:
+        # warm pass (JIT, file listing), then a timed pass that REBUILDS the
+        # plan so eager materialization inside operators is paid in-measure.
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        start = time.perf_counter()
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall-clock (noop sink, warm)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,8 +65,24 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def with_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    return df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles"))
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, materialize: bool = False
+) -> DataFrame:
+    """Project (id, shingles). ``materialize=True`` truncates lineage with
+    an eager localCheckpoint: the shingle array is consumed 3x downstream
+    (signature, candidate sides a/b, verify) and re-tokenizing the corpus
+    each time dominates runtime. At cluster scale use persist(DISK) or a
+    staged table instead of localCheckpoint (which doesn't survive
+    executor loss)."""
+    out = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    )
+    if materialize:
+        # corpus tables often arrive as one file -> one partition; spread
+        # before the hash-heavy downstream or it runs on a single core.
+        out = out.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def jaccard_pairs(
@@ -158,7 +174,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band
     join -> exact-Jaccard verify on candidates only."""
-    shingled = with_shingles(df, text_col, id_col, n)
+    shingled = with_shingles(df, text_col, id_col, n, materialize=True)
     cands = lsh_candidate_pairs(minhash_signature(shingled, k), k, bands)
     return jaccard_pairs(shingled, threshold, candidates=cands)
 

@@ -722,7 +722,9 @@ def x_dedup_exact(spark, sf_dir):
 )
 def x_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return _dd.jaccard_pairs(_dd.with_shingles(docs, "text", "doc_id", 3), 0.8)
+    return _dd.jaccard_pairs(
+        _dd.with_shingles(docs, "text", "doc_id", 3, materialize=True), 0.8
+    )
 
 
 @_register(

@@ -1,0 +1,197 @@
+"""The four reference streaming apps as Structured Streaming pipelines
+(SURVEY §3, §2.6).
+
+Each pipeline is a function (stream DataFrame[s] + static dims) ->
+StreamingQuery builder, parameterized over source/sink so tests drive them
+with file streams + availableNow and production wires Kafka. The
+reference's hand-rolled state (Redis dedup set O1, Redis join buffers J4,
+offset hashes K6) all collapses into Spark's checkpointed state store.
+
+Scale: dedup and join state are partitioned by key across the cluster;
+watermarks bound state size exactly like the reference's 24 h TTLs
+(DwdOrderApp.scala:209,247). No per-record external I/O anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dates import derive_dt_hr
+from ..operators.cdc import decode_op, parse_cdc, route_dims, route_facts
+from ..operators.enrich import enrich_province, enrich_user
+from ..operators.log_split import parse_log, split_all
+from .sinks import idempotent_partitioned_writer, split_writer
+
+
+def dau_pipeline(
+    raw_stream: DataFrame,
+    dim_user: DataFrame,
+    dim_province: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    watermark: str = "25 hours",
+    as_of=None,
+):
+    """DwdDauApp (DwdDauApp.scala:30-231) re-expressed:
+
+    parse -> session-entry filter (P9) -> watermark + dropDuplicates on
+    (mid, dt) (O1: one row per device per event-date; watermark > 24 h
+    covers late events of the previous day, SURVEY §7) -> broadcast dim
+    joins (J1/J2) -> dt/hr derivation (F2) -> idempotent partitioned sink
+    keyed by (mid, dt) (K3/K4).
+    """
+    parsed = parse_log(raw_stream)
+    page = parsed.filter(F.col("page").isNotNull()).select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.uid").cast("long").alias("user_id"),
+        F.col("common.ar").cast("long").alias("province_id"),
+        F.col("common.ch").alias("channel"),
+        F.col("common.is_new").alias("is_new"),
+        F.col("page.last_page_id").alias("last_page_id"),
+        F.timestamp_millis(F.col("ts")).alias("event_ts"),
+    )
+    entries = page.filter(F.col("last_page_id").isNull())  # P9
+    deduped = (
+        entries.withColumn("dt", F.date_format("event_ts", "yyyy-MM-dd"))
+        .withWatermark("event_ts", watermark)
+        .dropDuplicates(["mid", "dt"])
+    )
+    enriched = enrich_user(deduped, dim_user, "user_id", as_of=as_of)
+    enriched = enrich_province(enriched, dim_province, "province_id")
+    dau = derive_dt_hr(enriched.drop("dt"), "event_ts").drop("last_page_id")
+    return (
+        dau.writeStream.foreachBatch(
+            idempotent_partitioned_writer(out_dir, ["mid", "dt"], "dt")
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def log_split_pipeline(raw_stream: DataFrame, out_root: str, checkpoint: str):
+    """OdsBaseLogApp (OdsBaseLogApp.scala:30-213): one source, five routed
+    outputs from a single cached batch (§3.2)."""
+    # foreachBatch receives the RAW batch; parse once, fan out five ways.
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        p = parse_log(batch_df).persist()
+        try:
+            split_writer(
+                {name: (lambda b, n=name: split_all(b)[n]) for name in
+                 ("error", "page", "display", "action", "start")},
+                out_root,
+            )(p, batch_id)
+        finally:
+            p.unpersist()
+
+    return (
+        raw_stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def cdc_route_pipeline(
+    raw_stream: DataFrame,
+    fact_tables: list[str],
+    dim_tables: list[str],
+    out_root: str,
+    checkpoint: str,
+):
+    """OdsBaseDbApp (OdsBaseDbApp.scala:35-170): Maxwell decode (P10),
+    fact rows routed to per-topic outputs (P11 — locally one directory per
+    computed topic name), dim rows upserted by id (P12/K5).
+
+    The reference re-reads FACT/DIM table sets from Redis every batch
+    (O6); here they're parameters — swap for a config-table read inside
+    the batch function for live reconfiguration."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = decode_op(parse_cdc(batch_df)).persist()
+        try:
+            facts = route_facts(decoded, fact_tables)
+            for row in facts.select("topic").distinct().collect():
+                topic = row["topic"]
+                facts.filter(F.col("topic") == topic).write.mode(
+                    "overwrite"
+                ).parquet(f"{out_root}/facts/{topic}/batch={batch_id}")
+            dims = route_dims(decoded, dim_tables).dropDuplicates(["table", "id"])
+            for t in dim_tables:
+                part = dims.filter(F.col("table") == t)
+                part.write.mode("overwrite").parquet(
+                    f"{out_root}/dims/{t}/batch={batch_id}"
+                )
+        finally:
+            decoded.unpersist()
+
+    return (
+        raw_stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def order_wide_pipeline(
+    info_stream: DataFrame,
+    detail_stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    lateness: str = "24 hours",
+):
+    """DwdOrderApp (DwdOrderApp.scala:35-280): the cross-batch 24 h-state
+    join (J3/J4) as a watermarked stream-stream inner join.
+
+    Both sides carry event-time from create_time; state for unmatched rows
+    lives in the state store until the watermark passes (the Redis
+    SETEX/EXPIRE 24 h buffers, :205-248). Join condition bounds detail
+    time within [info_time - lateness, info_time + lateness] so Spark can
+    evict state (required for stream-stream joins). Output rows are
+    OrderWide-shaped (J5) keyed detail_id, partitioned by create_date —
+    fixing the reference's full-datetime index suffix bug (§2.9)."""
+    info = info_stream.withColumn(
+        "info_ts", F.to_timestamp("create_time")
+    ).withWatermark("info_ts", lateness)
+    detail = detail_stream.withColumn(
+        "detail_ts", F.to_timestamp("create_time")
+    ).withWatermark("detail_ts", lateness)
+
+    d = detail.select(
+        F.col("id").alias("detail_id"),
+        "order_id",
+        "sku_id",
+        "order_price",
+        "sku_num",
+        "sku_name",
+        "split_total_amount",
+        "split_activity_amount",
+        "split_coupon_amount",
+        "detail_ts",
+    )
+    i = info.select(
+        F.col("id").alias("order_id"),
+        "province_id",
+        "order_status",
+        "user_id",
+        "total_amount",
+        F.col("create_time"),
+        "info_ts",
+    )
+    joined = d.join(
+        i,
+        (d.order_id == i.order_id)
+        & (d.detail_ts >= i.info_ts - F.expr("INTERVAL 24 HOURS"))
+        & (d.detail_ts <= i.info_ts + F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    ).drop(i.order_id)
+    wide = (
+        joined.withColumn("create_date", F.substring("create_time", 1, 10))
+        .withColumn("create_hour", F.date_format(F.to_timestamp("create_time"), "HH"))
+        .drop("detail_ts", "info_ts")
+    )
+    return (
+        wide.writeStream.foreachBatch(
+            idempotent_partitioned_writer(out_dir, ["detail_id"], "create_date")
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
