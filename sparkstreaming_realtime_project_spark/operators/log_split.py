@@ -40,19 +40,25 @@ def _common(df: DataFrame) -> list:
 
 def error_log(parsed: DataFrame) -> DataFrame:
     """P3: err section present -> whole record to the error output, raw
-    (OdsBaseLogApp.scala:111-115). err wins routing; other branches still
-    see the record in the reference (err is checked first, then the rest
-    continue) — we reproduce that: error output does NOT subtract from
-    page/start outputs."""
+    (OdsBaseLogApp.scala:111-115). Routing is EXCLUSIVE: the reference's
+    ``if (errObj != null) ... else ...`` sends err-bearing records only
+    here — the page/display/action/start branches never see them."""
     return parsed.filter(F.col("err").isNotNull()).select(
         *_common(parsed), F.col("err")
     )
 
 
+def _routable(parsed: DataFrame) -> DataFrame:
+    """The else-branch of the err split (OdsBaseLogApp.scala:115): records
+    without an err section are the only ones page/display/action/start
+    routing may emit."""
+    return parsed.filter(F.col("err").isNull())
+
+
 def page_log(parsed: DataFrame) -> DataFrame:
     """P5: page branch -> flat 16-col PageLog (OdsBaseLogApp.scala:130-144,
-    bean/PageLog.scala:6-23)."""
-    return parsed.filter(F.col("page").isNotNull()).select(
+    bean/PageLog.scala:6-23). err-bearing records excluded (P3 wins)."""
+    return _routable(parsed).filter(F.col("page").isNotNull()).select(
         F.col("common.mid").alias("mid"),
         F.col("common.uid").alias("user_id"),
         F.col("common.ar").alias("province_id"),
@@ -74,8 +80,9 @@ def page_log(parsed: DataFrame) -> DataFrame:
 
 def page_display_log(parsed: DataFrame) -> DataFrame:
     """P6: explode displays[] -> one row per display, denormalized with all
-    page+common fields (OdsBaseLogApp.scala:147-164, bean/PageDisplayLog)."""
-    base = parsed.filter(
+    page+common fields (OdsBaseLogApp.scala:147-164, bean/PageDisplayLog).
+    err-bearing records excluded (P3 wins)."""
+    base = _routable(parsed).filter(
         F.col("page").isNotNull() & (F.size("displays") > 0)
     ).select("common", "page", "ts", F.explode("displays").alias("d"))
     return base.select(
@@ -105,8 +112,9 @@ def page_display_log(parsed: DataFrame) -> DataFrame:
 
 def page_action_log(parsed: DataFrame) -> DataFrame:
     """P7: explode actions[] (OdsBaseLogApp.scala:167-182); the per-action
-    ts overrides the envelope ts (bean/PageActionLog.scala:6-27)."""
-    base = parsed.filter(
+    ts overrides the envelope ts (bean/PageActionLog.scala:6-27).
+    err-bearing records excluded (P3 wins)."""
+    base = _routable(parsed).filter(
         F.col("page").isNotNull() & (F.size("actions") > 0)
     ).select("common", "page", F.explode("actions").alias("a"))
     return base.select(
@@ -134,8 +142,9 @@ def page_action_log(parsed: DataFrame) -> DataFrame:
 
 
 def start_log(parsed: DataFrame) -> DataFrame:
-    """P8: start branch -> StartLog (OdsBaseLogApp.scala:186-201)."""
-    return parsed.filter(F.col("start").isNotNull()).select(
+    """P8: start branch -> StartLog (OdsBaseLogApp.scala:186-201).
+    err-bearing records excluded (P3 wins)."""
+    return _routable(parsed).filter(F.col("start").isNotNull()).select(
         *_common(parsed),
         F.col("start.entry").alias("entry"),
         F.col("start.loading_time").alias("loading_time"),

@@ -966,4 +966,18 @@ def x_multimodal_meta(spark, sf_dir):
 def x_multimodal_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     mm = _mm.attach_binary_payload(docs, "text")
-    return _mm.decode_features(mm, "doc_id")
+    decoded = _mm.decode_features(mm, "doc_id", feature_dim=8)
+    # The checked output flattens features to scalar doubles: the driver's
+    # canonicalizer sorts result cells in pandas, and raw array<double>
+    # cells (python lists) are unhashable there.
+    return decoded.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "width",
+        "height",
+        *[
+            F.element_at("features", i + 1).alias(f"feature_{i}")
+            for i in range(8)
+        ],
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.dates import derive_dt_hr
 from ..operators.cdc import decode_op, parse_cdc, route_dims, route_facts
@@ -42,7 +43,11 @@ def dau_pipeline(
     keyed by (mid, dt) (K3/K4).
     """
     parsed = parse_log(raw_stream)
-    page = parsed.filter(F.col("page").isNotNull()).select(
+    # err IS NULL: DwdDauApp consumes DWD_PAGE_LOG_TOPIC, which the split
+    # never routes err-bearing records to (OdsBaseLogApp.scala:111-115).
+    page = parsed.filter(
+        F.col("err").isNull() & F.col("page").isNotNull()
+    ).select(
         F.col("common.mid").alias("mid"),
         F.col("common.uid").cast("long").alias("user_id"),
         F.col("common.ar").cast("long").alias("province_id"),
@@ -52,10 +57,15 @@ def dau_pipeline(
         F.timestamp_millis(F.col("ts")).alias("event_ts"),
     )
     entries = page.filter(F.col("last_page_id").isNull())  # P9
+    # dropDuplicatesWithinWatermark: dedup state for a (mid, dt) key is
+    # EVICTED once the watermark passes its event time — plain
+    # dropDuplicates on keys without the event-time column would grow
+    # state forever. Watermark > 24 h reproduces the reference's one-row-
+    # per-device-per-event-date with its 24 h TTL (DwdDauApp.scala:87-135).
     deduped = (
         entries.withColumn("dt", F.date_format("event_ts", "yyyy-MM-dd"))
         .withWatermark("event_ts", watermark)
-        .dropDuplicates(["mid", "dt"])
+        .dropDuplicatesWithinWatermark(["mid", "dt"])
     )
     enriched = enrich_user(deduped, dim_user, "user_id", as_of=as_of)
     enriched = enrich_province(enriched, dim_province, "province_id")
@@ -109,18 +119,26 @@ def cdc_route_pipeline(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         decoded = decode_op(parse_cdc(batch_df)).persist()
         try:
-            facts = route_facts(decoded, fact_tables)
-            for row in facts.select("topic").distinct().collect():
-                topic = row["topic"]
-                facts.filter(F.col("topic") == topic).write.mode(
-                    "overwrite"
-                ).parquet(f"{out_root}/facts/{topic}/batch={batch_id}")
-            dims = route_dims(decoded, dim_tables).dropDuplicates(["table", "id"])
-            for t in dim_tables:
-                part = dims.filter(F.col("table") == t)
-                part.write.mode("overwrite").parquet(
-                    f"{out_root}/dims/{t}/batch={batch_id}"
-                )
+            # Single pass per side: partitionBy writes every topic/table
+            # directory in ONE job — no driver round-trip, no dependence on
+            # topic cardinality (replaces a collect()+filter-per-topic loop
+            # that rescanned the batch N times).
+            route_facts(decoded, fact_tables).write.mode("overwrite").partitionBy(
+                "topic"
+            ).parquet(f"{out_root}/facts/batch={batch_id}")
+            # Dim upsert is last-write-wins by ts (Redis SET semantics,
+            # OdsBaseDbApp.scala:144-163) — deterministic winner, not
+            # dropDuplicates' arbitrary row.
+            dims = route_dims(decoded, dim_tables)
+            w = Window.partitionBy("table", "id").orderBy(F.col("ts").desc())
+            latest = (
+                dims.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            latest.write.mode("overwrite").partitionBy("table").parquet(
+                f"{out_root}/dims/batch={batch_id}"
+            )
         finally:
             decoded.unpersist()
 

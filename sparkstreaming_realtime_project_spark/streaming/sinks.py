@@ -20,23 +20,38 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def idempotent_partitioned_writer(
     out_dir: str,
     key_cols: list[str],
     partition_col: str | None = "dt",
+    order_col: str | None = None,
 ):
     """K3+K4: idempotent upsert into a date-partitioned table.
 
-    Per batch: dedup on key (last-write-wins inside the batch, the ES
-    bulk semantics of MyEsUtils.scala:69-79), then write to a
-    batch-id-suffixed subdir committed atomically by rename. Replaying a
-    batch id rewrites the same subdir — exactly-once downstream.
+    Per batch: dedup on key, then write to a batch-id-suffixed subdir
+    committed atomically by rename. Replaying a batch id rewrites the same
+    subdir — exactly-once downstream.
+
+    ``order_col`` picks the in-batch winner deterministically: the row with
+    the greatest order_col per key survives (the ES bulk last-write-wins of
+    MyEsUtils.scala:69-79, where "last" is the newest event). Without it,
+    dropDuplicates keeps an arbitrary row — fine only when duplicates are
+    exact copies.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        deduped = batch_df.dropDuplicates(key_cols)
+        if order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            deduped = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            deduped = batch_df.dropDuplicates(key_cols)
         target = os.path.join(out_dir, f"batch={batch_id}")
         writer = deduped.write.mode("overwrite")
         if partition_col is not None:
@@ -75,15 +90,58 @@ def split_writer(outputs: dict[str, "DataFrameFn"], out_root: str):
     return write
 
 
-def kafka_topic_writer(df: DataFrame, brokers: str, checkpoint: str):
-    """K1/K2 production path: dynamic-topic Kafka sink — expects columns
-    (topic, value[, key]); Spark routes each row to its topic column.
-    Untestable without a broker/connector jar in this container."""
+def current_dims(spark, out_root: str) -> DataFrame:
+    """K5: current-state dim snapshot across all committed batches.
+
+    The reference's Redis ``SET DIM:<TABLE>:<id>`` is a cross-batch
+    last-write-wins upsert (OdsBaseDbApp.scala:144-163); the parquet dim
+    store keeps every batch's latest rows, so "current row for (table,
+    id)" = max by (ts, batch) over all batches. One window over the dim
+    store — at scale this is the compaction read a MERGE-capable table
+    format does natively."""
+    dims = spark.read.option("basePath", os.path.join(out_root, "dims")).parquet(
+        os.path.join(out_root, "dims", "batch=*")
+    )
+    w = Window.partitionBy("table", "id").orderBy(
+        F.col("ts").desc(), F.col("batch").desc()
+    )
     return (
-        df.select(
-            "topic",
-            F.col("value").cast("string").alias("value"),
-        )
+        dims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch")
+    )
+
+
+def kafka_frame(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """K2+F7: shape a routed DataFrame for the Kafka sink.
+
+    - ``value``: if the frame has no string ``value`` column already, the
+      whole row is serialized with ``to_json(struct(*))`` — the reference's
+      bean->JSON step before every topic send (OdsBaseLogApp.scala:144,
+      163,181,199; MyEsUtils.scala:73).
+    - ``key``: optional hash-partitioning key (MyKafkaUtils.scala:98-100);
+      cast to string and passed through so Kafka keeps per-key ordering.
+    """
+    cols = df.columns
+    out = df
+    if "value" not in cols:
+        payload = [c for c in cols if c not in ("topic", key_col)]
+        out = out.withColumn("value", F.to_json(F.struct(*payload)))
+    selected = ["topic", F.col("value").cast("string").alias("value")]
+    if key_col is not None:
+        selected.insert(1, F.col(key_col).cast("string").alias("key"))
+    return out.select(*selected)
+
+
+def kafka_topic_writer(
+    df: DataFrame, brokers: str, checkpoint: str, key_col: str | None = None
+):
+    """K1/K2 production path: dynamic-topic Kafka sink — rows routed by
+    their ``topic`` column, hash-partitioned by ``key`` when given.
+    Untestable without a broker/connector jar in this container; the frame
+    shape (kafka_frame) is unit-tested."""
+    return (
+        kafka_frame(df, key_col)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("checkpointLocation", checkpoint)
