@@ -20,13 +20,15 @@ from pyspark.sql import functions as F
 from ..schemas import CDC_ENVELOPE_SCHEMA
 
 # OdsBaseDbApp.scala:116-124: bootstrap-insert/insert -> I, update -> U,
-# delete -> D, anything else dropped.
-_OP_DECODE = (
-    F.when(F.col("type").isin("bootstrap-insert", "insert"), "I")
-    .when(F.col("type") == "update", "U")
-    .when(F.col("type") == "delete", "D")
-    .otherwise(F.lit(None))
-)
+# delete -> D, anything else dropped. (Function, not a module constant:
+# Column construction needs an active SparkContext.)
+def _op_decode():
+    return (
+        F.when(F.col("type").isin("bootstrap-insert", "insert"), "I")
+        .when(F.col("type") == "update", "U")
+        .when(F.col("type") == "delete", "D")
+        .otherwise(F.lit(None))
+    )
 
 
 def parse_cdc(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -38,7 +40,7 @@ def parse_cdc(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
 def decode_op(parsed: DataFrame) -> DataFrame:
     """P10: op decode + drop unknown types (OdsBaseDbApp.scala:116-126)."""
-    return parsed.withColumn("op", _OP_DECODE).filter(F.col("op").isNotNull())
+    return parsed.withColumn("op", _op_decode()).filter(F.col("op").isNotNull())
 
 
 def route_facts(decoded: DataFrame, fact_tables: list[str]) -> DataFrame:

@@ -46,6 +46,20 @@ def kafka_stream(
     )
 
 
+def text_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Test/replay source with the Kafka value-column shape: each line of
+    each file becomes a row with a single string ``value`` column —
+    exactly what parse_log/parse_cdc consume. One file per intended
+    micro-batch + ``maxFilesPerTrigger=1`` replays the reference's batch
+    boundaries."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
 def file_stream(
     spark: SparkSession,
     path: str,

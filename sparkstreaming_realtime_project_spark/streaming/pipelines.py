@@ -70,6 +70,10 @@ def dau_pipeline(
     enriched = enrich_user(deduped, dim_user, "user_id", as_of=as_of)
     enriched = enrich_province(enriched, dim_province, "province_id")
     dau = derive_dt_hr(enriched.drop("dt"), "event_ts").drop("last_page_id")
+    # K7: per-batch row-count metric, the reference's console count probes
+    # (DwdDauApp.scala:71-74,82-85) as an observe() visible in
+    # StreamingQueryProgress.observedMetrics instead of stdout.
+    dau = dau.observe("dau_metrics", F.count(F.lit(1)).alias("rows_written"))
     return (
         dau.writeStream.foreachBatch(
             idempotent_partitioned_writer(out_dir, ["mid", "dt"], "dt")

@@ -1,0 +1,335 @@
+"""End-to-end streaming pipeline tests (SURVEY §5): replay FIXTURES.md
+§1-4 shaped inputs through each of the four pipelines with file sources +
+``availableNow``, assert sink contents as SETS against hand-computed
+golden outputs, plus a kill/restart exactly-once test (O4) and the K7
+observe() metric.
+
+One fixture file = one micro-batch (maxFilesPerTrigger=1), so cross-batch
+semantics — dedup state (O1), join buffering (J4/O5), dim upsert races
+(K5) — are genuinely exercised, not just the within-batch shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_project_spark.operators.cdc import (
+    decode_op,
+    parse_cdc,
+    route_facts,
+)
+from sparkstreaming_realtime_project_spark.schemas import (
+    ORDER_DETAIL_SCHEMA,
+    ORDER_INFO_SCHEMA,
+)
+from sparkstreaming_realtime_project_spark.sources.streams import (
+    file_stream,
+    text_stream,
+)
+from sparkstreaming_realtime_project_spark.streaming.pipelines import (
+    cdc_route_pipeline,
+    dau_pipeline,
+    log_split_pipeline,
+    order_wide_pipeline,
+)
+from sparkstreaming_realtime_project_spark.streaming.sinks import (
+    current_dims,
+    kafka_frame,
+    read_sink,
+)
+
+from . import streaming_fixtures as fx
+
+def as_of():
+    return F.lit("2024-06-01")
+
+
+def run_to_completion(writer, timeout=120):
+    q = writer.trigger(availableNow=True).start()
+    assert q.awaitTermination(timeout), "stream did not finish in time"
+    return q
+
+
+# --- DwdDauApp equivalent -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dau_run(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dau")
+    fx.write_log_fixture(str(tmp / "in"))
+    dim_user, dim_province = fx.dim_frames(spark)
+    out, ckpt = str(tmp / "out"), str(tmp / "ckpt")
+    writer = dau_pipeline(
+        text_stream(spark, str(tmp / "in"), max_files_per_trigger=1),
+        dim_user,
+        dim_province,
+        out,
+        ckpt,
+        as_of=as_of(),
+    )
+    q = run_to_completion(writer)
+    return q, read_sink(spark, out).cache()
+
+
+def test_dau_dedup_and_filtering(dau_run):
+    """O1: one row per (mid, event-date); P9 session-entry filter; err
+    exclusion; late prior-day event inside watermark still counted."""
+    _, sink = dau_run
+    # dt is written as the partition directory; partition-column type
+    # inference reads it back as DATE — normalize to the contract string.
+    keys = {(r["mid"], str(r["dt"])) for r in sink.select("mid", "dt").collect()}
+    assert keys == {
+        ("m1", "2024-01-01"),  # deduped within and across batches
+        ("m5", "2024-01-01"),  # late day-1 arrival, inside 25 h watermark
+        ("m2", "2024-01-02"),  # day-2 entry; day-1 non-entry row filtered
+    }
+    assert sink.count() == 3  # no duplicates materialized
+
+
+def test_dau_enrichment_and_derivations(dau_run):
+    """J1/J2 broadcast enrichment values, F5 age at fixed as_of, F2 hr,
+    left-join nulls for missing dims."""
+    _, sink = dau_run
+    rows = {r["mid"]: r for r in sink.collect()}
+    m5, m2 = rows["m5"], rows["m2"]
+    assert (m5["user_gender"], m5["user_age"]) == ("M", 53)  # 1970-11-30
+    assert (m2["user_gender"], m2["user_age"]) == ("M", 36)  # 1988-01-20
+    assert m5["province_name"] == "Tianjin"
+    assert rows["m1"]["province_name"] == "Beijing"
+    assert m5["hr"] == "12" and m2["hr"] == "01"  # cross-batch first wins
+    assert rows["m1"]["user_age"] == 28  # 1995-06-15 at 2024-06-01
+
+
+def test_dau_observed_metrics(dau_run):
+    """K7: per-batch row counts via observe() in StreamingQueryProgress
+    (the reference's console count probes, DwdDauApp.scala:71-74)."""
+    q, sink = dau_run
+    observed = [
+        p.observedMetrics["dau_metrics"].rows_written
+        for p in q.recentProgress
+        if "dau_metrics" in (p.observedMetrics or {})
+    ]
+    assert sum(observed) == sink.count()
+
+
+# --- OdsBaseLogApp equivalent ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def split_out(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("split")
+    fx.write_log_fixture(str(tmp / "in"))
+    out, ckpt = str(tmp / "out"), str(tmp / "ckpt")
+    writer = log_split_pipeline(
+        text_stream(spark, str(tmp / "in"), max_files_per_trigger=1), out, ckpt
+    )
+    run_to_completion(writer)
+    return {
+        name: read_sink(spark, os.path.join(out, name)).cache()
+        for name in ("error", "page", "display", "action", "start")
+    }
+
+
+def test_split_err_exclusive_routing(split_out):
+    """P3: err-bearing records go ONLY to the error output
+    (OdsBaseLogApp.scala:111-115 if/else)."""
+    err_mids = {r["mid"] for r in split_out["error"].select("mid").collect()}
+    assert err_mids == {"m3", "m6"}
+    for name in ("page", "display", "action", "start"):
+        mids = {r["mid"] for r in split_out[name].select("mid").collect()}
+        assert not mids & err_mids, f"{name} leaked err-bearing records"
+    # error payload is a lossless passthrough of the err object
+    err0 = json.loads(split_out["error"].collect()[0]["err"])
+    assert err0["error_code"] == 1023
+
+
+def test_split_counts_and_fanout(split_out):
+    """P5-P8 projections and explode fan-out: 1 record -> 0..(1+D+A) rows."""
+    assert split_out["page"].count() == 7     # err-free page rows
+    assert split_out["display"].count() == 3  # 2 (m1) + 1 (m2); m3's 3 excluded
+    assert split_out["action"].count() == 1
+    assert split_out["start"].count() == 1    # m4 only; m6 has err
+    start = split_out["start"].collect()[0]
+    assert start["mid"] == "m4" and start["entry"] == "icon"
+
+
+def test_split_action_ts_override(split_out):
+    """P7: per-action ts replaces the envelope ts
+    (bean/PageActionLog.scala:6-27)."""
+    a = split_out["action"].collect()[0]
+    assert a["ts"] == a["action_ts"] == fx.D1_10 + 100
+
+
+# --- OdsBaseDbApp equivalent ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cdc_out(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cdc")
+    fx.write_cdc_fixture(str(tmp / "in"))
+    out, ckpt = str(tmp / "out"), str(tmp / "ckpt")
+    writer = cdc_route_pipeline(
+        text_stream(spark, str(tmp / "in"), max_files_per_trigger=1),
+        fact_tables=["order_info", "order_detail"],
+        dim_tables=["user_info", "base_province"],
+        out_root=out,
+        checkpoint=ckpt,
+    )
+    run_to_completion(writer)
+    return out
+
+
+def test_cdc_fact_routing(spark, cdc_out):
+    """P10/P11: op decode, unknown table/type dropped, dynamic topic names."""
+    facts = spark.read.option("basePath", os.path.join(cdc_out, "facts")).parquet(
+        os.path.join(cdc_out, "facts", "batch=*")
+    )
+    assert facts.count() == 5
+    topics = {r["topic"] for r in facts.select("topic").distinct().collect()}
+    assert topics == {
+        "DWD_ORDER_INFO_I",
+        "DWD_ORDER_INFO_U",
+        "DWD_ORDER_DETAIL_I",
+        "DWD_ORDER_DETAIL_D",
+    }
+    tables = {r["table"] for r in facts.select("table").distinct().collect()}
+    assert "mystery_table" not in tables
+
+
+def test_cdc_dim_last_write_wins(spark, cdc_out):
+    """K5: in-batch AND cross-batch last-write-wins by ts
+    (OdsBaseDbApp.scala:144-163 Redis SET semantics)."""
+    batch0 = spark.read.parquet(os.path.join(cdc_out, "dims", "batch=0"))
+    ann_b0 = batch0.filter(F.col("id") == "1").collect()
+    assert len(ann_b0) == 1
+    assert json.loads(ann_b0[0]["value"])["name"] == "ann_v2"  # ts 120 > 110
+
+    snapshot = current_dims(spark, cdc_out)
+    rows = {(r["table"], r["id"]): json.loads(r["value"]) for r in snapshot.collect()}
+    assert len(rows) == 3
+    assert rows[("user_info", "1")]["name"] == "ann_v3"  # ts 200 wins overall
+    assert rows[("user_info", "2")]["name"] == "bob_v1"
+    assert rows[("base_province", "11")]["name"] == "Beijing"  # bootstrap-insert
+
+
+def test_kafka_frame_shape(spark):
+    """K2/F7: the Kafka sink frame is (topic, key, value) with JSON
+    serialization when the payload isn't pre-serialized
+    (MyKafkaUtils.scala:98-100, OdsBaseLogApp.scala:144)."""
+    decoded = decode_op(
+        parse_cdc(
+            spark.createDataFrame(
+                [(fx.cdc_row("order_info", "insert", 1, {"id": "3001", "x": 1}),)],
+                "value string",
+            )
+        )
+    )
+    routed = route_facts(decoded, ["order_info"])
+    shaped = kafka_frame(routed, key_col="table")
+    assert shaped.columns == ["topic", "key", "value"]
+    r = shaped.collect()[0]
+    assert r["topic"] == "DWD_ORDER_INFO_I" and r["key"] == "order_info"
+    assert json.loads(r["value"])["id"] == "3001"  # pre-serialized passthrough
+
+    # no value column -> to_json(struct(*)) serialization
+    df = spark.createDataFrame([(5, "a", "T1")], "mid int, item string, topic string")
+    shaped2 = kafka_frame(df, key_col="mid")
+    r2 = shaped2.collect()[0]
+    assert shaped2.columns == ["topic", "key", "value"]
+    assert json.loads(r2["value"]) == {"item": "a"} or json.loads(r2["value"]) == {
+        "mid": 5,
+        "item": "a",
+    }
+
+
+# --- DwdOrderApp equivalent -----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def order_sink(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("orderwide")
+    fx.write_order_fixture(str(tmp / "info"), str(tmp / "detail"))
+    out, ckpt = str(tmp / "out"), str(tmp / "ckpt")
+    writer = order_wide_pipeline(
+        file_stream(
+            spark, str(tmp / "info"), ORDER_INFO_SCHEMA, max_files_per_trigger=1
+        ),
+        file_stream(
+            spark, str(tmp / "detail"), ORDER_DETAIL_SCHEMA, max_files_per_trigger=1
+        ),
+        out,
+        ckpt,
+    )
+    run_to_completion(writer, timeout=180)
+    return read_sink(spark, out).cache()
+
+
+def test_order_wide_cross_batch_join(order_sink):
+    """J4/O5: late detail joins the buffered info (and vice versa —
+    detail-first order buffered until its info lands); an orphan detail
+    whose info never arrives is dropped (DwdOrderApp.scala:177-254)."""
+    ids = {r["detail_id"] for r in order_sink.select("detail_id").collect()}
+    assert ids == {9001, 9002, 9101}  # 9201's info never arrived
+    assert order_sink.count() == 3
+
+
+def test_order_wide_assembly(order_sink):
+    """J5 + F4: OrderWide columns, create_date partition, real
+    (non-midnight) create_hour from the info datetime string."""
+    rows = {r["detail_id"]: r for r in order_sink.collect()}
+    assert rows[9001]["order_id"] == 3001
+    assert str(rows[9001]["create_date"]) == "2024-01-01"  # partition col read back as DATE
+    assert rows[9001]["create_hour"] == "10"
+    assert rows[9101]["create_hour"] == "11"  # info 3003 at 11:30
+    assert rows[9002]["total_amount"] == 100.0
+    assert rows[9002]["sku_name"] == "小米手机 12 Pro"
+
+
+# --- O4: kill/restart exactly-once ----------------------------------------
+
+
+def test_restart_from_checkpoint_no_duplicates(spark, tmp_path):
+    """O4: stop after batch 1, restart from the checkpoint with new input
+    containing duplicate keys — dedup state is restored, nothing is
+    reprocessed, sink keys stay unique (checkpoint replaces the
+    reference's Redis offset+state recovery, MyOffsetsUtils/revertState).
+    """
+    in_dir = tmp_path / "in"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    dim_user, dim_province = fx.dim_frames(spark)
+
+    os.makedirs(in_dir)
+    day1 = [
+        fx.log_row("m1", fx.D1_10, uid="1", ar="11", page_id="home"),
+        fx.log_row("m2", fx.D1_12, uid="2", ar="12", page_id="home"),
+    ]
+    (in_dir / "batch-000.json").write_text("\n".join(day1) + "\n")
+
+    def run_once():
+        writer = dau_pipeline(
+            text_stream(spark, str(in_dir)), dim_user, dim_province, out, ckpt,
+            as_of=as_of(),
+        )
+        run_to_completion(writer)
+
+    run_once()  # first life of the query
+    assert read_sink(spark, out).count() == 2
+
+    # second life: duplicates of already-seen keys + one genuinely new mid
+    day1_again = [
+        fx.log_row("m1", fx.D1_10 + 5000, uid="1", ar="11", page_id="cart"),
+        fx.log_row("m7", fx.D1_12, uid="4", ar="11", page_id="home"),
+    ]
+    (in_dir / "batch-001.json").write_text("\n".join(day1_again) + "\n")
+    run_once()
+
+    sink = read_sink(spark, out)
+    assert sink.count() == 3  # m1 dup dropped by RESTORED state; m7 added
+    dupes = (
+        sink.groupBy("mid", "dt").count().filter(F.col("count") > 1).collect()
+    )
+    assert dupes == []
