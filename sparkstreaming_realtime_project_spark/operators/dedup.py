@@ -35,10 +35,18 @@ def tokens_expr(text_col: str | Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
 
 
-def word_shingles(text_col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; a doc with < n tokens contributes its
-    whole token string as the single shingle."""
-    t = tokens_expr(text_col)
+def shingles_from_tokens(tok_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-PROJECTED token-array
+    column; a doc with < n tokens contributes its whole token string as
+    the single shingle.
+
+    The input must be a column reference, not an inline tokenizer
+    expression: this expression references the array once per sequence
+    element (slice inside the transform lambda), and Catalyst does not
+    common-subexpression-eliminate a non-trivial expression across those
+    references — inlining tokens_expr here re-tokenizes the document per
+    element, O(tokens^2) per row (measured 9x slower at sf0.1)."""
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     full = F.array(F.concat_ws(" ", t))
     grams = F.array_distinct(
         F.transform(
@@ -47,6 +55,13 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
         )
     )
     return F.when(F.size(t) >= n, grams).otherwise(full)
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """One-shot text -> shingles expression. Convenience for small frames
+    and tests ONLY — in any hot path project tokens_expr into a column
+    first and use shingles_from_tokens (see its docstring for why)."""
+    return shingles_from_tokens(tokens_expr(text_col), n)
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -68,36 +83,87 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, materialize: bool = False
 ) -> DataFrame:
-    """Project (id, shingles). ``materialize=True`` truncates lineage with
-    an eager localCheckpoint: the shingle array is consumed 3x downstream
-    (signature, candidate sides a/b, verify) and re-tokenizing the corpus
-    each time dominates runtime. At cluster scale use persist(DISK) or a
-    staged table instead of localCheckpoint (which doesn't survive
-    executor loss)."""
-    out = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
-    )
+    """Project (id, shingles). ``materialize=True`` caches the projection:
+    the shingle array is consumed 3x downstream (signature, candidate
+    sides a/b, verify) and re-tokenizing the corpus each time costs more
+    than one cached pass.
+
+    persist (NOT localCheckpoint): lineage is kept, so an evicted or lost
+    block is recomputed instead of silently/irrecoverably gone — the
+    difference between a correct answer under memory pressure or executor
+    loss and a wrong one. Partitioning is BY id (hash), not round-robin:
+    deterministic row placement, and downstream per-id operations reuse
+    the partitioning."""
+    # Two-step projection: tokens land in a column, shingles reference it.
+    # The token alias is referenced many times by the shingle expression,
+    # so CollapseProject keeps the projections separate and the document
+    # is tokenized exactly once per row.
+    toks = df.select(F.col(id_col).alias("id"), tokens_expr(text_col).alias("t"))
+    out = toks.select("id", shingles_from_tokens("t", n).alias("shingles"))
     if materialize:
         # corpus tables often arrive as one file -> one partition; spread
         # before the hash-heavy downstream or it runs on a single core.
-        out = out.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        out = out.localCheckpoint(eager=True)
+        out = out.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id"
+        ).persist()
+        out.count()  # eager materialization
     return out
 
 
 def jaccard_pairs(
-    shingled: DataFrame, threshold: float = 0.8, candidates: DataFrame | None = None
+    shingled: DataFrame,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over either all sharing-a-shingle pairs or a
     precomputed candidate set (from LSH). Returns (doc_a, doc_b, jaccard).
+
+    ``max_df`` caps the candidate generator's fan-out: shingles appearing
+    in more than max_df documents are dropped before the self-join. The
+    pair fan-out of the raw join is sum(df(g)^2) — quadratic on any
+    frequent shingle (boilerplate, common phrases), which is the
+    scale-killer at 100 TB. High-df shingles carry no near-dup signal
+    (they're shared by *everything*), so capping them loses only pairs
+    whose entire overlap is boilerplate — pairs the threshold would
+    reject anyway for any realistic threshold.
     """
     if candidates is None:
+        # Count-based intersection: |A ∩ B| = co-occurrence count of the
+        # pair across the exploded shingle table, aggregated with map-side
+        # partial counts — the Σdf(g)² pair fan-out never hits a shuffle
+        # as rows, only as (pair -> count) partial aggregates, and no
+        # shingle array is ever shipped or intersected. (The array-verify
+        # path below stays for LSH candidate sets, which are tiny.)
         ex = shingled.select("id", F.explode("shingles").alias("g"))
+        if max_df is not None:
+            low_df = (
+                ex.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_df)
+                .select("g")
+            )
+            ex = ex.join(low_df, "g")
         a, b = ex.alias("a"), ex.alias("b")
-        candidates = (
+        inter_counts = (
             a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-            .distinct()
+            .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sizes = shingled.select("id", F.size("shingles").alias("ln"))
+        la = sizes.select(F.col("id").alias("doc_a"), F.col("ln").alias("la"))
+        lb = sizes.select(F.col("id").alias("doc_b"), F.col("ln").alias("lb"))
+        # sizes is O(N docs) — no broadcast hint; AQE broadcasts when it
+        # actually fits and falls back to shuffle join at corpus scale.
+        union = F.col("la") + F.col("lb") - F.col("n_inter")
+        return (
+            inter_counts.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .withColumn(
+                "jaccard", F.round(F.col("n_inter") * F.lit(1.0) / union, 4)
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
         )
     sa = shingled.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sha"))
     sb = shingled.select(F.col("id").alias("doc_b"), F.col("shingles").alias("shb"))
@@ -117,26 +183,40 @@ def minhash_signature(shingled: DataFrame, k: int = 16) -> DataFrame:
 
     Computed with ``array_min(transform(...))`` per row — narrow, no
     explode, no shuffle. Hex-string min == numeric min of the 128-bit
-    hash (fixed-width lowercase hex sorts identically)."""
-    sig = shingled
-    for j in range(k):
-        sig = sig.withColumn(
-            f"h{j}",
-            F.array_min(
-                F.transform("shingles", lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
-            ),
-        )
-    return sig
+    hash (fixed-width lowercase hex sorts identically).
+
+    The per-seed lambda comes from a factory function — NEVER the
+    ``lambda s, j=j`` default-arg capture idiom: PySpark binds a TWO-arg
+    transform lambda as (element, index), so ``j`` would silently become
+    the element-index Column and the seed literal would stringify to
+    "Column<'y_N'>:" with a session-global counter — wrong and
+    nondeterministic signatures."""
+
+    def seeded(j: int):
+        prefix = f"{j}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return shingled.select(
+        "*",
+        *[
+            F.array_min(F.transform("shingles", seeded(j))).alias(f"h{j}")
+            for j in range(k)
+        ],
+    )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, k: int = 16, bands: int = 4
+    signatures: DataFrame, k: int = 16, bands: int = 4, max_bucket: int | None = None
 ) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_key).
 
     Shuffle is on band-key buckets: identical docs collide, unrelated docs
-    spread uniformly (md5). At 100 TB add a bucket-size cap (drop buckets
-    with > N members as degenerate) — not needed on the test corpus."""
+    spread uniformly (md5). ``max_bucket`` drops degenerate buckets with
+    more than N members before the self-join — a bucket of B docs fans out
+    B^2/2 pairs, and at corpus scale empty/boilerplate documents all hash
+    to the same band keys (the classic LSH hot-bucket). A bucket that
+    large is noise, not near-dup signal: true near-dup clusters are small,
+    and any pair lost here still has bands-1 other chances to collide."""
     r = k // bands
     band_structs = F.array(
         *[
@@ -150,6 +230,14 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.explode(band_structs).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") <= max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(small, ["band", "key"])
     a, b2 = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -171,19 +259,26 @@ def minhash_dedup_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band
-    join -> exact-Jaccard verify on candidates only."""
+    join (hot buckets capped at ``max_bucket``) -> exact-Jaccard verify on
+    candidates only."""
     shingled = with_shingles(df, text_col, id_col, n, materialize=True)
-    cands = lsh_candidate_pairs(minhash_signature(shingled, k), k, bands)
+    cands = lsh_candidate_pairs(
+        minhash_signature(shingled, k), k, bands, max_bucket=max_bucket
+    )
     return jaccard_pairs(shingled, threshold, candidates=cands)
 
 
-def simhash_expr(text_col: str | Column, bits: int = 16) -> Column:
-    """SimHash signature as a bitstring, one ``aggregate`` per bit over the
-    token array (no explode/shuffle). Bit j uses the top bit of hex digit
-    j of each token's md5: portable to any engine with md5+substr."""
-    t = tokens_expr(text_col)
+def simhash_from_tokens(tok_col: str | Column, bits: int = 16) -> Column:
+    """SimHash signature as a bitstring from an already-projected token
+    array, one ``aggregate`` per bit (no explode/shuffle). Bit j uses the
+    top bit of hex digit j of each token's md5: portable to any engine
+    with md5+substr. Takes a column reference: each of the ``bits``
+    aggregates scans the array, so an inline tokenizer expression would
+    re-tokenize the document ``bits`` times per row."""
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
 
     def bit(j: int) -> Column:
         def step(acc: Column, tok: Column) -> Column:
@@ -198,41 +293,79 @@ def simhash_expr(text_col: str | Column, bits: int = 16) -> Column:
     return F.concat(*[bit(j) for j in range(bits)])
 
 
+def simhash_expr(text_col: str | Column, bits: int = 16) -> Column:
+    """One-shot text -> SimHash expression. Convenience for small frames
+    and tests ONLY — hot paths project tokens first (see
+    simhash_from_tokens)."""
+    return simhash_from_tokens(tokens_expr(text_col), bits)
+
+
+def simhash_segments(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(start, length) 1-based substring spans splitting a bits-long
+    signature into max_hamming+1 near-equal segments. Pigeonhole: a pair
+    with hamming <= h differs in at most h segments, so at least one of
+    h+1 segments is EQUAL — h+1 segments (not 2 halves, which only covers
+    hamming <= 1) is the correct band count."""
+    nseg = max_hamming + 1
+    base, extra = divmod(bits, nseg)
+    spans, start = [], 1
+    for i in range(nseg):
+        length = base + (1 if i < extra else 0)
+        spans.append((start, length))
+        start += length
+    return spans
+
+
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, bits: int = 16, max_hamming: int = 2
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Joins on signature
-    halves (pigeonhole: hamming<=2 over 2 halves => one half equal), then
-    verifies full hamming — the standard scale trick."""
+    """Near-dup pairs by SimHash hamming distance.
+
+    Candidates via the pigeonhole band join: explode each signature into
+    max_hamming+1 (segment_idx, segment_value) rows and self-join on that
+    pair — ONE equi-join Catalyst plans as a hash/sort-merge join on the
+    segment key. (An OR of segment equalities in a single join condition
+    is not an equi-join and falls back to a nested-loop/cartesian plan —
+    the scale-killer this shape avoids.) Full hamming verified on
+    candidates only."""
     sig = df.select(
-        F.col(id_col).alias("id"), simhash_expr(text_col, bits).alias("sig")
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("t")
+    ).select("id", simhash_from_tokens("t", bits).alias("sig"))
+    spans = simhash_segments(bits, max_hamming)
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg_idx"),
+                F.substring("sig", start, length).alias("seg"),
+            )
+            for i, (start, length) in enumerate(spans)
+        ]
     )
-    half = bits // 2
-    halves = sig.select(
-        "id",
-        "sig",
-        F.substring("sig", 1, half).alias("hl"),
-        F.substring("sig", half + 1, half).alias("hr"),
+    segs = sig.select("id", "sig", F.explode(seg_structs).alias("s")).select(
+        "id", "sig", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg")
     )
-    a, b = halves.alias("a"), halves.alias("b")
-    cand = a.join(
-        b,
-        ((F.col("a.hl") == F.col("b.hl")) | (F.col("a.hr") == F.col("b.hr")))
-        & (F.col("a.id") < F.col("b.id")),
-    )
-    cand = cand.withColumn(
-        "hamming",
-        F.expr(
-            "aggregate(sequence(1, {b}), 0, (acc, i) -> acc + "
-            "IF(substring(a.sig, i, 1) = substring(b.sig, i, 1), 0, 1))".format(b=bits)
-        ),
-    )
-    return (
-        cand.filter(F.col("hamming") <= max_hamming)
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            "hamming",
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, {b}), 0, (acc, i) -> acc + "
+        "IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1))".format(b=bits)
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -117,6 +117,41 @@ def knn_bucketed(
     )
 
 
+def cosine_near_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Embedding near-dup, sign-LSH bucketed — the 100 TB default.
+
+    Candidate pairs come from a self-join on the sign-pattern bucket (an
+    equi-join key, so the shuffle is on buckets and fan-out is bounded by
+    bucket size, ~N/2^bits each for centered data), then the exact cosine
+    threshold verifies candidates — LSH-then-verify, mirroring the
+    MinHash dedup topology. Recall loss: a pair straddling a hyperplane
+    (opposite sign in any chosen dim) is missed; more/rotated hyperplanes
+    or multi-probe are the recall knobs. Brute-force cosine_near_pairs is
+    the verification/recall-measurement path, not the default."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), dims))
+    a = e.select(
+        F.col("id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col("id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -125,9 +160,8 @@ def cosine_near_pairs(
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine >= threshold.
 
-    O(N^2) as written — correct baseline for the oracle. The scale path
-    buckets both sides first (sign_bucket join) and accepts the recall
-    loss, or uses the MinHash-style banding over quantized vectors."""
+    O(N^2) as written — the exact baseline, kept for verification and
+    recall measurement of cosine_near_pairs_bucketed (the scale default)."""
     a = embeddings.select(
         F.col(id_col).alias("vec_a"), as_double_vec(vec_col).alias("va")
     )

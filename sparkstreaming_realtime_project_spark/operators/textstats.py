@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens_expr, word_shingles
+from .dedup import shingles_from_tokens, tokens_expr
 
 # Marker stopwords per language for the n-gram-free heuristic. Priority
 # order breaks ties deterministically (en > de > fr > es > zh).
@@ -40,19 +40,35 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     quality = min(1, n_tokens/100) * (1 - stopword_ratio): length-normed
     and penalizing stopword-heavy boilerplate — a deliberately simple,
     deterministic stand-in for a trained quality model.
+
+    Staged projections so the tokenizer runs once per row: the token
+    array lands in a column, raw counts in the next projection, ratios in
+    the last — every repeated reference is a cheap attribute, which also
+    keeps CollapseProject from re-inlining the expensive aliases.
     """
-    t = tokens_expr(text_col)
-    n_tok = F.size(t)
-    sum_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    n_stop = _count_in(t, STOPWORDS)
-    stop_ratio = n_stop * F.lit(1.0) / n_tok
-    quality = F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - stop_ratio)
-    n_bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0))
-    return df.select(
+    toks = df.select(
+        F.col(id_col), F.col(text_col).alias("__text"), tokens_expr(text_col).alias("t")
+    )
+    counts = toks.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
-        F.round(sum_len * F.lit(1.0) / n_tok, 4).alias("avg_token_len"),
+        F.size("t").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("__text"), F.lit(BPE_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+        F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x)).alias("__sum_len"),
+        _count_in(F.col("t"), STOPWORDS).alias("__n_stop"),
+    )
+    stop_ratio = F.col("__n_stop") * F.lit(1.0) / F.col("n_tokens")
+    quality = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * (
+        F.lit(1.0) - stop_ratio
+    )
+    return counts.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_bpe_tokens",
+        F.round(F.col("__sum_len") * F.lit(1.0) / F.col("n_tokens"), 4).alias(
+            "avg_token_len"
+        ),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(quality, 4).alias("quality_score"),
     )
@@ -61,10 +77,23 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def lang_guess(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Marker-stopword language ID (n-gram heuristic family). Scores each
     language's marker hits over the token list; argmax with fixed
-    priority. Pure expressions -> same cost as a projection."""
-    t = tokens_expr(text_col)
-    scores = {lang: _count_in(t, words) for lang, words in LANG_MARKERS.items()}
-    s_en, s_de, s_fr, s_es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    priority. Pure expressions -> same cost as a projection. Tokens and
+    scores are staged into columns so the tokenizer and each marker scan
+    run once per row."""
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    scored = toks.select(
+        F.col(id_col),
+        *[
+            _count_in(F.col("t"), words).alias(f"score_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    s_en, s_de, s_fr, s_es = (
+        F.col("score_en"),
+        F.col("score_de"),
+        F.col("score_fr"),
+        F.col("score_es"),
+    )
     guess = (
         F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es) & (s_en > 0), "en")
         .when((s_de >= s_fr) & (s_de >= s_es) & (s_de > 0), "de")
@@ -72,12 +101,12 @@ def lang_guess(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .when(s_es > 0, "es")
         .otherwise("unk")
     )
-    return df.select(
+    return scored.select(
         F.col(id_col),
-        s_en.alias("score_en"),
-        s_de.alias("score_de"),
-        s_fr.alias("score_fr"),
-        s_es.alias("score_es"),
+        "score_en",
+        "score_de",
+        "score_fr",
+        "score_es",
         guess.alias("lang_guess"),
     )
 
@@ -87,10 +116,14 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 4) -> DataFr
     hash (rolling-hash family, stable under small appends). The
     min-over-window of hashed n-grams is winnowing with window = whole
     doc — one selected hash per document."""
-    sh = word_shingles(text_col, n)
-    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return df.select(
+    toks = df.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("content_hash"),
-        min_sh.alias("shingle_fp"),
+        tokens_expr(text_col).alias("t"),
+    )
+    sh = shingles_from_tokens("t", n)
+    return toks.select(
+        F.col(id_col),
+        "content_hash",
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("shingle_fp"),
     )

@@ -489,6 +489,68 @@ def f_text_match_highlight(spark, sf_dir):
 
 
 @_register(
+    "f_age_from_birthday",
+    "F5 whole-years age at a fixed as_of (DwdDauApp.scala:158-165; "
+    "deterministic as_of per SURVEY §7). Birthday derived deterministically "
+    "from c_custkey since no testdata table carries one.",
+    """
+    WITH b AS (SELECT c_custkey,
+                      DATE '1970-01-01' + CAST(c_custkey * 7919 % 18250 AS INTEGER) AS bd
+               FROM customer)
+    SELECT c_custkey, strftime(bd, '%Y-%m-%d') AS birthday,
+           year(DATE '2024-06-01') - year(bd)
+           - CASE WHEN month(bd) > 6 OR (month(bd) = 6 AND day(bd) > 1)
+                  THEN 1 ELSE 0 END AS user_age
+    FROM b
+    """,
+)
+def f_age_from_birthday(spark, sf_dir):
+    from ..functions.dates import age_years
+
+    c = _t(spark, sf_dir, "customer")
+    bd = F.date_add(
+        F.to_date(F.lit("1970-01-01")),
+        (F.col("c_custkey") * 7919 % 18250).cast("int"),
+    )
+    return c.select(
+        "c_custkey",
+        F.date_format(bd, "yyyy-MM-dd").alias("birthday"),
+        age_years(bd, F.lit("2024-06-01")).alias("user_age"),
+    )
+
+
+@_register(
+    "f_datetime_split",
+    "F1 epoch-ms passthrough + F4 datetime-string split into date/hour "
+    "(DwdOrderApp.scala:148-155) — non-vacuous 'HH' over a real timestamp",
+    """
+    WITH s AS (SELECT event_id, epoch_ms(ts) AS ts_ms,
+                      strftime(ts, '%Y-%m-%d %H:%M:%S') AS create_time
+               FROM events)
+    SELECT event_id, ts_ms, create_time,
+           substr(create_time, 1, 10) AS create_date,
+           substr(create_time, 12, 2) AS create_hour
+    FROM s
+    """,
+)
+def f_datetime_split(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("create_time"),
+    )
+    # the exact derivation operators/order_wide.py:56-59 applies in prod
+    return s.select(
+        "event_id",
+        "ts_ms",
+        "create_time",
+        F.substring("create_time", 1, 10).alias("create_date"),
+        F.date_format(F.to_timestamp("create_time"), "HH").alias("create_hour"),
+    )
+
+
+@_register(
     "q_detail_page",
     "pagination: deterministic ORDER BY + LIMIT/OFFSET (PublisherServiceImpl.java:41-47)",
     f"""
@@ -707,13 +769,19 @@ def x_dedup_exact(spark, sf_dir):
     return _dd.dedup_exact(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+_MAX_DF = 10  # shingle document-frequency cap for the candidate join
+
+
 @_register(
     "x_dedup_ngram_jaccard",
-    "n-gram Jaccard near-dup pairs, exact shingle join (north-star)",
+    "n-gram Jaccard near-dup pairs; candidate join df-capped so pair "
+    "fan-out is bounded (north-star)",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
-    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    low AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= {_MAX_DF}),
+    ex AS (SELECT doc_id, ex0.g AS g FROM ex0 JOIN low USING (g)),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
     {_JACCARD_VERIFY_SQL}
@@ -723,13 +791,19 @@ def x_dedup_exact(spark, sf_dir):
 def x_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return _dd.jaccard_pairs(
-        _dd.with_shingles(docs, "text", "doc_id", 3, materialize=True), 0.8
+        _dd.with_shingles(docs, "text", "doc_id", 3, materialize=True),
+        0.8,
+        max_df=_MAX_DF,
     )
+
+
+_MAX_BUCKET = 50  # LSH hot-bucket cap: buckets above this are degenerate
 
 
 @_register(
     "x_dedup_minhash_lsh",
-    "MinHash+LSH near-dup: shingle -> 16 minhashes -> 4 bands -> verify (north-star scale path)",
+    "MinHash+LSH near-dup: shingle -> 16 minhashes -> 4 bands (hot buckets "
+    "capped) -> verify (north-star scale path)",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
@@ -737,8 +811,11 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
     mh AS (SELECT doc_id,
          {_MH_COLS}
        FROM ex GROUP BY doc_id),
-    bands AS (
+    bands0 AS (
   {_BAND_SQL}),
+    small AS (SELECT band, key FROM bands0 GROUP BY band, key
+              HAVING count(*) <= {_MAX_BUCKET}),
+    bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, key)),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -749,7 +826,14 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 def x_dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return _dd.minhash_dedup_pairs(
-        docs, "text", "doc_id", n=3, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.8
+        docs,
+        "text",
+        "doc_id",
+        n=3,
+        k=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        threshold=0.8,
+        max_bucket=_MAX_BUCKET,
     )
 
 
@@ -774,8 +858,46 @@ _SIMHASH_BIT_SQL = ",\n      ".join(
 )
 def x_simhash_signature(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", _dd.simhash_expr("text", _SIMHASH_BITS).alias("simhash")
+    return docs.select("doc_id", _dd.tokens_expr("text").alias("t")).select(
+        "doc_id", _dd.simhash_from_tokens("t", _SIMHASH_BITS).alias("simhash")
+    )
+
+
+_SIMHASH_MAX_HAMMING = 2
+_SIMHASH_SEG_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, sig, {i} AS seg_idx, substr(sig, {start}, {length}) AS seg FROM s"
+    for i, (start, length) in enumerate(
+        _dd.simhash_segments(_SIMHASH_BITS, _SIMHASH_MAX_HAMMING)
+    )
+)
+
+
+@_register(
+    "x_simhash_near_pairs",
+    "SimHash near-dup pairs: pigeonhole segment equi-join (max_hamming+1 "
+    "segments) + hamming verify (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    s AS (SELECT doc_id, concat(
+      {_SIMHASH_BIT_SQL}) AS sig FROM toks),
+    segs AS (
+  {_SIMHASH_SEG_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+             FROM segs a JOIN segs b
+             ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b,
+             CAST(list_sum(list_transform(range(1, {_SIMHASH_BITS + 1}),
+               i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                         THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+      FROM cand) WHERE hamming <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
+def x_simhash_near_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.simhash_near_pairs(
+        docs, "text", "doc_id", bits=_SIMHASH_BITS, max_hamming=_SIMHASH_MAX_HAMMING
     )
 
 
@@ -794,6 +916,13 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+_BUCKET_SQL = (
+    "concat(CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END)"
+)
+
+
 @_register(
     "x_dedup_embedding",
     "embedding-cosine near-dup pairs (north-star; brute-force baseline)",
@@ -809,6 +938,25 @@ def _cos_sql(a: str, b: str) -> str:
 def x_dedup_embedding(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return _sim.cosine_near_pairs(emb, 0.45)
+
+
+@_register(
+    "x_dedup_embedding_bucketed",
+    "embedding-cosine near-dup, sign-LSH bucketed candidates + threshold "
+    "verify (north-star scale default; brute-force demoted to verification)",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM base),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_cos_sql('a.v', 'b.v')}, 4) AS sim
+      FROM e a JOIN e b USING (bucket) WHERE a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.45
+    """,
+)
+def x_dedup_embedding_bucketed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_near_pairs_bucketed(emb, 0.45)
 
 
 @_register(
@@ -830,13 +978,6 @@ def x_dedup_embedding(spark, sf_dir):
 def x_knn_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return _sim.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
-
-
-_BUCKET_SQL = (
-    "concat(CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END, "
-    "CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END, "
-    "CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END)"
-)
 
 
 @_register(

@@ -1,0 +1,111 @@
+"""Extension-operator property tests beyond oracle parity: plan-shape
+guarantees (the scale contracts) and approximate-path containment in the
+exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_project_spark.operators import dedup as dd
+from sparkstreaming_realtime_project_spark.operators import similarity as sim
+from sparkstreaming_realtime_project_spark.sources.batch import load_table
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_simhash_near_pairs_is_equi_join(spark, sf_dir):
+    """The pigeonhole candidate join must plan as a hash/sort-merge
+    equi-join — an OR-of-equalities condition degrades to a nested-loop/
+    cartesian plan, the scale-killer the segment explode avoids."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.simhash_near_pairs(docs, "text", "doc_id")
+    plan = _physical_plan(pairs)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    pairs.collect()  # and it actually runs
+
+
+def test_simhash_pigeonhole_complete(spark, sf_dir):
+    """max_hamming+1 segments guarantee NO pair with hamming <= max is
+    missed (2 halves only cover hamming <= 1): compare against the
+    exhaustive cross-join ground truth on a small corpus."""
+    docs = load_table(spark, sf_dir, "documents").limit(120).cache()
+    fast = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_near_pairs(docs, "text", "doc_id", max_hamming=2).collect()
+    }
+    sig = docs.select(
+        F.col("doc_id").alias("id"), dd.simhash_expr("text", 16).alias("sig")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.expr(
+        "aggregate(sequence(1, 16), 0, (acc, i) -> acc + "
+        "IF(substring(a.sig, i, 1) = substring(b.sig, i, 1), 0, 1))"
+    )
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("h", hamming)
+        .filter(F.col("h") <= 2)
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .collect()
+    }
+    assert fast == truth
+
+
+def test_embedding_bucketed_contained_in_bruteforce(spark, sf_dir):
+    """LSH-bucketed near-dup pairs must be a subset of the exact
+    brute-force pairs at the same threshold (precision 1, recall < 1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r["vec_a"], r["vec_b"]) for r in sim.cosine_near_pairs(emb, 0.45).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.cosine_near_pairs_bucketed(emb, 0.45).collect()
+    }
+    assert bucketed <= brute
+    assert bucketed, "bucketed path found no pairs at all — bucketing broken"
+
+
+def test_embedding_bucketed_plan_joins_on_bucket(spark, sf_dir):
+    """The default near-dup path must join on the bucket key — never a
+    cartesian pair join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _physical_plan(sim.cosine_near_pairs_bucketed(emb, 0.45))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_jaccard_df_cap_drops_only_boilerplate(spark, sf_dir):
+    """With the df cap, every surviving pair of the uncapped run whose
+    overlap includes at least one low-df shingle is still found: on this
+    corpus the capped and uncapped answers agree (near-dup pairs share
+    rare shingles by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.with_shingles(docs, "text", "doc_id", 3, materialize=True)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(sh, 0.8, max_df=10).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"]) for r in dd.jaccard_pairs(sh, 0.8).collect()
+    }
+    assert capped == uncapped
+
+
+def test_lsh_bucket_cap_keeps_pairs(spark, sf_dir):
+    """The hot-bucket cap must not lose the true near-dup pairs on the
+    test corpus (true clusters are far below the cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_cap = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.8, max_bucket=50
+        ).collect()
+    }
+    without = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert with_cap == without
