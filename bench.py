@@ -37,10 +37,16 @@ def main() -> None:
     for spec in specs:
         # warm pass (JIT, file listing), then a timed pass that REBUILDS the
         # plan so eager materialization inside operators is paid in-measure.
+        # Cache is cleared between passes: queries that persist intermediates
+        # must pay their own materialization, and entries left behind by
+        # earlier queries can't skew (or destabilize, via eviction churn)
+        # later ones.
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         start = time.perf_counter()
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[spec.name] = round(time.perf_counter() - start, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -263,12 +263,21 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band
     join (hot buckets capped at ``max_bucket``) -> exact-Jaccard verify on
-    candidates only."""
-    shingled = with_shingles(df, text_col, id_col, n, materialize=True)
-    cands = lsh_candidate_pairs(
-        minhash_signature(shingled, k), k, bands, max_bucket=max_bucket
+    candidates only.
+
+    The SIGNATURE frame (shingles + h0..h{k-1}) is the one materialized
+    cut: it feeds the band self-join (both sides), the bucket-size cap,
+    and the shingle arrays for the verify join — caching upstream of the
+    signature would recompute the 16 seeded hash passes once per
+    consumer."""
+    shingled = with_shingles(df, text_col, id_col, n, materialize=False)
+    sig = minhash_signature(shingled, k)
+    sig = sig.repartition(df.sparkSession.sparkContext.defaultParallelism, "id").persist()
+    sig.count()  # eager
+    cands = lsh_candidate_pairs(sig, k, bands, max_bucket=max_bucket)
+    return jaccard_pairs(
+        sig.select("id", "shingles"), threshold, candidates=cands
     )
-    return jaccard_pairs(shingled, threshold, candidates=cands)
 
 
 def simhash_from_tokens(tok_col: str | Column, bits: int = 16) -> Column:

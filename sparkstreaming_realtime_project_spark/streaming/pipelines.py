@@ -14,6 +14,8 @@ watermarks bound state size exactly like the reference's 24 h TTLs
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -107,8 +109,8 @@ def log_split_pipeline(raw_stream: DataFrame, out_root: str, checkpoint: str):
 
 def cdc_route_pipeline(
     raw_stream: DataFrame,
-    fact_tables: list[str],
-    dim_tables: list[str],
+    fact_tables: "list[str] | Callable[[], list[str]]",
+    dim_tables: "list[str] | Callable[[], list[str]]",
     out_root: str,
     checkpoint: str,
 ):
@@ -116,24 +118,29 @@ def cdc_route_pipeline(
     fact rows routed to per-topic outputs (P11 — locally one directory per
     computed topic name), dim rows upserted by id (P12/K5).
 
-    The reference re-reads FACT/DIM table sets from Redis every batch
-    (O6); here they're parameters — swap for a config-table read inside
-    the batch function for live reconfiguration."""
+    S7/O6 dynamic config: the reference re-reads FACT:TABLES / DIM:TABLES
+    from Redis and re-broadcasts them EVERY batch (OdsBaseDbApp.scala:
+    83-108), so routing follows config changes without a restart. Pass a
+    zero-arg callable (e.g. one that reads a config table/file) and it is
+    re-resolved inside every micro-batch; a plain list keeps the static
+    behavior."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        facts_now = fact_tables() if callable(fact_tables) else fact_tables
+        dims_now = dim_tables() if callable(dim_tables) else dim_tables
         decoded = decode_op(parse_cdc(batch_df)).persist()
         try:
             # Single pass per side: partitionBy writes every topic/table
             # directory in ONE job — no driver round-trip, no dependence on
             # topic cardinality (replaces a collect()+filter-per-topic loop
             # that rescanned the batch N times).
-            route_facts(decoded, fact_tables).write.mode("overwrite").partitionBy(
+            route_facts(decoded, facts_now).write.mode("overwrite").partitionBy(
                 "topic"
             ).parquet(f"{out_root}/facts/batch={batch_id}")
             # Dim upsert is last-write-wins by ts (Redis SET semantics,
             # OdsBaseDbApp.scala:144-163) — deterministic winner, not
             # dropDuplicates' arbitrary row.
-            dims = route_dims(decoded, dim_tables)
+            dims = route_dims(decoded, dims_now)
             w = Window.partitionBy("table", "id").orderBy(F.col("ts").desc())
             latest = (
                 dims.withColumn("__rn", F.row_number().over(w))
@@ -159,6 +166,9 @@ def order_wide_pipeline(
     out_dir: str,
     checkpoint: str,
     lateness: str = "24 hours",
+    dim_user: DataFrame | None = None,
+    dim_province: DataFrame | None = None,
+    as_of=None,
 ):
     """DwdOrderApp (DwdOrderApp.scala:35-280): the cross-batch 24 h-state
     join (J3/J4) as a watermarked stream-stream inner join.
@@ -169,7 +179,16 @@ def order_wide_pipeline(
     time within [info_time - lateness, info_time + lateness] so Spark can
     evict state (required for stream-stream joins). Output rows are
     OrderWide-shaped (J5) keyed detail_id, partitioned by create_date —
-    fixing the reference's full-datetime index suffix bug (§2.9)."""
+    fixing the reference's full-datetime index suffix bug (§2.9).
+
+    When dims are supplied, the info side is enriched BEFORE the
+    stream-stream join — the reference's per-record Redis dim GETs
+    (DwdOrderApp.scala:112-146, J1/J2) as stream-static broadcast joins;
+    province_iso_code is populated (reference bug §2.9 fixed)."""
+    if dim_user is not None:
+        info_stream = enrich_user(info_stream, dim_user, "user_id", as_of=as_of)
+    if dim_province is not None:
+        info_stream = enrich_province(info_stream, dim_province, "province_id")
     info = info_stream.withColumn(
         "info_ts", F.to_timestamp("create_time")
     ).withWatermark("info_ts", lateness)
@@ -189,6 +208,18 @@ def order_wide_pipeline(
         "split_coupon_amount",
         "detail_ts",
     )
+    dim_cols = [
+        c
+        for c in (
+            "user_gender",
+            "user_age",
+            "province_name",
+            "province_iso_code",
+            "province_3166_2",
+            "province_area_code",
+        )
+        if c in info.columns
+    ]
     i = info.select(
         F.col("id").alias("order_id"),
         "province_id",
@@ -197,6 +228,7 @@ def order_wide_pipeline(
         "total_amount",
         F.col("create_time"),
         "info_ts",
+        *dim_cols,
     )
     joined = d.join(
         i,

@@ -1,0 +1,91 @@
+"""Publisher façade tests: the three endpoint JSON contracts over a small
+hand-built dau_info / order_wide table (FIXTURES.md §6), including the
+edge params the reference mishandles (0-match item, page beyond last,
+missing date partition)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreaming_realtime_project_spark.plans.publisher import (
+    dau_realtime_json,
+    detail_by_item_json,
+    stats_by_item_json,
+)
+
+
+@pytest.fixture(scope="module")
+def dau_table(spark):
+    rows = [
+        ("m1", "2024-01-02", "01"),
+        ("m2", "2024-01-02", "01"),
+        ("m3", "2024-01-02", "09"),
+        ("m1", "2024-01-01", "10"),
+        ("m4", "2024-01-01", "23"),
+    ]
+    return spark.createDataFrame(rows, "mid string, dt string, hr string")
+
+
+@pytest.fixture(scope="module")
+def wide_table(spark):
+    rows = [
+        # detail_id, dt, sku_name, gender, age, amount, create_time
+        (1, "2024-01-02", "小米 手机 12", "F", 25, 100.0, "2024-01-02 10:00:00"),
+        (2, "2024-01-02", "小米 手机 pro", "M", 35, 50.0, "2024-01-02 11:00:00"),
+        (3, "2024-01-02", "苹果 手机", "F", 18, 70.0, "2024-01-02 12:00:00"),
+        (4, "2024-01-02", "小米 电视", "F", 25, 30.0, "2024-01-02 13:00:00"),
+        (5, "2024-01-01", "小米 手机 12", "F", 25, 999.0, "2024-01-01 10:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "detail_id long, dt string, sku_name string, user_gender string, "
+        "user_age int, split_total_amount double, create_time string",
+    )
+
+
+def test_dau_realtime_contract(dau_table):
+    out = dau_realtime_json(dau_table, "2024-01-02")
+    assert out == {
+        "dauTotal": 3,
+        "dauTd": {"01": 2, "09": 1},
+        "dauYd": {"10": 1, "23": 1},
+    }
+
+
+def test_dau_realtime_missing_partition(dau_table):
+    """Reference warns on a missing daily index and returns 0
+    (PublisherMapperImpl.java:61-63); rebuild returns empty buckets."""
+    out = dau_realtime_json(dau_table, "2030-12-31")
+    assert out == {"dauTotal": 0, "dauTd": {}, "dauYd": {}}
+
+
+def test_stats_by_item_gender_and_age(wide_table):
+    """A4+A6: AND-match '小米 手机' hits rows 1-2 only (row 4 lacks 手机,
+    row 3 lacks 小米, row 5 is the other date)."""
+    by_gender = stats_by_item_json(wide_table, "小米 手机", "2024-01-02", "gender")
+    assert by_gender == [{"name": "女", "value": 100.0}, {"name": "男", "value": 50.0}]
+    by_age = stats_by_item_json(wide_table, "小米 手机", "2024-01-02", "age")
+    assert by_age == [
+        {"name": "20岁到29岁", "value": 100.0},
+        {"name": "30岁及30岁以上", "value": 50.0},
+    ]
+
+
+def test_stats_by_item_no_match(wide_table):
+    assert stats_by_item_json(wide_table, "不存在 产品", "2024-01-02", "gender") == []
+
+
+def test_stats_by_item_bad_t(wide_table):
+    with pytest.raises(ValueError):
+        stats_by_item_json(wide_table, "小米", "2024-01-02", "city")
+
+
+def test_detail_by_item_paging_and_highlight(wide_table):
+    out = detail_by_item_json(wide_table, "2024-01-02", "小米", page_no=1, page_size=2)
+    assert out["total"] == 3  # rows 1, 2, 4 match 小米 on the date
+    # deterministic order: create_time desc -> row 4 (13:00) then row 2 (11:00)
+    assert [d["detail_id"] for d in out["detail"]] == [4, 2]
+    assert "<em>小米</em>" in out["detail"][0]["sku_name"]
+    # page past the end (reference: from beyond hits -> empty page)
+    out2 = detail_by_item_json(wide_table, "2024-01-02", "小米", page_no=3, page_size=2)
+    assert out2["total"] == 3 and out2["detail"] == []

@@ -254,6 +254,7 @@ def order_sink(spark, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("orderwide")
     fx.write_order_fixture(str(tmp / "info"), str(tmp / "detail"))
     out, ckpt = str(tmp / "out"), str(tmp / "ckpt")
+    dim_user, dim_province = fx.dim_frames(spark)
     writer = order_wide_pipeline(
         file_stream(
             spark, str(tmp / "info"), ORDER_INFO_SCHEMA, max_files_per_trigger=1
@@ -263,6 +264,9 @@ def order_sink(spark, tmp_path_factory):
         ),
         out,
         ckpt,
+        dim_user=dim_user,
+        dim_province=dim_province,
+        as_of=as_of(),
     )
     run_to_completion(writer, timeout=180)
     return read_sink(spark, out).cache()
@@ -287,6 +291,54 @@ def test_order_wide_assembly(order_sink):
     assert rows[9101]["create_hour"] == "11"  # info 3003 at 11:30
     assert rows[9002]["total_amount"] == 100.0
     assert rows[9002]["sku_name"] == "小米手机 12 Pro"
+    # J1/J2 dim enrichment on the info side (DwdOrderApp.scala:112-146):
+    # fixture orders use user_id=1 (F, 1995-06-15) in province 11 (Beijing)
+    assert rows[9001]["user_gender"] == "F" and rows[9001]["user_age"] == 28
+    assert rows[9001]["province_name"] == "Beijing"
+    assert rows[9001]["province_iso_code"] == "CN-11"  # ref bug §2.9 fixed
+
+
+def test_cdc_dynamic_config_reload(spark, tmp_path):
+    """S7/O6: FACT/DIM table sets passed as a callable are re-resolved
+    every micro-batch (the reference re-reads Redis SMEMBERS + re-broadcasts
+    per batch, OdsBaseDbApp.scala:83-108) — a config change takes effect on
+    the next batch without a restart."""
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    rows = [
+        fx.cdc_row("order_info", "insert", 100, {"id": "1"}),
+        fx.cdc_row("order_detail", "insert", 101, {"id": "2", "order_id": "1"}),
+    ]
+    for i in range(2):  # same content in both batches; only config differs
+        p = in_dir / f"batch-{i:03d}.json"
+        p.write_text("\n".join(rows) + "\n")
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+
+    calls = []
+
+    def fact_config() -> list[str]:
+        calls.append(None)
+        # batch 0 sees only order_info; later batches also order_detail
+        return ["order_info"] if len(calls) == 1 else ["order_info", "order_detail"]
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    writer = cdc_route_pipeline(
+        text_stream(spark, str(in_dir), max_files_per_trigger=1),
+        fact_tables=fact_config,
+        dim_tables=[],
+        out_root=out,
+        checkpoint=ckpt,
+    )
+    run_to_completion(writer)
+
+    def topics(batch: int) -> set:
+        df = spark.read.option(
+            "basePath", os.path.join(out, "facts")
+        ).parquet(os.path.join(out, "facts", f"batch={batch}"))
+        return {r["topic"] for r in df.select("topic").distinct().collect()}
+
+    assert topics(0) == {"DWD_ORDER_INFO_I"}
+    assert topics(1) == {"DWD_ORDER_INFO_I", "DWD_ORDER_DETAIL_I"}
 
 
 # --- O4: kill/restart exactly-once ----------------------------------------
