@@ -82,6 +82,29 @@ def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 2, 3)) -> Column:
     return F.concat(*bits)
 
 
+def probe_buckets(bucket: Column, n_bits: int, radius: int = 1) -> Column:
+    """Array of bucket ids to probe: the home bucket plus, for radius 1,
+    every bucket one bit-flip away. The standard multi-probe LSH recall
+    knob: a query near a hyperplane finds neighbors that fell on the
+    other side, at the cost of probing n_bits extra buckets (still
+    independent of corpus size N)."""
+    if radius not in (0, 1):
+        raise ValueError("probe radius 0 or 1 supported")
+    out = [bucket]
+    if radius == 1:
+        for i in range(1, n_bits + 1):
+            c = F.substring(bucket, i, 1)
+            flipped = F.when(c == "1", F.lit("0")).otherwise(F.lit("1"))
+            out.append(
+                F.concat(
+                    F.substring(bucket, 1, i - 1),
+                    flipped,
+                    F.substring(bucket, i + 1, n_bits - i),
+                )
+            )
+    return F.array(*out)
+
+
 def knn_bucketed(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -89,15 +112,23 @@ def knn_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: tuple[int, ...] = (1, 2, 3),
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
-    bucket. Join key = bucket, so the pair fan-out is N/2^bits per query
-    instead of N. Multi-probe (flipping low-margin bits) is the standard
-    recall knob — out of scope for the oracle query."""
+    bucket(s). Join key = bucket, so the pair fan-out is ~N/2^bits per
+    probed bucket instead of N. ``probe_radius=1`` multi-probes all
+    one-bit-flip buckets (the recall knob: each candidate lives in
+    exactly one bucket, so probing more buckets only adds candidates,
+    never duplicates)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_vec(vec_col).alias("qv"),
     ).withColumn("bucket", sign_bucket(F.col("qv"), dims))
+    if probe_radius:
+        q = q.withColumn(
+            "bucket",
+            F.explode(probe_buckets(F.col("bucket"), len(dims), probe_radius)),
+        )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("cv"),

@@ -1002,6 +1002,41 @@ def x_knn_bucketed(spark, sf_dir):
     return _sim.knn_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=3)
 
 
+def _flip_sql(i: int) -> str:
+    flip = f"CASE WHEN substr(b, {i}, 1) = '1' THEN '0' ELSE '1' END"
+    return f"concat(substr(b, 1, {i - 1}), {flip}, substr(b, {i + 1}, {3 - i}))"
+
+
+@_register(
+    "x_knn_multiprobe",
+    "multi-probe sign-LSH top-k: home bucket + all 1-bit-flip buckets — "
+    "the recall knob over x_knn_bucketed (north-star scale path)",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM base),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS b FROM e WHERE vec_id < 20),
+    flip AS (
+      SELECT query_id, qv, b AS bucket FROM q0
+      UNION ALL SELECT query_id, qv, {_flip_sql(1)} FROM q0
+      UNION ALL SELECT query_id, qv, {_flip_sql(2)} FROM q0
+      UNION ALL SELECT query_id, qv, {_flip_sql(3)} FROM q0),
+    scored AS (
+      SELECT query_id, flip.bucket AS bucket, e.vec_id AS neighbor_id,
+             {_cos_sql('qv', 'e.v')} AS sim
+      FROM flip JOIN e USING (bucket) WHERE e.vec_id <> flip.query_id)
+    SELECT query_id, bucket, neighbor_id, rank, round(sim, 4) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def x_knn_multiprobe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.knn_bucketed(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, probe_radius=1
+    )
+
+
 # text analysis --------------------------------------------------------------
 
 _STOPSET_SQL = "['the', 'a', 'of', 'and', 'to', 'in']"

@@ -77,6 +77,31 @@ def test_embedding_bucketed_plan_joins_on_bucket(spark, sf_dir):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_knn_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe candidates strictly include the single-probe bucket, so
+    recall vs the exact brute-force top-k can only go up."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk(sim.knn_bruteforce(emb, queries, k=3))
+    single = topk(sim.knn_bucketed(emb, queries, k=3))
+    multi = topk(sim.knn_bucketed(emb, queries, k=3, probe_radius=1))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    assert recall(multi) >= recall(single)
+    # multi-probe answers queries whose home bucket was empty of neighbors
+    assert len(multi) >= len(single)
+
+
 def test_jaccard_df_cap_drops_only_boilerplate(spark, sf_dir):
     """With the df cap, every surviving pair of the uncapped run whose
     overlap includes at least one low-df shingle is still found: on this

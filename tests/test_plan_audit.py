@@ -1,0 +1,43 @@
+"""Physical-plan audits: the scale contracts each headline query must
+keep — pushed-down scan filters, broadcast on the genuinely small side,
+and never a nested-loop/cartesian join on a pair-generation path. A
+catalog change that silently degrades a plan fails here even while
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreaming_realtime_project_spark.plans import catalog
+
+_REG = {s.name: s for s in catalog.registry()}
+
+# (query, must-contain fragments, must-NOT-contain fragments)
+CASES = [
+    ("q1_pricing_summary", ["PushedFilters: [IsNotNull(l_shipdate)"], ["NestedLoop", "CartesianProduct"]),
+    ("j_order_wide", [], ["NestedLoop", "CartesianProduct"]),
+    ("a_stats_by_item_segment", ["BroadcastHashJoin"], ["NestedLoop", "CartesianProduct"]),
+    ("a_dau_compare", [], ["NestedLoop", "CartesianProduct"]),
+    ("j_dim_enrich", ["BroadcastHashJoin"], ["NestedLoop", "CartesianProduct"]),
+    ("x_dedup_exact", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
+    ("x_dedup_ngram_jaccard", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
+    ("x_dedup_minhash_lsh", [], ["NestedLoop", "CartesianProduct"]),
+    ("x_simhash_near_pairs", [], ["NestedLoop", "CartesianProduct"]),
+    ("x_dedup_embedding_bucketed", [], ["NestedLoop", "CartesianProduct"]),
+    ("x_knn_bucketed", [], ["NestedLoop", "CartesianProduct"]),
+    ("x_knn_multiprobe", [], ["NestedLoop", "CartesianProduct"]),
+    # brute-force KNN broadcasts the query side over a non-equi condition:
+    # BroadcastNestedLoopJoin is the DECLARED baseline there, but a full
+    # cartesian (both sides big) is still banned.
+    ("x_knn_bruteforce", [], ["CartesianProduct"]),
+]
+
+
+@pytest.mark.parametrize("name,want,ban", CASES, ids=[c[0] for c in CASES])
+def test_plan_shape(spark, sf_dir, name, want, ban):
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in want:
+        assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
+    for frag in ban:
+        assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
