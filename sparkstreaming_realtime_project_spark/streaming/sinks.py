@@ -68,6 +68,45 @@ def read_sink(spark, out_dir: str) -> DataFrame:
     ).drop("batch")
 
 
+def compact_sink(
+    spark,
+    out_dir: str,
+    key_cols: list[str],
+    partition_col: str | None = "dt",
+    order_col: str | None = None,
+) -> None:
+    """Compact a batch-dir sink into one clean partitioned table (the
+    OPTIMIZE/compaction step a MERGE-capable table format runs natively).
+
+    Cross-batch winner per key = greatest (order_col, batch) when
+    order_col is given, else greatest batch (later batch wins — the ES
+    doc-id overwrite semantics). Writes to ``<out_dir>.compact`` then
+    swaps directories, so readers never see a partial table."""
+    df = spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "batch=*")
+    )
+    order = [F.col("batch").desc()]
+    if order_col is not None:
+        order.insert(0, F.col(order_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    winners = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch")
+    )
+    tmp = out_dir.rstrip("/") + ".compact"
+    writer = winners.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(os.path.join(tmp, "batch=0"))
+    old = out_dir.rstrip("/") + ".old"
+    os.rename(out_dir, old)
+    os.rename(tmp, out_dir)
+    import shutil
+
+    shutil.rmtree(old)
+
+
 def split_writer(outputs: dict[str, "DataFrameFn"], out_root: str):
     """K1/P11 local equivalent of the 5-topic split sink: one foreachBatch
     computing all routed outputs from the cached batch and writing each to

@@ -110,6 +110,11 @@ def write_log_fixture(root: str) -> str:
         log_row("m2", D2_09, uid="2", ar="12", page_id="home"),
         # err + start: error output only
         log_row("m6", D2_09 + 1000, uid="6", ar="11", start=True, err=True),
+        # corrupt records: the reference's fastjson walk would kill the
+        # executor; the rebuild's schema-on-read shreds them to all-null
+        # sections (SURVEY §5 edge tests) and they route NOWHERE.
+        "{this is not json at all",
+        json.dumps({"ts": D2_09 + 2000}),  # valid JSON, no sections
     ]
     return _write_batches(root, [batch1, batch2])
 

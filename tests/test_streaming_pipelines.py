@@ -37,6 +37,7 @@ from sparkstreaming_realtime_project_spark.streaming.pipelines import (
     order_wide_pipeline,
 )
 from sparkstreaming_realtime_project_spark.streaming.sinks import (
+    compact_sink,
     current_dims,
     kafka_frame,
     read_sink,
@@ -162,6 +163,17 @@ def test_split_action_ts_override(split_out):
     (bean/PageActionLog.scala:6-27)."""
     a = split_out["action"].collect()[0]
     assert a["ts"] == a["action_ts"] == fx.D1_10 + 100
+
+
+def test_split_corrupt_records_route_nowhere(split_out):
+    """P1 robustness: a non-JSON line and a section-less envelope are
+    shredded to all-null sections and appear in NO output (the reference
+    would NPE/throw in the executor, OdsBaseLogApp.scala:69-78)."""
+    total = sum(split_out[n].count() for n in split_out)
+    # 2 error + 7 page + 3 display + 1 action + 1 start — nothing extra
+    assert total == 14
+    for name in ("page", "display", "action", "start", "error"):
+        assert split_out[name].filter(F.col("mid").isNull()).count() == 0
 
 
 # --- OdsBaseDbApp equivalent ----------------------------------------------
@@ -344,6 +356,49 @@ def test_cdc_dynamic_config_reload(spark, tmp_path):
 # --- O4: kill/restart exactly-once ----------------------------------------
 
 
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """O4 hard case: delete the checkpoint's last COMMIT marker so the
+    engine replays that batch on restart (offsets were written, commit
+    wasn't — the crash-between-write-and-commit window). The foreachBatch
+    writer must absorb the replay: same batch id -> same directory
+    overwritten -> zero duplicates (the reference's ES doc-id upsert
+    absorbing at-least-once delivery, MyOffsetsUtils.scala:10-21)."""
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    rows = [
+        fx.log_row("m1", fx.D1_10, uid="1", ar="11", page_id="home"),
+        fx.log_row("m2", fx.D1_12, uid="2", ar="12", page_id="home"),
+    ]
+    (in_dir / "batch-000.json").write_text("\n".join(rows) + "\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    dim_user, dim_province = fx.dim_frames(spark)
+
+    def run_once():
+        writer = dau_pipeline(
+            text_stream(spark, str(in_dir)), dim_user, dim_province, out, ckpt,
+            as_of=as_of(),
+        )
+        run_to_completion(writer)
+
+    run_once()
+    assert read_sink(spark, out).count() == 2
+
+    # simulate crash after sink write, before commit: drop the newest
+    # commit marker (and its Hadoop checksum shadow) -> on restart the
+    # engine re-runs that batch
+    commits_dir = os.path.join(ckpt, "commits")
+    newest = [c for c in sorted(os.listdir(commits_dir)) if not c.startswith(".")][-1]
+    os.remove(os.path.join(commits_dir, newest))
+    crc = os.path.join(commits_dir, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+
+    sink = read_sink(spark, out)
+    assert sink.count() == 2  # replayed batch overwrote itself
+    assert sink.groupBy("mid", "dt").count().filter(F.col("count") > 1).count() == 0
+
+
 def test_restart_from_checkpoint_no_duplicates(spark, tmp_path):
     """O4: stop after batch 1, restart from the checkpoint with new input
     containing duplicate keys — dedup state is restored, nothing is
@@ -385,3 +440,12 @@ def test_restart_from_checkpoint_no_duplicates(spark, tmp_path):
         sink.groupBy("mid", "dt").count().filter(F.col("count") > 1).collect()
     )
     assert dupes == []
+
+    # K3 compaction: collapse the batch dirs into one clean table —
+    # same rows, same keys, single batch directory
+    before = {(r["mid"], str(r["dt"])) for r in sink.select("mid", "dt").collect()}
+    compact_sink(spark, out, ["mid", "dt"], partition_col="dt")
+    after_df = read_sink(spark, out)
+    after = {(r["mid"], str(r["dt"])) for r in after_df.select("mid", "dt").collect()}
+    assert after == before
+    assert os.listdir(out) == ["batch=0"]
