@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -109,3 +110,114 @@ def decode_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=DECODED_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_payload", BinaryType()),
+        StructField("resized_n_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Resize stage as mapInPandas over (payload, meta) rows.
+
+    STUB decode/encode (no codecs in this container; ``strict=True``
+    raises NotImplementedError — the production posture until PIL/ffmpeg
+    is wired). The Spark plumbing is real: Arrow batches of binary
+    payloads in, binary payloads out, peak memory one batch per core; at
+    100 TB this runs scan -> narrow map -> write with the payload never
+    entering a shuffle. The fake resize emits a deterministic payload of
+    target_w*target_h bytes tiled from the source sha256 so downstream
+    size/meta handling is fully exercised."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image resize stub: no codecs in this environment"
+                )
+            payloads, sizes = [], []
+            n = target_w * target_h
+            for p in pdf["payload"]:
+                digest = hashlib.sha256(bytes(p)).digest()
+                fake = (digest * (n // len(digest) + 1))[:n]
+                payloads.append(fake)
+                sizes.append(len(fake))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized_payload": payloads,
+                    "resized_n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha256", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Frame-sampling stage (video -> n_frames rows) as mapInPandas.
+
+    One input row fans out to ``n_frames`` output rows — the 1:N shape a
+    real video pipeline has. STUB frame extraction (``strict=True``
+    raises); the deterministic fake derives each frame hash from
+    sha256(payload || frame_idx) so fan-out, schema, and ordering are
+    exercised end to end."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "frame sampling stub: no video codecs in this environment"
+                )
+            ids, idxs, hashes = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                for i in range(n_frames):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.sha256(bytes(p) + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_sha256": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

@@ -1157,3 +1157,30 @@ def x_multimodal_decode(spark, sf_dir):
             for i in range(8)
         ],
     )
+
+
+@_register(
+    "x_multimodal_resize",
+    "stubbed image resize via mapInPandas: binary in, binary out, payload "
+    "never shuffled (north-star; rows-only — pandas-derived binary)",
+    None,
+)
+def x_multimodal_resize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mm = _mm.attach_binary_payload(docs, "text", modality="image", mime="image/png")
+    resized = _mm.resize_images(mm, 32, 32, "doc_id")
+    # drop the binary column from the checked output (canonicalizer can't
+    # hash bytes); size + dims prove the resize contract
+    return resized.select("doc_id", "width", "height", "resized_n_bytes")
+
+
+@_register(
+    "x_multimodal_frame_sample",
+    "stubbed video frame sampling via mapInPandas: 1 row -> n_frames rows "
+    "(north-star; rows-only — pandas-derived)",
+    None,
+)
+def x_multimodal_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mm = _mm.attach_binary_payload(docs, "text", modality="video", mime="video/mp4")
+    return _mm.sample_frames(mm, n_frames=4, id_col="doc_id")
