@@ -353,6 +353,37 @@ def test_cdc_dynamic_config_reload(spark, tmp_path):
     assert topics(1) == {"DWD_ORDER_INFO_I", "DWD_ORDER_DETAIL_I"}
 
 
+def test_processing_time_trigger(spark, tmp_path):
+    """O3: the reference's fixed 5 s micro-batch cadence
+    (`Seconds(5)`, OdsBaseLogApp.scala:35) maps to
+    trigger(processingTime=...) — run the split pipeline on a short
+    cadence against a live directory and stop once output lands."""
+    import time
+
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    (in_dir / "b0.json").write_text(
+        fx.log_row("m1", fx.D1_10, uid="1", ar="11", page_id="home") + "\n"
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    writer = log_split_pipeline(text_stream(spark, str(in_dir)), out, ckpt)
+    q = writer.trigger(processingTime="500 milliseconds").start()
+    try:
+        deadline = time.time() + 60
+        rows = 0
+        while time.time() < deadline:
+            try:
+                rows = read_sink(spark, os.path.join(out, "page")).count()
+            except Exception:
+                rows = 0
+            if rows:
+                break
+            time.sleep(0.5)
+        assert rows == 1
+    finally:
+        q.stop()
+
+
 # --- O4: kill/restart exactly-once ----------------------------------------
 
 
