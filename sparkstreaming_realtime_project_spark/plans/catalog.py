@@ -460,6 +460,62 @@ def a_stats_by_item_band(spark, sf_dir):
     )
 
 
+@_register(
+    "a_rollup_totals",
+    "ROLLUP grouping-set aggregation (SURVEY §2.5 'absent in ref, built-in "
+    "in Spark'): per-(flag,status) sums plus per-flag and grand totals",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS ct
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup_totals(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("ct"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "ct",
+        )
+    )
+
+
+@_register(
+    "a_percentiles",
+    "exact percentile aggregation (SURVEY §2.5 'no percentiles in ref'). "
+    "Percentile column is integer-valued l_quantity: continuous "
+    "interpolation between tied neighbors is exact, so Spark and DuckDB "
+    "agree bit-for-bit (interpolating a smooth double column differs in "
+    "the last ulp and flips the rounding boundary)",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 2)  AS p50,
+           round(quantile_cont(l_quantity, 0.95), 2) AS p95,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 2).alias("p95"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # F-group scalar surface + pagination + windows + set ops (SURVEY §2.7/2.8)
 # ---------------------------------------------------------------------------

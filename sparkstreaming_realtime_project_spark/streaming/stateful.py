@@ -1,0 +1,71 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's only hand-rolled state machines are the Redis dedup set
+(DwdDauApp.scala:87-135, O1) and the 24 h join buffers — both covered by
+built-ins (dropDuplicatesWithinWatermark, stream-stream join). This
+module carries the EXTENSION surface for semantics the built-ins can't
+express: arbitrary per-key state with explicit TTL, Arrow-batched.
+
+Scale: state lives in Spark's state store partitioned by key (same
+placement as the built-in dedup); one Arrow batch of a key's rows per
+trigger flows through Python. Event-time timeouts bound state exactly
+like the reference's Redis EXPIRE.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def first_seen_per_key(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    ttl_hours: int = 25,
+) -> DataFrame:
+    """O1 as a CUSTOM stateful operator: emit the earliest-timestamped row
+    per key, drop every later duplicate, evict state ``ttl_hours`` after
+    the first event (the Redis ``SADD DAU:<date>`` + intended 24 h expiry,
+    DwdDauApp.scala:110-135).
+
+    Differences from dropDuplicatesWithinWatermark: the WINNER is
+    deterministic (min event time, not first-processed), and the TTL is
+    an explicit event-time timeout rather than the watermark delay —
+    the shape to copy for any bespoke per-key state machine.
+
+    ``stream`` must already carry a watermark on ``ts_col`` (event-time
+    timeouts require one).
+    """
+    out_schema = stream.schema
+    state_schema = StructType([StructField("first_ts_ms", LongType())])
+    ts_idx = [f.name for f in out_schema.fields].index(ts_col)
+    _ = ts_idx  # ts resolved by name below; index kept for clarity
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(ts_col).head(1)
+            if first is None or cand[ts_col].iloc[0] < first[ts_col].iloc[0]:
+                first = cand
+        if first is None or state.exists:
+            return iter(())
+        first_ts_ms = int(pd.Timestamp(first[ts_col].iloc[0]).value // 1_000_000)
+        state.update((first_ts_ms,))
+        state.setTimeoutTimestamp(first_ts_ms + ttl_hours * 3600 * 1000)
+        return iter((first,))
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -353,6 +353,57 @@ def test_cdc_dynamic_config_reload(spark, tmp_path):
     assert topics(1) == {"DWD_ORDER_INFO_I", "DWD_ORDER_DETAIL_I"}
 
 
+def test_first_seen_custom_stateful_operator(spark, tmp_path):
+    """The applyInPandasWithState extension operator reproduces O1 with a
+    DETERMINISTIC winner (min event time per key) across micro-batches —
+    the template for bespoke per-key state machines the built-ins can't
+    express."""
+    from sparkstreaming_realtime_project_spark.operators.log_split import parse_log
+    from sparkstreaming_realtime_project_spark.streaming.stateful import (
+        first_seen_per_key,
+    )
+
+    in_dir = tmp_path / "in"
+    fx.write_log_fixture(str(in_dir))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    raw = text_stream(spark, str(in_dir), max_files_per_trigger=1)
+    page = (
+        parse_log(raw)
+        .filter(F.col("err").isNull() & F.col("page").isNotNull())
+        .select(
+            F.col("common.mid").alias("mid"),
+            F.col("page.last_page_id").alias("last_page_id"),
+            F.timestamp_millis(F.col("ts")).alias("event_ts"),
+        )
+        .filter(F.col("last_page_id").isNull())
+        .withColumn("dt", F.date_format("event_ts", "yyyy-MM-dd"))
+        .withWatermark("event_ts", "25 hours")
+    )
+    firsts = first_seen_per_key(page, ["mid", "dt"], "event_ts")
+    q = (
+        firsts.writeStream.foreachBatch(
+            lambda b, i: b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        (r["mid"], r["dt"], r["event_ts"].hour)
+        for r in read_sink(spark, out).collect()
+    }
+    # deterministic winners: min event time per (mid, dt)
+    assert got == {
+        ("m1", "2024-01-01", 10),  # D1_10 beats D1_12 and the batch-2 dup
+        ("m5", "2024-01-01", 12),
+        ("m2", "2024-01-02", 1),   # D2_01 (batch 1) beats D2_09 (batch 2)
+    }
+
+
 def test_processing_time_trigger(spark, tmp_path):
     """O3: the reference's fixed 5 s micro-batch cadence
     (`Seconds(5)`, OdsBaseLogApp.scala:35) maps to
