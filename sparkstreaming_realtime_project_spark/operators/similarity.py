@@ -148,6 +148,108 @@ def knn_bucketed(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means-lite centroids for IVF partitioning.
+
+    Seeding is the first n_centroids vectors by id (reproducible — no
+    RNG); each Lloyd iteration assigns every vector to its nearest
+    centroid (centroids enter the plan as LITERALS, so assignment is a
+    pure projection — no join, no shuffle of the vectors) and recomputes
+    per-centroid dimension-wise means in one hash aggregate. Only the
+    k x d centroid matrix ever reaches the driver: that is the MODEL, not
+    the data — the per-iteration data pass stays fully distributed."""
+    e = embeddings.select(as_double_vec(vec_col).alias("v"), F.col(id_col).alias("id"))
+    dim = len(e.select("v").first()["v"])
+    cents = [
+        list(r["v"]) for r in e.orderBy("id").limit(n_centroids).collect()
+    ]
+    for _ in range(iters):
+        assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), cents))
+        new = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.avg(F.element_at("v", i + 1)).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cid = {r["cid"]: [r[f"d{i}"] for i in range(dim)] for r in new}
+        # empty centroids keep their previous position (standard Lloyd)
+        cents = [by_cid.get(c, cents[c]) for c in range(n_centroids)]
+    return cents
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-cosine centroid, as a literal-folded expression:
+    k similarity evaluations per row inside codegen, no join."""
+    best_idx, best_sim = F.lit(0), cosine(vec, F.array(*[F.lit(x) for x in centroids[0]]))
+    for i, c in enumerate(centroids[1:], start=1):
+        sim = cosine(vec, F.array(*[F.lit(x) for x in c]))
+        better = sim > best_sim
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return best_idx
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: vectors are pre-assigned to their nearest
+    centroid's inverted list (``cid`` — at rest this is the partition
+    key, so a probe reads n_probe lists instead of the corpus); each
+    query probes its ``n_probe`` nearest centroids and ranks candidates
+    by exact cosine. n_probe is the recall knob, mirroring multi-probe
+    LSH."""
+    n_cent = len(centroids)
+    if not 1 <= n_probe <= n_cent:
+        raise ValueError("n_probe must be in [1, n_centroids]")
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    ).withColumn("cid", _nearest_centroid(F.col("cv"), centroids))
+    # rank ALL centroids per query, keep the top n_probe
+    sims = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col("qv"), F.array(*[F.lit(x) for x in cent]))).alias("neg"),
+                F.lit(i).alias("cid"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+        )
+        .withColumn("probe", F.slice(F.array_sort(sims), 1, n_probe))
+        .select("query_id", "qv", F.explode("probe.cid").alias("cid"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cid", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def cosine_near_pairs_bucketed(
     embeddings: DataFrame,
     threshold: float,

@@ -689,19 +689,25 @@ def u_union_split(spark, sf_dir):
     """,
 )
 def o_dedup_first_per_day(spark, sf_dir):
+    # min_by hash-aggregate, not a row_number window: partial aggregation
+    # reduces map-side output to one row per (user, dt) per partition
+    # BEFORE the shuffle, and no per-partition sort — at 100 TB the window
+    # variant shuffles and sorts every event. Results identical
+    # (deterministic min by (ts, event_id)); oracle keeps the rn=1 form.
     ev = _t(spark, sf_dir, "events").withColumn(
         "dt", F.date_format("ts", "yyyy-MM-dd")
     )
-    w = Window.partitionBy("user_id", "dt").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "dt",
+    first = F.min_by(
+        F.struct(
             F.col("event_id").alias("first_event_id"),
             F.unix_micros("ts").alias("first_ts_us"),
-        )
+        ),
+        F.struct(F.col("ts"), F.col("event_id")),
+    ).alias("w")
+    return (
+        ev.groupBy("user_id", "dt")
+        .agg(first)
+        .select("user_id", "dt", "w.first_event_id", "w.first_ts_us")
     )
 
 
@@ -1090,6 +1096,22 @@ def x_knn_multiprobe(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return _sim.knn_bucketed(
         emb, emb.filter(F.col("vec_id") < 20), k=3, probe_radius=1
+    )
+
+
+@_register(
+    "x_knn_ivf",
+    "IVF approximate top-k: deterministic k-means-lite centroids (seeded "
+    "by id, 3 Lloyd iterations, literal-folded assignment), 2-probe "
+    "(north-star scale path; rows-only — iterative centroid training is "
+    "not single-statement SQL)",
+    None,
+)
+def x_knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _sim.ivf_centroids(emb, n_centroids=8, iters=3)
+    return _sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), cents, k=3, n_probe=2
     )
 
 

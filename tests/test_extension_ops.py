@@ -102,6 +102,35 @@ def test_knn_multiprobe_improves_recall(spark, sf_dir):
     assert len(multi) >= len(single)
 
 
+def test_ivf_centroids_deterministic_and_recall(spark, sf_dir):
+    """IVF: centroid training is deterministic (seeded by id, no RNG);
+    recall vs brute-force is monotonic in n_probe and reaches 1.0 when
+    every list is probed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    c1 = sim.ivf_centroids(emb, n_centroids=4, iters=2)
+    c2 = sim.ivf_centroids(emb, n_centroids=4, iters=2)
+    assert c1 == c2
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk(sim.knn_bruteforce(emb, queries, k=3))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r1 = recall(topk(sim.ivf_topk(emb, queries, c1, k=3, n_probe=1)))
+    r2 = recall(topk(sim.ivf_topk(emb, queries, c1, k=3, n_probe=2)))
+    r_all = recall(topk(sim.ivf_topk(emb, queries, c1, k=3, n_probe=4)))
+    assert r1 <= r2 <= r_all
+    assert r_all == 1.0  # probing every inverted list IS brute force
+
+
 def test_jaccard_df_cap_drops_only_boilerplate(spark, sf_dir):
     """With the df cap, every surviving pair of the uncapped run whose
     overlap includes at least one low-df shingle is still found: on this
