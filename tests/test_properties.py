@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): operator invariants checked against
+independent Python reference implementations on generated corpora.
+Each example batch runs as ONE Spark job (rows generated together), so
+the suite stays fast despite per-example JVM round-trips."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_project_spark.functions.text import text_match
+from sparkstreaming_realtime_project_spark.operators import dedup as dd
+
+# small alphabet -> forced token collisions between docs and queries
+WORD = st.sampled_from(["spark", "join", "data", "the", "ab", "x1", "Δδ", "小米"])
+TEXT = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def _py_tokens(s: str) -> list[str]:
+    return [t for t in re.split(r"\s+", s.lower()) if t]
+
+
+def _py_shingles(s: str, n: int) -> list[str]:
+    t = _py_tokens(s)
+    if len(t) < n:
+        return [" ".join(t)]
+    seen, out = set(), []
+    for i in range(len(t) - n + 1):
+        g = " ".join(t[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=20), query=TEXT)
+@settings(**SETTINGS)
+def test_text_match_equals_python_reference(spark, texts, query):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", text_match(F.col("text"), query).alias("m")).collect()
+    }
+    qtoks = set(_py_tokens(query))
+    for i, t in enumerate(texts):
+        expected = qtoks <= set(_py_tokens(t))
+        assert got[i] == expected, (t, query)
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=20), n=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_shingles_equal_python_reference(spark, texts, n):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    sh = dd.with_shingles(df, "text", "id", n)
+    got = {r["id"]: list(r["shingles"]) for r in sh.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_shingles(t, n), (t, n)
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_corpus(spark, texts):
+    """dedup_exact groups are a partition of the corpus: copies sum to the
+    row count, one keeper per group, keeper is the min id of its group."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    rows = dd.dedup_exact(df, "text", "id").collect()
+    assert sum(r["n_copies"] for r in rows) == len(texts)
+    by_text: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    keepers = {min(ids) for ids in by_text.values()}
+    assert {r["keeper_id"] for r in rows} == keepers
+
+
+@given(texts=st.lists(TEXT, min_size=2, max_size=15))
+@settings(**SETTINGS)
+def test_jaccard_pairs_bounded_and_symmetric_ground(spark, texts):
+    """Every reported pair: 0 < jaccard <= 1, doc_a < doc_b, and the value
+    equals the Python set-Jaccard of the two shingle sets."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    sh = dd.with_shingles(df, "text", "id", 2)
+    pairs = dd.jaccard_pairs(sh, threshold=0.0).collect()
+    pysh = {i: set(_py_shingles(t, 2)) for i, t in enumerate(texts)}
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        assert a < b
+        inter = len(pysh[a] & pysh[b])
+        union = len(pysh[a] | pysh[b])
+        assert inter > 0  # only sharing pairs are candidates
+        assert abs(r["jaccard"] - round(inter / union, 4)) < 1e-9
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_simhash_signature_shape_and_identity(spark, texts):
+    """Signatures are 16-char bitstrings; identical texts hash identically
+    (hamming 0), so near-pair generation can never miss exact dups."""
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (1000 + i, t) for i, t in enumerate(texts)  # exact copies
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    sigs = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id", dd.simhash_expr(F.col("text"), 16).alias("sig")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert len(sigs[i]) == 16 and set(sigs[i]) <= {"0", "1"}
+        assert sigs[i] == sigs[1000 + i]

@@ -353,6 +353,71 @@ def test_cdc_dynamic_config_reload(spark, tmp_path):
     assert topics(1) == {"DWD_ORDER_INFO_I", "DWD_ORDER_DETAIL_I"}
 
 
+def test_order_wide_watermark_evicts_state(spark, tmp_path):
+    """O5 eviction: once BOTH sides' watermarks pass an order's event
+    time, its buffered state is gone — a detail arriving later than the
+    24 h grace never joins (the Redis TTL expiry, DwdOrderApp.scala:
+    209,247). Complements the buffering test, which only proves the
+    within-watermark path."""
+    t0 = "2024-01-01 10:00:00"
+    t_far = "2024-01-05 10:00:00"  # 96 h later: watermark sails past t0+24h
+    info_dir, detail_dir = str(tmp_path / "info"), str(tmp_path / "detail")
+    # state cleanup is lazy (end of batch): the watermark must advance a
+    # full batch BEFORE the late row arrives for eviction to be visible
+    fx._write_batches(info_dir, [
+        [fx.info_row(1, t0)],
+        [fx.info_row(2, t_far)],   # advances the info-side watermark
+        [fx.info_row(3, t_far)],
+        [fx.info_row(4, t_far)],
+    ])
+    fx._write_batches(detail_dir, [
+        [fx.detail_row(90, 2, t_far)],  # keeps detail watermark moving too
+        [fx.detail_row(91, 3, t_far)],
+        [fx.detail_row(92, 4, t_far)],
+        [fx.detail_row(99, 1, t0)],     # LATE: order 1's state already evicted
+    ])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    writer = order_wide_pipeline(
+        file_stream(spark, info_dir, ORDER_INFO_SCHEMA, max_files_per_trigger=1),
+        file_stream(spark, detail_dir, ORDER_DETAIL_SCHEMA, max_files_per_trigger=1),
+        out,
+        ckpt,
+    )
+    run_to_completion(writer, timeout=180)
+    ids = {r["detail_id"] for r in read_sink(spark, out).select("detail_id").collect()}
+    assert 99 not in ids  # beyond-grace detail dropped, like the expired Redis key
+    assert 90 in ids      # same-batch match still emitted
+
+
+def test_dau_drops_late_events_beyond_watermark(spark, tmp_path):
+    """O1 bounded state: dropDuplicatesWithinWatermark FILTERS input rows
+    whose event time has fallen behind the watermark (one-batch
+    propagation lag), so dedup state is bounded AND a late straggler can
+    never produce a duplicate DAU row — strictly stronger than the
+    reference, where an event after the Redis set's TTL expiry would be
+    counted again."""
+    in_dir = tmp_path / "in"
+    day5 = 1704448800000  # 2024-01-05 02:00:00 UTC
+    fx._write_batches(str(in_dir), [
+        [fx.log_row("w1", day5, uid="1", ar="11", page_id="home")],
+        # filler: the watermark computed from batch 0 (day5 - 25 h)
+        # reaches the input filter one batch later
+        [fx.log_row("w3", day5 + 1000, uid="4", ar="11", page_id="home")],
+        # 4 days behind the watermark -> dropped outright, even though
+        # (w2, day1) was never seen before
+        [fx.log_row("w2", fx.D1_10, uid="2", ar="12", page_id="home")],
+    ])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    dim_user, dim_province = fx.dim_frames(spark)
+    writer = dau_pipeline(
+        text_stream(spark, str(in_dir), max_files_per_trigger=1),
+        dim_user, dim_province, out, ckpt, as_of=as_of(),
+    )
+    run_to_completion(writer)
+    mids = {r["mid"] for r in read_sink(spark, out).select("mid").collect()}
+    assert mids == {"w1", "w3"}  # w2's stale event never lands
+
+
 def test_first_seen_custom_stateful_operator(spark, tmp_path):
     """The applyInPandasWithState extension operator reproduces O1 with a
     DETERMINISTIC winner (min event time per key) across micro-batches —
