@@ -10,6 +10,10 @@ case and merely *sized down* locally:
   coalesces to data size. At cluster scale set it to ~2-3x total cores.
 - Arrow enabled for the (few) pandas_udf paths — extension operators only;
   the reference surface itself compiles to pure JVM expressions.
+- RocksDB state store: streaming state (dedup keys, join buffers) lives
+  off-heap with changelog checkpointing instead of on the JVM heap — at
+  100 TB the 24 h join buffer is far bigger than any executor heap; the
+  HDFS-backed default would OOM where RocksDB spills.
 """
 
 from __future__ import annotations
@@ -41,6 +45,11 @@ def get_spark(
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

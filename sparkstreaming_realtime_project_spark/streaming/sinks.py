@@ -172,6 +172,38 @@ def kafka_frame(df: DataFrame, key_col: str | None = None) -> DataFrame:
     return out.select(*selected)
 
 
+def kafka_split_frames(
+    outputs: dict[str, DataFrame],
+    topic_prefix: str = "DWD_",
+    key_col: str | None = "mid",
+) -> DataFrame:
+    """K1+F7 for the 5-way split: union the routed outputs into ONE
+    (topic, key, value) frame for the dynamic-topic Kafka sink — each
+    record JSON-serialized (the reference serializes every bean before
+    sending, OdsBaseLogApp.scala:144,163,181,199) and keyed by mid so a
+    device's events keep per-partition order.
+
+    One sink query instead of five: the topic column does the routing
+    (MyKafkaUtils routes by explicit topic name per send; the Kafka sink
+    does the same from the column)."""
+    frames = []
+    for name, df in outputs.items():
+        topic = f"{topic_prefix}{name.upper()}_LOG_TOPIC"
+        shaped = kafka_frame(
+            df.withColumn("topic", F.lit(topic)),
+            key_col=key_col if key_col in df.columns else None,
+        )
+        if "key" not in shaped.columns:
+            shaped = shaped.select(
+                "topic", F.lit(None).cast("string").alias("key"), "value"
+            )
+        frames.append(shaped)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def kafka_topic_writer(
     df: DataFrame, brokers: str, checkpoint: str, key_col: str | None = None
 ):

@@ -353,6 +353,39 @@ def test_cdc_dynamic_config_reload(spark, tmp_path):
     assert topics(1) == {"DWD_ORDER_INFO_I", "DWD_ORDER_DETAIL_I"}
 
 
+def test_kafka_split_frames_routing(spark, tmp_path):
+    """K1+F7 on the split path: the five routed outputs become one
+    (topic, key, value) frame — JSON values, mid keys, topic per branch
+    (the single-sink equivalent of OdsBaseLogApp's five topic sends)."""
+    from sparkstreaming_realtime_project_spark.operators.log_split import (
+        parse_log,
+        split_all,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.sinks import (
+        kafka_split_frames,
+    )
+
+    in_dir = tmp_path / "in"
+    fx.write_log_fixture(str(in_dir))
+    raw = spark.read.text(str(in_dir))
+    frames = kafka_split_frames(split_all(parse_log(raw)))
+    assert frames.columns == ["topic", "key", "value"]
+    per_topic = {
+        r["topic"]: r["n"]
+        for r in frames.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_topic == {
+        "DWD_ERROR_LOG_TOPIC": 2,
+        "DWD_PAGE_LOG_TOPIC": 7,
+        "DWD_DISPLAY_LOG_TOPIC": 3,
+        "DWD_ACTION_LOG_TOPIC": 1,
+        "DWD_START_LOG_TOPIC": 1,
+    }
+    row = frames.filter(F.col("topic") == "DWD_START_LOG_TOPIC").collect()[0]
+    assert row["key"] == "m4"
+    assert json.loads(row["value"])["entry"] == "icon"
+
+
 def test_order_wide_watermark_evicts_state(spark, tmp_path):
     """O5 eviction: once BOTH sides' watermarks pass an order's event
     time, its buffered state is gone — a detail arriving later than the
