@@ -735,6 +735,59 @@ def o_window_tumbling(spark, sf_dir):
 
 
 @_register(
+    "o_window_sliding",
+    "sliding (hopping) event-time window, 1 h width / 30 min slide "
+    "(SURVEY §2.6 'absent in ref, free in Spark'): each event lands in 2 "
+    "overlapping windows",
+    """
+    SELECT epoch_us(s) AS window_start_us, event_type,
+           count(*) AS ct, round(sum(value), 2) AS sum_value
+    FROM events,
+         LATERAL (VALUES (date_trunc('hour', ts)
+                          + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                                 ELSE INTERVAL 0 MINUTE END),
+                         (date_trunc('hour', ts)
+                          + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                                 ELSE INTERVAL 0 MINUTE END
+                          - INTERVAL 30 MINUTE)) AS w(s)
+    GROUP BY 1, 2
+    """,
+)
+def o_window_sliding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("ct"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "ct",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "u_intersect_except",
+    "set ops intersect/except (SURVEY §2.8 'none in ref; free in Spark')",
+    """
+    WITH e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, 'both' AS tag FROM (SELECT * FROM e INTERSECT SELECT * FROM p)
+    UNION ALL
+    SELECT user_id, 'error_only' AS tag FROM (SELECT * FROM e EXCEPT SELECT * FROM p)
+    """,
+)
+def u_intersect_except(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = err.intersect(pur).select("user_id", F.lit("both").alias("tag"))
+    only = err.subtract(pur).select("user_id", F.lit("error_only").alias("tag"))
+    return both.unionAll(only)
+
+
+@_register(
     "o_session_window",
     "session windows, 30 min gap (SURVEY §2.6; islands-equivalent oracle)",
     """
