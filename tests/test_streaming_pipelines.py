@@ -105,6 +105,22 @@ def test_dau_enrichment_and_derivations(dau_run):
     assert rows["m1"]["user_age"] == 28  # 1995-06-15 at 2024-06-01
 
 
+def test_dau_to_publisher_end_to_end(dau_run):
+    """Full stack: raw behavior logs -> dau pipeline -> serving sink ->
+    publisher endpoint JSON — the reference's streaming -> ES -> REST
+    path (§3.1 + §3.3) in one assertion chain."""
+    from sparkstreaming_realtime_project_spark.plans.publisher import (
+        dau_realtime_json,
+    )
+
+    _, sink = dau_run
+    out = dau_realtime_json(sink, "2024-01-02")
+    assert out["dauTotal"] == 1                      # day-2 actives: m2
+    assert out["dauTd"] == {"01": 1}                 # m2 at 01:xx
+    assert sum(out["dauYd"].values()) == 2           # day-1: m1 + m5
+    assert out["dauYd"].get("12", 0) >= 1            # m5's hour bucket
+
+
 def test_dau_observed_metrics(dau_run):
     """K7: per-batch row counts via observe() in StreamingQueryProgress
     (the reference's console count probes, DwdDauApp.scala:71-74)."""
