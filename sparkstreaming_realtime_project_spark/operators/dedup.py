@@ -120,30 +120,42 @@ def jaccard_pairs(
     precomputed candidate set (from LSH). Returns (doc_a, doc_b, jaccard).
 
     ``max_df`` caps the candidate generator's fan-out: shingles appearing
-    in more than max_df documents are dropped before the self-join. The
-    pair fan-out of the raw join is sum(df(g)^2) — quadratic on any
-    frequent shingle (boilerplate, common phrases), which is the
-    scale-killer at 100 TB. High-df shingles carry no near-dup signal
-    (they're shared by *everything*), so capping them loses only pairs
-    whose entire overlap is boilerplate — pairs the threshold would
-    reject anyway for any realistic threshold.
+    in more than max_df documents generate no CANDIDATES (the raw join's
+    pair fan-out is sum(df(g)^2) — quadratic on any frequent shingle, the
+    scale-killer at 100 TB). The cap applies to candidate GENERATION
+    only: the jaccard value is always verified against the FULL shingle
+    sets, so a surviving pair's score is exact. Trade-off (measured, not
+    hand-waved): a duplicate cluster larger than max_df members has
+    df > max_df on every shared shingle and produces no candidates — size
+    max_df so it clears the corpus' real cluster sizes, and rely on
+    MinHash-LSH (whose bucket cap has the same role) as the primary
+    scale path.
     """
-    if candidates is None:
-        # Count-based intersection: |A ∩ B| = co-occurrence count of the
-        # pair across the exploded shingle table, aggregated with map-side
-        # partial counts — the Σdf(g)² pair fan-out never hits a shuffle
-        # as rows, only as (pair -> count) partial aggregates, and no
-        # shingle array is ever shipped or intersected. (The array-verify
-        # path below stays for LSH candidate sets, which are tiny.)
+    if candidates is None and max_df is not None:
+        # capped candidates, then exact full-array verify below — the
+        # intersection must NOT be counted on the capped table (that
+        # underestimates jaccard for any pair sharing high-df shingles)
         ex = shingled.select("id", F.explode("shingles").alias("g"))
-        if max_df is not None:
-            low_df = (
-                ex.groupBy("g")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .filter(F.col("df") <= max_df)
-                .select("g")
-            )
-            ex = ex.join(low_df, "g")
+        low_df = (
+            ex.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        exc = ex.join(low_df, "g")
+        a, b = exc.alias("a"), exc.alias("b")
+        candidates = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .distinct()
+        )
+    if candidates is None:
+        # Uncapped exact path: count-based intersection — |A ∩ B| is the
+        # pair's co-occurrence count across the exploded shingle table,
+        # aggregated with map-side partial counts; no shingle array is
+        # ever shipped or intersected. (Correct ONLY over the full table:
+        # every shared shingle must be counted.)
+        ex = shingled.select("id", F.explode("shingles").alias("g"))
         a, b = ex.alias("a"), ex.alias("b")
         inter_counts = (
             a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))

@@ -884,7 +884,11 @@ def x_dedup_exact(spark, sf_dir):
     return _dd.dedup_exact(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-_MAX_DF = 10  # shingle document-frequency cap for the candidate join
+# Shingle document-frequency cap for the candidate join. Must clear the
+# corpus' duplicate-cluster size: a cluster of k copies gives every shared
+# shingle df >= k, and candidates vanish entirely once k > cap (measured
+# at a 10x-amplified sf0.1: cap 10 -> 0 pairs, cap 50 -> all pairs).
+_MAX_DF = 50
 
 
 @_register(
@@ -896,9 +900,9 @@ _MAX_DF = 10  # shingle document-frequency cap for the candidate join
     sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
     ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
     low AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= {_MAX_DF}),
-    ex AS (SELECT doc_id, ex0.g AS g FROM ex0 JOIN low USING (g)),
+    exc AS (SELECT doc_id, ex0.g AS g FROM ex0 JOIN low USING (g)),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+             FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id),
     {_JACCARD_VERIFY_SQL}
     """,
     bench=True,

@@ -149,6 +149,8 @@ def write_cdc_fixture(root: str) -> str:
         cdc_row("user_info", "insert", 150, {"id": "2", "name": "bob_v1"}),
         cdc_row("order_detail", "insert", 160, {"id": "9002", "order_id": "3001"}),
         cdc_row("order_detail", "delete", 170, {"id": "9001", "order_id": "3001"}),
+        # corrupt CDC line: null envelope -> dropped by op/table routing
+        "{broken maxwell payload",
     ]
     return _write_batches(root, [batch1, batch2])
 

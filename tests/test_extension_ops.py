@@ -148,6 +148,24 @@ def test_jaccard_df_cap_drops_only_boilerplate(spark, sf_dir):
     assert capped == uncapped
 
 
+def test_jaccard_cap_verifies_on_full_sets(spark):
+    """The df cap must only limit CANDIDATE generation — the jaccard score
+    is verified on the full shingle sets. 12 identical docs: with cap 50
+    all 66 pairs surface at jaccard 1.0; with cap 5 the cluster's shared
+    shingles (df=12) generate no candidates at all — the documented
+    trade-off of df-capping, which is why MinHash-LSH stays the primary
+    scale path."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)],
+        "doc_id long, text string",
+    )
+    sh = dd.with_shingles(docs, "text", "doc_id", 3)
+    found = dd.jaccard_pairs(sh, 0.8, max_df=50).collect()
+    assert len(found) == 66  # C(12,2)
+    assert all(r["jaccard"] == 1.0 for r in found)  # FULL-set verify
+    assert dd.jaccard_pairs(sh, 0.8, max_df=5).count() == 0  # cluster > cap
+
+
 def test_lsh_bucket_cap_keeps_pairs(spark, sf_dir):
     """The hot-bucket cap must not lose the true near-dup pairs on the
     test corpus (true clusters are far below the cap)."""

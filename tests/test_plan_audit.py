@@ -20,6 +20,12 @@ CASES = [
     ("a_dau_compare", [], ["NestedLoop", "CartesianProduct"]),
     ("j_dim_enrich", ["BroadcastHashJoin"], ["NestedLoop", "CartesianProduct"]),
     ("x_dedup_exact", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
+    # min_by aggregate, NOT a row_number window: the map-side partial
+    # (partial_min_by) shrinks the shuffle to one row per key per
+    # partition — a window would shuffle every event. (Struct-typed
+    # min_by buffers plan as SortAggregate, not HashAggregate; the
+    # partial is what matters.)
+    ("o_dedup_first_per_day", ["partial_min_by"], ["Window", "NestedLoop"]),
     ("x_dedup_ngram_jaccard", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
     ("x_dedup_minhash_lsh", [], ["NestedLoop", "CartesianProduct"]),
     ("x_simhash_near_pairs", [], ["NestedLoop", "CartesianProduct"]),
