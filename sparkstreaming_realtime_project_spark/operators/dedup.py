@@ -292,32 +292,59 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash_from_tokens(tok_col: str | Column, bits: int = 16) -> Column:
-    """SimHash signature as a bitstring from an already-projected token
-    array, one ``aggregate`` per bit (no explode/shuffle). Bit j uses the
-    top bit of hex digit j of each token's md5: portable to any engine
-    with md5+substr. Takes a column reference: each of the ``bits``
-    aggregates scans the array, so an inline tokenizer expression would
-    re-tokenize the document ``bits`` times per row."""
+def token_md5s(tok_col: str | Column, seed: str = "") -> Column:
+    """One md5 hex string per token (optionally seeded). Project this
+    into a column BEFORE computing simhash bits: each of the ``bits``
+    aggregates reads one hex digit, so hashing must happen once per
+    token, not once per (token, bit) — a 16-64x md5 saving."""
     t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    if seed:
+        return F.transform(t, lambda tok: F.md5(F.concat(F.lit(seed), tok)))
+    return F.transform(t, lambda tok: F.md5(tok))
+
+
+def simhash_from_hashes(hash_cols: list[str | Column], bits: int = 16) -> Column:
+    """SimHash bitstring from already-projected token-md5 arrays, one
+    ``aggregate`` per bit (no explode/shuffle). Bit j reads the top bit
+    of hex digit j%32 of hash array j//32 — each md5 carries 32 digits,
+    so one hash array serves 32 bits and a second (differently seeded)
+    array extends to 64. Portable to any engine with md5+substr.
+
+    Signature WIDTH is a scale knob: the near-pair segment join buckets
+    on bits/(h+1)-bit segments, so buckets number 2^(bits/(h+1)) and
+    bucket size ~N / 2^(bits/(h+1)) — 16-bit signatures (5-bit segments,
+    <=64 buckets) go quadratic on large corpora; size bits so segments
+    carry ~log2(N) bits."""
+    if bits > 32 * len(hash_cols):
+        raise ValueError("need one hash array per 32 bits")
+    arrays = [F.col(c) if isinstance(c, str) else c for c in hash_cols]
 
     def bit(j: int) -> Column:
-        def step(acc: Column, tok: Column) -> Column:
+        arr, digit = arrays[j // 32], j % 32
+
+        def step(acc: Column, h: Column) -> Column:
             hexval = (
-                F.position(F.substring(F.md5(tok), j + 1, 1), F.lit(_HEX)) - 1
+                F.position(F.substring(h, digit + 1, 1), F.lit(_HEX)) - 1
             )
             return acc + F.when(hexval >= 8, 1).otherwise(-1)
 
-        s = F.aggregate(t, F.lit(0), step)
+        s = F.aggregate(arr, F.lit(0), step)
         return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
 
     return F.concat(*[bit(j) for j in range(bits)])
 
 
+def simhash_from_tokens(tok_col: str | Column, bits: int = 16) -> Column:
+    """Token array -> SimHash, hashing inline. Convenience for small
+    frames and tests — hot paths project token_md5s into columns first
+    and use simhash_from_hashes (md5 once per token, not per bit)."""
+    seeds = [""] if bits <= 32 else ["", "b:"]
+    return simhash_from_hashes([token_md5s(tok_col, s) for s in seeds], bits)
+
+
 def simhash_expr(text_col: str | Column, bits: int = 16) -> Column:
     """One-shot text -> SimHash expression. Convenience for small frames
-    and tests ONLY — hot paths project tokens first (see
-    simhash_from_tokens)."""
+    and tests ONLY — hot paths project tokens and hashes first."""
     return simhash_from_tokens(tokens_expr(text_col), bits)
 
 
@@ -348,10 +375,22 @@ def simhash_near_pairs(
     segment key. (An OR of segment equalities in a single join condition
     is not an equi-join and falls back to a nested-loop/cartesian plan —
     the scale-killer this shape avoids.) Full hamming verified on
-    candidates only."""
-    sig = df.select(
-        F.col(id_col).alias("id"), tokens_expr(text_col).alias("t")
-    ).select("id", simhash_from_tokens("t", bits).alias("sig"))
+    candidates only.
+
+    Staged projections: tokens -> per-token md5 arrays -> bits, so the
+    tokenizer runs once and each token is hashed once (not once per
+    bit)."""
+    seeds = [""] if bits <= 32 else ["", "b:"]
+    toks = df.select(F.col(id_col).alias("id"), tokens_expr(text_col).alias("t"))
+    hashed = toks.select(
+        "id", *[token_md5s("t", s).alias(f"__h{i}") for i, s in enumerate(seeds)]
+    )
+    sig = hashed.select(
+        "id",
+        simhash_from_hashes(
+            [f"__h{i}" for i in range(len(seeds))], bits
+        ).alias("sig"),
+    )
     spans = simhash_segments(bits, max_hamming)
     seg_structs = F.array(
         *[

@@ -263,10 +263,14 @@ def cosine_near_pairs_bucketed(
     equi-join key, so the shuffle is on buckets and fan-out is bounded by
     bucket size, ~N/2^bits each for centered data), then the exact cosine
     threshold verifies candidates — LSH-then-verify, mirroring the
-    MinHash dedup topology. Recall loss: a pair straddling a hyperplane
-    (opposite sign in any chosen dim) is missed; more/rotated hyperplanes
-    or multi-probe are the recall knobs. Brute-force cosine_near_pairs is
-    the verification/recall-measurement path, not the default."""
+    MinHash dedup topology. The bit count (len(dims)) must SCALE with the
+    corpus: bucket fan-out is (N/2^bits)^2 per bucket, so size
+    len(dims) ~ log2(N) to hold bucket size roughly constant (3 bits fit
+    the oracle corpus; a 100 TB corpus wants ~20+ hyperplanes). Recall
+    loss: a pair straddling a hyperplane (opposite sign in any chosen
+    dim) is missed; more/rotated hyperplanes or multi-probe are the
+    recall knobs. Brute-force cosine_near_pairs is the
+    verification/recall-measurement path, not the default."""
     e = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     ).withColumn("bucket", sign_bucket(F.col("v"), dims))

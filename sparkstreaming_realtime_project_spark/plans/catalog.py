@@ -957,48 +957,66 @@ def x_dedup_minhash_lsh(spark, sf_dir):
 
 
 _SIMHASH_BITS = 16
-_SIMHASH_BIT_SQL = ",\n      ".join(
-    "CASE WHEN list_sum(list_transform(t, tok -> CASE WHEN "
-    f"instr('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1 >= 8 "
-    "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
-    for j in range(_SIMHASH_BITS)
-)
+
+
+def _simhash_bit_sql(bits: int) -> str:
+    """Bit exprs reading hex digit j of the pre-hashed token array ``h``
+    (md5 once per token — mirrors operators.dedup.simhash_from_hashes)."""
+    return ",\n      ".join(
+        "CASE WHEN list_sum(list_transform(h, x -> CASE WHEN "
+        f"instr('0123456789abcdef', substr(x, {j % 32 + 1}, 1)) - 1 >= 8 "
+        "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+        for j in range(bits)
+    )
 
 
 @_register(
     "x_simhash_signature",
-    "SimHash 16-bit signatures, narrow aggregate over token array (north-star)",
+    "SimHash 16-bit signatures, narrow aggregate over pre-hashed tokens "
+    "(md5 once per token, digit read per bit) (north-star)",
     f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    hs AS (SELECT doc_id, list_transform(t, tok -> md5(tok)) AS h FROM toks)
     SELECT doc_id, concat(
-      {_SIMHASH_BIT_SQL}) AS simhash
-    FROM toks
+      {_simhash_bit_sql(_SIMHASH_BITS)}) AS simhash
+    FROM hs
     """,
 )
 def x_simhash_signature(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", _dd.tokens_expr("text").alias("t")).select(
-        "doc_id", _dd.simhash_from_tokens("t", _SIMHASH_BITS).alias("simhash")
+    return (
+        docs.select("doc_id", _dd.tokens_expr("text").alias("t"))
+        .select("doc_id", _dd.token_md5s("t").alias("h"))
+        .select(
+            "doc_id", _dd.simhash_from_hashes(["h"], _SIMHASH_BITS).alias("simhash")
+        )
     )
 
 
 _SIMHASH_MAX_HAMMING = 2
+# 32-bit signatures for the near-pair join: segment width = bits/(h+1)
+# bits -> 2^width buckets per segment. 16-bit signatures give 5-bit
+# segments (<=64 buckets, bucket size ~N/32 -> quadratic pair fan-out at
+# corpus scale); 32-bit gives 10-11-bit segments, and the same
+# construction extends to 64 via a second seeded hash.
+_SIMHASH_NP_BITS = 32
 _SIMHASH_SEG_SQL = "\n  UNION ALL ".join(
     f"SELECT doc_id, sig, {i} AS seg_idx, substr(sig, {start}, {length}) AS seg FROM s"
     for i, (start, length) in enumerate(
-        _dd.simhash_segments(_SIMHASH_BITS, _SIMHASH_MAX_HAMMING)
+        _dd.simhash_segments(_SIMHASH_NP_BITS, _SIMHASH_MAX_HAMMING)
     )
 )
 
 
 @_register(
     "x_simhash_near_pairs",
-    "SimHash near-dup pairs: pigeonhole segment equi-join (max_hamming+1 "
-    "segments) + hamming verify (north-star)",
+    "SimHash near-dup pairs: 32-bit signatures, pigeonhole segment "
+    "equi-join (max_hamming+1 segments) + hamming verify (north-star)",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    hs AS (SELECT doc_id, list_transform(t, tok -> md5(tok)) AS h FROM toks),
     s AS (SELECT doc_id, concat(
-      {_SIMHASH_BIT_SQL}) AS sig FROM toks),
+      {_simhash_bit_sql(_SIMHASH_NP_BITS)}) AS sig FROM hs),
     segs AS (
   {_SIMHASH_SEG_SQL}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1007,7 +1025,7 @@ _SIMHASH_SEG_SQL = "\n  UNION ALL ".join(
              ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, hamming FROM (
       SELECT doc_a, doc_b,
-             CAST(list_sum(list_transform(range(1, {_SIMHASH_BITS + 1}),
+             CAST(list_sum(list_transform(range(1, {_SIMHASH_NP_BITS + 1}),
                i -> CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
                          THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
       FROM cand) WHERE hamming <= {_SIMHASH_MAX_HAMMING}
@@ -1016,7 +1034,7 @@ _SIMHASH_SEG_SQL = "\n  UNION ALL ".join(
 def x_simhash_near_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return _dd.simhash_near_pairs(
-        docs, "text", "doc_id", bits=_SIMHASH_BITS, max_hamming=_SIMHASH_MAX_HAMMING
+        docs, "text", "doc_id", bits=_SIMHASH_NP_BITS, max_hamming=_SIMHASH_MAX_HAMMING
     )
 
 
