@@ -960,10 +960,11 @@ _SIMHASH_BITS = 16
 
 
 def _simhash_bit_sql(bits: int) -> str:
-    """Bit exprs reading hex digit j of the pre-hashed token array ``h``
-    (md5 once per token — mirrors operators.dedup.simhash_from_hashes)."""
+    """Bit exprs reading hex digit j%32 of pre-hashed token array h{j//32}
+    (md5 once per token per seed — mirrors
+    operators.dedup.simhash_from_hashes)."""
     return ",\n      ".join(
-        "CASE WHEN list_sum(list_transform(h, x -> CASE WHEN "
+        f"CASE WHEN list_sum(list_transform(h{j // 32}, x -> CASE WHEN "
         f"instr('0123456789abcdef', substr(x, {j % 32 + 1}, 1)) - 1 >= 8 "
         "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
         for j in range(bits)
@@ -976,7 +977,7 @@ def _simhash_bit_sql(bits: int) -> str:
     "(md5 once per token, digit read per bit) (north-star)",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-    hs AS (SELECT doc_id, list_transform(t, tok -> md5(tok)) AS h FROM toks)
+    hs AS (SELECT doc_id, list_transform(t, tok -> md5(tok)) AS h0 FROM toks)
     SELECT doc_id, concat(
       {_simhash_bit_sql(_SIMHASH_BITS)}) AS simhash
     FROM hs
@@ -994,12 +995,14 @@ def x_simhash_signature(spark, sf_dir):
 
 
 _SIMHASH_MAX_HAMMING = 2
-# 32-bit signatures for the near-pair join: segment width = bits/(h+1)
-# bits -> 2^width buckets per segment. 16-bit signatures give 5-bit
-# segments (<=64 buckets, bucket size ~N/32 -> quadratic pair fan-out at
-# corpus scale); 32-bit gives 10-11-bit segments, and the same
-# construction extends to 64 via a second seeded hash.
-_SIMHASH_NP_BITS = 32
+# 64-bit signatures for the near-pair join, for two measured reasons:
+# (1) segment width = bits/(h+1) -> 2^width buckets; 16-bit signatures
+#     give 5-bit segments (<=64 buckets, ~N/32 per bucket -> quadratic
+#     pair fan-out: 149.6M candidate pairs on a 50k-doc corpus);
+# (2) hamming <= 2 out of 16 or 32 bits is far too loose on a
+#     small-vocabulary corpus (127k "near" pairs at 32 bits vs 256 true
+#     jaccard near-dups at sf0.1) — 2/64 is a meaningful threshold.
+_SIMHASH_NP_BITS = 64
 _SIMHASH_SEG_SQL = "\n  UNION ALL ".join(
     f"SELECT doc_id, sig, {i} AS seg_idx, substr(sig, {start}, {length}) AS seg FROM s"
     for i, (start, length) in enumerate(
@@ -1010,11 +1013,12 @@ _SIMHASH_SEG_SQL = "\n  UNION ALL ".join(
 
 @_register(
     "x_simhash_near_pairs",
-    "SimHash near-dup pairs: 32-bit signatures, pigeonhole segment "
+    "SimHash near-dup pairs: 64-bit signatures, pigeonhole segment "
     "equi-join (max_hamming+1 segments) + hamming verify (north-star)",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-    hs AS (SELECT doc_id, list_transform(t, tok -> md5(tok)) AS h FROM toks),
+    hs AS (SELECT doc_id, list_transform(t, tok -> md5(tok)) AS h0,
+                  list_transform(t, tok -> md5('b:' || tok)) AS h1 FROM toks),
     s AS (SELECT doc_id, concat(
       {_simhash_bit_sql(_SIMHASH_NP_BITS)}) AS sig FROM hs),
     segs AS (
