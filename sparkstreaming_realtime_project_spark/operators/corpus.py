@@ -1,0 +1,150 @@
+"""Corpus-construction operators (north-star extension): the steps a
+training-data pipeline runs AFTER dedup/scoring to turn a raw document
+table into a training corpus — deterministic stratified sampling,
+C4-style quality filtering, and token-budget packing.
+
+Everything is built-in-expression only (no UDF, no collect): narrow
+projections plus at most one window per operator, each with an exact
+DuckDB SQL twin in the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import STOPWORDS, _count_in
+from .dedup import tokens_expr
+
+
+def sample_hash_expr(key: Column, salt: str = "smpl") -> Column:
+    """Deterministic per-row sampling coordinate in [0, 1): the first 8
+    hex digits of md5(salt || ':' || key), compared as a STRING against a
+    fixed-width hex threshold. Fixed-width lowercase hex sorts exactly
+    like the 32-bit integer it encodes, so the comparison needs no
+    hex->int conversion (which differs between engines).
+
+    Hash-based (not ``rand()``) so the sample is reproducible run-to-run
+    and identical across engines — a re-run of the pipeline on the same
+    corpus selects the same rows, which is what makes downstream caches
+    and incremental re-trains valid."""
+    return F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8)
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """8-hex-digit threshold t such that P[hash8 < t] == rate."""
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "smpl",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its hash
+    coordinate falls under its stratum's rate. Used to rebalance skewed
+    strata (e.g. downsample the majority language) without a shuffle —
+    the whole operator is one narrow filter, so it composes with scans
+    at 100 TB for free (predicate evaluated at read time, no
+    repartition, no state).
+
+    ``rates`` maps stratum value -> keep fraction; unlisted strata keep
+    ``default_rate``. Exact expected fractions, not exact counts: count-
+    exact sampling needs a per-stratum total (one extra aggregate) and a
+    rank window — deliberately not this operator."""
+    thr: Column = F.lit(rate_threshold_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == value, F.lit(rate_threshold_hex(rate))
+        ).otherwise(thr)
+    return df.filter(sample_hash_expr(F.col(key_col), salt) < thr)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 20,
+    max_stopword_ratio: float = 0.5,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """C4-style rule-based quality gate. Emits every doc with one int
+    flag per rule plus the conjunction (``kept``) — flags rather than a
+    filtered table so the pipeline can audit WHY documents fell out
+    (rule ablation is a first-class need when curating training data).
+
+    All rules are narrow expressions over one token-array projection;
+    the operator runs at scan speed and pushes no shuffle. Downstream:
+    ``.filter("kept = 1")``."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t")
+    )
+    stats = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (
+            F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x))
+            * F.lit(1.0)
+            / F.size("t")
+        ).alias("avg_len"),
+        (_count_in(F.col("t"), STOPWORDS) * F.lit(1.0) / F.size("t")).alias(
+            "stop_ratio"
+        ),
+    )
+    long_enough = (F.col("n_tokens") >= min_tokens).cast("int")
+    not_boiler = (F.col("stop_ratio") <= max_stopword_ratio).cast("int")
+    sane_tokens = (
+        (F.col("avg_len") >= min_avg_token_len)
+        & (F.col("avg_len") <= max_avg_token_len)
+    ).cast("int")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        long_enough.alias("long_enough"),
+        not_boiler.alias("not_boilerplate"),
+        sane_tokens.alias("sane_token_len"),
+        (long_enough * not_boiler * sane_tokens).alias("kept"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 256,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Token-budget packing: assign documents to contiguous training
+    bins of ~``budget`` tokens (sequence packing for pretraining
+    batches). bin_id = floor(running_token_total_before_doc / budget)
+    over a deterministic doc order — the distributed-friendly
+    contiguous-fill variant (true bin packing is NP-hard AND inherently
+    sequential; contiguous fill wastes at most one doc's tokens per
+    boundary and is a single window).
+
+    The window partitions by ``partition_col`` (e.g. language, or a
+    shard key at 100 TB) so packing parallelizes — a GLOBAL order-by
+    window would serialize the corpus through one task. Bin ids are
+    therefore unique per (partition, bin_id)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(partition_col) if partition_col else F.lit("all")).alias("part"),
+        F.size(tokens_expr(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "part",
+        "n_tokens",
+        F.floor((running - F.col("n_tokens")) / F.lit(budget)).alias("bin_id"),
+    )

@@ -429,3 +429,71 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters: (node, cluster_id) where
+    cluster_id is the minimum doc id reachable through the pair graph
+    (singletons map to themselves). This is the step that turns pairwise
+    dedup output into an actual training corpus: keep one canonical doc
+    per cluster (node == cluster_id), drop the rest.
+
+    Algorithm: hash-min label propagation — each round every node takes
+    the min label among itself and its neighbors; converges in
+    O(diameter) rounds. Near-dup clusters are near-cliques (diameter
+    2-3), so 3-4 rounds settle real corpora; ``max_iters`` bounds
+    pathological chains. Convergence is detected with one scalar action
+    per round (labels only decrease, so sum(label) is strictly monotone
+    until fixpoint) — no driver-side row collection ever.
+
+    100 TB notes: each round is one shuffle-join edges x labels plus a
+    groupBy(dst) min — both partition on node ids (uniform). Labels are
+    persisted per round and the previous round unpersisted, so lineage
+    stays one round deep for recovery. For graphs with large diameter at
+    extreme scale, swap in large-star/small-star (O(log n) rounds, same
+    join/agg building blocks); near-dup graphs do not need it.
+
+    ``pairs``: (doc_a, doc_b) columns. ``nodes``: one column of ids.
+    """
+    id_col = nodes.columns[0]
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).persist()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).cast("int").alias("is_canonical"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import shingles_from_tokens, tokens_expr
 
@@ -126,4 +127,52 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 4) -> DataFr
         F.col(id_col),
         "content_hash",
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("shingle_fp"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (idf = ln(N/df), no smoothing).
+
+    Shape: explode tokens -> (doc, term) counts with map-side partial
+    aggregation -> document frequency per term (one more shuffle on
+    term) -> scalar corpus size via a broadcast single-row cross join
+    (never a driver-side collect) -> row_number window per doc.
+
+    Ranking is on the ROUNDED score with the term string as tiebreak, so
+    the order is reproducible across engines (two terms whose raw double
+    scores differ below 1e-4 would otherwise sort differently between
+    libm implementations).
+
+    100 TB: both shuffles key on uniform values (doc id, term); the
+    window partitions by doc id — no global sort anywhere. Stopword-like
+    terms make hot ``term`` keys in the df aggregation but that
+    aggregation is partial-first, so the skew reaches only the combiner.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
     )

@@ -1341,3 +1341,152 @@ def x_multimodal_frame_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     mm = _mm.attach_binary_payload(docs, "text", modality="video", mime="video/mp4")
     return _mm.sample_frames(mm, n_frames=4, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-construction operators (north-star): pairs -> clusters -> canonical
+# corpus, tf-idf, stratified sampling, quality gate, token packing.
+# ---------------------------------------------------------------------------
+
+from ..operators import corpus as _cx
+from ..operators.dedup import connected_components as _cc
+
+_STOPWORDS_SQL = "['" + "','".join(_ts.STOPWORDS) + "']"
+
+
+@_register(
+    "x_dedup_cluster",
+    "near-dup pairs -> connected components -> canonical doc per cluster "
+    "(hash-min label propagation vs recursive-CTE oracle) (north-star)",
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    low AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= {_MAX_DF}),
+    exc AS (SELECT doc_id, ex0.g AS g FROM ex0 JOIN low USING (g)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, s, len(s) AS ln FROM sh),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM (SELECT doc_a, doc_b,
+                   len(list_intersect(sa.s, sb.s)) * 1.0 /
+                   (sa.ln + sb.ln - len(list_intersect(sa.s, sb.s))) AS j
+            FROM cand JOIN sz sa ON sa.doc_id = doc_a
+                      JOIN sz sb ON sb.doc_id = doc_b)
+      WHERE j >= 0.8),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           CAST(min(lbl) = node AS INT) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def x_dedup_cluster(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    shingled = _dd.with_shingles(docs, "text", "doc_id", 3, materialize=True)
+    pairs = _dd.jaccard_pairs(shingled, 0.8, max_df=_MAX_DF)
+    return _cc(pairs, docs.select("doc_id"))
+
+
+@_register(
+    "x_tfidf_top_terms",
+    "top-5 terms per doc by tf-idf: two keyed aggregations + broadcast "
+    "scalar + per-doc window, rank on rounded score (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tf AS (SELECT doc_id, g AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, term, tf,
+                      round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+               FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+               FROM scored)
+    SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def x_tfidf_top_terms(spark, sf_dir):
+    return _ts.tfidf_top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", 5)
+
+
+# Downsample the majority language, keep half of the rarest: the standard
+# rebalancing move on a skewed multilingual corpus (en is 44% of docs).
+_SAMPLE_RATES = {"en": 0.1, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.5}
+
+
+def _rates_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{_cx.rate_threshold_hex(r)}'"
+        for k, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE '{_cx.rate_threshold_hex(1.0)}' END"
+
+
+@_register(
+    "x_sample_stratified",
+    "deterministic hash-based stratified sampling by language: one narrow "
+    "filter, no shuffle, reproducible across engines/runs (north-star)",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < {_rates_case_sql()}
+    """,
+)
+def x_sample_stratified(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _cx.stratified_sample(docs, "lang", "doc_id", _SAMPLE_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+@_register(
+    "x_quality_filter",
+    "C4-style rule-based quality gate with per-rule audit flags; narrow "
+    "expressions only, runs at scan speed (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    stats AS (SELECT doc_id, len(t) AS n_tokens,
+        list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_len,
+        len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+            * 1.0 / len(t) AS stop_ratio
+      FROM toks)
+    SELECT doc_id, n_tokens,
+      CAST(n_tokens >= 20 AS INT) AS long_enough,
+      CAST(stop_ratio <= 0.5 AS INT) AS not_boilerplate,
+      CAST(avg_len >= 3.0 AND avg_len <= 12.0 AS INT) AS sane_token_len,
+      CAST(n_tokens >= 20 AS INT) * CAST(stop_ratio <= 0.5 AS INT)
+        * CAST(avg_len >= 3.0 AND avg_len <= 12.0 AS INT) AS kept
+    FROM stats
+    """,
+)
+def x_quality_filter(spark, sf_dir):
+    return _cx.quality_filter(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "x_pack_greedy",
+    "token-budget packing into ~256-token contiguous bins, windowed per "
+    "language partition so packing parallelizes (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, lang AS part,
+                         len({_TOKS_SQL}) AS n_tokens FROM documents)
+    SELECT doc_id, part, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                  PARTITION BY part ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_tokens) / 256) AS BIGINT) AS bin_id
+    FROM toks
+    """,
+)
+def x_pack_greedy(spark, sf_dir):
+    return _cx.pack_greedy(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", budget=256,
+        partition_col="lang",
+    )

@@ -181,3 +181,91 @@ def test_lsh_bucket_cap_keeps_pairs(spark, sf_dir):
         for r in dd.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8).collect()
     }
     assert with_cap == without
+
+
+# ---------------------------------------------------------------------------
+# Corpus-construction operators: clustering, sampling, quality, packing.
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_transitive_closure(spark):
+    """a-b, b-c, plus an isolated edge and singletons: labels must be the
+    min id of the full component, not just the direct neighbor."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["id"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dd.connected_components(pairs, nodes).collect()
+    }
+    assert got == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 0),
+        10: (10, 1), 11: (10, 0), 99: (99, 1),
+    }
+
+
+def test_connected_components_no_pairs(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    rows = dd.connected_components(empty, nodes).collect()
+    assert all(r["cluster_id"] == r["doc_id"] and r["is_canonical"] == 1 for r in rows)
+    assert len(rows) == 5
+
+
+def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
+    from sparkstreaming_realtime_project_spark.operators import corpus as cx
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in cx.stratified_sample(docs, "lang", "doc_id", {"en": 0.1}).collect()}
+    b = {r["doc_id"] for r in cx.stratified_sample(docs, "lang", "doc_id", {"en": 0.1}).collect()}
+    assert a == b  # reproducible
+    n_en = docs.filter("lang = 'en'").count()
+    kept_en = (
+        docs.filter("lang = 'en'")
+        .join(spark.createDataFrame([(i,) for i in a], ["doc_id"]), "doc_id")
+        .count()
+    )
+    # 10% +- generous binomial slack; every non-en row kept (default 1.0)
+    assert kept_en < n_en * 0.25
+    assert docs.filter("lang <> 'en'").count() == len(
+        a - {r["doc_id"] for r in docs.filter("lang = 'en'").select("doc_id").collect()}
+    )
+
+
+def test_pack_greedy_bins_respect_budget(spark, sf_dir):
+    """Contiguous-fill invariant: every bin's PRE-overflow total is under
+    budget — a bin only exceeds the budget by (part of) its last doc."""
+    from sparkstreaming_realtime_project_spark.operators import corpus as cx
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = cx.pack_greedy(docs, "text", "doc_id", budget=256, partition_col="lang")
+    bad = (
+        packed.groupBy("part", "bin_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .filter((F.col("tot") - F.col("mx")) >= 256 + 256)  # > budget + one doc slack
+        .count()
+    )
+    assert bad == 0
+    # bins are dense from 0 within each partition
+    per_part = packed.groupBy("part").agg(
+        F.min("bin_id").alias("lo"), F.countDistinct("bin_id").alias("n"),
+        F.max("bin_id").alias("hi"),
+    )
+    assert all(r["lo"] == 0 and r["hi"] == r["n"] - 1 for r in per_part.collect())
+
+
+def test_quality_filter_kept_is_conjunction(spark, sf_dir):
+    from sparkstreaming_realtime_project_spark.operators import corpus as cx
+
+    docs = load_table(spark, sf_dir, "documents")
+    qf = cx.quality_filter(docs, "text", "doc_id")
+    assert (
+        qf.filter(
+            F.col("kept")
+            != F.col("long_enough") * F.col("not_boilerplate") * F.col("sane_token_len")
+        ).count()
+        == 0
+    )
+    kept = qf.filter("kept = 1").count()
+    assert 0 < kept < docs.count()  # the gate is non-vacuous on the corpus
