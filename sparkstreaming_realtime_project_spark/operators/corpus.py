@@ -148,3 +148,77 @@ def pack_greedy(
         "n_tokens",
         F.floor((running - F.col("n_tokens")) / F.lit(budget)).alias("bin_id"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap (stride < size):
+    the standard document -> training-sequence / RAG-passage splitter.
+    One row in, ceil((n-size)/stride)+1 rows out.
+
+    Convention: full windows only, starting at 1, 1+stride, ... — a doc
+    shorter than ``size`` yields its single (short) chunk; tail tokens
+    past the last full window are dropped (they are covered by the
+    previous window's overlap up to ``size-stride`` tokens; fixed-window
+    pretraining pipelines accept this, packing handles remainders).
+
+    Pure narrow plan: tokenize once, explode the window starts, slice —
+    the only row expansion is the intended chunk fan-out (~n/stride per
+    doc). No shuffle at any corpus size."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size("t") - F.lit(size - 1)),
+        F.lit(stride),
+    )
+    return toks.select(
+        "doc_id", "t", F.posexplode(starts).alias("chunk_id", "s")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("t", F.col("s"), size)).alias("chunk_text"),
+        F.size(F.slice("t", F.col("s"), size)).alias("n_chunk_tokens"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of duplicate tokens,
+    2-grams, and 3-grams per document (1 - distinct/total). High values
+    flag the degenerate boilerplate/spam a quality gate should drop and
+    a dedup pass won't catch (repetition is WITHIN the doc).
+
+    All narrow expressions over one token projection — the n-gram lists
+    here are deliberately NOT de-duplicated (unlike shingles), the ratio
+    measures exactly that duplication."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t")
+    )
+
+    def grams(n: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(0), F.size("t") - (n - 1))),
+            lambda i: F.concat_ws(" ", F.slice("t", i, n)),
+        )
+
+    def dup_ratio(g: Column) -> Column:
+        return F.when(F.size(g) > 0, F.round(
+            F.lit(1.0) - F.size(F.array_distinct(g)) * F.lit(1.0) / F.size(g), 4
+        )).otherwise(F.lit(0.0))
+
+    with_grams = toks.select(
+        "doc_id", "t", grams(2).alias("g2"), grams(3).alias("g3")
+    )
+    return with_grams.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        dup_ratio(F.col("t")).alias("dup_token_ratio"),
+        dup_ratio(F.col("g2")).alias("dup_2gram_ratio"),
+        dup_ratio(F.col("g3")).alias("dup_3gram_ratio"),
+    )

@@ -131,7 +131,7 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 4) -> DataFr
 
 
 def tfidf_top_terms(
-    df: DataFrame, text_col: str, id_col: str, k: int = 5
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, materialize: bool = False
 ) -> DataFrame:
     """Top-k terms per document by TF-IDF (idf = ln(N/df), no smoothing).
 
@@ -156,6 +156,12 @@ def tfidf_top_terms(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if materialize:
+        # tf feeds both the score join and the document-frequency
+        # aggregation; without a cut the tokenize+explode+partial-agg
+        # subtree runs twice (Catalyst does not auto-reuse the exchange
+        # across the two consumers). One cached pass at corpus scale.
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

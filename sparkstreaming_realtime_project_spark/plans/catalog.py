@@ -1414,7 +1414,9 @@ def x_dedup_cluster(spark, sf_dir):
     """,
 )
 def x_tfidf_top_terms(spark, sf_dir):
-    return _ts.tfidf_top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", 5)
+    return _ts.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 5, materialize=True
+    )
 
 
 # Downsample the majority language, keep half of the rarest: the standard
@@ -1490,3 +1492,49 @@ def x_pack_greedy(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "text", "doc_id", budget=256,
         partition_col="lang",
     )
+
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@_register(
+    "x_chunk_overlap",
+    "fixed-size token-window chunking with overlap (doc -> training "
+    "sequences / RAG passages): narrow explode, no shuffle (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    st AS (SELECT doc_id, t,
+                  unnest(range(1, greatest(1, len(t) - {_CHUNK - 1}) + 1,
+                               {_STRIDE})) AS s
+           FROM toks)
+    SELECT doc_id, CAST((s - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(t[s:s + {_CHUNK - 1}], ' ') AS chunk_text,
+           len(t[s:s + {_CHUNK - 1}]) AS n_chunk_tokens
+    FROM st
+    """,
+)
+def x_chunk_overlap(spark, sf_dir):
+    return _cx.chunk_tokens(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", _CHUNK, _STRIDE
+    )
+
+
+@_register(
+    "x_repetition_stats",
+    "Gopher-style within-doc repetition ratios (dup tokens / 2-grams / "
+    "3-grams); narrow expressions at scan speed (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (SELECT doc_id, t,
+      [array_to_string(t[i:i+1], ' ') FOR i IN range(1, greatest(1, len(t) - 1) + 1)] AS g2,
+      [array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(1, len(t) - 2) + 1)] AS g3
+      FROM toks)
+    SELECT doc_id, len(t) AS n_tokens,
+      CASE WHEN len(t) > 0 THEN round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 4) ELSE 0.0 END AS dup_token_ratio,
+      CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 4) ELSE 0.0 END AS dup_2gram_ratio,
+      CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4) ELSE 0.0 END AS dup_3gram_ratio
+    FROM g
+    """,
+)
+def x_repetition_stats(spark, sf_dir):
+    return _cx.repetition_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
