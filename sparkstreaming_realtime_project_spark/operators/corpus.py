@@ -118,6 +118,7 @@ def pack_greedy(
     id_col: str,
     budget: int = 256,
     partition_col: str | None = None,
+    n_shards: int = 64,
 ) -> DataFrame:
     """Token-budget packing: assign documents to contiguous training
     bins of ~``budget`` tokens (sequence packing for pretraining
@@ -129,11 +130,18 @@ def pack_greedy(
 
     The window partitions by ``partition_col`` (e.g. language, or a
     shard key at 100 TB) so packing parallelizes — a GLOBAL order-by
-    window would serialize the corpus through one task. Bin ids are
+    window would serialize the corpus through one task, so there is no
+    global default: when ``partition_col`` is None the operator shards
+    deterministically by ``pmod(hash(doc_id), n_shards)``. Bin ids are
     therefore unique per (partition, bin_id)."""
+    part = (
+        F.col(partition_col)
+        if partition_col
+        else F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).cast("string")
+    )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        (F.col(partition_col) if partition_col else F.lit("all")).alias("part"),
+        part.alias("part"),
         F.size(tokens_expr(text_col)).alias("n_tokens"),
     )
     w = (

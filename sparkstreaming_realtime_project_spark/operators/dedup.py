@@ -190,6 +190,27 @@ def jaccard_pairs(
     )
 
 
+def ngram_jaccard_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """text -> shingles -> df-capped candidates -> exact-Jaccard pairs,
+    with cache hygiene: the shingle projection (consumed by both candidate
+    sides and the verify join) is cached for the computation and released
+    before returning — the (small) verified pair list is materialized
+    eagerly so repeated calls don't accumulate cached shingle blocks.
+    The RETURNED frame is persisted — unpersist it when done."""
+    shingled = with_shingles(df, text_col, id_col, n, materialize=True)
+    pairs = jaccard_pairs(shingled, threshold, max_df=max_df).persist()
+    pairs.count()
+    shingled.unpersist()
+    return pairs
+
+
 def minhash_signature(shingled: DataFrame, k: int = 16) -> DataFrame:
     """k MinHash components h0..h{k-1}: min over shingles of md5('j:'||s).
 
@@ -281,15 +302,21 @@ def minhash_dedup_pairs(
     cut: it feeds the band self-join (both sides), the bucket-size cap,
     and the shingle arrays for the verify join — caching upstream of the
     signature would recompute the 16 seeded hash passes once per
-    consumer."""
+    consumer. The signature cache is released before returning: the
+    (small) verified pair list is materialized eagerly, so repeated
+    library calls don't accumulate cached signature blocks in the
+    session. The RETURNED frame is persisted — unpersist it when done."""
     shingled = with_shingles(df, text_col, id_col, n, materialize=False)
     sig = minhash_signature(shingled, k)
     sig = sig.repartition(df.sparkSession.sparkContext.defaultParallelism, "id").persist()
     sig.count()  # eager
     cands = lsh_candidate_pairs(sig, k, bands, max_bucket=max_bucket)
-    return jaccard_pairs(
+    pairs = jaccard_pairs(
         sig.select("id", "shingles"), threshold, candidates=cands
-    )
+    ).persist()
+    pairs.count()
+    sig.unpersist()
+    return pairs
 
 
 def token_md5s(tok_col: str | Column, seed: str = "") -> Column:
@@ -447,8 +474,10 @@ def connected_components(
     O(diameter) rounds. Near-dup clusters are near-cliques (diameter
     2-3), so 3-4 rounds settle real corpora; ``max_iters`` bounds
     pathological chains. Convergence is detected with one scalar action
-    per round (labels only decrease, so sum(label) is strictly monotone
-    until fixpoint) — no driver-side row collection ever.
+    per round — the count of nodes whose label changed this round —
+    which works for ANY orderable id type (a sum-of-labels probe would
+    be null for string ids and can overflow for long ones); no
+    driver-side row collection ever.
 
     100 TB notes: each round is one shuffle-join edges x labels plus a
     groupBy(dst) min — both partition on node ids (uniform). Labels are
@@ -458,6 +487,8 @@ def connected_components(
     join/agg building blocks); near-dup graphs do not need it.
 
     ``pairs``: (doc_a, doc_b) columns. ``nodes``: one column of ids.
+    The RETURNED frame reads from the final round's persisted labels
+    (the product of the iterative computation) — unpersist when done.
     """
     id_col = nodes.columns[0]
     edges = (
@@ -468,29 +499,30 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).persist()
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    persisted = labels
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        new_full = (
             labels.join(nbr_min, labels.node == nbr_min.dst, "left")
             .select(
                 "node",
+                F.col("lbl").alias("prev_lbl"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
                     "lbl"
                 ),
             )
             .persist()
         )
-        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
+        n_changed = new_full.filter(F.col("lbl") != F.col("prev_lbl")).count()
+        persisted.unpersist()
+        persisted = new_full
+        labels = new_full.select("node", "lbl")
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"),

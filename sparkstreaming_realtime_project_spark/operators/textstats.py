@@ -161,6 +161,9 @@ def tfidf_top_terms(
         # aggregation; without a cut the tokenize+explode+partial-agg
         # subtree runs twice (Catalyst does not auto-reuse the exchange
         # across the two consumers). One cached pass at corpus scale.
+        # The cache is released before returning (result materialized
+        # eagerly below) so repeated calls don't leak cached blocks;
+        # the RETURNED frame is then persisted — caller unpersists.
         tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -177,8 +180,13 @@ def tfidf_top_terms(
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     )
+    if materialize:
+        out = out.persist()
+        out.count()
+        tf.unpersist()
+    return out

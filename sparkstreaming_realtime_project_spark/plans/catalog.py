@@ -909,10 +909,8 @@ _MAX_DF = 50
 )
 def x_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return _dd.jaccard_pairs(
-        _dd.with_shingles(docs, "text", "doc_id", 3, materialize=True),
-        0.8,
-        max_df=_MAX_DF,
+    return _dd.ngram_jaccard_dedup_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_df=_MAX_DF
     )
 
 
@@ -1389,9 +1387,14 @@ _STOPWORDS_SQL = "['" + "','".join(_ts.STOPWORDS) + "']"
 )
 def x_dedup_cluster(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    shingled = _dd.with_shingles(docs, "text", "doc_id", 3, materialize=True)
-    pairs = _dd.jaccard_pairs(shingled, 0.8, max_df=_MAX_DF)
-    return _cc(pairs, docs.select("doc_id"))
+    # ngram_jaccard_dedup_pairs releases the shingle cache itself; the
+    # (persisted) pair list is tiny and feeds every propagation round.
+    pairs = _dd.ngram_jaccard_dedup_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_df=_MAX_DF
+    )
+    out = _cc(pairs, docs.select("doc_id"))
+    pairs.unpersist()
+    return out
 
 
 @_register(

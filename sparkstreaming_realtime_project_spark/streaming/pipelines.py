@@ -139,9 +139,19 @@ def cdc_route_pipeline(
             ).parquet(f"{out_root}/facts/batch={batch_id}")
             # Dim upsert is last-write-wins by ts (Redis SET semantics,
             # OdsBaseDbApp.scala:144-163) — deterministic winner, not
-            # dropDuplicates' arbitrary row.
+            # dropDuplicates' arbitrary row. Equal-ts ties break on op
+            # precedence (delete > update > insert > bootstrap-insert:
+            # the op that would have reached Redis last wins) then the
+            # serialized value, so reruns pick the same row.
             dims = route_dims(decoded, dims_now)
-            w = Window.partitionBy("table", "id").orderBy(F.col("ts").desc())
+            op_rank = (
+                F.when(F.col("op") == "D", 2)
+                .when(F.col("op") == "U", 1)
+                .otherwise(0)  # I (insert / bootstrap-insert)
+            )
+            w = Window.partitionBy("table", "id").orderBy(
+                F.col("ts").desc(), op_rank.desc(), F.col("value").desc()
+            )
             latest = (
                 dims.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)

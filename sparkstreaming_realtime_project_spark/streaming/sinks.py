@@ -81,7 +81,29 @@ def compact_sink(
     Cross-batch winner per key = greatest (order_col, batch) when
     order_col is given, else greatest batch (later batch wins — the ES
     doc-id overwrite semantics). Writes to ``<out_dir>.compact`` then
-    swaps directories, so readers never see a partial table."""
+    swaps directories. The swap is two renames, NOT atomic: a crash
+    between them leaves only ``<out_dir>.old`` (recoverable by hand, and
+    the stale-dir sweep below makes the next run raise loudly rather
+    than silently rename onto leftovers). A table format with a real
+    commit protocol (Delta/Iceberg) is the production answer; this is
+    the local-filesystem approximation."""
+    import shutil
+
+    tmp = out_dir.rstrip("/") + ".compact"
+    old = out_dir.rstrip("/") + ".old"
+    # stale leftovers from a prior crashed run: a .compact dir is an
+    # uncommitted write (safe to discard); a .old alongside a live
+    # out_dir is a completed swap that failed cleanup (safe to discard).
+    # .old WITHOUT a live out_dir means the previous swap died between
+    # renames — surface it instead of guessing.
+    if os.path.exists(old) and not os.path.exists(out_dir):
+        raise RuntimeError(
+            f"compact_sink: found {old} but no {out_dir}; a previous swap "
+            f"crashed mid-rename — restore by renaming {old} back"
+        )
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     df = spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch=*")
     )
@@ -94,16 +116,12 @@ def compact_sink(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "batch")
     )
-    tmp = out_dir.rstrip("/") + ".compact"
     writer = winners.write.mode("overwrite")
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(os.path.join(tmp, "batch=0"))
-    old = out_dir.rstrip("/") + ".old"
     os.rename(out_dir, old)
     os.rename(tmp, out_dir)
-    import shutil
-
     shutil.rmtree(old)
 
 
@@ -160,11 +178,16 @@ def kafka_frame(df: DataFrame, key_col: str | None = None) -> DataFrame:
       163,181,199; MyEsUtils.scala:73).
     - ``key``: optional hash-partitioning key (MyKafkaUtils.scala:98-100);
       cast to string and passed through so Kafka keeps per-key ordering.
+      The key column stays IN the serialized value too — the reference
+      serializes the full bean including mid into every topic
+      (OdsBaseLogApp.scala:144,163,181,199), so downstream consumers
+      (e.g. the DAU app parsing PageLog) must not lose it; the Kafka key
+      is routing metadata, not a substitute for the field.
     """
     cols = df.columns
     out = df
     if "value" not in cols:
-        payload = [c for c in cols if c not in ("topic", key_col)]
+        payload = [c for c in cols if c != "topic"]
         out = out.withColumn("value", F.to_json(F.struct(*payload)))
     selected = ["topic", F.col("value").cast("string").alias("value")]
     if key_col is not None:
@@ -172,9 +195,21 @@ def kafka_frame(df: DataFrame, key_col: str | None = None) -> DataFrame:
     return out.select(*selected)
 
 
+# The reference's five DWD topic names, verbatim (OdsBaseLogApp.scala:93-97).
+# Derived names would silently strand a drop-in consumer of the reference
+# topics (display/action do NOT follow the <NAME>_LOG_TOPIC pattern).
+SPLIT_TOPICS = {
+    "page": "DWD_PAGE_LOG_TOPIC",
+    "display": "DWD_PAGE_DISPLAY_TOPIC",
+    "action": "DWD_PAGE_ACTION_TOPIC",
+    "start": "DWD_START_LOG_TOPIC",
+    "error": "DWD_ERROR_LOG_TOPIC",
+}
+
+
 def kafka_split_frames(
     outputs: dict[str, DataFrame],
-    topic_prefix: str = "DWD_",
+    topics: dict[str, str] | None = None,
     key_col: str | None = "mid",
 ) -> DataFrame:
     """K1+F7 for the 5-way split: union the routed outputs into ONE
@@ -185,10 +220,12 @@ def kafka_split_frames(
 
     One sink query instead of five: the topic column does the routing
     (MyKafkaUtils routes by explicit topic name per send; the Kafka sink
-    does the same from the column)."""
+    does the same from the column). Topic names come from SPLIT_TOPICS
+    (the reference's exact strings) unless overridden."""
+    topic_map = SPLIT_TOPICS if topics is None else topics
     frames = []
     for name, df in outputs.items():
-        topic = f"{topic_prefix}{name.upper()}_LOG_TOPIC"
+        topic = topic_map[name]
         shaped = kafka_frame(
             df.withColumn("topic", F.lit(topic)),
             key_col=key_col if key_col in df.columns else None,

@@ -31,10 +31,19 @@ def first_seen_per_key(
     the first event (the Redis ``SADD DAU:<date>`` + intended 24 h expiry,
     DwdDauApp.scala:110-135).
 
-    Differences from dropDuplicatesWithinWatermark: the WINNER is
-    deterministic (min event time, not first-processed), and the TTL is
-    an explicit event-time timeout rather than the watermark delay —
-    the shape to copy for any bespoke per-key state machine.
+    Differences from dropDuplicatesWithinWatermark: the winner is the
+    min-event-time row WITHIN each trigger (not an arbitrary row), and
+    the TTL is an explicit event-time timeout rather than the watermark
+    delay — the shape to copy for any bespoke per-key state machine.
+
+    ACROSS triggers the first-arriving trigger's winner stands: once a
+    key has state, later rows are dropped even if an earlier-timestamped
+    row arrives in a later trigger (the ``state.exists`` short-circuit
+    below — identical to the reference's SADD-then-check, which also
+    keeps whichever event reached Redis first). A true global event-time
+    min would have to buffer every key until its watermark expired,
+    delaying all output by the full lateness bound; for dedup semantics
+    the first-arrival winner is the right trade.
 
     ``stream`` must already carry a watermark on ``ts_col`` (event-time
     timeouts require one).

@@ -205,6 +205,24 @@ def test_connected_components_transitive_closure(spark):
     }
 
 
+def test_connected_components_string_ids_multi_hop(spark):
+    """String doc ids over a 5-node chain (diameter 4, needs >1 round):
+    the convergence probe must work on non-numeric labels — a
+    sum(label)-based probe is null for strings, exits after one hop, and
+    silently under-merges (the exact regression this guards)."""
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    nodes = spark.createDataFrame([(x,) for x in "abcdex"], ["id"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dd.connected_components(pairs, nodes).collect()
+    }
+    assert got == {
+        "a": ("a", 1), "b": ("a", 0), "c": ("a", 0),
+        "d": ("a", 0), "e": ("a", 0), "x": ("x", 1),
+    }
+
+
 def test_connected_components_no_pairs(spark):
     nodes = spark.createDataFrame([(i,) for i in range(5)], ["id"])
     empty = spark.createDataFrame([], "doc_a long, doc_b long")

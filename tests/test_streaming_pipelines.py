@@ -263,15 +263,15 @@ def test_kafka_frame_shape(spark):
     assert r["topic"] == "DWD_ORDER_INFO_I" and r["key"] == "order_info"
     assert json.loads(r["value"])["id"] == "3001"  # pre-serialized passthrough
 
-    # no value column -> to_json(struct(*)) serialization
+    # no value column -> to_json(struct(*)) serialization; the key field
+    # stays in the value (the reference serializes the full bean incl. mid,
+    # OdsBaseLogApp.scala:144) — only the routing topic column is excluded
     df = spark.createDataFrame([(5, "a", "T1")], "mid int, item string, topic string")
     shaped2 = kafka_frame(df, key_col="mid")
     r2 = shaped2.collect()[0]
     assert shaped2.columns == ["topic", "key", "value"]
-    assert json.loads(r2["value"]) == {"item": "a"} or json.loads(r2["value"]) == {
-        "mid": 5,
-        "item": "a",
-    }
+    assert json.loads(r2["value"]) == {"mid": 5, "item": "a"}
+    assert r2["key"] == "5"
 
 
 # --- DwdOrderApp equivalent -----------------------------------------------
@@ -390,11 +390,13 @@ def test_kafka_split_frames_routing(spark, tmp_path):
         r["topic"]: r["n"]
         for r in frames.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # the reference's exact topic strings (OdsBaseLogApp.scala:93-97):
+    # display/action do NOT follow the <NAME>_LOG_TOPIC pattern
     assert per_topic == {
         "DWD_ERROR_LOG_TOPIC": 2,
         "DWD_PAGE_LOG_TOPIC": 7,
-        "DWD_DISPLAY_LOG_TOPIC": 3,
-        "DWD_ACTION_LOG_TOPIC": 1,
+        "DWD_PAGE_DISPLAY_TOPIC": 3,
+        "DWD_PAGE_ACTION_TOPIC": 1,
         "DWD_START_LOG_TOPIC": 1,
     }
     row = frames.filter(F.col("topic") == "DWD_START_LOG_TOPIC").collect()[0]
