@@ -191,8 +191,9 @@ def sample_frames(
     One input row fans out to ``n_frames`` output rows — the 1:N shape a
     real video pipeline has. STUB frame extraction (``strict=True``
     raises); the deterministic fake derives each frame hash from
-    sha256(payload || frame_idx) so fan-out, schema, and ordering are
-    exercised end to end."""
+    sha256(payload || ':frame:' || frame_idx) so fan-out, schema, and
+    ordering are exercised end to end (the suffix is UTF-8 text, so any
+    engine with a string sha256 — e.g. the DuckDB oracle — replays it)."""
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -210,7 +211,9 @@ def sample_frames(
                     ids.append(int(doc_id))
                     idxs.append(i)
                     hashes.append(
-                        hashlib.sha256(bytes(p) + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(
+                            bytes(p) + f":frame:{i}".encode("utf-8")
+                        ).hexdigest()
                     )
             yield pd.DataFrame(
                 {

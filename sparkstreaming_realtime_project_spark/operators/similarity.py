@@ -154,6 +154,7 @@ def ivf_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = 6,
 ) -> list[list[float]]:
     """Deterministic k-means-lite centroids for IVF partitioning.
 
@@ -161,9 +162,19 @@ def ivf_centroids(
     RNG); each Lloyd iteration assigns every vector to its nearest
     centroid (centroids enter the plan as LITERALS, so assignment is a
     pure projection — no join, no shuffle of the vectors) and recomputes
-    per-centroid dimension-wise means in one hash aggregate. Only the
-    k x d centroid matrix ever reaches the driver: that is the MODEL, not
-    the data — the per-iteration data pass stays fully distributed."""
+    per-centroid dimension-wise means via posexplode -> groupBy(cid, pos)
+    — ONE aggregate regardless of dimensionality. (A per-dimension
+    ``avg(element_at(v, i))`` expression list works at d=8 but is
+    thousands of aggregate expressions at real embedding dims — codegen/
+    plan-size blowup; the exploded aggregate's plan is O(1) in d.) Only
+    the k x d centroid matrix ever reaches the driver: that is the MODEL,
+    not the data — the per-iteration data pass stays fully distributed.
+
+    ``round_decimals`` quantizes each new centroid (default 1e-6): means
+    are float sums whose addend ORDER depends on partitioning, so
+    unquantized centroids can differ in final ulps between runs/engines
+    and flip boundary assignments — quantized, the model is reproducible
+    bit-for-bit anywhere (what lets a SQL oracle replay the training)."""
     e = embeddings.select(as_double_vec(vec_col).alias("v"), F.col(id_col).alias("id"))
     dim = len(e.select("v").first()["v"])
     cents = [
@@ -171,19 +182,22 @@ def ivf_centroids(
     ]
     for _ in range(iters):
         assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), cents))
-        new = (
-            assigned.groupBy("cid")
-            .agg(
-                *[
-                    F.avg(F.element_at("v", i + 1)).alias(f"d{i}")
-                    for i in range(dim)
-                ]
-            )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
             .collect()
         )
-        by_cid = {r["cid"]: [r[f"d{i}"] for i in range(dim)] for r in new}
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = (
+                round(r["m"], round_decimals) if round_decimals is not None else r["m"]
+            )
         # empty centroids keep their previous position (standard Lloyd)
-        cents = [by_cid.get(c, cents[c]) for c in range(n_centroids)]
+        cents = [
+            [by_cid[c][p] for p in range(dim)] if c in by_cid else cents[c]
+            for c in range(n_centroids)
+        ]
     return cents
 
 

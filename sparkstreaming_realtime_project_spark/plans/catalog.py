@@ -1176,13 +1176,84 @@ def x_knn_multiprobe(spark, sf_dir):
     )
 
 
+def _ivf_sql(n_cent: int, iters: int, q_max: int, k: int, n_probe: int) -> str:
+    """Unrolled k-means-lite + IVF probe as one DuckDB statement.
+
+    The training loop is deterministic (id-ordered seeds, lowest-cid tie
+    break, centroids quantized to 1e-6 each round — see ivf_centroids),
+    so a fixed number of Lloyd iterations unrolls into chained CTEs:
+    c0 (seeds) -> [sN score / aN assign / mN means / cN next centroids]
+    x iters -> corpus assignment -> per-query probe of n_probe nearest
+    centroids -> exact cosine rank. Replays the ENTIRE pipeline including
+    centroid training, not just the final ranking."""
+    assign = (
+        "(SELECT *, row_number() OVER (PARTITION BY {key} "
+        "ORDER BY sim DESC, cid) AS rn FROM {src})"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS c "
+        f"FROM (SELECT id, v FROM e ORDER BY id LIMIT {n_cent}))",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.id, e.v, {prev}.cid, "
+            f"{_cos_sql('e.v', prev + '.c')} AS sim FROM e CROSS JOIN {prev})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT id, v, cid FROM "
+            f"{assign.format(key='id', src=f's{i}')} WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cid, pos, round(avg(x), 6) AS m FROM "
+            f"(SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos "
+            f"FROM a{i}) GROUP BY cid, pos)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT {prev}.cid, coalesce(mm.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c "
+            f"FROM m{i} GROUP BY cid) mm ON mm.cid = {prev}.cid)"
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"sf AS (SELECT e.id, e.v, {prev}.cid, "
+        f"{_cos_sql('e.v', prev + '.c')} AS sim FROM e CROSS JOIN {prev})"
+    )
+    parts.append(
+        "asg AS (SELECT id AS neighbor_id, v AS cv, cid FROM "
+        f"{assign.format(key='id', src='sf')} WHERE rn = 1)"
+    )
+    parts.append(
+        f"qs AS (SELECT e.id AS query_id, e.v AS qv, {prev}.cid, "
+        f"{_cos_sql('e.v', prev + '.c')} AS sim FROM e CROSS JOIN {prev} "
+        f"WHERE e.id < {q_max})"
+    )
+    parts.append(
+        "probe AS (SELECT query_id, qv, cid FROM "
+        f"{assign.format(key='query_id', src='qs')} WHERE rn <= {n_probe})"
+    )
+    parts.append(
+        "scored AS (SELECT query_id, probe.cid AS cid, neighbor_id, "
+        f"{_cos_sql('qv', 'cv')} AS sim FROM probe JOIN asg USING (cid) "
+        "WHERE neighbor_id <> query_id)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT query_id, cid, neighbor_id, rank, round(sim, 4) AS sim "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, neighbor_id) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
 @_register(
     "x_knn_ivf",
     "IVF approximate top-k: deterministic k-means-lite centroids (seeded "
-    "by id, 3 Lloyd iterations, literal-folded assignment), 2-probe "
-    "(north-star scale path; rows-only — iterative centroid training is "
-    "not single-statement SQL)",
-    None,
+    "by id, 3 Lloyd iterations, quantized means, literal-folded "
+    "assignment), 2-probe — oracle replays the full training loop as "
+    "unrolled CTEs (north-star scale path)",
+    _ivf_sql(n_cent=8, iters=3, q_max=20, k=3, n_probe=2),
 )
 def x_knn_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1288,11 +1359,31 @@ def x_multimodal_meta(spark, sf_dir):
     )
 
 
+def _sha_byte_sql(k: int) -> str:
+    """Byte k (0-based) of a lowercase-hex sha256 column ``h`` as an
+    integer — two hex-digit lookups, the md5 pattern of _simhash_bit_sql."""
+    p = 2 * k + 1
+    return (
+        f"((instr('0123456789abcdef', substr(h, {p}, 1)) - 1) * 16 + "
+        f"instr('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
+    )
+
+
 @_register(
     "x_multimodal_decode",
-    "stubbed media decode via mapInPandas (north-star; rows-only check — "
-    "decode output is pandas-UDF-derived, not SQL-expressible)",
-    None,
+    "stubbed media decode via mapInPandas: deterministic fake dims/features "
+    "from sha256(payload) — SQL-expressible, so the full pandas plumbing is "
+    "oracle-checked (north-star)",
+    f"""
+    WITH hs AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                       sha256(text) AS h
+                FROM documents)
+    SELECT doc_id, 'text' AS modality, n_bytes,
+           CAST(64 + ({_sha_byte_sql(0)}) % 64 AS INT) AS width,
+           CAST(64 + ({_sha_byte_sql(1)}) % 64 AS INT) AS height,
+           {",".join(f"round(({_sha_byte_sql(2 + i)}) / 255.0, 6) AS feature_{i}" for i in range(8))}
+    FROM hs
+    """,
 )
 def x_multimodal_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1317,8 +1408,12 @@ def x_multimodal_decode(spark, sf_dir):
 @_register(
     "x_multimodal_resize",
     "stubbed image resize via mapInPandas: binary in, binary out, payload "
-    "never shuffled (north-star; rows-only — pandas-derived binary)",
-    None,
+    "never shuffled; checked output is the size/dims contract (north-star)",
+    """
+    SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(32 * 32 AS BIGINT) AS resized_n_bytes
+    FROM documents
+    """,
 )
 def x_multimodal_resize(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1331,9 +1426,14 @@ def x_multimodal_resize(spark, sf_dir):
 
 @_register(
     "x_multimodal_frame_sample",
-    "stubbed video frame sampling via mapInPandas: 1 row -> n_frames rows "
-    "(north-star; rows-only — pandas-derived)",
-    None,
+    "stubbed video frame sampling via mapInPandas: 1 row -> n_frames rows, "
+    "frame hash sha256(payload||':frame:'||idx) replayed by the oracle "
+    "(north-star)",
+    """
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           sha256(text || ':frame:' || CAST(i AS VARCHAR)) AS frame_sha256
+    FROM documents, range(4) t(i)
+    """,
 )
 def x_multimodal_frame_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

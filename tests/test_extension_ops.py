@@ -131,6 +131,25 @@ def test_ivf_centroids_deterministic_and_recall(spark, sf_dir):
     assert r_all == 1.0  # probing every inverted list IS brute force
 
 
+def test_ivf_centroids_high_dim_no_plan_blowup(spark):
+    """Centroid means at d=256: the posexplode->groupBy(cid,pos) aggregate
+    keeps the plan O(1) in dimensionality (a per-dim avg(element_at)
+    expression list is thousands of aggregate expressions at real
+    embedding dims — codegen/plan-size failure)."""
+    d, n = 256, 48
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.cos(F.col("id") * i).cast("double"),
+        ).alias("embedding"),
+    )
+    cents = sim.ivf_centroids(vecs, n_centroids=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == d for c in cents)
+    # quantized training is reproducible bit-for-bit
+    assert cents == sim.ivf_centroids(vecs, n_centroids=4, iters=2)
+
+
 def test_jaccard_df_cap_drops_only_boilerplate(spark, sf_dir):
     """With the df cap, every surviving pair of the uncapped run whose
     overlap includes at least one low-df shingle is still found: on this
