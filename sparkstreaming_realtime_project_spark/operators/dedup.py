@@ -238,6 +238,27 @@ def minhash_signature(shingled: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
+def band_keys(signatures: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """(id, band, key) rows from a signature frame: band b's key is the
+    md5 of its r=k/bands concatenated minhash components. This is the
+    join-key table for ALL LSH candidate generation — batch self-join
+    (lsh_candidate_pairs) and incremental new-vs-store joins alike; at
+    rest (band, key) is the bucket/partition key of a signature store."""
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        "id", F.explode(band_structs).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, k: int = 16, bands: int = 4, max_bucket: int | None = None
 ) -> DataFrame:
@@ -250,19 +271,7 @@ def lsh_candidate_pairs(
     to the same band keys (the classic LSH hot-bucket). A bucket that
     large is noise, not near-dup signal: true near-dup clusters are small,
     and any pair lost here still has bands-1 other chances to collide."""
-    r = k // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select(
-        "id", F.explode(band_structs).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = band_keys(signatures, k, bands)
     if max_bucket is not None:
         small = (
             banded.groupBy("band", "key")

@@ -1,0 +1,193 @@
+"""Incremental near-dup dedup: a streaming MinHash-LSH stage.
+
+How a training-data pipeline actually ingests: documents arrive
+continuously, and each new document must be checked against the ALREADY
+ACCEPTED corpus before joining it — not against a frozen snapshot. The
+batch operators (operators/dedup.py) answer "which pairs in this corpus
+are near-dups"; this stage answers "is this NEW doc a near-dup of
+anything accepted so far", maintaining the accepted-signature store as
+it goes.
+
+Design (foreachBatch over a document stream):
+
+1. shingle + MinHash-sign the incoming micro-batch (the same
+   with_shingles/minhash_signature/band_keys building blocks as batch
+   dedup — one signature definition, two consumption modes);
+2. candidates = new band keys EQUI-JOINED against the store's band-key
+   table, plus the in-batch band self-join (a batch can contain its own
+   dups). Never a cartesian: every candidate comes from a (band, key)
+   bucket collision;
+3. exact-Jaccard verify candidates against full shingle sets; a new doc
+   matching an accepted doc (or a smaller-id batch sibling) at >=
+   threshold is flagged ``dup_of`` its smallest matched canonical;
+4. accepted (non-dup) docs append their signatures + band keys to the
+   store; flagged docs are emitted to the decisions output and kept OUT
+   of the store, so the store stays canonical.
+
+Exactly-once: both store tables and the decisions output are batch-id
+subdirectories overwritten on replay (the idempotent-writer discipline
+of sinks.py) — a restarted batch rewrites its own output.
+
+100 TB notes: the store is two tables — ``sigs`` (id, shingles; one row
+per accepted doc) and ``bands`` (id, band, key; ``bands`` rows per doc).
+At rest ``bands`` should be WRITTEN bucketed by (band, key) (table-
+format bucketing) so the new-vs-store join co-locates without shuffling
+the store; the per-batch cost is then O(new docs' bucket slices),
+independent of corpus size. Within-batch chains (c dups b while b dups
+a) flag both b and c: the transitive canonical is a — standard
+greedy-ingest behavior; a periodic batch connected_components over the
+decisions table recovers exact clusters if needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    band_keys,
+    jaccard_pairs,
+    minhash_signature,
+    with_shingles,
+)
+
+
+def _read_or_empty(spark, root: str, sub: str, like: DataFrame) -> DataFrame:
+    path = os.path.join(root, sub)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], like.schema)
+    return (
+        spark.read.option("basePath", path)
+        .parquet(os.path.join(path, "batch=*"))
+        .drop("batch")
+    )
+
+
+def read_signature_store(
+    spark, store_dir: str, like_sigs: DataFrame, like_bands: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(sigs, bands) of every accepted doc so far; empty frames with the
+    incoming batch's schemas before the first committed batch."""
+    return (
+        _read_or_empty(spark, store_dir, "sigs", like_sigs),
+        _read_or_empty(spark, store_dir, "bands", like_bands),
+    )
+
+
+def dedup_batch_against_store(
+    new_sigs: DataFrame,
+    new_bands: DataFrame,
+    store_sigs: DataFrame,
+    store_bands: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int | None = 50,
+) -> DataFrame:
+    """The per-batch dedup decision, as a pure plan (also the unit the
+    plan audit inspects): one row per NEW doc — (doc_id, dup_of,
+    jaccard), dup_of NULL = accepted into the corpus.
+
+    ``new_sigs``/``store_sigs``: (id, shingles). ``new_bands``/
+    ``store_bands``: (id, band, key). Both candidate generators are
+    (band, key) equi-joins; exact Jaccard verifies candidates only."""
+    if max_bucket is not None:
+        # cap degenerate buckets on the STORE side (boilerplate keys
+        # accumulate members forever; a hot bucket is noise, and the
+        # bands-1 other bands still catch true near-dups)
+        small = (
+            store_bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") <= max_bucket)
+            .select("band", "key")
+        )
+        store_bands = store_bands.join(small, ["band", "key"])
+    # new-vs-accepted candidates: equi-join on the bucket key
+    cand_ext = (
+        new_bands.alias("nb")
+        .join(store_bands.alias("sb"), ["band", "key"])
+        .select(F.col("nb.id").alias("doc_a"), F.col("sb.id").alias("doc_b"))
+        .distinct()
+    )
+    ext_pairs = jaccard_pairs(
+        new_sigs.unionByName(store_sigs), threshold, candidates=cand_ext
+    )
+    # in-batch candidates: band self-join, smaller id is the canonical
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    cand_int = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    int_pairs = jaccard_pairs(new_sigs, threshold, candidates=cand_int)
+    matches = ext_pairs.unionByName(int_pairs).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("dup_of"),
+        "jaccard",
+    )
+    # one decision per incoming doc: smallest matched canonical wins
+    best = matches.groupBy("doc_id").agg(
+        F.min("dup_of").alias("dup_of"),
+        F.min_by("jaccard", "dup_of").alias("jaccard"),
+    )
+    return new_sigs.select(F.col("id").alias("doc_id")).join(
+        best, "doc_id", "left"
+    )
+
+
+def streaming_minhash_dedup(
+    doc_stream: DataFrame,
+    store_dir: str,
+    decisions_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = 50,
+):
+    """Build the streaming query: doc stream -> per-batch accept/flag.
+
+    Decisions output rows: (doc_id, dup_of, jaccard) per batch dir — one
+    row per INCOMING doc; accepted docs carry dup_of NULL. The signature
+    store under ``store_dir`` accumulates accepted docs only."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        shingled = with_shingles(batch_df, text_col, id_col, n).persist()
+        new_sigs = shingled.select("id", "shingles")
+        new_bands = band_keys(minhash_signature(shingled, k), k, bands).persist()
+        store_sigs, store_bands = read_signature_store(
+            spark, store_dir, new_sigs, new_bands
+        )
+        decisions = dedup_batch_against_store(
+            new_sigs, new_bands, store_sigs, store_bands, threshold, max_bucket
+        ).persist()
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(decisions_dir, f"batch={batch_id}")
+        )
+        accepted = decisions.filter(F.col("dup_of").isNull()).select(
+            F.col("doc_id").alias("id")
+        )
+        new_sigs.join(accepted, "id").write.mode("overwrite").parquet(
+            os.path.join(store_dir, "sigs", f"batch={batch_id}")
+        )
+        new_bands.join(accepted, "id").write.mode("overwrite").parquet(
+            os.path.join(store_dir, "bands", f"batch={batch_id}")
+        )
+        decisions.unpersist()
+        new_bands.unpersist()
+        shingled.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

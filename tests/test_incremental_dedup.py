@@ -1,0 +1,102 @@
+"""Streaming incremental MinHash dedup (streaming/incremental.py): new
+docs are checked against the accepted-corpus signature store per
+micro-batch; near-dups are flagged, accepted docs extend the store."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_project_spark.operators import dedup as dd
+from sparkstreaming_realtime_project_spark.sources.streams import file_stream
+from sparkstreaming_realtime_project_spark.streaming.incremental import (
+    dedup_batch_against_store,
+    streaming_minhash_dedup,
+)
+
+from . import streaming_fixtures as fx
+
+DOC_SCHEMA = "doc_id long, text string"
+
+TEXT_A = " ".join(f"tok{i}" for i in range(40))
+# one-token tail change: shingle jaccard 0.9487, collides in all 4 bands
+TEXT_A_NEAR = " ".join(f"tok{i}" for i in range(39)) + " changed"
+TEXT_B = " ".join(f"alpha{i}" for i in range(40))
+TEXT_C = " ".join(f"beta{i}" for i in range(40))
+
+
+def _doc(doc_id: int, text: str) -> str:
+    return json.dumps({"doc_id": doc_id, "text": text})
+
+
+def _run(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(
+        in_dir,
+        [
+            [_doc(1, TEXT_A), _doc(2, TEXT_B)],
+            # 3 near-dups batch-1's doc 1 (cross-batch, via the store);
+            # 5 exactly dups 4 (in-batch, smaller id canonical)
+            [_doc(3, TEXT_A_NEAR), _doc(4, TEXT_C), _doc(5, TEXT_C)],
+        ],
+    )
+    stream = file_stream(
+        spark, in_dir, DOC_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    store = str(tmp_path / "store")
+    decisions = str(tmp_path / "decisions")
+    q = (
+        streaming_minhash_dedup(
+            stream, store, decisions, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    return store, decisions
+
+
+def test_streaming_dedup_flags_cross_and_in_batch_dups(spark, tmp_path):
+    store, decisions = _run(spark, tmp_path)
+    got = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(os.path.join(decisions, "batch=*")).collect()
+    }
+    assert got == {
+        1: (None, None),
+        2: (None, None),
+        3: (1, 0.9487),  # cross-batch near-dup of accepted doc 1
+        4: (None, None),
+        5: (4, 1.0),  # in-batch exact dup; smaller id is canonical
+    }
+    # the store stays canonical: accepted docs only
+    sig_ids = {
+        r["id"]
+        for r in spark.read.parquet(os.path.join(store, "sigs", "batch=*")).collect()
+    }
+    assert sig_ids == {1, 2, 4}
+    band_rows = spark.read.parquet(os.path.join(store, "bands", "batch=*"))
+    assert band_rows.filter(F.col("id").isin(3, 5)).count() == 0
+    counts = band_rows.groupBy("id").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [4]  # 4 band rows per accepted doc
+
+
+def test_streaming_dedup_plan_is_bucket_equi_join(spark):
+    """The per-batch decision plan: candidates come from (band, key)
+    equi-joins — never a nested-loop/cartesian pair generator."""
+    docs = spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_B)], DOC_SCHEMA
+    )
+    sh = dd.with_shingles(docs, "text", "doc_id", 3)
+    sigs = sh.select("id", "shingles")
+    bands = dd.band_keys(dd.minhash_signature(sh, 16), 16, 4)
+    plan = (
+        dedup_batch_against_store(sigs, bands, sigs, bands)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "band" in plan and "key" in plan
