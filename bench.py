@@ -32,21 +32,27 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     specs = [s for s in catalog.registry() if s.bench or s.name in EXTRA_BENCH]
     timings: dict[str, float] = {}
     for spec in specs:
-        # warm pass (JIT, file listing), then a timed pass that REBUILDS the
-        # plan so eager materialization inside operators is paid in-measure.
-        # Cache is cleared between passes: queries that persist intermediates
-        # must pay their own materialization, and entries left behind by
-        # earlier queries can't skew (or destabilize, via eviction churn)
-        # later ones.
+        # warm pass (JIT, file listing), then n_runs timed passes that
+        # REBUILD the plan so eager materialization inside operators is
+        # paid in-measure; the reported figure is the MEDIAN (single runs
+        # at these absolute times showed ±15-18% run-to-run noise).
+        # Cache is cleared between passes: queries that persist
+        # intermediates must pay their own materialization, and entries
+        # left behind by earlier queries can't skew (or destabilize, via
+        # eviction churn) later ones.
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-        start = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+            spark.catalog.clearCache()
+        timings[spec.name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(

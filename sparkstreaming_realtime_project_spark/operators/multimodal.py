@@ -69,16 +69,63 @@ DECODED_FEATURE_SCHEMA = StructType(
 
 
 def decode_features(
-    df: DataFrame, id_col: str = "doc_id", strict: bool = False, feature_dim: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strict: bool = False,
+    feature_dim: int = 8,
+    decoder: str = "fake",
 ) -> DataFrame:
     """Decode/feature-extract stage as mapInPandas.
 
-    STUB: real decode requires image/audio libs not present in this
-    container. ``strict=True`` raises NotImplementedError (the production
-    posture until a decoder is wired); otherwise emits deterministic fake
-    features derived from the payload bytes so downstream plumbing
-    (schema, batch shape, partitioning) is fully exercised.
+    ``decoder`` picks the pixel path:
+
+    - ``"fake"`` (default): deterministic features derived from the
+      payload sha256 — no codecs needed, engine-replayable (the DuckDB
+      oracle checks this path), exercises schema/batching/partitioning.
+    - ``"pil"``: real image decode via Pillow when the payload IS image
+      bytes — width/height from the decoded image, features = the
+      ``feature_dim``-bin normalized grayscale histogram. Import happens
+      INSIDE the task (executors need Pillow, the driver plan doesn't);
+      missing Pillow or undecodable bytes raise in the task, surfacing
+      as a job error rather than silent fake output. Opt-in by
+      parameter, never auto-detected: output must not depend on what
+      happens to be installed.
+
+    ``strict=True`` with the fake decoder raises NotImplementedError —
+    the production posture until a real decoder is chosen.
     """
+    if decoder not in ("fake", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run_pil(batches: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+        from PIL import Image  # executor-side dependency
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "modality": pdf["meta"].map(lambda m: m["modality"]),
+                "n_bytes": pdf["meta"].map(lambda m: int(m["n_bytes"])),
+            }
+            dims_w, dims_h, feats = [], [], []
+            for p in pdf["payload"]:
+                img = Image.open(io.BytesIO(bytes(p)))
+                dims_w.append(img.width)
+                dims_h.append(img.height)
+                hist = img.convert("L").histogram()  # 256 bins
+                step = 256 // feature_dim
+                bins = [
+                    float(sum(hist[i * step : (i + 1) * step]))
+                    for i in range(feature_dim)
+                ]
+                total = sum(bins) or 1.0
+                feats.append([round(b / total, 6) for b in bins])
+            out["width"] = pd.Series(dims_w, dtype="int32")
+            out["height"] = pd.Series(dims_h, dtype="int32")
+            out["features"] = pd.Series(feats)
+            yield pd.DataFrame(out)
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -109,7 +156,9 @@ def decode_features(
             out["features"] = pd.Series(feats)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=DECODED_FEATURE_SCHEMA)
+    return df.mapInPandas(
+        run_pil if decoder == "pil" else run, schema=DECODED_FEATURE_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = StructType(
@@ -129,17 +178,49 @@ def resize_images(
     target_h: int,
     id_col: str = "doc_id",
     strict: bool = False,
+    decoder: str = "fake",
 ) -> DataFrame:
     """Resize stage as mapInPandas over (payload, meta) rows.
 
-    STUB decode/encode (no codecs in this container; ``strict=True``
-    raises NotImplementedError — the production posture until PIL/ffmpeg
-    is wired). The Spark plumbing is real: Arrow batches of binary
+    ``decoder="fake"`` (default): deterministic payload of
+    target_w*target_h bytes tiled from the source sha256 — no codecs
+    needed (the oracle-checked path; ``strict=True`` raises
+    NotImplementedError, the production posture until a decoder is
+    chosen). ``decoder="pil"``: real Pillow decode -> resize -> PNG
+    re-encode; Pillow imports inside the task, errors surface as job
+    failures. Opt-in by parameter, never auto-detected.
+
+    The Spark plumbing is identical either way: Arrow batches of binary
     payloads in, binary payloads out, peak memory one batch per core; at
     100 TB this runs scan -> narrow map -> write with the payload never
-    entering a shuffle. The fake resize emits a deterministic payload of
-    target_w*target_h bytes tiled from the source sha256 so downstream
-    size/meta handling is fully exercised."""
+    entering a shuffle."""
+    if decoder not in ("fake", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run_pil(batches: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+        from PIL import Image  # executor-side dependency
+
+        for pdf in batches:
+            payloads, sizes = [], []
+            for p in pdf["payload"]:
+                img = Image.open(io.BytesIO(bytes(p)))
+                buf = io.BytesIO()
+                img.resize((target_w, target_h)).save(buf, format="PNG")
+                data = buf.getvalue()
+                payloads.append(data)
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized_payload": payloads,
+                    "resized_n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -168,7 +249,9 @@ def resize_images(
                 }
             )
 
-    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return df.mapInPandas(
+        run_pil if decoder == "pil" else run, schema=RESIZED_SCHEMA
+    )
 
 
 FRAME_SAMPLE_SCHEMA = StructType(

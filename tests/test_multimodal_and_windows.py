@@ -53,6 +53,26 @@ def test_strict_mode_raises(payloads):
         mm.decode_features(payloads, strict=True).collect()
 
 
+def test_decoder_param_validated_and_pil_is_optin(payloads):
+    """decoder='pil' is the pluggable REAL pixel path: selected only by
+    parameter (output must never depend on what happens to be installed),
+    importing Pillow inside the task. Without Pillow in this container
+    the job fails loudly instead of silently falling back to fake."""
+    with pytest.raises(ValueError):
+        mm.decode_features(payloads, decoder="bogus")
+    with pytest.raises(ValueError):
+        mm.resize_images(payloads, 8, 8, decoder="bogus")
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(Exception) as exc:
+            mm.decode_features(payloads, decoder="pil").collect()
+        assert "PIL" in str(exc.value)
+    else:  # real decoder present: text bytes are not an image -> decode error
+        with pytest.raises(Exception):
+            mm.decode_features(payloads, decoder="pil").collect()
+
+
 def test_streaming_window_matches_batch(spark, sf_dir, tmp_path):
     """The catalog's tumbling-window aggregate, run as a Structured
     Streaming query over the same events, produces the identical result
