@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..schemas import CDC_ENVELOPE_SCHEMA
 
@@ -57,6 +58,50 @@ def route_facts(decoded: DataFrame, fact_tables: list[str]) -> DataFrame:
         F.col("table"),
         F.col("op"),
         F.col("ts"),
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change log: one
+    validity interval per VALUE RUN of ``attr_col`` per key —
+    (key, attr, valid_from_us, valid_to_us, is_current), half-open
+    [from, to), NULL to = current.
+
+    The reference's dim store keeps only the latest row per id (Redis
+    SET DIM:<table>:<id>, OdsBaseDbApp.scala:144-163) — joins against it
+    are as-of-NOW and silently rewrite history. SCD2 is the warehouse
+    upgrade: point-in-time enrichment joins become range predicates on
+    [valid_from, valid_to).
+
+    Shape: two windows over the same (key, ts, order) sort — lag() marks
+    run starts, a second pass lead()s the next start — both partition on
+    the key, so the whole operator is one shuffle on uniformly-spread
+    keys; no self-join. ``order_col`` breaks equal-ts ties (e.g. a CDC
+    offset); omit only if (key, ts) is unique."""
+    order = [F.col(ts_col).asc()]
+    if order_col is not None:
+        order.append(F.col(order_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    starts = (
+        changes.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev"))
+        )
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return starts.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.unix_micros(F.col(ts_col)).alias("valid_from_us"),
+        F.unix_micros(F.lead(ts_col).over(w2)).alias("valid_to_us"),
+        F.lead(ts_col).over(w2).isNull().cast("int").alias("is_current"),
     )
 
 

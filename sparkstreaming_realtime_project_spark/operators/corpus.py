@@ -158,6 +158,58 @@ def pack_greedy(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an evaluation set (the GPT-3/PaLM-style n-gram overlap
+    check a training pipeline runs before every release). One row per
+    TRAINING doc: (doc_id, contaminated, n_shared_shingles = distinct
+    shared n-grams, n_eval_matches = distinct eval docs hit, first_eval
+    = smallest hit eval id, NULL when clean).
+
+    Shape: explode both sides' distinct shingles and equi-join on the
+    shingle string. Eval sets are benchmark-sized (thousands of docs,
+    not corpora), so the eval side is BROADCAST: the training corpus
+    streams through map-side hash lookups — no shuffle of the corpus at
+    any size. The join fans out only on genuinely shared shingles."""
+    from .dedup import shingles_from_tokens
+
+    def ex(df: DataFrame, out_id: str) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias(out_id), tokens_expr(text_col).alias("t")
+        )
+        return toks.select(
+            out_id, F.explode(shingles_from_tokens("t", n)).alias("g")
+        )
+
+    hits = (
+        ex(train, "doc_id")
+        .join(F.broadcast(ex(eval_set, "eval_id")), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_matches"),
+            F.min("eval_id").alias("first_eval"),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("first_eval").isNotNull().cast("int").alias("contaminated"),
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+            F.coalesce("n_eval_matches", F.lit(0)).alias("n_eval_matches"),
+            "first_eval",
+        )
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     text_col: str,

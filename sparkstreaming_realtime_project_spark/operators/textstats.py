@@ -130,6 +130,86 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 4) -> DataFr
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by BM25 — the ranking the
+    reference's serving layer actually delegates to Elasticsearch
+    (matchQuery scoring, MyEsUtils/publisher DSL); text_match reproduces
+    the boolean AND semantics, this reproduces the RELEVANCE ordering.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene/ES form —
+    never negative); tf part = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)).
+
+    Shape: one token projection; per-(doc, term) counts RESTRICTED to the
+    query terms before the aggregate (array_intersect at scan time, so
+    the explode fans out only query-term occurrences — at 100 TB the
+    shuffle carries O(matching docs x |query|) rows, not the corpus'
+    token stream); df from those counts; N and avgdl via one broadcast
+    single-row cross join (never a driver collect); final top-k bounded
+    by one global sort of the scored (matching) docs."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t")
+    )
+    lens = toks.select("doc_id", F.size("t").alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # per-(doc, query-term) frequency: explode only the DISTINCT matched
+    # query terms (array_intersect), then count that term's occurrences
+    # by filtering the token array — one output row per (doc, matched
+    # term), never one per token occurrence
+    tf = toks.select(
+        "doc_id",
+        F.explode(F.array_intersect("t", terms)).alias("term"),
+        "t",
+    ).select(
+        "doc_id",
+        "term",
+        F.size(F.filter("t", lambda x: x == F.col("term"))).alias("tf"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str, id_col: str, k: int = 5, materialize: bool = False
 ) -> DataFrame:

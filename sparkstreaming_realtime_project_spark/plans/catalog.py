@@ -1641,3 +1641,120 @@ def x_chunk_overlap(spark, sf_dir):
 )
 def x_repetition_stats(spark, sf_dir):
     return _cx.repetition_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# decontamination / relevance ranking / dim history ---------------------------
+
+_EVAL_MAX_ID = 10  # eval set = doc_id < 10 by convention for the oracle
+
+
+@_register(
+    "x_decontaminate",
+    "benchmark decontamination: flag training docs sharing any 3-gram "
+    "with the eval set; broadcast eval shingles, equi-join on shingle "
+    "(north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= {_EVAL_MAX_ID}),
+    ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh
+           WHERE doc_id < {_EVAL_MAX_ID}),
+    hits AS (SELECT doc_id,
+                    count(DISTINCT tr.g) AS n_shared_shingles,
+                    count(DISTINCT eval_id) AS n_eval_matches,
+                    min(eval_id) AS first_eval
+             FROM tr JOIN ev USING (g) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(first_eval IS NOT NULL AS INT) AS contaminated,
+           coalesce(n_shared_shingles, 0) AS n_shared_shingles,
+           coalesce(n_eval_matches, 0) AS n_eval_matches,
+           first_eval
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {_EVAL_MAX_ID}) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+)
+def x_decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _cx.decontaminate(
+        docs.filter(F.col("doc_id") >= _EVAL_MAX_ID),
+        docs.filter(F.col("doc_id") < _EVAL_MAX_ID),
+        "text",
+        "doc_id",
+        n=3,
+    )
+
+
+_BM25_TERMS = ("spark", "join")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+@_register(
+    "x_bm25_topk",
+    "BM25 top-k relevance ranking for a term query — the ES matchQuery "
+    "SCORING the reference's serving layer delegates (A4 text match "
+    "reproduces the boolean side; this reproduces the ordering)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, g AS term, tfv AS tf FROM (
+             SELECT doc_id,
+                    unnest(list_intersect(t, {list(_BM25_TERMS)!r})) AS g,
+                    t FROM toks),
+           LATERAL (SELECT len(list_filter(t, x -> x = g)) AS tfv)),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {_BM25_K1 + 1.0})
+                   / (tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl))), 4)
+               AS score
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+           CROSS JOIN corpus
+      GROUP BY doc_id)
+    SELECT doc_id, score, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored) WHERE rank <= {_BM25_K}
+    """,
+)
+def x_bm25_topk(spark, sf_dir):
+    return _ts.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        list(_BM25_TERMS),
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+@_register(
+    "j_scd2_history",
+    "SCD2 dim history from a change log: one validity interval per value "
+    "run per key, half-open [from, to), NULL to = current — the "
+    "point-in-time upgrade of the reference's latest-only Redis dim store "
+    "(K5 analog over events)",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    starts AS (SELECT user_id, event_type, ts, event_id FROM ordered
+               WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_us,
+           CAST(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL AS INT)
+             AS is_current
+    FROM starts
+    """,
+)
+def j_scd2_history(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from ..operators.cdc import scd2_history
+
+    return scd2_history(ev, "user_id", "event_type", "ts", order_col="event_id")

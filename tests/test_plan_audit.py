@@ -36,6 +36,11 @@ CASES = [
     # BroadcastNestedLoopJoin is the DECLARED baseline there, but a full
     # cartesian (both sides big) is still banned.
     ("x_knn_bruteforce", [], ["CartesianProduct"]),
+    # eval shingles broadcast: the training corpus never shuffles
+    ("x_decontaminate", ["BroadcastHashJoin"], ["CartesianProduct"]),
+    # single-row corpus stats cross join is broadcast; no true cartesian
+    ("x_bm25_topk", [], ["CartesianProduct"]),
+    ("j_scd2_history", [], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
