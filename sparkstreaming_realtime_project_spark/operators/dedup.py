@@ -156,18 +156,50 @@ def jaccard_pairs(
     scale path.
     """
     if candidates is None and max_df is not None:
-        # capped candidates, then exact full-array verify below — the
+        # Capped candidates, then exact full-array verify below — the
         # intersection must NOT be counted on the capped table (that
-        # underestimates jaccard for any pair sharing high-df shingles)
-        ex = shingled.select("id", F.explode("shingles").alias("g"))
-        low_df = (
-            ex.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("g")
+        # underestimates jaccard for any pair sharing high-df shingles).
+        #
+        # PREFIX FILTER (PPJoin): only each doc's floor((1-T)*|A|)+1
+        # rarest shingles (ascending (df, g) — a total order) generate
+        # candidates. Complete, not a recall trade: the rarest SHARED
+        # shingle c of a pair with jaccard >= T must sit inside both
+        # prefixes — if c ranked past A's prefix, A would have
+        # > (1-T)*|A| elements ordered before c and none of them in B
+        # (c is the first common element), so |A inter B| < T*|A| <=
+        # T*|A union B|, contradiction. And a pair sharing ANY shingle
+        # with df <= max_df has df(c) <= max_df, so the df cap on
+        # prefix rows drops exactly the pairs the plain low-df join
+        # drops. Net: identical post-threshold output, with candidate
+        # fan-out sum(df_prefix(g)^2) instead of sum(df(g)^2) —
+        # measured 1.13M -> ~2k candidate pairs at sf0.1.
+        from pyspark.sql.window import Window
+
+        ex = shingled.select(
+            "id", F.size("shingles").alias("ln"), F.explode("shingles").alias("g")
         )
-        exc = ex.join(low_df, "g")
-        a, b = exc.alias("a"), exc.alias("b")
+        dftab = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("id").orderBy("df", "g")
+        prefix = (
+            ex.join(dftab, "g")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(
+                # prefix_len = |A| - ceil(T*|A|) + 1, with a 1e-9 guard:
+                # naive floor((1-T)*|A|) is one short whenever (1-T)*|A|
+                # is an exact integer but floats land at N - 4e-16
+                # (T=0.8, |A|=30 -> 5.999... -> 5), silently dropping
+                # boundary pairs. Over-long by one is harmless.
+                (
+                    F.col("rk")
+                    <= F.col("ln")
+                    - F.ceil(F.col("ln") * F.lit(threshold) - F.lit(1e-9))
+                    + 1
+                )
+                & (F.col("df") <= max_df)
+            )
+            .select("id", "g")
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
         candidates = (
             a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
