@@ -74,6 +74,77 @@ def stratified_sample(
     return df.filter(sample_hash_expr(F.col(key_col), salt) < thr)
 
 
+def temperature_resample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling: rebalance strata toward
+    q_s ∝ p_s^alpha (the multilingual-LM sampling rule — alpha=1 keeps
+    the natural mix, alpha→0 approaches uniform) by keeping each row of
+    stratum s with rate r_s = (n_s / n_min)^(alpha-1). The minority
+    stratum keeps everything; larger strata are downsampled toward the
+    tempered distribution — downsample-only, no replication, so the
+    operator is a filter, never a fan-out.
+
+    Rates are DERIVED FROM THE DATA (one tiny groupBy-count, N cancels
+    out of p_s/p_min so no global total is needed), then broadcast back
+    and applied as a narrow hash-deterministic filter — the scan-speed
+    composition as stratified_sample, with the rate table the size of
+    the stratum count. Keep decision: 32-bit md5 coordinate <
+    floor(r_s * 2^32), reproducible run-to-run and across engines.
+
+    Output keeps (all original columns, keep_rate rounded to 6) so the
+    sampled mix is auditable downstream."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        stratum_col,
+        F.round(
+            F.pow(F.col("n_s") / F.col("n_min"), F.lit(alpha - 1.0)), 6
+        ).alias("keep_rate"),
+    )
+    coord = F.conv(sample_hash_expr(F.col(key_col), salt), 16, 10).cast("bigint")
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        coord < F.floor(F.col("keep_rate") * F.lit(float(2**32))).cast("bigint")
+    )
+
+
+# (category, pattern, replacement). Patterns are deliberately restricted
+# to the RE2 ∩ java.util.regex common subset (no lookaround, no
+# backrefs, ASCII \b) so the SAME strings run on Spark (Java regex) and
+# any RE2 engine with identical matches. Scrub order matters and is
+# fixed: emails first (they contain dots and digits that the later
+# patterns would chew on), then IPs, then phone-like digit runs; each
+# category is COUNTED on the text as left by the previous stage, so
+# categories never double-count one span.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{6,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Regex PII redaction with per-category audit counts: emails, IPv4
+    addresses, and phone-like digit runs are replaced by typed tags and
+    counted per document. Counts-plus-redaction (not just a filter)
+    because curation pipelines need both the cleaned text AND the
+    residual-risk signal (a doc with 40 emails is a directory page —
+    quality-gate it out rather than ship 40 tags).
+
+    Pure narrow projection — regexp_count/regexp_replace are JVM-side
+    codegen expressions, no UDF, no shuffle; composes with the scan at
+    any corpus size."""
+    out = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    for name, pat, tag in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count("text", F.lit(pat)))
+        out = out.withColumn("text", F.regexp_replace("text", pat, tag))
+    return out
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str,

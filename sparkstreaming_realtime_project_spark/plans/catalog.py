@@ -1758,3 +1758,72 @@ def j_scd2_history(spark, sf_dir):
     from ..operators.cdc import scd2_history
 
     return scd2_history(ev, "user_id", "event_type", "ts", order_col="event_id")
+
+
+def _hex32_sql(h: str) -> str:
+    """32-bit integer from an 8-hex-char column expression (same digit
+    math as _sha_byte_sql, widened)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) "
+        f"* {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"({terms})"
+
+
+@_register(
+    "x_sample_temperature",
+    "temperature-scaled mixture resampling (q ∝ p^alpha, alpha=0.5): "
+    "rates derived from stratum counts, broadcast back, applied as one "
+    "narrow hash-deterministic filter (north-star)",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    rates AS (SELECT lang,
+                     round(pow(n_s / (SELECT min(n_s) FROM counts), -0.5), 6)
+                       AS keep_rate
+              FROM counts),
+    coord AS (SELECT doc_id, lang,
+                     substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+              FROM documents)
+    SELECT c.doc_id, c.lang, r.keep_rate
+    FROM coord c JOIN rates r USING (lang)
+    WHERE {_hex32_sql("h")} < CAST(floor(keep_rate * 4294967296) AS BIGINT)
+    """,
+)
+def x_sample_temperature(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _cx.temperature_resample(docs, "lang", "doc_id", alpha=0.5).select(
+        "doc_id", "lang", "keep_rate"
+    )
+
+
+@_register(
+    "x_pii_scrub",
+    "regex PII redaction (email/ipv4/phone) with per-category audit "
+    "counts; RE2∩Java-safe patterns, pure codegen expressions, no UDF "
+    "(north-star)",
+    """
+    WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+    s1 AS (SELECT doc_id,
+             len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t
+           FROM s0),
+    s2 AS (SELECT doc_id, n_email,
+             len(regexp_extract_all(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+             regexp_replace(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ipv4,
+             len(regexp_extract_all(t, '\\+?\\d[\\d\\- ]{6,}\\d')) AS n_phone,
+             regexp_replace(t, '\\+?\\d[\\d\\- ]{6,}\\d', '<PHONE>', 'g') AS t
+           FROM s2)
+    SELECT doc_id, t AS text, n_email, n_ipv4, n_phone FROM s3
+    """,
+)
+def x_pii_scrub(spark, sf_dir):
+    return _cx.pii_scrub(_t(spark, sf_dir, "documents"), "text", "doc_id")

@@ -306,3 +306,60 @@ def test_quality_filter_kept_is_conjunction(spark, sf_dir):
     )
     kept = qf.filter("kept = 1").count()
     assert 0 < kept < docs.count()  # the gate is non-vacuous on the corpus
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Crafted PII rows: each category redacted with its typed tag,
+    counted on the text as left by the PREVIOUS stage (an email's
+    digits never double-count as a phone), and PII-free text passes
+    through byte-identical."""
+    from sparkstreaming_realtime_project_spark.operators.corpus import pii_scrub
+
+    rows = [
+        (1, "mail a@b.co or x.y_z%q+1@mail.example.org end"),
+        (2, "server at 10.0.0.1 and 192.168.255.254 ports"),
+        (3, "call +1-555-123-4567 or 07700 900123 today"),
+        (4, "combo a@b.co 10.0.0.1 +44-20-7946-0958 a@b.co"),
+        (5, "plain text with number 42 and v1.2.3 nothing else"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "text", "doc_id"
+        ).collect()
+    }
+    assert out[1]["text"] == "mail <EMAIL> or <EMAIL> end"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 0, 0)
+    assert out[2]["text"] == "server at <IP> and <IP> ports"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["text"] == "call <PHONE> or <PHONE> today"
+    assert out[3]["n_phone"] == 2
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (2, 1, 1)
+    assert out[5]["text"] == rows[4][1] and out[5]["n_phone"] == 0
+
+
+def test_temperature_resample_rates(spark, sf_dir):
+    """alpha=1 keeps everything (natural mix); alpha=0.5 keeps the
+    minority stratum whole and downsamples larger strata at measured
+    rates close to (n_s/n_min)^-0.5."""
+    from sparkstreaming_realtime_project_spark.operators.corpus import (
+        temperature_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert temperature_resample(docs, "lang", "doc_id", alpha=1.0).count() == n
+
+    kept = temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+    before = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    after = {r["lang"]: r["cnt"] for r in
+             kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n_min = min(before.values())
+    min_lang = [k for k, v in before.items() if v == n_min][0]
+    # minority stratum: keep_rate 1.0 -> all rows survive
+    assert after[min_lang] == before[min_lang]
+    for lang, b in before.items():
+        want = (b / n_min) ** -0.5
+        got = after[lang] / b
+        assert abs(got - want) < 0.15, (lang, got, want)
