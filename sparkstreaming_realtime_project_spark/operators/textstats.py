@@ -283,3 +283,64 @@ def tfidf_top_terms(
         out.count()
         tf.unpersist()
     return out
+
+
+def _term_freq(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(term, freq) corpus term-frequency table: the one linear shuffle
+    (partial-agg on term) everything vocabulary-level hangs off."""
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    return (
+        src.select(F.explode(tokens_expr("__text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-row corpus vocabulary profile: vocab size, total tokens,
+    hapax count/ratio (freq-1 terms — the noise tail that dominates raw
+    vocab counts), and the top term's token share (head weight; a
+    boilerplate-heavy corpus shows an outsized top share).
+
+    Two aggregations, both map-side-partial: groupBy(term) then a
+    single global rollup of the (already term-level) table. No window,
+    no collect; the only driver-visible object is the one result row."""
+    freq = _term_freq(df, text_col, id_col)
+    return freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("freq").alias("total_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.round(
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+        F.round(F.max("freq") / F.sum("freq"), 6).alias("top1_share"),
+    )
+
+
+def zipf_spectrum(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Frequency spectrum (count-of-counts): terms and token mass per
+    log2(frequency) bucket — the Zipf diagnostic (straight-ish line on
+    the log-log spectrum) without ranking. Bucketing by floor(log2(freq))
+    instead of frequency RANK is the scale decision: rank needs a global
+    sort/window over the whole vocabulary (single-task at 100 TB), the
+    spectrum is a second tiny groupBy. Bucket 0 is exactly the hapax
+    terms."""
+    freq = _term_freq(df, text_col, id_col)
+    spec = freq.groupBy(
+        F.floor(F.log2("freq")).cast("bigint").alias("freq_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").alias("n_occurrences"),
+    )
+    tot = spec.agg(F.sum("n_occurrences").alias("__tot"))
+    return spec.crossJoin(F.broadcast(tot)).select(
+        "freq_bucket",
+        "n_terms",
+        "n_occurrences",
+        F.round(F.col("n_occurrences") / F.col("__tot"), 6).alias("token_share"),
+    )

@@ -1827,3 +1827,49 @@ def x_sample_temperature(spark, sf_dir):
 )
 def x_pii_scrub(spark, sf_dir):
     return _cx.pii_scrub(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "x_vocab_stats",
+    "one-row corpus vocabulary profile (vocab size, tokens, hapax ratio, "
+    "top-term share): two partial-agg passes, no window, no collect "
+    "(north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    freq AS (SELECT term, count(*) AS freq
+             FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_count,
+           round(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS hapax_ratio,
+           round(max(freq) * 1.0 / sum(freq), 6) AS top1_share
+    FROM freq
+    """,
+)
+def x_vocab_stats(spark, sf_dir):
+    return _ts.vocab_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "x_zipf_spectrum",
+    "Zipf frequency spectrum: terms and token mass per log2(freq) bucket "
+    "— rank-free (no global vocabulary sort), one linear shuffle plus a "
+    "tiny groupBy (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    freq AS (SELECT term, count(*) AS freq
+             FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+    spec AS (SELECT CAST(floor(log2(freq)) AS BIGINT) AS freq_bucket,
+                    CAST(count(*) AS BIGINT) AS n_terms,
+                    CAST(sum(freq) AS BIGINT) AS n_occurrences
+             FROM freq GROUP BY 1)
+    SELECT freq_bucket, n_terms, n_occurrences,
+           round(n_occurrences * 1.0 /
+                 (SELECT sum(n_occurrences) FROM spec), 6) AS token_share
+    FROM spec
+    """,
+)
+def x_zipf_spectrum(spark, sf_dir):
+    return _ts.zipf_spectrum(_t(spark, sf_dir, "documents"), "text", "doc_id")
