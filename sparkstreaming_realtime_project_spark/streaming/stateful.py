@@ -78,3 +78,68 @@ def first_seen_per_key(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def quota_per_key(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    quota: int,
+    ttl_hours: int = 24,
+) -> DataFrame:
+    """Admit at most ``quota`` rows per key per TTL window — the ingest
+    throttle of a continuously-fed training pipeline (cap documents per
+    source/domain so one crawler dump can't flood a day's corpus; the
+    per-key cap is the streaming analog of the batch df/bucket caps in
+    the dedup operators).
+
+    State is one counter per key, created at the first admitted row and
+    evicted ``ttl_hours`` after that row's EVENT time — so the quota
+    window is anchored to the data's clock, not the wall clock, and a
+    replay admits exactly the same rows. Admission within a trigger is
+    deterministic: rows sort by (ts, remaining columns' repr) and the
+    first ``quota - used`` pass. Rows after the cap are DROPPED, not
+    buffered — a quota, not a rate limiter.
+
+    ``stream`` must already carry a watermark on ``ts_col``."""
+    out_schema = stream.schema
+    state_schema = StructType(
+        [
+            StructField("admitted", LongType()),
+            StructField("first_ts_ms", LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        rows = [pdf for pdf in pdf_iter if len(pdf)]
+        if not rows:
+            return iter(())
+        batch = pd.concat(rows).sort_values(
+            [ts_col] + [c for c in rows[0].columns if c != ts_col]
+        )
+        used, first_ts_ms = state.get if state.exists else (0, None)
+        room = quota - used
+        if room <= 0:
+            return iter(())
+        admit = batch.head(room)
+        if first_ts_ms is None:
+            first_ts_ms = int(
+                pd.Timestamp(admit[ts_col].iloc[0]).value // 1_000_000
+            )
+        state.update((used + len(admit), first_ts_ms))
+        # re-arm on every invocation with the SAME anchor: the eviction
+        # point never moves, but relying on a previously-set timeout
+        # surviving an update is GroupState-implementation trivia.
+        state.setTimeoutTimestamp(first_ts_ms + ttl_hours * 3600 * 1000)
+        return iter((admit,))
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -647,3 +647,51 @@ def test_restart_from_checkpoint_no_duplicates(spark, tmp_path):
     after = {(r["mid"], str(r["dt"])) for r in after_df.select("mid", "dt").collect()}
     assert after == before
     assert os.listdir(out) == ["batch=0"]
+
+
+def test_quota_per_key_caps_across_batches(spark, tmp_path):
+    """Per-source ingest quota: at most N rows admitted per key with the
+    counter persisting ACROSS micro-batches — batch 2 rows of an
+    exhausted source are dropped while an under-quota source keeps
+    admitting; within a trigger the lowest-ts rows win."""
+    from sparkstreaming_realtime_project_spark.streaming.stateful import (
+        quota_per_key,
+    )
+
+    base = fx.D1_10
+    mk = lambda src, i, ts: json.dumps({"source": src, "doc_id": i, "ts": ts})
+    in_dir = tmp_path / "in"
+    fx._write_batches(str(in_dir), [
+        [mk("A", 1, base + 2000), mk("A", 2, base), mk("A", 3, base + 1000),
+         mk("B", 10, base)],
+        [mk("A", 4, base + 3000), mk("A", 5, base + 4000),
+         mk("B", 11, base + 5000)],
+    ])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    schema = "source string, doc_id long, ts long"
+    docs = (
+        text_stream(spark, str(in_dir), max_files_per_trigger=1)
+        .select(F.from_json("value", schema).alias("j"))
+        .select("j.source", "j.doc_id", F.timestamp_millis("j.ts").alias("event_ts"))
+        .withWatermark("event_ts", "25 hours")
+    )
+    admitted = quota_per_key(docs, ["source"], "event_ts", quota=2)
+    q = (
+        admitted.writeStream.foreachBatch(
+            lambda b, i: b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        (r["source"], r["doc_id"])
+        for r in read_sink(spark, out).collect()
+    }
+    # A: quota 2 -> the two lowest-ts batch-1 rows; batch-2 rows dropped.
+    # B: one per batch, both under quota.
+    assert got == {("A", 2), ("A", 3), ("B", 10), ("B", 11)}
