@@ -202,15 +202,23 @@ def ivf_centroids(
 
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the max-cosine centroid, as a literal-folded expression:
-    k similarity evaluations per row inside codegen, no join."""
-    best_idx, best_sim = F.lit(0), cosine(vec, F.array(*[F.lit(x) for x in centroids[0]]))
-    for i, c in enumerate(centroids[1:], start=1):
-        sim = cosine(vec, F.array(*[F.lit(x) for x in c]))
-        better = sim > best_sim
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return best_idx
+    """Index of the max-cosine centroid (ties to the lowest index), as a
+    literal-folded expression: k similarity evaluations per row inside
+    codegen, no join. array_min over (neg-sim, idx) structs, NOT a
+    chained when/otherwise argmin — the chain embeds the running best
+    twice per step, growing the expression tree 2^k (heap-OOM at plan
+    build from k=16 up); the struct array is linear in k and struct
+    ordering (first field, then second) is exactly max-sim-lowest-idx."""
+    entries = F.array(
+        *[
+            F.struct(
+                (-cosine(vec, F.array(*[F.lit(x) for x in c]))).alias("negsim"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(entries)["i"]
 
 
 def ivf_topk(
@@ -324,4 +332,205 @@ def cosine_near_pairs(
         .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, same left-to-right fold as _dot."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_code(vec: Column, book: list[list[float]], s: int, sub_dim: int) -> Column:
+    """Code (0-based index of the nearest-by-L2 sub-centroid, ties to the
+    LOWEST index) of subspace ``s`` of ``vec`` against one literal
+    codebook — pure codegen projection, like _nearest_centroid."""
+    sl = F.slice(vec, s * sub_dim + 1, sub_dim)
+    entries = F.array(
+        *[
+            F.struct(
+                _l2(sl, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(book)
+        ]
+    )
+    return F.array_min(entries)["j"]
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces and each subspace gets its own k-centroid
+    codebook, trained with the same deterministic Lloyd recipe as
+    ivf_centroids (id-ordered seeds, L2 assignment with lowest-index tie
+    break, means quantized to 1e-6 per round so the model replays
+    bit-identically on any engine).
+
+    ONE posexplode aggregate per iteration trains all m codebooks at
+    once — group key (subspace, cid, position), so the plan is O(1) in
+    both dimensionality and m; only the m x k x (d/m) model reaches the
+    driver. Returns ``books[s][j] = sub-centroid j of subspace s``."""
+    e = embeddings.select(
+        as_double_vec(vec_col).alias("v"), F.col(id_col).alias("id")
+    )
+    dim = len(e.select("v").first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    seeds = [list(r["v"]) for r in e.orderBy("id").limit(k).collect()]
+    books = [
+        [seeds[j][s * sd : (s + 1) * sd] for j in range(k)] for s in range(m)
+    ]
+    for _ in range(iters):
+        codes = F.array(*[_pq_code(F.col("v"), books[s], s, sd) for s in range(m)])
+        assigned = e.select("v", codes.alias("codes"))
+        exploded = assigned.select(
+            F.posexplode("v").alias("p", "x"), "codes"
+        ).select(
+            (F.col("p") / sd).cast("int").alias("s"),
+            (F.col("p") % sd).alias("sp"),
+            F.element_at("codes", (F.col("p") / sd).cast("int") + 1).alias("cid"),
+            "x",
+        )
+        means = (
+            exploded.groupBy("s", "cid", "sp").agg(F.avg("x").alias("mv")).collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["s"], r["cid"]), {})[r["sp"]] = round(
+                r["mv"], round_decimals
+            )
+        books = [
+            [
+                [got[(s, j)][p] for p in range(sd)]
+                if (s, j) in got
+                else books[s][j]
+                for j in range(k)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    database vectors are ENCODED to m small codes (m bytes instead of
+    d doubles — the compressed-domain scale path: at d=1024, m=16 the
+    candidate table shrinks ~500x and the scoring join never touches a
+    raw database vector); each query precomputes an m x k table of
+    subspace dot products against the literal codebooks, and a pair's
+    approximate inner product is m table lookups summed in subspace
+    order.
+
+    Encode and table-build are narrow projections (codebooks enter the
+    plan as literals); scoring is a broadcast join against the
+    codes-only table. Ranking uses the ROUNDED score with neighbor_id
+    tiebreak so order is reproducible across engines (same rationale as
+    tfidf_top_terms).
+
+    ``rerank=R`` adds the standard production second stage: the PQ
+    shortlist of R candidates per query is joined back to the RAW
+    vectors and re-ranked by exact cosine, so raw embeddings are touched
+    for |Q| x R rows instead of |Q| x N — compressed-domain prune,
+    exact-order answer (recall = probability the true neighbor survives
+    the shortlist, the R knob). rerank=0 returns the approx-ranked
+    top-k with its approx_cos score."""
+    m = len(books)
+    kk = len(books[0])
+    sd = len(books[0][0])
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    ).select(
+        "neighbor_id",
+        F.array(*[_pq_code(F.col("cv"), books[s], s, sd) for s in range(m)]).alias(
+            "codes"
+        ),
+    )
+    qv = as_double_vec(vec_col)
+    tab = F.array(
+        *[
+            F.array(
+                *[
+                    _dot(
+                        F.slice(qv, s * sd + 1, sd),
+                        F.array(*[F.lit(x) for x in books[s][j]]),
+                    )
+                    for j in range(kk)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        tab.alias("tab"),
+        F.sqrt(_dot(qv, qv)).alias("qnorm"),
+    )
+    # ||x_hat||^2 = sum_s ||c_{s,code_s}||^2 via a literal norm table —
+    # norms computed HERE (python floats) and embedded as the same
+    # literals in the generated oracle SQL, so both engines share them.
+    norm_tab = [
+        [sum(x * x for x in books[s][j]) for j in range(kk)] for s in range(m)
+    ]
+    approx = F.lit(0.0)
+    dbnorm2 = F.lit(0.0)
+    for s in range(m):
+        code1 = F.element_at("codes", s + 1) + 1
+        approx = approx + F.element_at(F.element_at("tab", s + 1), code1)
+        dbnorm2 = dbnorm2 + F.element_at(
+            F.array(*[F.lit(v) for v in norm_tab[s]]), code1
+        )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_cos",
+            F.round(approx / (F.col("qnorm") * F.sqrt(dbnorm2)), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), "neighbor_id"
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "rank", "approx_cos"
+        )
+    shortlist = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    qv_raw = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    )
+    cv_raw = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    )
+    exact = (
+        shortlist.join(F.broadcast(qv_raw), "query_id")
+        .join(cv_raw, "neighbor_id")
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
     )

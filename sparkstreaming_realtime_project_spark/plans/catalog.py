@@ -1873,3 +1873,115 @@ def x_vocab_stats(spark, sf_dir):
 )
 def x_zipf_spectrum(spark, sf_dir):
     return _ts.zipf_spectrum(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_L2 = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _pq_sql(
+    m: int, sd: int, kb: int, iters: int, q_max: int, k: int, rerank: int
+) -> str:
+    """Unrolled product-quantization pipeline as one DuckDB statement:
+    per-subspace Lloyd training (same determinism recipe as _ivf_sql —
+    id-ordered seeds, L2 assignment with lowest-cid tie break, means
+    quantized to 1e-6), database encode, ADC scoring on the ROUNDED
+    approx cosine, exact-cosine re-rank of the shortlist. All m
+    subspaces train in the same CTEs keyed by a subspace column s —
+    the SQL mirror of the single posexplode aggregate in pq_codebooks."""
+    assign = (
+        "(SELECT *, row_number() OVER (PARTITION BY id, s "
+        "ORDER BY d ASC, cid ASC) AS rn FROM {src})"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"ss AS (SELECT unnest(range(0, {m})) AS s)",
+        f"subs AS (SELECT id, s, v[(s*{sd}+1):(s*{sd}+{sd})] AS vs "
+        "FROM e CROSS JOIN ss)",
+        f"b0 AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY id) - 1 "
+        f"AS cid, vs AS c FROM subs "
+        f"WHERE id IN (SELECT id FROM e ORDER BY id LIMIT {kb}))",
+    ]
+    prev = "b0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT subs.id, subs.s, subs.vs, b.cid, "
+            f"{_L2.format(a='subs.vs', b='b.c')} AS d "
+            f"FROM subs JOIN {prev} b ON b.s = subs.s)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT id, s, vs, cid FROM "
+            f"{assign.format(src=f's{i}')} WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT s, cid, pos, round(avg(x), 6) AS mv FROM "
+            f"(SELECT s, cid, unnest(vs) AS x, "
+            f"unnest(range(1, len(vs) + 1)) AS pos FROM a{i}) "
+            f"GROUP BY s, cid, pos)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT b.s, b.cid, coalesce(mm.c, b.c) AS c "
+            f"FROM {prev} b LEFT JOIN (SELECT s, cid, list(mv ORDER BY pos) "
+            f"AS c FROM m{i} GROUP BY s, cid) mm "
+            f"ON mm.s = b.s AND mm.cid = b.cid)"
+        )
+        prev = f"b{i}"
+    parts += [
+        f"sf AS (SELECT subs.id, subs.s, subs.vs, b.cid, "
+        f"{_L2.format(a='subs.vs', b='b.c')} AS d "
+        f"FROM subs JOIN {prev} b ON b.s = subs.s)",
+        "enc AS (SELECT id AS neighbor_id, s, cid FROM "
+        f"{assign.format(src='sf')} WHERE rn = 1)",
+        f"tabs AS (SELECT qs.id AS query_id, qs.s, b.cid, "
+        f"{_DOT.format(a='qs.vs', b='b.c')} AS dp "
+        f"FROM subs qs JOIN {prev} b ON b.s = qs.s WHERE qs.id < {q_max})",
+        f"qn AS (SELECT id AS query_id, sqrt({_DOT.format(a='v', b='v')}) "
+        f"AS qnorm FROM e WHERE id < {q_max})",
+        f"cn AS (SELECT s, cid, {_DOT.format(a='c', b='c')} AS n2 FROM {prev})",
+        "pairs AS (SELECT t.query_id, enc.neighbor_id, "
+        "sum(t.dp) AS adot, sum(cn.n2) AS dbn2 "
+        "FROM enc JOIN tabs t ON t.s = enc.s AND t.cid = enc.cid "
+        "JOIN cn ON cn.s = enc.s AND cn.cid = enc.cid "
+        "WHERE enc.neighbor_id <> t.query_id "
+        "GROUP BY t.query_id, enc.neighbor_id)",
+        "scored AS (SELECT p.query_id, p.neighbor_id, "
+        "round(p.adot / (qn.qnorm * sqrt(p.dbn2)), 4) AS approx_cos "
+        "FROM pairs p JOIN qn ON qn.query_id = p.query_id)",
+        "short AS (SELECT query_id, neighbor_id FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY approx_cos DESC, neighbor_id) AS rank FROM scored) "
+        f"WHERE rank <= {rerank})",
+        f"ex AS (SELECT s.query_id, s.neighbor_id, "
+        f"round({_cos_sql('qe.v', 'ne.v')}, 4) AS sim "
+        f"FROM short s JOIN e qe ON qe.id = s.query_id "
+        f"JOIN e ne ON ne.id = s.neighbor_id)",
+    ]
+    return (
+        ",\n".join(parts)
+        + "\nSELECT query_id, neighbor_id, rank, sim FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, neighbor_id) AS rank FROM ex) "
+        f"WHERE rank <= {k}"
+    )
+
+
+_PQ_M, _PQ_KB, _PQ_ITERS = 16, 16, 2
+
+
+@_register(
+    "x_knn_pq",
+    "product-quantization top-k with exact re-rank: per-subspace "
+    "deterministic codebooks, m-byte codes (compressed-domain prune), "
+    "ADC scoring, raw vectors touched only for the |Q| x R shortlist — "
+    "oracle replays training+encode+ADC+re-rank as unrolled CTEs "
+    "(north-star scale path)",
+    _pq_sql(m=_PQ_M, sd=4, kb=_PQ_KB, iters=_PQ_ITERS, q_max=20, k=3, rerank=25),
+)
+def x_knn_pq(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _sim.pq_codebooks(emb, m=_PQ_M, k=_PQ_KB, iters=_PQ_ITERS)
+    return _sim.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), books, k=3, rerank=25
+    )
