@@ -41,6 +41,16 @@ CASES = [
     # single-row corpus stats cross join is broadcast; no true cartesian
     ("x_bm25_topk", [], ["CartesianProduct"]),
     ("j_scd2_history", [], ["NestedLoop", "CartesianProduct"]),
+    # rates derived from data join back via broadcast; the single-row
+    # n_min cross join is a broadcast NLJ (1 row), so only ban cartesian
+    ("x_sample_temperature", ["BroadcastHashJoin"], ["CartesianProduct"]),
+    ("x_pii_scrub", [], ["Exchange"]),  # pure projection: NO shuffle at all
+    ("x_vocab_stats", ["HashAggregate"], ["NestedLoop", "CartesianProduct", "Window"]),
+    # single-row total join for token_share is a broadcast NLJ (1 row);
+    # the real claim is rank-free: no Window, no cartesian
+    ("x_zipf_spectrum", ["HashAggregate"], ["CartesianProduct", "Window"]),
+    # codes-only broadcast join for the ADC stage; re-rank joins on ids
+    ("x_knn_pq", ["BroadcastHashJoin"], ["CartesianProduct"]),
 ]
 
 
