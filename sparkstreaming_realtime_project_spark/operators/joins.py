@@ -1,0 +1,193 @@
+"""Temporal / range / skew join operators the reference lacks.
+
+SURVEY §2.4 closes with "Absent — no sort-merge/nested-loop/theta/range/
+as-of/semi/anti joins anywhere; available for free in Spark if needed".
+Semi/anti are catalog one-liners (j_semi_anti); the three families that
+are NOT free — a naive Spark translation produces a nested-loop or a
+skew-stalled plan — live here, each expressed as a composition of
+shuffles Catalyst can reason about:
+
+- ``asof_join``: union + per-key running ``last(ignorenulls)`` window —
+  ONE hash shuffle on the key, no range predicate, no BNLJ ever.
+- ``interval_overlap_join``: bucketize both interval sets to a shared
+  grid, equi-join on (keys…, bucket), post-filter the exact predicate,
+  and emit each pair exactly once WITHOUT a distinct (the pair is kept
+  only in the bucket where the later interval starts).
+- ``salted_join``: explicit key-salting for skewed equi-joins where a
+  replicated small side beats AQE's post-hoc skew split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "interval_overlap_join", "salted_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the single right row
+    with the greatest ``right_ts`` <= ``left_ts`` (``<`` when
+    ``strict=True``) within the same ``on`` key — the classic as-of /
+    point-in-time-correct join (kdb+ ``aj``, DuckDB ``ASOF JOIN``,
+    pandas ``merge_asof``). Left rows with no prior right row keep NULLs
+    (left-outer semantics).
+
+    Plan shape (the scale argument): a range-predicate join in Spark
+    degenerates to BroadcastNestedLoop/Cartesian. Instead both inputs are
+    tagged and UNIONed, then one window per key sorted by
+    (ts, side, tiebreak) computes a running ``last(value, ignorenulls)``
+    over UNBOUNDED PRECEDING..CURRENT ROW — an O(1)-state running frame,
+    ONE exchange on ``on``, never a pair blow-up. 100 TB behavior is the
+    cost of a single repartition of left+right, same as any groupBy.
+
+    Ties: at equal timestamps the right row IS visible unless ``strict``;
+    among equal-``right_ts`` right rows the winner is the greatest
+    ``tiebreak`` (required for a deterministic result when version rows
+    can share a timestamp).
+    """
+    tiebreak = tiebreak or []
+    lcols = left.columns
+    # Side marker doubles as the equal-ts visibility switch: the window
+    # sort is (ts, __side, tiebreak), so side 0 sorts before side 1 at
+    # the same ts. Inclusive => right first (0); strict => left first.
+    l_side, r_side = (0, 1) if strict else (1, 0)
+
+    ltag = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{t}") for t in tiebreak],
+    )
+    rtag = right.filter(F.col(right_ts).isNotNull()).select(
+        *[F.col(k) for k in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.col(t).alias(f"__tb_{t}") for t in tiebreak],
+    ).select(*ltag.columns)  # align union order
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("__ts").asc_nulls_first(),
+            F.col("__side").asc(),
+            *[F.col(f"__tb_{t}").asc_nulls_first() for t in tiebreak],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ltag.unionByName(rtag).select(
+        *[F.col(c) for c in lcols],
+        F.col("__side"),
+        *[
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return out.filter(F.col("__side") == l_side).drop("__side")
+
+
+def interval_overlap_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    probe_start: str,
+    probe_end: str,
+    build_start: str,
+    build_end: str,
+    bucket_width: int,
+    probe_prefix: str = "p_",
+    build_prefix: str = "b_",
+) -> DataFrame:
+    """All (probe, build) interval pairs sharing the ``on`` keys whose
+    [start, end] ranges (inclusive, numeric — e.g. epoch days/seconds)
+    overlap. The interval/range join Spark's optimizer turns into a
+    nested loop when written as a theta-join.
+
+    Plan shape: each interval explodes into the grid buckets it covers
+    (``sequence(start div w, end div w)`` — fan-out (len/w)+1, bounded
+    and chosen by the caller), the two sides EQUI-join on
+    (keys…, bucket), and the exact overlap predicate filters the bucket
+    collisions. A pair overlapping k shared buckets would surface k
+    times; instead of a distinct (second shuffle) each pair is emitted
+    only in the bucket where the LATER of the two intervals starts —
+    exactly one bucket, zero duplicates, dedup for free.
+
+    At 100 TB the knobs are ``bucket_width`` (≈ median interval length
+    keeps fan-out ~2 and bucket occupancy uniform) and the usual salting
+    if one (key, bucket) cell is hot.
+    """
+    w = int(bucket_width)
+
+    def buckets(df: DataFrame, start: str, end: str, prefix: str) -> DataFrame:
+        renamed = df.select(
+            *[F.col(k) for k in on],
+            *[
+                F.col(c).alias(f"{prefix}{c}")
+                for c in df.columns
+                if c not in on
+            ],
+        )
+        lo = F.floor(F.col(f"{prefix}{start}") / w)
+        hi = F.floor(F.col(f"{prefix}{end}") / w)
+        return renamed.withColumn("__bucket", F.explode(F.sequence(lo, hi)))
+
+    p = buckets(probe, probe_start, probe_end, probe_prefix)
+    b = buckets(build, build_start, build_end, build_prefix)
+    ps, pe = F.col(f"{probe_prefix}{probe_start}"), F.col(f"{probe_prefix}{probe_end}")
+    bs, be = F.col(f"{build_prefix}{build_start}"), F.col(f"{build_prefix}{build_end}")
+    pair_bucket = F.floor(F.greatest(ps, bs) / w)  # later start => unique bucket
+    return (
+        p.join(b, on=on + ["__bucket"], how="inner")
+        .filter((ps <= be) & (bs <= pe) & (F.col("__bucket") == pair_bucket))
+        .drop("__bucket")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key of ``left`` across
+    ``salt`` sub-keys and replicate every ``right`` row ``salt`` times so
+    all copies still meet. Result is EXACTLY the plain join (the salt
+    column never leaves the operator); only task balance changes.
+
+    When to reach for it at scale: one key holding >> 1/shuffle-partitions
+    of the rows pins the whole stage on one task. AQE's skew-join split
+    handles the SORT-MERGE case after the fact; explicit salting also
+    covers aggregate-then-join pipelines and keeps the choice visible in
+    the plan. Cost: right side is duplicated ``salt``× — use with a
+    small-to-medium build side (if it's small enough to broadcast,
+    broadcast instead and skew stops mattering entirely).
+
+    ``how`` is restricted to inner/left joins (right/full would need the
+    mirrored construction): the replicated side must be the build side.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left' only")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    # Deterministic but uniform: hash every left column so two identical
+    # rows land on the same sub-key (keeps the operator a pure function).
+    lsalted = left.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    replicate = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    rsalted = right.withColumn("__salt", replicate)
+    return lsalted.join(rsalted, on=on + ["__salt"], how=how).drop("__salt")

@@ -326,6 +326,155 @@ def j_semi_anti(spark, sf_dir):
     return anti.unionAll(semi)
 
 
+@_register(
+    "j_asof_prev_order",
+    "as-of join (SURVEY §2.4 'absent' family): each order picks the "
+    "customer's latest strictly-earlier order via union + running "
+    "last(ignorenulls) window — one shuffle, no range predicate, no BNLJ",
+    """
+    WITH ranked AS (
+      SELECT a.o_orderkey AS k, b.o_orderdate AS pd, b.o_totalprice AS pp,
+             row_number() OVER (PARTITION BY a.o_orderkey
+                                ORDER BY b.o_orderdate DESC,
+                                         b.o_orderkey DESC) AS rn
+      FROM orders a JOIN orders b
+        ON a.o_custkey = b.o_custkey AND b.o_orderdate < a.o_orderdate)
+    SELECT a.o_orderkey, a.o_custkey,
+           strftime(a.o_orderdate, '%Y-%m-%d') AS order_date,
+           r.prev_order_date, r.prev_totalprice
+    FROM orders a LEFT JOIN
+      (SELECT k, strftime(pd, '%Y-%m-%d') AS prev_order_date,
+              round(pp, 2) AS prev_totalprice
+       FROM ranked WHERE rn = 1) r ON a.o_orderkey = r.k
+    """,
+)
+def j_asof_prev_order(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    versions = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("prev_order_date"),
+        F.round("o_totalprice", 2).alias("prev_totalprice"),
+        F.col("o_orderkey").alias("__pk"),
+    )
+    out = _jn.asof_join(
+        left,
+        versions,
+        on=["o_custkey"],
+        left_ts="o_orderdate",
+        right_ts="o_orderdate",
+        value_cols=["prev_order_date", "prev_totalprice"],
+        strict=True,
+        tiebreak=["__pk"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "prev_order_date",
+        "prev_totalprice",
+    )
+
+
+@_register(
+    "j_range_overlap",
+    "interval-overlap (range) join via shared-grid bucketization: "
+    "equi-join on (key, bucket) + exact post-filter, each pair emitted "
+    "in exactly one bucket (no distinct) — the theta-join Spark would "
+    "otherwise nested-loop",
+    """
+    WITH iv AS (SELECT o_orderkey AS k, o_orderpriority AS pr,
+                       date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS sd
+                FROM orders),
+    iv2 AS (SELECT k, pr, sd, sd + 30 AS ed FROM iv)
+    SELECT p.pr AS o_orderpriority, p.k AS probe_key, b.k AS build_key,
+           least(p.ed, b.ed) - greatest(p.sd, b.sd) + 1 AS overlap_days
+    FROM iv2 p JOIN iv2 b
+      ON p.pr = b.pr AND b.sd <= p.ed AND p.sd <= b.ed AND p.k <> b.k
+    WHERE p.k % 97 = 0
+    """,
+)
+def j_range_overlap(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("sd"),
+    ).withColumn("ed", F.col("sd") + 30)
+    probe = iv.filter(F.col("k") % 97 == 0)
+    out = _jn.interval_overlap_join(
+        probe,
+        iv,
+        on=["o_orderpriority"],
+        probe_start="sd",
+        probe_end="ed",
+        build_start="sd",
+        build_end="ed",
+        bucket_width=32,  # ~interval length: fan-out <= 2 buckets/side
+    )
+    return out.filter(F.col("p_k") != F.col("b_k")).select(
+        "o_orderpriority",
+        F.col("p_k").alias("probe_key"),
+        F.col("b_k").alias("build_key"),
+        (
+            F.least("p_ed", "b_ed") - F.greatest("p_sd", "b_sd") + F.lit(1)
+        ).alias("overlap_days"),
+    )
+
+
+@_register(
+    "j_salted_skew",
+    "skew-salted equi-join: left keys spread over 8 sub-keys, build side "
+    "replicated 8x so every copy meets — result identical to the plain "
+    "join (the oracle IS the plain join), only task balance changes",
+    """
+    SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+           o.o_orderpriority, round(l.l_quantity, 2) AS quantity
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def j_salted_skew(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("quantity"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    out = _jn.salted_join(li, orders, on=["o_orderkey"], salt=8)
+    return out.select("o_orderkey", "l_linenumber", "o_orderpriority", "quantity")
+
+
+@_register(
+    "w_rolling_7d",
+    "point-in-time rolling features: per-user trailing-7-day event count "
+    "and value sum at every event via a RANGE window on epoch-ms — the "
+    "as-of feature-engineering primitive, one shuffle on the entity key",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS cnt_7d,
+           round(sum(value) OVER w, 2) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_rolling_7d(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-7 * 86400 * 1000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("cnt_7d"),
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A-group: serving aggregations (SURVEY §2.5) over events/part analogs
 # ---------------------------------------------------------------------------
@@ -830,6 +979,7 @@ def o_session_window(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from ..operators import dedup as _dd
+from ..operators import joins as _jn
 from ..operators import multimodal as _mm
 from ..operators import similarity as _sim
 from ..operators import textstats as _ts

@@ -51,6 +51,12 @@ CASES = [
     ("x_zipf_spectrum", ["HashAggregate"], ["CartesianProduct", "Window"]),
     # codes-only broadcast join for the ADC stage; re-rank joins on ids
     ("x_knn_pq", ["BroadcastHashJoin"], ["CartesianProduct"]),
+    # as-of is union + running window: NO join operator at all in the plan
+    ("j_asof_prev_order", ["Window", "Union"], ["Join", "NestedLoop", "CartesianProduct"]),
+    # range join must become a bucket EQUI-join, never a theta nested loop
+    ("j_range_overlap", [], ["NestedLoop", "CartesianProduct"]),
+    ("j_salted_skew", [], ["NestedLoop", "CartesianProduct"]),
+    ("w_rolling_7d", ["Window"], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
