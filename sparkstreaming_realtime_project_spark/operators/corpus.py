@@ -363,3 +363,38 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         dup_ratio(F.col("g2")).alias("dup_2gram_ratio"),
         dup_ratio(F.col("g3")).alias("dup_3gram_ratio"),
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment for training-data
+    export: shard = hash32(key) mod n_shards, position-in-shard = rank of
+    the FULL hash within the shard. Because the hash is uniform, this is
+    a seeded global permutation of the corpus expressed as (shard, pos) —
+    exactly the "shuffle the corpus, split into N files" step before
+    tokenizer/packing runs, reproducible across engines and re-runs
+    (same salt => same permutation; new salt => fresh epoch shuffle).
+
+    Scale shape: the hash and shard are narrow per-row expressions; the
+    only shuffle is the per-shard rank window, partitioned by shard —
+    uniform by construction (hash mod n). At 100 TB pick n_shards ~ the
+    number of output files so each window partition is one writer task's
+    worth. No global sort, no driver state.
+
+    Returns (key, shard, pos) with pos 1-based within shard.
+    """
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    out = df.select(
+        F.col(key_col),
+        F.pmod(h32, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return out.select(
+        key_col, "shard", F.row_number().over(w).alias("pos")
+    )

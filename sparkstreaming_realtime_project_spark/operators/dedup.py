@@ -598,3 +598,73 @@ def connected_components(
         F.col("lbl").alias("cluster_id"),
         (F.col("node") == F.col("lbl")).cast("int").alias("is_canonical"),
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-containment pairs: max-containment C(A,B) = |A ∩ B| /
+    min(|A|, |B|) >= threshold. Catches the case Jaccard misses by
+    construction — a short document pasted inside a much longer one has
+    tiny Jaccard (union is the big doc) but containment ~1. The standard
+    second axis of corpus near-dup (quote/boilerplate inclusion,
+    truncated re-crawls of the same page).
+
+    Candidates come from the same df-capped shared-shingle equi-join as
+    the Jaccard path (fan-out bounded by sum over low-df shingles of
+    df^2); the score is verified on the FULL shingle sets so surviving
+    pairs are exact. The PPJoin prefix filter is deliberately NOT reused
+    here: its completeness proof is Jaccard-specific (prefix length
+    derived from the union bound) and does not hold for the min-side
+    denominator, so the wider low-df join is the correct sound generator.
+    Recall trade is the Jaccard one: a shingle set shared by > max_df
+    docs yields no candidates — size max_df above real cluster sizes.
+
+    Returns (doc_a, doc_b, containment), doc_a < doc_b.
+    """
+    ex = shingled.select("id", F.explode("shingles").alias("g"))
+    if max_df is not None:
+        low = (
+            ex.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        ex = ex.join(low, "g")
+    a, b = ex.alias("a"), ex.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sha"))
+    sb = shingled.select(F.col("id").alias("doc_b"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    denom = F.least(F.size("sha"), F.size("shb"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", F.round(inter * F.lit(1.0) / denom, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def containment_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """text -> shingles -> df-capped candidates -> exact containment
+    pairs, with the same cache hygiene as ngram_jaccard_dedup_pairs.
+    The RETURNED frame is persisted — unpersist it when done."""
+    shingled = with_shingles(df, text_col, id_col, n, materialize=True)
+    pairs = containment_pairs(shingled, threshold, max_df=max_df).persist()
+    pairs.count()
+    shingled.unpersist()
+    return pairs

@@ -344,3 +344,54 @@ def zipf_spectrum(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "n_occurrences",
         F.round(F.col("n_occurrences") / F.col("__tot"), 6).alias("token_share"),
     )
+
+
+def inverted_index(
+    df: DataFrame, text_col: str, id_col: str, postings_cap: int = 20
+) -> DataFrame:
+    """Posting-list inverted index: one row per term with document
+    frequency, total term frequency, and the first ``postings_cap``
+    doc ids (ascending) serialized as a comma-joined string — the
+    build step behind BM25 serving / decontamination lookups.
+
+    Shape: the (doc, term, tf) table feeds two consumers — a plain
+    (term) aggregation for df/total_tf, and a per-term top-cap for the
+    posting sample. The cap is applied BEFORE any list materializes
+    (row_number window, filter rk <= cap, then collect): an uncapped
+    collect_list on a stopword term would buffer an O(corpus) array in
+    one aggregation state — the actual OOM at 100 TB, not the shuffle.
+    Hot-term skew reaches the window sort only; postings stay bounded.
+
+    Postings are sorted NUMERICALLY before serialization (array_sort on
+    the id, then cast) — string-sorting ids would interleave '10' < '2'.
+    """
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    tf = (
+        src.select("doc_id", tokens_expr("__text").alias("t"))
+        .select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    post = (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= postings_cap)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return stats.join(post, "term").select("term", "df", "total_tf", "postings")

@@ -2135,3 +2135,89 @@ def x_knn_pq(spark, sf_dir):
     return _sim.pq_topk(
         emb, emb.filter(F.col("vec_id") < 20), books, k=3, rerank=25
     )
+
+
+@_register(
+    "x_dedup_containment",
+    "near-containment pairs |A∩B|/min(|A|,|B|): the near-dup axis "
+    "Jaccard misses (short doc pasted inside a long one); df-capped "
+    "candidates, exact full-set verify (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    low AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= {_MAX_DF}),
+    exc AS (SELECT doc_id, ex0.g AS g FROM ex0 JOIN low USING (g)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM exc a JOIN exc b ON a.g = b.g AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, s, len(s) AS ln FROM sh),
+    scored AS (
+      SELECT doc_a, doc_b,
+             round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                   least(sa.ln, sb.ln), 4) AS containment
+      FROM cand JOIN sz sa ON sa.doc_id = doc_a
+                JOIN sz sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, containment FROM scored WHERE containment >= 0.9
+    """,
+)
+def x_dedup_containment(spark, sf_dir):
+    pairs = _dd.containment_dedup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.9, max_df=_MAX_DF,
+    )
+    out = pairs.select("doc_a", "doc_b", "containment")
+    pairs.unpersist()
+    return out
+
+
+@_register(
+    "x_inverted_index",
+    "posting-list inverted index: per-term df, total tf, and the first "
+    "20 doc ids as a serialized posting sample — cap applied BEFORE any "
+    "list materializes so hot terms never buffer O(corpus) state "
+    "(north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tf AS (SELECT doc_id, g AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2),
+    stats AS (SELECT term, count(*) AS df,
+                     CAST(sum(tf) AS BIGINT) AS total_tf
+              FROM tf GROUP BY term),
+    top AS (SELECT term, doc_id,
+                   row_number() OVER (PARTITION BY term ORDER BY doc_id) rk
+            FROM tf),
+    post AS (SELECT term,
+                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                      AS postings
+             FROM top WHERE rk <= 20 GROUP BY term)
+    SELECT term, df, total_tf, postings FROM stats JOIN post USING (term)
+    """,
+)
+def x_inverted_index(spark, sf_dir):
+    return _ts.inverted_index(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", postings_cap=20
+    )
+
+
+@_register(
+    "x_shard_assign",
+    "deterministic corpus shuffle + shard assignment (seeded global "
+    "permutation as (shard, pos)): narrow hash, one uniform per-shard "
+    "rank window, reproducible across engines/epochs (north-star)",
+    f"""
+    WITH h AS (SELECT doc_id,
+                      md5('shard:' || CAST(doc_id AS VARCHAR)) AS hh
+               FROM documents),
+    s AS (SELECT doc_id, hh,
+                 CAST({_hex32_sql("substr(hh, 1, 8)")} % 8 AS INT) AS shard
+          FROM h)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def x_shard_assign(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = _cx.shard_assign(docs, "doc_id", n_shards=8, salt="shard")
+    return out.select("doc_id", "shard", F.col("pos").cast("bigint").alias("pos"))

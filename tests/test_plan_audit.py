@@ -57,6 +57,10 @@ CASES = [
     ("j_range_overlap", [], ["NestedLoop", "CartesianProduct"]),
     ("j_salted_skew", [], ["NestedLoop", "CartesianProduct"]),
     ("w_rolling_7d", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    ("x_dedup_containment", [], ["NestedLoop", "CartesianProduct"]),
+    # postings cap filters BEFORE collect_list: window then aggregate
+    ("x_inverted_index", ["Window", "HashAggregate"], ["NestedLoop", "CartesianProduct"]),
+    ("x_shard_assign", ["Window"], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
