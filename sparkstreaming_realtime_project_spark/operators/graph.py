@@ -1,0 +1,96 @@
+"""Iterative graph operators over edge DataFrames.
+
+Complements connected_components (operators/dedup.py:530) — where CC
+answers "which docs are the same", PageRank answers "which nodes
+matter" (seed-URL weighting, domain authority for crawl prioritization,
+influence scoring over an interaction graph). Same execution shape:
+a small per-node state table iterated through keyed equi-joins, never a
+matrix, never a driver-side adjacency structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    inter_round: int = 9,
+    out_round: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank: r_{i+1}(v) = (1-d)/N + d * sum over
+    in-edges (u,v) of r_i(u)/outdeg(u). Returns (node, pagerank).
+
+    Execution shape (the 100 TB argument): per iteration ONE equi-join
+    of the O(nodes) rank table against the edge list on the source key
+    and ONE groupBy on the destination — the standard distributed PR
+    topology. The edge list is persisted once and reused across rounds;
+    rank state is persisted per round and the previous round released
+    (same hygiene as connected_components). Nothing driver-side except
+    the node count N (a scalar, like the IVF model collect).
+
+    Determinism across engines: each iteration's rank is rounded to
+    ``inter_round`` decimals, so float summation-order drift (~1e-16)
+    can never compound across iterations — the DuckDB oracle unrolls
+    the same rounded recurrence and matches exactly.
+
+    Simplifications, documented not hidden: dangling nodes (no
+    out-edges) leak their mass rather than redistributing it, and
+    convergence is a fixed iteration count, not an epsilon test — both
+    standard for the fixed-round variant; feed an undirected
+    (symmetrized) edge list and there are no dangling nodes at all.
+
+    The RETURNED frame is persisted (every intermediate cut is released
+    before returning) — unpersist it when done.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    # deg's key is renamed so the ranks-deg-edges three-way join never
+    # carries two lineage-shared 'src' columns (self-join ambiguity).
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("deg_node"), "deg"
+    )
+    base = (1.0 - damping) / n
+
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r")).persist()
+    prev = ranks
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, F.col("node") == F.col("deg_node"))
+            .join(e, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("cr"))
+        )
+        agg = contrib.groupBy("node").agg(F.sum("cr").alias("s"))
+        ranks = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    inter_round,
+                ).alias("r"),
+            )
+            .persist()
+        )
+        ranks.count()
+        prev.unpersist()
+        prev = ranks
+    out = ranks.select("node", F.round("r", out_round).alias("pagerank")).persist()
+    out.count()  # materialize before releasing every intermediate cut
+    ranks.unpersist()
+    e.unpersist()
+    nodes.unpersist()
+    return out

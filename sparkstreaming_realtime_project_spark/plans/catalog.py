@@ -979,6 +979,7 @@ def o_session_window(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from ..operators import dedup as _dd
+from ..operators import graph as _gr
 from ..operators import joins as _jn
 from ..operators import multimodal as _mm
 from ..operators import similarity as _sim
@@ -2221,3 +2222,62 @@ def x_shard_assign(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = _cx.shard_assign(docs, "doc_id", n_shards=8, salt="shard")
     return out.select("doc_id", "shard", F.col("pos").cast("bigint").alias("pos"))
+
+
+def _pagerank_sql(iters: int, d: float, rnd: int, out_rnd: int) -> str:
+    """Unrolled fixed-iteration PageRank over the symmetrized
+    part--supplier co-supply graph, replaying pagerank()'s rounded
+    recurrence (round each iteration to `rnd`) so float summation-order
+    drift can never cross engines."""
+    parts = [
+        "e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)",
+        "edges AS (SELECT 'p:' || CAST(p AS VARCHAR) AS src,"
+        " 's:' || CAST(s AS VARCHAR) AS dst FROM e0"
+        " UNION ALL SELECT 's:' || CAST(s AS VARCHAR),"
+        " 'p:' || CAST(p AS VARCHAR) FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, r.r / dg.deg AS cr"
+            f" FROM r{i - 1} r JOIN deg dg ON dg.node = r.node"
+            f" JOIN edges e ON e.src = r.node)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node,"
+            f" round((1.0 - {d}) / (SELECT n FROM nn)"
+            f" + {d} * coalesce(sum(c.cr), 0), {rnd}) AS r"
+            f" FROM nodes n LEFT JOIN c{i} c ON c.node = n.node"
+            f" GROUP BY n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(r, {out_rnd}) AS pagerank FROM r{iters}"
+    )
+
+
+@_register(
+    "x_pagerank",
+    "fixed-iteration PageRank over the symmetrized part-supplier "
+    "co-supply graph: per round one rank-edge equi-join + one dst "
+    "groupBy, per-iteration rounding pins cross-engine float parity "
+    "(north-star; oracle = unrolled rounded recurrence)",
+    _pagerank_sql(iters=3, d=0.85, rnd=9, out_rnd=6),
+)
+def x_pagerank(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    p = F.concat(F.lit("p:"), F.col("p").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("s").cast("string"))
+    edges = e0.select(p.alias("src"), s.alias("dst")).union(
+        e0.select(s.alias("src"), p.alias("dst"))
+    )
+    out = _gr.pagerank(edges, iters=3, damping=0.85, inter_round=9, out_round=6)
+    res = out.select("node", "pagerank")
+    out.unpersist()
+    return res

@@ -61,6 +61,7 @@ CASES = [
     # postings cap filters BEFORE collect_list: window then aggregate
     ("x_inverted_index", ["Window", "HashAggregate"], ["NestedLoop", "CartesianProduct"]),
     ("x_shard_assign", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    ("x_pagerank", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
