@@ -534,3 +534,134 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 3,
+    n_probe: int = 2,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (FAISS IVFPQ topology).
+    The coarse quantizer restricts candidates to the query's ``n_probe``
+    inverted lists (an EQUI-join on the cell id — pq_topk alone scores
+    every query against the whole corpus), and within those lists
+    scoring runs on m-byte PQ codes via ADC — the candidate table
+    carries neither raw vectors nor full-dim arithmetic. ``rerank=R``
+    re-ranks the per-query shortlist against raw vectors by exact
+    cosine (|Q| x R rows, not |Q| x N).
+
+    Scale story: at rest the code table is partitioned by ``cid`` —
+    a probe reads n_probe/n_cent of the corpus, sequentially, at m
+    bytes/vector; the broadcast side is only (query, ADC table) rows.
+    Both models (centroids + codebooks) are trained by the deterministic
+    recipes of ivf_centroids/pq_codebooks, so the full pipeline —
+    training included — replays as a SQL oracle.
+    """
+    m = len(books)
+    kk = len(books[0])
+    sd = len(books[0][0])
+    n_cent = len(centroids)
+    if not 1 <= n_probe <= n_cent:
+        raise ValueError("n_probe must be in [1, n_centroids]")
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    ).select(
+        "neighbor_id",
+        _nearest_centroid(F.col("cv"), centroids).alias("cid"),
+        F.array(*[_pq_code(F.col("cv"), books[s], s, sd) for s in range(m)]).alias(
+            "codes"
+        ),
+    )
+
+    qv = as_double_vec(vec_col)
+    probe_sims = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col("qv"), F.array(*[F.lit(x) for x in cent]))).alias(
+                    "neg"
+                ),
+                F.lit(i).alias("cid"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    tab = F.array(
+        *[
+            F.array(
+                *[
+                    _dot(
+                        F.slice(F.col("qv"), s * sd + 1, sd),
+                        F.array(*[F.lit(x) for x in books[s][j]]),
+                    )
+                    for j in range(kk)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
+        .withColumn("probe", F.slice(F.array_sort(probe_sims), 1, n_probe))
+        .select(
+            "query_id",
+            "qv",
+            tab.alias("tab"),
+            F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qnorm"),
+            F.explode("probe.cid").alias("cid"),
+        )
+        .drop("qv")
+    )
+
+    norm_tab = [
+        [sum(x * x for x in books[s][j]) for j in range(kk)] for s in range(m)
+    ]
+    approx = F.lit(0.0)
+    dbnorm2 = F.lit(0.0)
+    for s in range(m):
+        code1 = F.element_at("codes", s + 1) + 1
+        approx = approx + F.element_at(F.element_at("tab", s + 1), code1)
+        dbnorm2 = dbnorm2 + F.element_at(
+            F.array(*[F.lit(v) for v in norm_tab[s]]), code1
+        )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_cos", F.round(approx / (F.col("qnorm") * F.sqrt(dbnorm2)), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), "neighbor_id"
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "rank", "approx_cos"
+        )
+    shortlist = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    qv_raw = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+    )
+    cv_raw = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    )
+    exact = (
+        shortlist.join(F.broadcast(qv_raw), "query_id")
+        .join(cv_raw, "neighbor_id")
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

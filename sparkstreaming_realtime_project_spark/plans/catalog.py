@@ -2281,3 +2281,169 @@ def x_pagerank(spark, sf_dir):
     res = out.select("node", "pagerank")
     out.unpersist()
     return res
+
+
+def _ivfpq_sql(
+    n_cent: int,
+    ivf_iters: int,
+    m: int,
+    sd: int,
+    kb: int,
+    pq_iters: int,
+    q_max: int,
+    k: int,
+    n_probe: int,
+    rerank: int,
+) -> str:
+    """IVF-PQ oracle: BOTH deterministic trainings (coarse cosine
+    k-means from _ivf_sql, per-subspace L2 Lloyd from _pq_sql) unrolled
+    into one statement, then probe -> in-cell ADC -> exact re-rank.
+    CTE families are prefixed (ic*/is*/ia*/im* coarse, b*/ps*/pa*/pm*
+    subspace) so the two recipes coexist."""
+    ivf_assign = (
+        "(SELECT *, row_number() OVER (PARTITION BY {key} "
+        "ORDER BY sim DESC, cid) AS rn FROM {src})"
+    )
+    pq_assign = (
+        "(SELECT *, row_number() OVER (PARTITION BY id, s "
+        "ORDER BY d ASC, cid ASC) AS rn FROM {src})"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        # --- coarse quantizer training (cosine k-means-lite) ---
+        "ic0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS c "
+        f"FROM (SELECT id, v FROM e ORDER BY id LIMIT {n_cent}))",
+    ]
+    prev = "ic0"
+    for i in range(1, ivf_iters + 1):
+        parts.append(
+            f"is{i} AS (SELECT e.id, e.v, {prev}.cid, "
+            f"{_cos_sql('e.v', prev + '.c')} AS sim FROM e CROSS JOIN {prev})"
+        )
+        parts.append(
+            f"ia{i} AS (SELECT id, v, cid FROM "
+            f"{ivf_assign.format(key='id', src=f'is{i}')} WHERE rn = 1)"
+        )
+        parts.append(
+            f"im{i} AS (SELECT cid, pos, round(avg(x), 6) AS mm FROM "
+            f"(SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos "
+            f"FROM ia{i}) GROUP BY cid, pos)"
+        )
+        parts.append(
+            f"ic{i} AS (SELECT {prev}.cid, coalesce(nc.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN (SELECT cid, list(mm ORDER BY pos) AS c "
+            f"FROM im{i} GROUP BY cid) nc ON nc.cid = {prev}.cid)"
+        )
+        prev = f"ic{i}"
+    cf = prev
+    parts += [
+        # corpus coarse assignment: every vector's inverted-list id
+        f"csf AS (SELECT e.id, e.v, {cf}.cid, "
+        f"{_cos_sql('e.v', cf + '.c')} AS sim FROM e CROSS JOIN {cf})",
+        "casg AS (SELECT id, cid AS ccid FROM "
+        f"{ivf_assign.format(key='id', src='csf')} WHERE rn = 1)",
+        # --- PQ codebook training (per-subspace L2 Lloyd) ---
+        f"ss AS (SELECT unnest(range(0, {m})) AS s)",
+        f"subs AS (SELECT id, s, v[(s*{sd}+1):(s*{sd}+{sd})] AS vs "
+        "FROM e CROSS JOIN ss)",
+        f"b0 AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY id) - 1 "
+        f"AS cid, vs AS c FROM subs "
+        f"WHERE id IN (SELECT id FROM e ORDER BY id LIMIT {kb}))",
+    ]
+    prev = "b0"
+    for i in range(1, pq_iters + 1):
+        parts.append(
+            f"ps{i} AS (SELECT subs.id, subs.s, subs.vs, b.cid, "
+            f"{_L2.format(a='subs.vs', b='b.c')} AS d "
+            f"FROM subs JOIN {prev} b ON b.s = subs.s)"
+        )
+        parts.append(
+            f"pa{i} AS (SELECT id, s, vs, cid FROM "
+            f"{pq_assign.format(src=f'ps{i}')} WHERE rn = 1)"
+        )
+        parts.append(
+            f"pm{i} AS (SELECT s, cid, pos, round(avg(x), 6) AS mv FROM "
+            f"(SELECT s, cid, unnest(vs) AS x, "
+            f"unnest(range(1, len(vs) + 1)) AS pos FROM pa{i}) "
+            f"GROUP BY s, cid, pos)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT b.s, b.cid, coalesce(nb.c, b.c) AS c "
+            f"FROM {prev} b LEFT JOIN (SELECT s, cid, list(mv ORDER BY pos) "
+            f"AS c FROM pm{i} GROUP BY s, cid) nb "
+            f"ON nb.s = b.s AND nb.cid = b.cid)"
+        )
+        prev = f"b{i}"
+    bf = prev
+    parts += [
+        # database encode on the trained codebooks
+        f"psf AS (SELECT subs.id, subs.s, subs.vs, b.cid, "
+        f"{_L2.format(a='subs.vs', b='b.c')} AS d "
+        f"FROM subs JOIN {bf} b ON b.s = subs.s)",
+        "enc AS (SELECT id AS neighbor_id, s, cid FROM "
+        f"{pq_assign.format(src='psf')} WHERE rn = 1)",
+        # query probe of n_probe nearest coarse cells
+        f"qs AS (SELECT e.id AS query_id, {cf}.cid, "
+        f"{_cos_sql('e.v', cf + '.c')} AS sim FROM e CROSS JOIN {cf} "
+        f"WHERE e.id < {q_max})",
+        "probe AS (SELECT query_id, cid AS ccid FROM "
+        f"{ivf_assign.format(key='query_id', src='qs')} WHERE rn <= {n_probe})",
+        # per-query ADC tables + norms
+        f"tabs AS (SELECT qs2.id AS query_id, qs2.s, b.cid, "
+        f"{_DOT.format(a='qs2.vs', b='b.c')} AS dp "
+        f"FROM subs qs2 JOIN {bf} b ON b.s = qs2.s WHERE qs2.id < {q_max})",
+        f"qn AS (SELECT id AS query_id, sqrt({_DOT.format(a='v', b='v')}) "
+        f"AS qnorm FROM e WHERE id < {q_max})",
+        f"cn AS (SELECT s, cid, {_DOT.format(a='c', b='c')} AS n2 FROM {bf})",
+        # candidates = corpus of the probed cells only (the IVF prune)
+        "pairs AS (SELECT t.query_id, enc.neighbor_id, "
+        "sum(t.dp) AS adot, sum(cn.n2) AS dbn2 "
+        "FROM probe p "
+        "JOIN casg ON casg.ccid = p.ccid "
+        "JOIN enc ON enc.neighbor_id = casg.id "
+        "JOIN tabs t ON t.query_id = p.query_id "
+        "AND t.s = enc.s AND t.cid = enc.cid "
+        "JOIN cn ON cn.s = enc.s AND cn.cid = enc.cid "
+        "WHERE enc.neighbor_id <> p.query_id "
+        "GROUP BY t.query_id, enc.neighbor_id)",
+        "scored AS (SELECT p.query_id, p.neighbor_id, "
+        "round(p.adot / (qn.qnorm * sqrt(p.dbn2)), 4) AS approx_cos "
+        "FROM pairs p JOIN qn ON qn.query_id = p.query_id)",
+        "short AS (SELECT query_id, neighbor_id FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY approx_cos DESC, neighbor_id) AS rank FROM scored) "
+        f"WHERE rank <= {rerank})",
+        f"ex AS (SELECT s.query_id, s.neighbor_id, "
+        f"round({_cos_sql('qe.v', 'ne.v')}, 4) AS sim "
+        f"FROM short s JOIN e qe ON qe.id = s.query_id "
+        f"JOIN e ne ON ne.id = s.neighbor_id)",
+    ]
+    return (
+        ",\n".join(parts)
+        + "\nSELECT query_id, neighbor_id, rank, sim FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, neighbor_id) AS rank FROM ex) "
+        f"WHERE rank <= {k}"
+    )
+
+
+@_register(
+    "x_knn_ivfpq",
+    "IVF-PQ (FAISS IVFPQ topology): coarse cells prune candidates via an "
+    "equi-join on the inverted-list id, PQ codes score in the compressed "
+    "domain within probed cells, raw vectors touched only for the exact "
+    "re-rank shortlist — oracle replays BOTH trainings + probe + ADC + "
+    "re-rank (north-star scale path)",
+    _ivfpq_sql(
+        n_cent=8, ivf_iters=3, m=_PQ_M, sd=4, kb=_PQ_KB, pq_iters=_PQ_ITERS,
+        q_max=20, k=3, n_probe=2, rerank=25,
+    ),
+)
+def x_knn_ivfpq(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _sim.ivf_centroids(emb, n_centroids=8, iters=3)
+    books = _sim.pq_codebooks(emb, m=_PQ_M, k=_PQ_KB, iters=_PQ_ITERS)
+    return _sim.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), cents, books,
+        k=3, n_probe=2, rerank=25,
+    )

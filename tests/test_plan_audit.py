@@ -62,6 +62,8 @@ CASES = [
     ("x_inverted_index", ["Window", "HashAggregate"], ["NestedLoop", "CartesianProduct"]),
     ("x_shard_assign", ["Window"], ["NestedLoop", "CartesianProduct"]),
     ("x_pagerank", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
+    # candidate prune is an equi-join on the inverted-list id
+    ("x_knn_ivfpq", ["BroadcastHashJoin"], ["CartesianProduct"]),
 ]
 
 
