@@ -395,3 +395,95 @@ def inverted_index(
         )
     )
     return stats.join(post, "term").select("term", "df", "total_tf", "postings")
+
+
+def _bigrams(tok_col: str) -> "Column":
+    """Word bigram OCCURRENCES (not per-doc-distinct — corpus counting
+    wants multiplicity) as 'a b' strings; empty array below 2 tokens.
+    zip_with over two shifted slices — narrow, no explode until the
+    caller decides."""
+    t = F.col(tok_col)
+    return F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_freq(
+    df: DataFrame, text_col: str, id_col: str, min_count: int = 5
+) -> DataFrame:
+    """Corpus bigram frequency table: (gram, freq, n_docs) for every
+    bigram with at least ``min_count`` occurrences — the raw material of
+    decontamination lookups, collocation mining, and boilerplate lists.
+
+    One explode + one grouped aggregation with map-side partials; the
+    HAVING-style filter sits on the aggregate so the (huge) singleton
+    tail never leaves the combiner stage in a wide result."""
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    grams = (
+        src.select("doc_id", tokens_expr("__text").alias("t"))
+        .select("doc_id", _bigrams("t").alias("g2"))
+        .select("doc_id", F.explode("g2").alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("freq") >= min_count)
+        .select("gram", "freq", F.col("n_docs").cast("bigint").alias("n_docs"))
+    )
+
+
+def boilerplate_score(
+    df: DataFrame, text_col: str, id_col: str, common_min: int = 50
+) -> DataFrame:
+    """Per-document boilerplate ratio: the share of a doc's bigram
+    occurrences whose corpus frequency is >= ``common_min``. High ratio
+    = the document is assembled from corpus-common phrasing (template/
+    boilerplate pages); low = novel text. The doc-side quality signal
+    derived from ngram_freq's corpus side.
+
+    Shape: bigram explode -> join against the (small, thresholded)
+    frequency table -> per-doc aggregate. The frequency side is an
+    aggregate of the same scan, thresholded before the join so the
+    joined table is the common-gram head, not the corpus tail.
+    """
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    grams = (
+        src.select("doc_id", tokens_expr("__text").alias("t"))
+        .select("doc_id", _bigrams("t").alias("g2"))
+        .select("doc_id", F.explode("g2").alias("gram"))
+    )
+    common = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= common_min)
+        .select("gram")
+    )
+    flagged = grams.join(common.withColumn("is_common", F.lit(1)), "gram", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("is_common"), F.lit(0))).alias("__n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("__n_common") / F.col("n_bigrams"), 4).alias(
+                "common_ratio"
+            ),
+        )
+    )

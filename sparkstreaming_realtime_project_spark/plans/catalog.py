@@ -2447,3 +2447,51 @@ def x_knn_ivfpq(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 20), cents, books,
         k=3, n_probe=2, rerank=25,
     )
+
+
+_BIGRAMS_SQL = (
+    "CASE WHEN len(t) >= 2 THEN "
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) "
+    "ELSE [] END"
+)
+
+
+@_register(
+    "x_ngram_freq",
+    "corpus bigram frequency table (freq >= 5): occurrence + doc counts "
+    "per gram, one explode + one partial-agg'd groupBy, singleton tail "
+    "dies in the combiner (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram FROM toks)
+    SELECT gram, count(*) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams GROUP BY gram HAVING count(*) >= 5
+    """,
+)
+def x_ngram_freq(spark, sf_dir):
+    return _ts.ngram_freq(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", min_count=5
+    )
+
+
+@_register(
+    "x_boilerplate_score",
+    "per-doc boilerplate ratio: share of bigram occurrences whose corpus "
+    "freq >= 50 — corpus head thresholded BEFORE the join back to docs "
+    "(north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram FROM toks),
+    common AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 50)
+    SELECT g.doc_id, count(*) AS n_bigrams,
+           round(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS common_ratio
+    FROM grams g LEFT JOIN common c ON c.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def x_boilerplate_score(spark, sf_dir):
+    return _ts.boilerplate_score(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", common_min=50
+    )

@@ -64,6 +64,8 @@ CASES = [
     ("x_pagerank", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
     # candidate prune is an equi-join on the inverted-list id
     ("x_knn_ivfpq", ["BroadcastHashJoin"], ["CartesianProduct"]),
+    ("x_ngram_freq", ["HashAggregate"], ["NestedLoop", "CartesianProduct", "Window"]),
+    ("x_boilerplate_score", ["HashAggregate"], ["NestedLoop", "CartesianProduct", "Window"]),
 ]
 
 
