@@ -1,0 +1,84 @@
+"""Deterministic mergeable sketches (count-min) built from engine-
+portable md5 hashing (functions/hashing.py rationale: Spark's
+hash/xxhash64 and DuckDB's hash disagree, md5 hex is identical
+everywhere).
+
+Why a sketch when groupBy-count exists: the sketch table is FIXED SIZE
+(d x w cells) regardless of key cardinality, mergeable across
+partitions/days by cell-wise addition, and never shuffles the key
+domain — the frequency-tracking shape for unbounded key spaces (URLs,
+user ids, n-grams) where the exact count table IS the scale problem.
+Estimates overcount on collisions, never undercount (the classic CMS
+guarantee: err <= eN with prob 1-delta at w=e/eps, d=ln(1/delta))."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_bucket", "cms_sketch", "cms_estimate"]
+
+
+def cms_bucket(key: Column, row: int, w: int, salt: str = "cms") -> Column:
+    """Row-``row``'s bucket for ``key``: first 32 bits of
+    md5('<salt><row>:'||key) mod w — the independent-hash family is the
+    seed prefix, identical math on any engine."""
+    h = F.md5(F.concat(F.lit(f"{salt}{row}:"), key.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(w))
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 256, salt: str = "cms"
+) -> DataFrame:
+    """Build the d x w count-min sketch of ``key_col`` occurrences:
+    (row, bucket, cnt) cells. One narrow projection fans each record
+    into its d cells (array of structs + explode — bounded x d, no key
+    shuffle), then a single partial-agg'd groupBy on the CELL id, whose
+    domain is d*w no matter how many distinct keys exist. Daily/partition
+    sketches merge by summing cnt cell-wise."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                cms_bucket(F.col(key_col), j, w, salt).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.row", "c.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each key in ``keys``: min over the key's d cells.
+    The key side explodes into its d cell ids and EQUI-joins the (tiny,
+    broadcastable) sketch on (row, bucket) — d lookups per key, then a
+    min aggregation. Returns (key, est)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                cms_bucket(F.col(key_col), j, w, salt).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    probes = keys.select(F.col(key_col), F.explode(cells).alias("c")).select(
+        key_col, "c.row", "c.bucket"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -988,6 +988,7 @@ from ..operators import graph as _gr
 from ..operators import joins as _jn
 from ..operators import multimodal as _mm
 from ..operators import similarity as _sim
+from ..operators import sketches as _sk
 from ..operators import textstats as _ts
 
 # shared SQL fragments -------------------------------------------------------
@@ -2499,4 +2500,112 @@ def x_ngram_freq(spark, sf_dir):
 def x_boilerplate_score(spark, sf_dir):
     return _ts.boilerplate_score(
         _t(spark, sf_dir, "documents"), "text", "doc_id", common_min=50
+    )
+
+
+def _cms_bucket_sql(row_expr: str, key_expr: str, w: int) -> str:
+    h8 = (
+        f"substr(md5('cms' || CAST({row_expr} AS VARCHAR) || ':' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8)"
+    )
+    return f"({_hex32_sql(h8)} % {w})"
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+@_register(
+    "x_cms_user_counts",
+    "count-min sketch per-user event counts vs exact: d x w cell table "
+    "(fixed size regardless of key cardinality, mergeable cell-wise), "
+    "d-probe min estimate, overcount-only guarantee visible against the "
+    "true counts (north-star)",
+    f"""
+    WITH rows AS (SELECT unnest(range(0, {_CMS_D})) AS row),
+    cells AS (SELECT r.row,
+                     {_cms_bucket_sql('r.row', 'e.user_id', _CMS_W)} AS bucket
+              FROM events e CROSS JOIN rows r),
+    sk AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (SELECT k.user_id, r.row,
+                      {_cms_bucket_sql('r.row', 'k.user_id', _CMS_W)} AS bucket
+               FROM keys k CROSS JOIN rows r),
+    est AS (SELECT user_id, min(cnt) AS est
+            FROM probes JOIN sk USING (row, bucket) GROUP BY user_id),
+    tru AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id)
+    SELECT user_id, est, true_cnt FROM est JOIN tru USING (user_id)
+    """,
+)
+def x_cms_user_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sketch = _sk.cms_sketch(ev, "user_id", d=_CMS_D, w=_CMS_W)
+    keys = ev.select("user_id").distinct()
+    est = _sk.cms_estimate(keys, sketch, "user_id", d=_CMS_D, w=_CMS_W)
+    tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return est.join(tru, "user_id").select("user_id", "est", "true_cnt")
+
+
+@_register(
+    "a_funnel_daily",
+    "strictly-ordered daily funnel view -> click -> purchase: per-stage "
+    "first-times via keyed min aggregations + equi-joins (each stage's "
+    "min is conditioned on following the previous stage's time), daily "
+    "user counts + conversion",
+    """
+    WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,
+                      event_type, epoch_ms(ts) AS tms FROM events),
+    v AS (SELECT user_id, dt, min(tms) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT e.user_id, e.dt, min(e.tms) AS t2 FROM e
+          JOIN v ON v.user_id = e.user_id AND v.dt = e.dt
+          WHERE e.event_type = 'click' AND e.tms > v.t1 GROUP BY 1, 2),
+    p AS (SELECT e.user_id, e.dt, min(e.tms) AS t3 FROM e
+          JOIN c ON c.user_id = e.user_id AND c.dt = e.dt
+          WHERE e.event_type = 'purchase' AND e.tms > c.t2 GROUP BY 1, 2)
+    SELECT v.dt,
+           CAST(count(*) AS BIGINT) AS n_view_users,
+           CAST(count(c.t2) AS BIGINT) AS n_click_users,
+           CAST(count(p.t3) AS BIGINT) AS n_purchase_users,
+           round(count(p.t3) * 1.0 / count(*), 4) AS conversion
+    FROM v LEFT JOIN c ON c.user_id = v.user_id AND c.dt = v.dt
+           LEFT JOIN p ON p.user_id = v.user_id AND p.dt = v.dt
+    GROUP BY v.dt
+    """,
+)
+def a_funnel_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        "event_type",
+        F.unix_millis("ts").alias("tms"),
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "dt")
+        .agg(F.min("tms").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, ["user_id", "dt"])
+        .filter(F.col("tms") > F.col("t1"))
+        .groupBy("user_id", "dt")
+        .agg(F.min("tms").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, ["user_id", "dt"])
+        .filter(F.col("tms") > F.col("t2"))
+        .groupBy("user_id", "dt")
+        .agg(F.min("tms").alias("t3"))
+    )
+    return (
+        v.join(c, ["user_id", "dt"], "left")
+        .join(p, ["user_id", "dt"], "left")
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_view_users"),
+            F.count("t2").alias("n_click_users"),
+            F.count("t3").alias("n_purchase_users"),
+            F.round(F.count("t3") / F.count(F.lit(1)), 4).alias("conversion"),
+        )
     )

@@ -66,6 +66,10 @@ CASES = [
     ("x_knn_ivfpq", ["BroadcastHashJoin"], ["CartesianProduct"]),
     ("x_ngram_freq", ["HashAggregate"], ["NestedLoop", "CartesianProduct", "Window"]),
     ("x_boilerplate_score", ["HashAggregate"], ["NestedLoop", "CartesianProduct", "Window"]),
+    # sketch cells via explode (never a key shuffle); probe joins the
+    # broadcast d x w table
+    ("x_cms_user_counts", ["BroadcastHashJoin"], ["NestedLoop", "CartesianProduct"]),
+    ("a_funnel_daily", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
