@@ -112,3 +112,53 @@ def test_simhash_signature_shape_and_identity(spark, texts):
     for i, t in enumerate(texts):
         assert len(sigs[i]) == 16 and set(sigs[i]) <= {"0", "1"}
         assert sigs[i] == sigs[1000 + i]
+
+
+# --- as-of join vs a pure-Python point-in-time reference ---
+
+ASOF_KEY = st.sampled_from(["a", "b", "c"])
+ASOF_ROWS = st.lists(
+    st.tuples(ASOF_KEY, st.integers(min_value=0, max_value=40)),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_asof(left, right, strict):
+    """For each left (k, ts): value of the right row with greatest
+    (ts, ver) such that r_ts <= ts (or < when strict)."""
+    out = []
+    for k, ts in left:
+        best = None  # (r_ts, ver)
+        for j, (rk, r_ts) in enumerate(right):
+            if rk != k:
+                continue
+            if (r_ts < ts) or (not strict and r_ts == ts):
+                if best is None or (r_ts, j) > best:
+                    best = (r_ts, j)
+        out.append((k, ts, None if best is None else f"v{best[1]}"))
+    return out
+
+
+@given(left=ASOF_ROWS, right=ASOF_ROWS, strict=st.booleans())
+@settings(**SETTINGS)
+def test_asof_join_equals_python_reference(spark, left, right, strict):
+    from sparkstreaming_realtime_project_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k string, ts long, lid int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts, i, f"v{i}") for i, (k, ts) in enumerate(right)],
+        "k string, ts long, ver int, val string",
+    )
+    got = asof_join(
+        ldf, rdf, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["val"], strict=strict, tiebreak=["ver"],
+    )
+    got_map = {r["lid"]: r["val"] for r in got.collect()}
+    for (k, ts, want), (_, _, lid) in zip(
+        _py_asof(left, right, strict),
+        [(k, ts, i) for i, (k, ts) in enumerate(left)],
+    ):
+        assert got_map[lid] == want, (k, ts, strict)
