@@ -82,3 +82,55 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, m: int = 64, salt: str = "hll"
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``key_col`` as a 1-row
+    frame (``hll_estimate``). The streaming/mergeable answer to
+    count(DISTINCT …): register state is m integers (merge = cell-wise
+    max), one linear pass, no distinct shuffle of the key domain.
+
+    Determinism across engines (what makes the SQL oracle exact, not
+    approximately-equal): the register index and the rank are INTEGER
+    functions of the portable md5 hash — rank uses the binary-string
+    length of the remaining 26 bits (``bin``/``printf('%b')``), never
+    float log2 — and 2^-M terms are exact IEEE powers of two, so the
+    only float work is one 64-term sum + the alpha correction, rounded
+    to 4 decimals on both sides.
+
+    Standard Flajolet small-range correction (linear counting when
+    raw <= 2.5m and empty registers exist); alpha is the m=64 constant.
+    Error ~1.04/sqrt(m) — m is the accuracy/state knob.
+    """
+    if m != 64:
+        raise ValueError("m=64 is the supported register count (alpha pinned)")
+    alpha = 0.709
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    # low 6 bits pick the register; the remaining 26 bits feed the rank
+    reg = F.pmod(h32, F.lit(m))
+    w = F.floor(h32 / F.lit(m)).cast("bigint")  # exact: h32 < 2^32 << 2^53
+    rank = F.when(w == 0, F.lit(27)).otherwise(F.lit(27) - F.length(F.bin(w)))
+    regs = (
+        df.select(reg.alias("reg"), rank.alias("rank"))
+        .groupBy("reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    spine = df.sparkSession.range(m).select(F.col("id").alias("reg"))
+    full = spine.join(regs, "reg", "left").select(
+        F.coalesce(F.col("mx"), F.lit(0)).alias("mx")
+    )
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("z"),
+        F.sum((F.col("mx") == 0).cast("int")).alias("zeros"),
+    )
+    raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / F.col("z")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+    return agg.select(
+        F.round(
+            F.when((raw <= 2.5 * m) & (F.col("zeros") > 0), linear).otherwise(raw),
+            4,
+        ).alias("hll_estimate")
+    )

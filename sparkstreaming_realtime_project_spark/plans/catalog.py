@@ -2546,6 +2546,43 @@ def x_cms_user_counts(spark, sf_dir):
 
 
 @_register(
+    "x_hll_distinct_users",
+    "HyperLogLog distinct-user estimate vs exact: 64 max-rank registers "
+    "(fixed-size mergeable state, no distinct shuffle of the key domain), "
+    "integer-only register/rank math over the portable md5 hash so the "
+    "oracle is exact, Flajolet linear-counting small-range correction "
+    "(north-star)",
+    f"""
+    WITH h AS (SELECT substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)
+                      AS h8 FROM events),
+    b AS (SELECT ({_hex32_sql('h8')} % 64) AS reg,
+                 ({_hex32_sql('h8')} // 64) AS w FROM h),
+    r AS (SELECT reg,
+                 max(CASE WHEN w = 0 THEN 27
+                          ELSE 27 - length(bin(w)) END) AS mx
+          FROM b GROUP BY reg),
+    spine AS (SELECT unnest(range(0, 64)) AS reg),
+    regs AS (SELECT coalesce(r.mx, 0) AS mx
+             FROM spine s LEFT JOIN r ON r.reg = s.reg),
+    agg AS (SELECT sum(pow(2.0, -mx)) AS z,
+                   sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM regs)
+    SELECT round(CASE WHEN (0.709 * 64 * 64 / z) <= 160.0 AND zeros > 0
+                      THEN 64.0 * ln(64.0 / zeros)
+                      ELSE 0.709 * 64 * 64 / z END, 4) AS hll_estimate,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS true_distinct
+    FROM agg
+    """,
+)
+def x_hll_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    est = _sk.hll_estimate(ev, "user_id", m=64)
+    tru = ev.agg(F.count_distinct("user_id").alias("true_distinct"))
+    return est.crossJoin(tru)
+
+
+@_register(
     "a_funnel_daily",
     "strictly-ordered daily funnel view -> click -> purchase: per-stage "
     "first-times via keyed min aggregations + equi-joins (each stage's "
