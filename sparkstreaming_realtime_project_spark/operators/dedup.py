@@ -668,3 +668,87 @@ def containment_dedup_pairs(
     pairs.count()
     shingled.unpersist()
     return pairs
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    key_len: int = 80,
+) -> DataFrame:
+    """Fuzzy (Levenshtein) near-dup pairs over a bounded key — the
+    entity-resolution flavor of dedup (typo'd titles, re-keyed names,
+    URL slugs) the set-similarity paths can't express. ED-Join-style
+    symmetric prefix filter (Xiao et al., VLDB'08), EXACT — no recall
+    trade:
+
+    - key   = first ``key_len`` chars of lower(text): edit distance is
+      O(len^2) per verify, so fuzzy matching runs on a bounded prefix
+      key (the practical shape: titles/names/URLs), never whole docs.
+    - grams = positional character q-grams of the key. One edit op
+      destroys at most q gram occurrences, so ed(s,t) <= d implies the
+      gram multisets differ by at most d*q occurrences.
+    - prefix = each key's d*q+1 gram occurrences that rank FIRST in the
+      global (df, gram, pos) order. Completeness: let v* be the
+      smallest shared gram value (global (df, gram) order) of a pair
+      within distance d. Every occurrence ranked before v*'s first
+      occurrence has a value the other string lacks entirely, and there
+      can be at most d*q such occurrences — so v*'s first occurrence
+      sits inside BOTH prefixes and the equi-join on gram value finds
+      the pair. Rarest-first ordering simultaneously makes the join
+      fan-out concentrate on low-df grams (sum df_prefix(g)^2, not
+      sum df(g)^2) — the same economics as the PPJoin prefix above.
+    - length filter |len_a - len_b| <= d prunes at the join; the final
+      ``levenshtein`` verify runs only on surviving candidates, so
+      reported distances are exact.
+
+    Shuffles: gram df count, df join-back + per-id window, candidate
+    equi-join on gram, verify join-back — all keyed, no cartesian.
+    Returns (doc_a, doc_b, dist), doc_a < doc_b, dist <= max_dist.
+    """
+    from pyspark.sql.window import Window
+
+    keys = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.lower(F.col(text_col)), 1, key_len).alias("k"),
+    ).withColumn("len", F.length("k"))
+    grams = keys.select(
+        "id",
+        "len",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(len - {q - 1}, 1)),"
+                f" i -> substring(k, i, {q}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dftab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy("id").orderBy("gdf", "gram", "pos")
+    prefix = (
+        grams.join(dftab, "gram")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_dist * q + 1)
+        .select("id", "len", "gram")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    ka = keys.select(F.col("id").alias("doc_a"), F.col("k").alias("ka"))
+    kb = keys.select(F.col("id").alias("doc_b"), F.col("k").alias("kb"))
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .withColumn("dist", F.levenshtein("ka", "kb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )

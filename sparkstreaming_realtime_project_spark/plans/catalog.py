@@ -2178,6 +2178,44 @@ def x_dedup_containment(spark, sf_dir):
 
 
 @_register(
+    "x_dedup_edit_distance",
+    "Levenshtein near-dup pairs on a bounded 80-char key: ED-Join "
+    "symmetric prefix filter (rarest d*q+1 gram occurrences per key, "
+    "global (df,gram) order) — EXACT candidate generation, length "
+    "filter at the join, levenshtein verify on candidates only "
+    "(north-star)",
+    """
+    WITH keys AS (SELECT doc_id AS id, substr(lower(text), 1, 80) AS k,
+                         length(substr(lower(text), 1, 80)) AS len
+                  FROM documents),
+    g AS (SELECT id, len, t.i AS pos, substr(k, CAST(t.i AS INT), 3) AS gram
+          FROM keys, LATERAL (SELECT unnest(range(1, greatest(len - 2, 1)
+                                                  + 1)) AS i) t),
+    d AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram),
+    p AS (SELECT g.id, g.len, g.gram,
+                 row_number() OVER (PARTITION BY g.id
+                                    ORDER BY d.gdf, g.gram, g.pos) AS rk
+          FROM g JOIN d USING (gram)),
+    pre AS (SELECT id, len, gram FROM p WHERE rk <= 7),
+    cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+             FROM pre a JOIN pre b
+             ON a.gram = b.gram AND a.id < b.id
+                AND abs(a.len - b.len) <= 2),
+    v AS (SELECT doc_a, doc_b, levenshtein(ka.k, kb.k) AS dist
+          FROM cand JOIN keys ka ON ka.id = doc_a
+                    JOIN keys kb ON kb.id = doc_b)
+    SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist FROM v WHERE dist <= 2
+    """,
+)
+def x_dedup_edit_distance(spark, sf_dir):
+    pairs = _dd.edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_dist=2, q=3, key_len=80,
+    )
+    return pairs.select("doc_a", "doc_b", F.col("dist").cast("bigint").alias("dist"))
+
+
+@_register(
     "x_inverted_index",
     "posting-list inverted index: per-term df, total tf, and the first "
     "20 doc ids as a serialized posting sample — cap applied BEFORE any "
@@ -2645,4 +2683,105 @@ def a_funnel_daily(spark, sf_dir):
             F.count("t3").alias("n_purchase_users"),
             F.round(F.count("t3") / F.count(F.lit(1)), 4).alias("conversion"),
         )
+    )
+
+
+@_register(
+    "a_grouping_sets",
+    "multi-level aggregate in ONE pass: GROUPING SETS ((status,priority),"
+    "(status),()) with grouping_id disambiguating subtotal NULLs — the "
+    "serving-layer drilldown shape (total + per-status + per-cell) "
+    "without three scans or a union",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS ct,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def a_grouping_sets(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("ct"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "gid",
+            "ct",
+            "sum_price",
+        )
+    )
+
+
+_PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@_register(
+    "a_pivot_daily_types",
+    "daily event matrix via pivot with EXPLICIT value list (no extra "
+    "distinct-values job at scale) — one shuffle on dt, per-type counts "
+    "as map-side conditional partials",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           {", ".join(
+               f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+               f" AS n_{t}" for t in _PIVOT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def a_pivot_daily_types(spark, sf_dir):
+    piv = (
+        _t(spark, sf_dir, "events")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type")
+        .groupBy("dt")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "dt",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES],
+    )
+
+
+@_register(
+    "w_event_gap_stats",
+    "per-user inter-event gaps via lag over (ts, event_id) — the "
+    "sessionization primitive: one window shuffle keyed on user, "
+    "deterministic tiebreak, gap stats aggregated map-side",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+    g AS (SELECT user_id,
+                 tms - lag(tms) OVER (PARTITION BY user_id
+                                      ORDER BY tms, event_id) AS gap
+          FROM e)
+    SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(avg(gap / 1000.0), 4) AS avg_gap_s,
+           round(max(gap / 1000.0), 4) AS max_gap_s
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+)
+def w_event_gap_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("tms")
+    )
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    g = e.select(
+        "user_id", (F.col("tms") - F.lag("tms").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.round(F.avg(F.col("gap") / 1000.0), 4).alias("avg_gap_s"),
+        F.round(F.max(F.col("gap") / 1000.0), 4).alias("max_gap_s"),
     )

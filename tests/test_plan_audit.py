@@ -70,6 +70,9 @@ CASES = [
     # broadcast d x w table
     ("x_cms_user_counts", ["BroadcastHashJoin"], ["NestedLoop", "CartesianProduct"]),
     ("a_funnel_daily", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
+    # ED-Join prefix rank is a per-id window; candidates come from the
+    # gram equi-join (id/length predicates ride along), never a theta join
+    ("x_dedup_edit_distance", ["Window"], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
