@@ -143,3 +143,100 @@ def quota_per_key(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def sessionize(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization with CLOSED-session emission — the
+    streaming twin of the batch ``session_window`` entry
+    (o_session_window), expressed as an explicit per-key state machine
+    so the close condition is visible and extensible (built-in session
+    windows can't, e.g., cap session length or carry custom per-session
+    aggregates).
+
+    Semantics: per key, events closer than ``gap_minutes`` chain into
+    one session. A session is emitted EXACTLY when it closes:
+    - in-trigger, when a later event arrives more than the gap after the
+      running session's end (the close is decided by data), or
+    - by event-time timeout, when the watermark passes session_end + gap
+      (the close is decided by time passing — state is evicted with the
+      emission, so idle keys hold no state).
+    Sessions still open at end-of-stream are never emitted (append-mode
+    contract). Out-of-order events within the watermark merge into the
+    running session (start/end expand to cover them); events older than
+    the watermark are dropped by Spark before reaching the operator.
+
+    Output: key cols + (start_ms, end_ms, n_events) as epoch millis —
+    stable across engines/timezones, per the repo's no-raw-timestamp
+    output rule.
+
+    Scale: state is 3 longs per OPEN session (bounded by active keys,
+    not history); sessions close and evict as the watermark advances.
+    ``stream`` must already carry a watermark on ``ts_col``.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+    key_fields = [stream.schema[k] for k in key_cols]
+    out_schema = StructType(
+        list(key_fields)
+        + [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(key, pdf_iter, state: GroupState):
+        def emit(rows):
+            return iter(
+                (pd.DataFrame([list(key) + list(r) for r in rows],
+                              columns=out_cols),)
+            )
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            return emit([(start, end, n)])
+        ts = sorted(
+            int(pd.Timestamp(t).value // 1_000_000)
+            for pdf in pdf_iter
+            for t in pdf[ts_col]
+        )
+        if not ts:
+            return iter(())
+        closed = []
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = ts[0], ts[0], 0
+        for t in ts:
+            if n > 0 and t - end > gap_ms:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                start, end, n = min(start, t), max(end, t), n + 1
+        state.update((start, end, n))
+        # the timeout must sit beyond the current watermark; a session
+        # already older than the watermark closes at the next possible tick
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(end + gap_ms, wm + 1))
+        return emit(closed) if closed else iter(())
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -695,3 +695,60 @@ def test_quota_per_key_caps_across_batches(spark, tmp_path):
     # A: quota 2 -> the two lowest-ts batch-1 rows; batch-2 rows dropped.
     # B: one per batch, both under quota.
     assert got == {("A", 2), ("A", 3), ("B", 10), ("B", 11)}
+
+
+def test_sessionize_gap_sessions_across_batches(spark, tmp_path):
+    """Gap sessionization: an in-batch gap closes a session immediately;
+    watermark passage closes idle sessions via event-time timeout;
+    sessions still open at end-of-stream are never emitted."""
+    from sparkstreaming_realtime_project_spark.streaming.stateful import (
+        sessionize,
+    )
+
+    base = fx.D1_10
+    mn = 60 * 1000
+    mk = lambda u, i, ts: json.dumps({"user": u, "event_id": i, "ts": ts})
+    in_dir = tmp_path / "in"
+    fx._write_batches(str(in_dir), [
+        # A: two events 10min apart, then one 2h later -> the first
+        # session closes IN-BATCH when the 2h event arrives.
+        [mk("A", 1, base), mk("A", 2, base + 10 * mn),
+         mk("A", 3, base + 120 * mn),
+         mk("B", 10, base)],
+        # B extends its session (10min gap); C's far-future event drags
+        # the watermark to base+10h-3h = base+7h.
+        [mk("B", 11, base + 10 * mn), mk("C", 20, base + 600 * mn)],
+        # dummy tick: the next trigger fires the now-expired timeouts
+        # for A's pending session and B's session. C stays open forever.
+        [mk("C", 21, base + 601 * mn)],
+    ])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    schema = "user string, event_id long, ts long"
+    events = (
+        text_stream(spark, str(in_dir), max_files_per_trigger=1)
+        .select(F.from_json("value", schema).alias("j"))
+        .select("j.user", "j.event_id", F.timestamp_millis("j.ts").alias("event_ts"))
+        .withWatermark("event_ts", "3 hours")
+    )
+    sessions = sessionize(events, ["user"], "event_ts", gap_minutes=30)
+    q = (
+        sessions.writeStream.foreachBatch(
+            lambda b, i: b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        (r["user"], r["start_ms"], r["end_ms"], r["n_events"])
+        for r in read_sink(spark, out).collect()
+    }
+    assert got == {
+        ("A", base, base + 10 * mn, 2),          # closed by the in-batch gap
+        ("A", base + 120 * mn, base + 120 * mn, 1),  # closed by timeout
+        ("B", base, base + 10 * mn, 2),          # cross-batch merge, timeout
+    }
