@@ -703,9 +703,19 @@ def edit_distance_pairs(
     - length filter |len_a - len_b| <= d prunes at the join; the final
       ``levenshtein`` verify runs only on surviving candidates, so
       reported distances are exact.
+    - SHORT keys: the shared-gram guarantee needs max(len_a, len_b) >=
+      q*(d+1) (the count filter (max_len - q + 1) - d*q >= 1); a pair
+      of shorter keys can be within distance d yet share zero grams
+      ('' vs 'a'). Keys with len < q*(d+1) take a separate length-banded
+      path: each emits d+1 probe lengths [len..len+d] and equi-joins the
+      other side's exact length — still an equi-join, and the short-key
+      population is alphabet-bounded (len < q*(d+1) chars), so the
+      band fan-out cannot grow with corpus size the way the output
+      itself doesn't.
 
     Shuffles: gram df count, df join-back + per-id window, candidate
-    equi-join on gram, verify join-back — all keyed, no cartesian.
+    equi-join on gram, short-band equi-join, verify join-back — all
+    keyed, no cartesian.
     Returns (doc_a, doc_b, dist), doc_a < doc_b, dist <= max_dist.
     """
     from pyspark.sql.window import Window
@@ -733,16 +743,30 @@ def edit_distance_pairs(
         .select("id", "len", "gram")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
-        )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
+    gram_cand = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
+    ).select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    shorts = keys.select("id", "len").filter(F.col("len") < q * (max_dist + 1))
+    sp = shorts.select(
+        "id",
+        "len",
+        F.explode(
+            F.sequence(F.col("len"), F.col("len") + F.lit(max_dist))
+        ).alias("probe"),
     )
+    short_cand = (
+        sp.alias("sa")
+        .join(shorts.alias("sb"), F.col("sa.probe") == F.col("sb.len"))
+        .filter(F.col("sa.id") != F.col("sb.id"))
+        .select(
+            F.least("sa.id", "sb.id").alias("doc_a"),
+            F.greatest("sa.id", "sb.id").alias("doc_b"),
+        )
+    )
+    cand = gram_cand.unionByName(short_cand).distinct()
     ka = keys.select(F.col("id").alias("doc_a"), F.col("k").alias("ka"))
     kb = keys.select(F.col("id").alias("doc_b"), F.col("k").alias("kb"))
     return (

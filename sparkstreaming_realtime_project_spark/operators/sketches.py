@@ -134,3 +134,60 @@ def hll_estimate(
             4,
         ).alias("hll_estimate")
     )
+
+
+def quantile_hist(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    qs: list[float],
+) -> DataFrame:
+    """Quantile estimates from a fixed-width histogram sketch — the
+    mergeable/streaming answer to exact percentiles (a_percentiles):
+    the histogram is a (bin, count) table of FIXED size (value range /
+    width), mergeable across partitions/days by summing counts, and the
+    value column itself is never shuffled or sorted — exact quantiles
+    need a full sort or percentile agg over every value; the sketch
+    needs one narrow floor() projection and a bin-domain groupBy.
+
+    Estimator (count-based, deterministic): target rank = ceil(q * N);
+    the answer bin is the first with cumulative count >= target;
+    estimate = bin_lo + width * (target - cum_before) / bin_count
+    (linear interpolation within the bin). Everything up to the final
+    interpolation is integer math on bin counts, so a SQL oracle
+    replays it exactly; error is bounded by ``width`` (the knob).
+
+    The cumulative walk runs on the BIN table (range/width rows, not N)
+    — the single-partition window there is deliberate and cheap.
+    Returns (q, est) per requested quantile.
+    """
+    from pyspark.sql.window import Window
+
+    bins = (
+        df.select(F.floor(F.col(value_col) / width).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("b")
+    walk = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "prev", F.coalesce(F.lag("cum").over(w), F.lit(0))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n"))
+    qdf = walk.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    ).crossJoin(F.broadcast(total))
+    probe = qdf.withColumn("target", F.ceil(F.col("q") * F.col("n")))
+    return (
+        probe.join(
+            F.broadcast(walk),
+            (F.col("prev") < F.col("target")) & (F.col("target") <= F.col("cum")),
+        )
+        .select(
+            "q",
+            F.round(
+                F.col("b") * width
+                + width * (F.col("target") - F.col("prev")) / F.col("cnt"),
+                4,
+            ).alias("est"),
+        )
+    )

@@ -487,3 +487,31 @@ def boilerplate_score(
             ),
         )
     )
+
+
+def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonicalize text for exact dedup: lowercase, map non-printable /
+    non-ASCII bytes to spaces, collapse whitespace runs, trim — the
+    normalization pass that runs BEFORE hash-dedup so trivially-mangled
+    re-crawls (casing, stray control chars, reflowed whitespace)
+    collapse onto one md5 key. Everything is a narrow regexp projection
+    (scan-speed, no shuffle); the returned norm_hash is the key
+    dedup_exact groups on.
+
+    Regexes are shared Java/RE2 syntax (char-class ranges + \\s) so a
+    SQL oracle replays them byte-for-byte.
+
+    Returns (id, norm_hash, n_chars_norm).
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^\\x20-\\x7e]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("n_chars_norm"),
+    )

@@ -2197,10 +2197,18 @@ def x_dedup_containment(spark, sf_dir):
                                     ORDER BY d.gdf, g.gram, g.pos) AS rk
           FROM g JOIN d USING (gram)),
     pre AS (SELECT id, len, gram FROM p WHERE rk <= 7),
-    cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-             FROM pre a JOIN pre b
-             ON a.gram = b.gram AND a.id < b.id
-                AND abs(a.len - b.len) <= 2),
+    shorts AS (SELECT id, len FROM keys WHERE len < 9),
+    sp AS (SELECT id, len, len + t.d AS probe
+           FROM shorts, LATERAL (SELECT unnest(range(0, 3)) AS d) t),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.id AS doc_a, b.id AS doc_b
+        FROM pre a JOIN pre b
+        ON a.gram = b.gram AND a.id < b.id AND abs(a.len - b.len) <= 2
+        UNION ALL
+        SELECT least(sa.id, sb.id) AS doc_a, greatest(sa.id, sb.id) AS doc_b
+        FROM sp sa JOIN shorts sb ON sa.probe = sb.len AND sa.id <> sb.id
+      )),
     v AS (SELECT doc_a, doc_b, levenshtein(ka.k, kb.k) AS dist
           FROM cand JOIN keys ka ON ka.id = doc_a
                     JOIN keys kb ON kb.id = doc_b)
@@ -2784,4 +2792,85 @@ def w_event_gap_stats(spark, sf_dir):
         F.count("gap").alias("n_gaps"),
         F.round(F.avg(F.col("gap") / 1000.0), 4).alias("avg_gap_s"),
         F.round(F.max(F.col("gap") / 1000.0), 4).alias("max_gap_s"),
+    )
+
+
+_QH_W, _QH_QS = 5.0, [0.5, 0.9, 0.95, 0.99]
+
+
+@_register(
+    "x_quantile_hist",
+    "histogram-sketch quantiles (p50/p90/p95/p99) vs the fixed-width "
+    "mergeable bin table: value column never sorted or shuffled, "
+    "count-based rank walk on the bin domain, width-bounded error "
+    "(north-star)",
+    f"""
+    WITH bins AS (SELECT CAST(floor(value / {_QH_W}) AS BIGINT) AS b,
+                         count(*) AS cnt
+                  FROM events GROUP BY 1),
+    walk AS (SELECT b, cnt,
+                    sum(cnt) OVER (ORDER BY b) AS cum,
+                    coalesce(sum(cnt) OVER (ORDER BY b ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+             FROM bins),
+    n AS (SELECT count(*) AS n FROM events),
+    probe AS (SELECT q, CAST(ceil(q * n.n) AS BIGINT) AS target
+              FROM (SELECT CAST(unnest({_QH_QS}) AS DOUBLE) AS q), n)
+    SELECT q, round(b * {_QH_W} + {_QH_W} * (target - prev) / cnt, 4) AS est
+    FROM probe JOIN walk ON walk.prev < probe.target
+                        AND probe.target <= walk.cum
+    """,
+)
+def x_quantile_hist(spark, sf_dir):
+    return _sk.quantile_hist(
+        _t(spark, sf_dir, "events"), "value", width=_QH_W, qs=_QH_QS
+    )
+
+
+@_register(
+    "x_text_normalize",
+    "canonicalize-then-hash: lowercase, non-printables to spaces, "
+    "whitespace collapse, md5 key — the narrow normalization pass ahead "
+    "of exact dedup (north-star)",
+    r"""
+    SELECT doc_id AS id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^\x20-\x7e]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+               '[^\x20-\x7e]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT)
+               AS n_chars_norm
+    FROM documents
+    """,
+)
+def x_text_normalize(spark, sf_dir):
+    out = _ts.normalize_text(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select("id", "norm_hash", F.col("n_chars_norm").cast("bigint").alias("n_chars_norm"))
+
+
+@_register(
+    "a_dau_cumulative",
+    "cumulative new-user curve: first-seen date per user (one keyed "
+    "agg), daily new-user counts, running total via an ordered window "
+    "over the DATE domain (days, not rows — the single-partition window "
+    "is deliberate and tiny)",
+    """
+    WITH f AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS dt
+               FROM events GROUP BY user_id),
+    d AS (SELECT dt, count(*) AS new_users FROM f GROUP BY dt)
+    SELECT dt, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY dt) AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def a_dau_cumulative(spark, sf_dir):
+    f = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .groupBy("user_id")
+        .agg(F.min("dt").alias("dt"))
+    )
+    d = f.groupBy("dt").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("dt")
+    return d.select(
+        "dt", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )

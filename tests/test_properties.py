@@ -162,3 +162,62 @@ def test_asof_join_equals_python_reference(spark, left, right, strict):
         [(k, ts, i) for i, (k, ts) in enumerate(left)],
     ):
         assert got_map[lid] == want, (k, ts, strict)
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+# strings built from a tiny alphabet with random point mutations so
+# near-duplicate pairs (the interesting case) actually occur
+_BASE = st.text(alphabet="abcx ", min_size=0, max_size=24)
+
+
+@st.composite
+def _mutated_corpus(draw):
+    base = draw(st.lists(_BASE, min_size=2, max_size=8))
+    out = list(base)
+    for s in base:
+        if draw(st.booleans()) and s:
+            i = draw(st.integers(0, len(s) - 1))
+            op = draw(st.sampled_from(["del", "sub", "ins"]))
+            if op == "del":
+                out.append(s[:i] + s[i + 1 :])
+            elif op == "sub":
+                out.append(s[:i] + "z" + s[i + 1 :])
+            else:
+                out.append(s[:i] + "z" + s[i:])
+    return out
+
+
+@given(texts=_mutated_corpus(), max_dist=st.integers(1, 2))
+@settings(**SETTINGS)
+def test_edit_distance_pairs_equal_brute_force(spark, texts, max_dist):
+    """The ED-Join symmetric prefix filter is EXACT: the bucketed plan's
+    pair set must equal brute-force all-pairs Levenshtein — no recall
+    loss from prefix selection, length filter, or gram join."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dd.edit_distance_pairs(
+            df, "text", "doc_id", max_dist=max_dist, q=2, key_len=30
+        ).collect()
+    }
+    keys = [t.lower()[:30] for t in texts]
+    want = set()
+    for a in range(len(keys)):
+        for b in range(a + 1, len(keys)):
+            d = _py_lev(keys[a], keys[b])
+            if d <= max_dist:
+                want.add((a, b, d))
+    assert got == want
