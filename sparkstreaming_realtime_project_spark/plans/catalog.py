@@ -2874,3 +2874,90 @@ def a_dau_cumulative(spark, sf_dir):
     return d.select(
         "dt", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@_register(
+    "q3_shipping_priority",
+    "three-way join + filtered agg + deterministic top-10: segment dim "
+    "filter pushed to the customer scan, date filters pushed to both "
+    "fact scans, revenue agg keyed on (orderkey, date, priority), "
+    "explicit tiebreak so LIMIT is engine-stable",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_dt,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, order_dt, o_orderpriority
+    ORDER BY revenue DESC, order_dt, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_dt"),
+            "o_orderpriority",
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "order_dt", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "order_dt", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_dt", "o_orderpriority")
+    )
+
+
+@_register(
+    "x_anomaly_zscore",
+    "per-type z-score outliers: one pass for group moments (avg, "
+    "stddev_samp), broadcast moment table back, flag |z| > 2.5 on the "
+    "ROUNDED score so the threshold cut is engine-stable",
+    """
+    WITH s AS (SELECT event_type, avg(value) AS m,
+                      stddev_samp(value) AS sd
+               FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type,
+           round((value - m) / sd, 4) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs(round((value - m) / sd, 4)) > 2.5
+    """,
+)
+def x_anomaly_zscore(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("sd"), 4)
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "z")
+    )

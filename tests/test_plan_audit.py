@@ -73,6 +73,10 @@ CASES = [
     # ED-Join prefix rank is a per-id window; candidates come from the
     # gram equi-join (id/length predicates ride along), never a theta join
     ("x_dedup_edit_distance", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    # top-10 must be TakeOrdered (per-partition heads), never a global Sort+Limit
+    ("q3_shipping_priority", ["TakeOrderedAndProject", "BroadcastHashJoin"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("x_anomaly_zscore", ["BroadcastHashJoin"], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
