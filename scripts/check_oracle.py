@@ -1,0 +1,48 @@
+"""Driver-replica correctness check: run every catalog entry's Spark plan
+and DuckDB oracle SQL at a given sf dir and report mismatches.
+
+Usage: python scripts/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from sparkstreaming_realtime_project_spark.plans import catalog
+from sparkstreaming_realtime_project_spark.session import get_spark
+from tests.oracle import compare, duck_connection
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(sf_dir)
+    bad = []
+    for spec in catalog.registry():
+        t0 = time.time()
+        try:
+            df = spec.spark(spark, sf_dir)
+            if spec.sql is None:
+                n = df.count()
+                status, msg = True, f"rows_only n={n}"
+            else:
+                status, msg = compare(df, con, spec.sql)
+        except Exception as e:  # noqa: BLE001 - report, keep going
+            status, msg = False, f"EXC {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        print(f"{'ok ' if status else 'FAIL'} {spec.name:32s} {dt:6.2f}s {msg if not status else ''}")
+        sys.stdout.flush()
+        if not status:
+            bad.append((spec.name, msg))
+    print(json.dumps({"failed": [b[0] for b in bad], "n": len(catalog.registry())}))
+    if bad:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

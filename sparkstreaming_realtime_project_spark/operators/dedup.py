@@ -776,3 +776,90 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring span detection: for every document, the
+    maximal token spans whose every k-token window also appears in at
+    least ``min_docs - 1`` OTHER documents — the substring-level dedup
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), where a suffix array finds duplicated
+    spans that document-level MinHash misses (boilerplate headers,
+    license blocks, templated paragraphs).
+
+    Spark-first shape (no suffix array needed for the windowed variant):
+
+    1. narrow: tokenize, keep docs with >= k tokens, project every
+       k-gram START position with the gram's md5 — one pass over the
+       token array (``transform`` over ``sequence``), never re-tokenized
+       per gram (see shingles_from_tokens on why the token array must be
+       a materialized column);
+    2. one shuffle: groupBy(gram) -> distinct-doc count; grams seen in
+       >= min_docs docs are "duplicated" (md5 keys, uniform — no skew);
+    3. one broadcast-able join: gram starts x duplicated grams (the
+       duplicated-gram table is corpus-repetition-sized, far smaller
+       than the gram table);
+    4. per-doc window: merge overlapping/adjacent covered intervals
+       [pos, pos+k-1] into maximal spans (gaps-and-islands; partitioned
+       by doc — each task sees one doc's hit list, never the corpus).
+
+    At 100 TB the gram explode is the dominant cost (x ~n_tokens rows),
+    the same footprint as the shingle path MinHash already pays; the
+    span-merge window is per-doc-bounded. Output: one row per maximal
+    duplicated span (doc_id, span_start, span_end, n_grams), token
+    positions 1-based inclusive.
+    """
+    from pyspark.sql.window import Window
+
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    grams = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        islands.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )

@@ -191,3 +191,100 @@ def salted_join(
     replicate = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     rsalted = right.withColumn("__salt", replicate)
     return lsalted.join(rsalted, on=on + ["__salt"], how=how).drop("__salt")
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 13, k_hashes: int = 5
+) -> list[int]:
+    """Build an ``m_bits`` bloom filter over the key set, returned as
+    ``m_bits/64`` little-endian 64-bit words (a driver-side model, like
+    IVF centroids: the filter is dim-table-sized metadata, never data).
+
+    Built with one Spark aggregation: each key projects its k bit
+    positions (``pmod(xxhash64(key, seed_j), m)``), positions fold into
+    (word, mask) pairs, and ``bit_or`` merges masks per word — at most
+    m/64 rows cross to the driver regardless of key count. Size
+    ``m_bits ~ 10 x n_keys`` for ~1% false positives (k=5 near-optimal
+    at that ratio).
+    """
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(F.col("pos"), 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[int(r["word"])] = int(r["bits"])
+    return arr
+
+
+def bloom_might_contain(
+    key: Column, bitmap: list[int], m_bits: int, k_hashes: int = 5
+) -> Column:
+    """Membership predicate against a bloom_bitmap: true iff all k bits
+    are set. Pure JVM-side expression (array literal + bit math) — stays
+    inside whole-stage codegen, evaluated during the SCAN, before any
+    shuffle."""
+    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    checks = []
+    for j in range(k_hashes):
+        p = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, 64).cast("int")
+        )
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 13,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Semi-join ``fact`` to ``dim_keys`` with a bloom-filter scan prune:
+    the filter (built once, driver-side, dim-sized) eliminates ~all
+    non-matching fact rows DURING the scan, so the exact left-semi join
+    that follows shuffles only survivors (true matches + ~1% false
+    positives) instead of the full fact table. The final semi join makes
+    the result exact — bloom false positives cost only bytes, never
+    correctness.
+
+    This is the explicit, engine-portable form of what DPP / runtime
+    bloom filters (spark.sql.optimizer.runtime.bloomFilter.enabled) do
+    opportunistically: at 100 TB the win is shuffling ~selectivity of
+    the fact table rather than all of it. Keep the dim side semi-join
+    broadcast-able when small; Catalyst picks BroadcastHashJoin on the
+    survivor join automatically under the thresholds.
+    """
+    bits = bloom_bitmap(dim_keys, dim_key, m_bits, k_hashes)
+    pruned = fact.filter(
+        bloom_might_contain(F.col(fact_key), bits, m_bits, k_hashes)
+    )
+    return pruned.join(
+        dim_keys.withColumnRenamed(dim_key, fact_key).select(fact_key).distinct(),
+        on=fact_key,
+        how="left_semi",
+    )

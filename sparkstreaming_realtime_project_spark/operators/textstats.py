@@ -515,3 +515,44 @@ def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(norm).alias("norm_hash"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document unigram-LM quality score: the mean token negative
+    log-probability under the corpus' own unigram model — the cheap,
+    model-free stand-in for the perplexity filters of CCNet/Gopher
+    (docs scoring far above the corpus mean are gibberish/OCR noise;
+    far below are boilerplate). Higher = more surprising.
+
+    Three shuffles, all map-side-partial and all on uniform keys:
+    per-doc term counts (doc_id, term), the vocabulary fold (term), and
+    the final per-doc fold (doc_id). The corpus total is a scalar
+    carried in via a broadcast cross-join (one row), and the
+    term-probability join keys on `term` — vocabulary-sized, orders of
+    magnitude under the corpus, and skew-free after the tf pre-fold
+    (each doc contributes a term at most once to the join).
+    """
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    tf = (
+        src.select("doc_id", F.explode(tokens_expr("__text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("__total"))
+    scored = tf.join(vocab, "term").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("__total")))
+                / F.sum("tf"),
+                4,
+            ).alias("avg_neg_logp"),
+        )
+        .select("doc_id", "n_tokens", "avg_neg_logp")
+    )

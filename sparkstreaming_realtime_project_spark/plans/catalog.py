@@ -2961,3 +2961,134 @@ def x_anomaly_zscore(spark, sf_dir):
         .filter(F.abs(F.col("z")) > 2.5)
         .select("event_id", "event_type", "z")
     )
+
+
+@_register(
+    "x_dup_spans",
+    "exact repeated-substring span detection (Lee et al. 2021 windowed "
+    "variant): k-gram md5 -> distinct-doc count -> per-doc interval "
+    "merge; the substring-level dedup signal MinHash misses (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    gl AS (SELECT doc_id,
+                  [md5(array_to_string(t[i:i+7], ' ')) FOR i IN range(1, len(t) - 6)] AS gs
+           FROM toks WHERE len(t) >= 8),
+    grams AS (SELECT doc_id, unnest(gs) AS g,
+                     unnest(range(1, len(gs) + 1)) AS pos
+              FROM gl),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + 8 THEN 1
+                        ELSE 0 END AS new_span
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sp AS (SELECT doc_id, pos,
+                  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS span_id
+           FROM isl)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           count(*) AS n_grams
+    FROM sp GROUP BY doc_id, span_id
+    """.replace("{toks}", _TOKS_SQL),
+)
+def x_dup_spans(spark, sf_dir):
+    return _dd.duplicate_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, min_docs=2
+    )
+
+
+# Bloom prune: suppliers from 3 of the 25 synthetic nations (~12 of 100
+# keys) — the filter kills ~88% of lineitem during the scan, the exact
+# semi join then only shuffles survivors.
+_BLOOM_NATIONS = "('NATION_3', 'NATION_7', 'NATION_11')"
+
+
+@_register(
+    "j_bloom_prune",
+    "bloom-filter-pruned semi join: dim-sized bitset prunes the fact "
+    "SCAN before the shuffle, exact left-semi on survivors (the explicit "
+    "form of runtime bloom-filter join pruning; J-group extension)",
+    f"""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN {_BLOOM_NATIONS})
+    GROUP BY l_returnflag
+    """,
+)
+def j_bloom_prune(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    nations = [n.strip(" '") for n in _BLOOM_NATIONS.strip("()").split(",")]
+    dim = (
+        supp.join(
+            F.broadcast(nat.filter(F.col("n_name").isin(nations))),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pruned = _jn.bloom_semi_join(
+        li, dim, fact_key="l_suppkey", dim_key="s_suppkey", m_bits=1 << 10
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@_register(
+    "a_retention_cohort",
+    "cohort retention matrix over the event stream: first-seen date per "
+    "user -> (cohort, days-since) active-user counts (A-group serving "
+    "extension; the DAU n-day retention cut)",
+    """
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_dt,
+           datediff('day', cohort_d, d) AS days_since,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def a_retention_cohort(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_dt"),
+            F.datediff("d", "cohort_d").alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_register(
+    "x_unigram_logprob",
+    "unigram-LM quality score: mean token negative log-prob under the "
+    "corpus' own unigram model (CCNet/Gopher perplexity-filter stand-in; "
+    "north-star)",
+    f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+    v AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total FROM v)
+    SELECT doc_id, sum(tf) AS n_tokens,
+           round(-sum(tf * ln(cnt / total)) / sum(tf), 4) AS avg_neg_logp
+    FROM tf JOIN v USING (term), tot
+    GROUP BY doc_id
+    """,
+)
+def x_unigram_logprob(spark, sf_dir):
+    return _ts.unigram_logprob(_t(spark, sf_dir, "documents"), "text", "doc_id")

@@ -19,17 +19,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # dt/hr-string derivations must render identically to the DuckDB
     # oracle's naive timestamps regardless of the caller's session tz.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark
-        # rejects (PARQUET_TYPE_ILLEGAL). Read the column as long nanos
-        # (legacy conf, session-scoped so it also works inside the
-        # driver's own SparkSession) and truncate to microseconds —
-        # identical to DuckDB's TIMESTAMP_NS -> epoch_us truncation.
+        # older testdata generations carried TIMESTAMP(NANOS), which
+        # vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). Read the column
+        # as long nanos (legacy conf, session-scoped so it also works
+        # inside the driver's own SparkSession) and truncate to
+        # microseconds — identical to DuckDB's TIMESTAMP_NS ->
+        # epoch_us truncation.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
@@ -41,6 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             for c in df.columns
         ]
         df = df.select(cols)
+    # Parquet timestamps with isAdjustedToUTC=false surface as
+    # TIMESTAMP_NTZ, which unix_millis/unix_micros and the windowing
+    # functions reject. Under the pinned UTC session tz the NTZ ->
+    # TIMESTAMP cast is a wall-clock identity, and epoch extraction then
+    # treats the value as UTC — exactly DuckDB's naive-timestamp
+    # epoch_us semantics, so oracle hashes are unaffected.
+    ntz = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz:
+        df = df.select(
+            *[
+                F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+                for c in df.columns
+            ]
+        )
     return df
 
 

@@ -240,3 +240,104 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def topk_per_group(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    ts_col: str,
+    k: int = 3,
+    max_tracked: int = 64,
+    ttl_hours: int = 25,
+) -> DataFrame:
+    """Streaming heavy hitters: per group, maintain a bounded counter
+    table over ``key_col`` and emit the current top-``k`` (with a
+    monotone ``seq`` so consumers can select the latest snapshot) after
+    every trigger that touches the group — the continuously-updated
+    "top sources / top skus" board the reference serves from ES with a
+    terms aggregation, expressed as an incremental operator.
+
+    Approximation contract (space-saving style): the table holds at most
+    ``max_tracked`` counters; when new keys overflow it, only the
+    ``max_tracked`` largest survive the trigger. Counts are EXACT while
+    a group's distinct keys fit in ``max_tracked`` (size it ~10x k);
+    beyond that, a key that re-enters after eviction restarts from its
+    batch count, so tail counts under-estimate — the standard bounded-
+    memory trade, never unbounded state.
+
+    State is (keys, counts, seq) arrays partitioned by group in the
+    state store; eviction is an event-time timeout ``ttl_hours`` after
+    the latest seen event, so dead groups cost nothing. ``stream`` must
+    already carry a watermark on ``ts_col``. Emission order within a
+    snapshot is deterministic: (-count, key).
+    """
+    from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+    gf = next(f for f in stream.schema.fields if f.name == group_col)
+    out_schema = StructType(
+        [
+            StructField(group_col, gf.dataType),
+            StructField("seq", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("key", StringType()),
+            StructField("est_count", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("keys", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("seq", LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        group_val = key[0]
+        counts: dict[str, int] = {}
+        seq = 0
+        if state.exists:
+            ks, cs, seq = state.get
+            counts = dict(zip(ks, cs))
+        max_ts_ms = None
+        saw = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            saw = True
+            for kk, c in pdf[key_col].astype(str).value_counts().items():
+                counts[kk] = counts.get(kk, 0) + int(c)
+            bt = int(pd.Timestamp(pdf[ts_col].max()).value // 1_000_000)
+            max_ts_ms = bt if max_ts_ms is None else max(max_ts_ms, bt)
+        if not saw:
+            return iter(())
+        ranked = sorted(counts.items(), key=lambda it: (-it[1], it[0]))
+        kept = ranked[:max_tracked]
+        seq += 1
+        state.update(([kk for kk, _ in kept], [c for _, c in kept], seq))
+        state.setTimeoutTimestamp(max_ts_ms + ttl_hours * 3600 * 1000)
+        top = kept[:k]
+        return iter(
+            (
+                pd.DataFrame(
+                    {
+                        group_col: [group_val] * len(top),
+                        "seq": [seq] * len(top),
+                        "rank": list(range(1, len(top) + 1)),
+                        "key": [kk for kk, _ in top],
+                        "est_count": [c for _, c in top],
+                    }
+                ),
+            )
+        )
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -385,3 +385,84 @@ def test_pq_shortlist_rerank_recall(spark, sf_dir):
     # deterministic: retrain + requery reproduces exactly
     books2 = sim.pq_codebooks(emb, m=16, k=16, iters=2)
     assert books2 == books
+
+
+def test_duplicate_spans_merges_adjacent_windows(spark):
+    """Two docs share one 12-token block (5 overlapping 8-gram starts ->
+    ONE merged span) plus a disjoint repeated 8-gram later in doc 1 ->
+    its own span; unique text produces no spans at all."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    tail8 = "nov osc pap que rom sie tan uni"
+    d1 = f"{shared} filler1 filler2 filler3 {tail8}"
+    d2 = f"intro1 intro2 {shared}"
+    d3 = f"prefixx {tail8} trailing words here again"
+    d4 = "totally unique words that appear nowhere else at all one two"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], ["doc_id", "text"]
+    )
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicate_spans(df, "text", "doc_id", k=8).collect()
+    }
+    # shared block: 12 tokens -> starts 1..5 in doc 1 (span 1-12), starts
+    # 3..7 in doc 2 (span 3-14); tail8: 1 start each in docs 1 and 3.
+    assert rows == {
+        (1, 1, 12, 5),
+        (2, 3, 14, 5),
+        (1, 16, 23, 1),
+        (3, 2, 9, 1),
+    }
+
+
+def test_bloom_semi_join_exact_and_pruning(spark, sf_dir):
+    """No false negatives ever (bloom passes every true key), the final
+    semi join kills the false positives (result == plain semi join), and
+    the scan-stage filter prunes the clear majority of non-matching
+    rows before any shuffle."""
+    from sparkstreaming_realtime_project_spark.operators import joins as jn
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 3)
+        .select("s_suppkey")
+    )
+    got = jn.bloom_semi_join(li, dim, "l_suppkey", "s_suppkey", m_bits=1 << 10)
+    want = li.join(
+        dim.withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", "left_semi"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # pruning power: the bloom predicate alone keeps < 30% of rows at
+    # 10% true selectivity and m=10x keys (FPR ~1-2%)
+    bits = jn.bloom_bitmap(dim, "s_suppkey", m_bits=1 << 10)
+    kept = li.filter(
+        jn.bloom_might_contain(F.col("l_suppkey"), bits, 1 << 10)
+    ).count()
+    assert kept < li.count() * 0.3
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """3-doc corpus: 6 'a', 1 'b', 1 'c' -> p(a)=6/8, p(b)=p(c)=1/8;
+    doc 3 = [a, b] scores (-ln(6/8) - ln(1/8)) / 2."""
+    import math
+
+    from sparkstreaming_realtime_project_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a a c"), (3, "a b")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_neg_logp"])
+        for r in unigram_logprob(df, "text", "doc_id").collect()
+    }
+    exp3 = round(-(math.log(6 / 8) + math.log(1 / 8)) / 2, 4)
+    exp1 = round(-math.log(6 / 8), 4)
+    exp2 = round(-(2 * math.log(6 / 8) + math.log(1 / 8)) / 3, 4)
+    assert got == {1: (3, exp1), 2: (3, exp2), 3: (2, exp3)}

@@ -77,6 +77,17 @@ CASES = [
     ("q3_shipping_priority", ["TakeOrderedAndProject", "BroadcastHashJoin"],
      ["NestedLoop", "CartesianProduct"]),
     ("x_anomaly_zscore", ["BroadcastHashJoin"], ["NestedLoop", "CartesianProduct"]),
+    # duplicated-gram join + per-doc island merge; pair path is an
+    # equi-join on the gram md5, never a theta join
+    ("x_dup_spans", ["Window", "HashAggregate"], ["NestedLoop", "CartesianProduct"]),
+    # the whole point: the bloom bitset filters DURING the scan (a
+    # Filter with xxhash64 below the survivor join), survivors then take
+    # a broadcast semi join; never a shuffle of the unpruned fact side
+    ("j_bloom_prune", ["xxhash64", "BroadcastHashJoin"], ["NestedLoop", "CartesianProduct"]),
+    ("a_retention_cohort", ["HashAggregate"], ["NestedLoop", "CartesianProduct", "Window"]),
+    # vocab join keys on term; single-row total joins as broadcast —
+    # rank/window-free like the other vocabulary ops
+    ("x_unigram_logprob", ["HashAggregate"], ["CartesianProduct", "Window"]),
 ]
 
 

@@ -752,3 +752,60 @@ def test_sessionize_gap_sessions_across_batches(spark, tmp_path):
         ("A", base + 120 * mn, base + 120 * mn, 1),  # closed by timeout
         ("B", base, base + 10 * mn, 2),          # cross-batch merge, timeout
     }
+
+
+def test_topk_per_group_snapshots_across_batches(spark, tmp_path):
+    """Streaming heavy hitters: per-group top-k snapshot after each
+    trigger, counters accumulating ACROSS micro-batches (batch 2 flips
+    the leader for group X), latest snapshot selected via max(seq)."""
+    from sparkstreaming_realtime_project_spark.streaming.stateful import (
+        topk_per_group,
+    )
+
+    base = fx.D1_10
+    mk = lambda g, k, ts: json.dumps({"g": g, "k": k, "ts": ts})
+    in_dir = tmp_path / "in"
+    fx._write_batches(str(in_dir), [
+        # batch 1 — X: a=2, b=1; Y: only q=1
+        [mk("X", "a", base), mk("X", "a", base + 1000), mk("X", "b", base + 2000),
+         mk("Y", "q", base)],
+        # batch 2 — X: b gains 3 -> b=4 overtakes a=2; c enters with 1
+        [mk("X", "b", base + 3000), mk("X", "b", base + 4000),
+         mk("X", "b", base + 5000), mk("X", "c", base + 6000)],
+    ])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    schema = "g string, k string, ts long"
+    events = (
+        text_stream(spark, str(in_dir), max_files_per_trigger=1)
+        .select(F.from_json("value", schema).alias("j"))
+        .select("j.g", "j.k", F.timestamp_millis("j.ts").alias("event_ts"))
+        .withWatermark("event_ts", "25 hours")
+    )
+    snaps = topk_per_group(events, "g", "k", "event_ts", k=2, max_tracked=8)
+    q = (
+        snaps.writeStream.foreachBatch(
+            lambda b, i: b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    rows = read_sink(spark, out).collect()
+    latest = {}
+    for r in rows:
+        latest.setdefault(r["g"], {})
+        if r["seq"] >= max(x["seq"] for x in rows if x["g"] == r["g"]):
+            latest[r["g"]][r["rank"]] = (r["key"], r["est_count"])
+    # X after batch 2: b=4 leads, a=2 second (c=1 cut by k=2)
+    assert latest["X"] == {1: ("b", 4), 2: ("a", 2)}
+    # Y saw only batch 1: q=1
+    assert latest["Y"] == {1: ("q", 1)}
+    # and the batch-1 snapshot for X had a leading with 2
+    seq1 = [r for r in rows if r["g"] == "X" and r["seq"] == 1]
+    assert {(r["rank"], r["key"], r["est_count"]) for r in seq1} == {
+        (1, "a", 2), (2, "b", 1)
+    }
