@@ -398,3 +398,60 @@ def shard_assign(
     return out.select(
         key_col, "shard", F.row_number().over(w).alias("pos")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    stratum_col: str,
+    text_col: str,
+    id_col: str,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Training-mixture plan: given a corpus partitioned into strata
+    (language, source, domain), decide how many tokens each stratum
+    contributes to a ``budget_tokens`` training run.
+
+    Weights follow the standard temperature rule (the sampling side of
+    temperature_resample): ``w_s ∝ n_tokens_s^alpha``, so alpha=1 is
+    proportional-to-size, alpha=0 is uniform, 0<alpha<1 up-weights small
+    strata. Each stratum's target is ``budget * w_s``; realizing a
+    target above the stratum's actual token count means repeating data,
+    reported as ``epochs = target / actual`` and CAPPED at
+    ``max_epochs`` (repeating a tiny stratum 40x memorizes it — the cap
+    surfaces the overflow instead of silently assigning it).
+
+    Output (one row per stratum): n_docs, n_tokens, weight,
+    target_tokens, epochs, capped flag. Plan shape: one token-count
+    projection + a stratum groupBy (partial-agg'd), then the weight
+    normalization over the STRATUM table (tiny) via a window — the
+    corpus is read once, nothing but (stratum, counts) shuffles."""
+    toks = _spread_toks(df, text_col, id_col)
+    strata = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("stratum"))
+        .join(toks, "doc_id")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("t")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    raw_w = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    weighted = strata.withColumn(
+        "weight", raw_w / F.sum(raw_w).over(w_all)
+    ).withColumn(
+        "target_tokens",
+        F.floor(F.lit(float(budget_tokens)) * F.col("weight")).cast("bigint"),
+    )
+    epochs = F.col("target_tokens") / F.col("n_tokens")
+    return weighted.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round("weight", 6).alias("weight"),
+        "target_tokens",
+        F.round(F.least(epochs, F.lit(float(max_epochs))), 4).alias("epochs"),
+        (epochs > max_epochs).cast("int").alias("capped"),
+    )

@@ -1,0 +1,104 @@
+"""Data-layout operators: multi-dimensional clustering for scan pruning.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet/Delta readers skip row groups whose column min/max ranges miss
+the predicate. Sorting by ONE column gives that column tight ranges and
+leaves every other column's ranges full-width; interleaving the bits of
+k columns (a Z-order / Morton curve) gives ALL k columns
+locality-preserving ranges, so files pruned by x-predicates AND
+y-predicates both stay skippable. This is what `OPTIMIZE ... ZORDER BY`
+does in lakehouse engines, expressed here as plain columnar math +
+repartitionByRange so it works on any sink.
+
+Determinism: cell assignment is pure integer arithmetic on the column's
+[min, max] range — exact on any engine, no float boundaries — which is
+what lets the DuckDB oracle replay the key bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_cell", "zorder_key", "cluster_by_zorder"]
+
+
+def zorder_cell(col: Column, mn: Column, mx: Column, bits: int) -> Column:
+    """Map an integer column with range [mn, mx] onto a 2^bits grid cell:
+    ``floor((x - mn) * 2^bits / (mx - mn + 1))`` — monotone, and the +1
+    keeps the maximum inside cell 2^bits - 1. Exactness: numerator and
+    span are integers well under 2^52, the true quotient is a rational
+    with denominator ``span``, so the correctly-rounded double quotient
+    is never within 1/span of the wrong side of an integer — floor() is
+    engine-exact (same argument DuckDB's ``//`` replays with pure
+    integer division)."""
+    span = (mx - mn + F.lit(1)).cast("bigint")
+    return F.floor(
+        (col.cast("bigint") - mn.cast("bigint")) * F.lit(1 << bits) / span
+    ).cast("bigint")
+
+
+def _interleave(cells: list[Column], bits: int) -> Column:
+    """Morton interleave: bit i of cell j lands at position i*k + j.
+    Pure shift/and/sum expressions — whole-stage codegen, no UDF."""
+    k = len(cells)
+    out = F.lit(0).cast("bigint")
+    for j, c in enumerate(cells):
+        for i in range(bits):
+            bit = F.shiftright(c.cast("int"), i).bitwiseAND(F.lit(1)).cast("bigint")
+            out = out + bit * F.lit(1 << (i * k + j))
+    return out
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8, key_name: str = "zkey"
+) -> DataFrame:
+    """Attach grid cells + the interleaved Z-order key for ``cols``
+    (integer-valued columns; timestamps should be pre-projected to epoch
+    seconds/days by the caller).
+
+    Two passes: one tiny global min/max aggregate (k columns -> 1 row,
+    broadcast back as a literal-free cross join), then one narrow
+    projection computing cells and the Morton key. Nothing shuffles
+    except the 1-row bounds frame; the expensive step — actually
+    clustering the data — is the caller's repartitionByRange on the key
+    (cluster_by_zorder), costing exactly one range shuffle, the same
+    price as any global sort."""
+    if not cols or len(cols) * bits > 62:
+        raise ValueError("need 1+ columns and len(cols)*bits <= 62")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("bigint")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("bigint")).alias(f"__mx_{c}") for c in cols],
+    )
+    joined = df.crossJoin(F.broadcast(bounds))
+    cells = [
+        zorder_cell(F.col(c), F.col(f"__mn_{c}"), F.col(f"__mx_{c}"), bits)
+        for c in cols
+    ]
+    out = joined.select(
+        *[F.col(c) for c in df.columns],
+        *[cell.alias(f"cell_{c}") for c, cell in zip(cols, cells)],
+    )
+    return out.withColumn(
+        key_name, _interleave([F.col(f"cell_{c}") for c in cols], bits)
+    )
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    n_partitions: int,
+    bits: int = 8,
+) -> DataFrame:
+    """Physically cluster ``df`` for multi-column scan pruning: compute
+    the Z-order key, range-partition on it (contiguous key ranges per
+    output file), sort within partitions, drop the helper columns.
+    Write the result with any parquet/Delta sink and every ``cols``
+    predicate prunes row groups."""
+    keyed = zorder_key(df, cols, bits)
+    helper = [f"cell_{c}" for c in cols] + ["zkey"]
+    return (
+        keyed.repartitionByRange(n_partitions, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop(*helper)
+    )

@@ -665,3 +665,38 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def ann_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall@k of an approximate KNN result against the exact one — the
+    measurement operator that turns ANN quality from a guess into a
+    number (the bucket-count / probe-radius / nlist knobs are only
+    tunable against a recall curve).
+
+    Both inputs carry (query_id, neighbor_id) rows, already capped at
+    their k (the shape every knn_* operator here emits). Output: one row
+    per TRUTH query — (query_id, n_truth, n_hits, recall) — so queries
+    the approximate index missed entirely (no bucket collision at all)
+    still appear with recall 0.0, and the denominator is the number of
+    exact neighbors actually available (< k on tiny corpora), not a
+    blind k.
+
+    Scale shape: two |Q|*k-row frames — groupBy + one equi-join on
+    (query_id, neighbor_id), both model-sized regardless of corpus N
+    (the expensive part is producing the inputs, not grading them)."""
+    t = truth.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").distinct()
+    base = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = (
+        t.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_truth",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_truth"), 4
+        ).alias("recall"),
+    )

@@ -3092,3 +3092,118 @@ def a_retention_cohort(spark, sf_dir):
 )
 def x_unigram_logprob(spark, sf_dir):
     return _ts.unigram_logprob(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# layout / evaluation / planning (round 3 additions) -------------------------
+
+from ..operators import layout as _ly
+
+
+@_register(
+    "x_ann_recall",
+    "recall@k evaluation of the sign-LSH bucketed KNN against exact "
+    "brute force — the measurement that makes ANN knobs (bits, probes, "
+    "nlist) tunable instead of guessed (north-star)",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM base),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 20),
+    truth AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, b2.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_cos_sql('qv', 'b2.v')} DESC, b2.vec_id) AS rank
+      FROM q JOIN base b2 ON b2.vec_id <> q.query_id) WHERE rank <= 3),
+    approx AS (SELECT DISTINCT query_id, neighbor_id FROM (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_cos_sql('qv', 'e.v')} DESC, e.vec_id) AS rank
+      FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.query_id)
+      WHERE rank <= 3),
+    bt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),
+    hits AS (SELECT query_id, count(*) AS n_hits
+             FROM truth JOIN approx USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT query_id, n_truth, coalesce(n_hits, 0) AS n_hits,
+           round(coalesce(n_hits, 0) * 1.0 / n_truth, 4) AS recall
+    FROM bt LEFT JOIN hits USING (query_id)
+    """,
+)
+def x_ann_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = _sim.knn_bruteforce(emb, queries, k=3)
+    approx = _sim.knn_bucketed(emb, queries, k=3)
+    return _sim.ann_recall(truth, approx)
+
+
+_MIX_BUDGET, _MIX_ALPHA, _MIX_EPOCHS = 1_000_000, 0.5, 4.0
+
+
+@_register(
+    "x_mixture_plan",
+    "training-mixture planning: per-stratum token counts -> temperature "
+    "weights (w ∝ n^alpha), token targets and repeat epochs against a "
+    "fixed budget, cap surfaced — the sampling-plan table a 100 TB run "
+    "is driven by (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    j AS (SELECT d.lang AS stratum, len(t.t) AS n
+          FROM documents d JOIN toks t USING (doc_id)),
+    strata AS (SELECT stratum, count(*) AS n_docs,
+                      CAST(sum(n) AS BIGINT) AS n_tokens
+               FROM j GROUP BY stratum),
+    wts AS (SELECT *, pow(n_tokens, {_MIX_ALPHA}) /
+                      sum(pow(n_tokens, {_MIX_ALPHA})) OVER () AS w
+            FROM strata),
+    plan AS (SELECT stratum, n_docs, n_tokens, w,
+                    CAST(floor({float(_MIX_BUDGET)} * w) AS BIGINT) AS target_tokens
+             FROM wts)
+    SELECT stratum, n_docs, n_tokens, round(w, 6) AS weight, target_tokens,
+           round(least(target_tokens * 1.0 / n_tokens, {_MIX_EPOCHS}), 4) AS epochs,
+           CAST(target_tokens * 1.0 / n_tokens > {_MIX_EPOCHS} AS INT) AS capped
+    FROM plan
+    """,
+)
+def x_mixture_plan(spark, sf_dir):
+    return _cx.mixture_plan(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        "text",
+        "doc_id",
+        budget_tokens=_MIX_BUDGET,
+        alpha=_MIX_ALPHA,
+        max_epochs=_MIX_EPOCHS,
+    )
+
+
+@_register(
+    "x_zorder_layout",
+    "Z-order (Morton) clustering key over (user_id, event day): exact "
+    "integer grid cells + bit interleave — the multi-column row-group "
+    "pruning layout (OPTIMIZE ZORDER BY) as engine-portable math "
+    "(north-star)",
+    """
+    WITH ev AS (SELECT event_id, user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+    b AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+                 min(day) AS mnd, max(day) AS mxd
+          FROM ev),
+    cells AS (SELECT event_id, user_id, day,
+                     (user_id - mnu) * 256 // (mxu - mnu + 1) AS cell_user_id,
+                     (day - mnd) * 256 // (mxd - mnd + 1) AS cell_day
+              FROM ev CROSS JOIN b)
+    SELECT event_id, user_id, day, cell_user_id, cell_day,
+           CAST(list_sum(list_transform(range(0, 8), i ->
+             ((cell_user_id >> i) & 1) * (1 << (2 * i)) +
+             ((cell_day >> i) & 1) * (1 << (2 * i + 1)))) AS BIGINT) AS zkey
+    FROM cells
+    """,
+)
+def x_zorder_layout(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000)).alias("day"),
+    )
+    return _ly.zorder_key(ev, ["user_id", "day"], bits=8)

@@ -466,3 +466,85 @@ def test_unigram_logprob_hand_computed(spark):
     exp1 = round(-math.log(6 / 8), 4)
     exp2 = round(-(2 * math.log(6 / 8) + math.log(1 / 8)) / 3, 4)
     assert got == {1: (3, exp1), 2: (3, exp2), 3: (2, exp3)}
+
+
+def test_ann_recall_math(spark):
+    """Known truth/approx sets: full hit, partial, and a query the
+    approximate index missed entirely (must appear with recall 0)."""
+    from sparkstreaming_realtime_project_spark.operators.similarity import ann_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r["query_id"]: (r["n_truth"], r["n_hits"], r["recall"])
+           for r in ann_recall(truth, approx).collect()}
+    assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_mixture_plan_invariants(spark):
+    """Weights sum to 1, targets respect the budget, the over-budget
+    stratum is capped at max_epochs with the cap flagged."""
+    from sparkstreaming_realtime_project_spark.operators.corpus import mixture_plan
+
+    rows = [(i, "a b c d e f g h i j", "big") for i in range(100)]
+    rows += [(1000 + i, "k l", "tiny") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    plan = {r["stratum"]: r for r in mixture_plan(
+        df, "src", "text", "doc_id", budget_tokens=2_000, alpha=0.5,
+        max_epochs=4.0).collect()}
+    assert plan["big"]["n_tokens"] == 1000 and plan["tiny"]["n_tokens"] == 4
+    assert abs(plan["big"]["weight"] + plan["tiny"]["weight"] - 1.0) < 1e-6
+    total_target = sum(r["target_tokens"] for r in plan.values())
+    assert total_target <= 2_000
+    # tiny stratum: target ~10000*w >> 4 tokens -> capped at 4 epochs
+    assert plan["tiny"]["epochs"] == 4.0 and plan["tiny"]["capped"] == 1
+    assert plan["big"]["capped"] == 0
+
+
+def test_zorder_key_interleave(spark):
+    """Hand-computed Morton keys on a 2-bit grid, plus monotone cell
+    mapping of range endpoints."""
+    from sparkstreaming_realtime_project_spark.operators.layout import zorder_key
+
+    # x,y in [0,3] with bits=2: cells are the values themselves
+    df = spark.createDataFrame(
+        [(0, 0), (3, 3), (2, 1), (3, 0)], "x long, y long"
+    )
+    got = {(r["x"], r["y"]): (r["cell_x"], r["cell_y"], r["zkey"])
+           for r in zorder_key(df, ["x", "y"], bits=2).collect()}
+    # bit i of x -> position 2i; bit i of y -> position 2i+1
+    assert got[(0, 0)] == (0, 0, 0)
+    assert got[(3, 3)] == (3, 3, 15)          # 1111
+    assert got[(2, 1)] == (2, 1, 0b0110)      # x=10 -> pos 0,2 = 100; y=01 -> pos 1 = 10
+    assert got[(3, 0)] == (3, 0, 0b0101)
+
+
+def test_cluster_by_zorder_layout(spark):
+    """Range partitions carry disjoint, contiguous zkey ranges and the
+    helper columns are dropped."""
+    from sparkstreaming_realtime_project_spark.operators.layout import (
+        cluster_by_zorder,
+        zorder_key,
+    )
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    out = cluster_by_zorder(df, ["x", "y"], n_partitions=4, bits=4)
+    assert set(out.columns) == {"x", "y"}
+    keyed = zorder_key(df, ["x", "y"], bits=4).select("zkey")
+    parts = (
+        keyed.repartitionByRange(4, F.col("zkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    for prev, cur in zip(parts, parts[1:]):
+        assert prev["hi"] < cur["lo"]

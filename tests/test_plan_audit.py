@@ -99,3 +99,23 @@ def test_plan_shape(spark, sf_dir, name, want, ban):
         assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
     for frag in ban:
         assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
+
+
+# round-3 additions: the recall grader joins two |Q|*k frames (brute
+# input is the declared BNLJ baseline, so only cartesian is banned);
+# mixture/zorder keep their single-row bounds joins broadcast.
+CASES_R3 = [
+    ("x_ann_recall", [], ["CartesianProduct"]),
+    ("x_mixture_plan", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
+    ("x_zorder_layout", [], ["CartesianProduct", "Window", "SortMergeJoin"]),
+]
+
+
+@pytest.mark.parametrize("name,want,ban", CASES_R3, ids=[c[0] for c in CASES_R3])
+def test_plan_shape_r3(spark, sf_dir, name, want, ban):
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in want:
+        assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
+    for frag in ban:
+        assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
