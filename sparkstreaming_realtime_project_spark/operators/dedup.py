@@ -720,9 +720,12 @@ def edit_distance_pairs(
     """
     from pyspark.sql.window import Window
 
-    keys = df.select(
-        F.col(id_col).alias("id"),
-        F.substring(F.lower(F.col(text_col)), 1, key_len).alias("k"),
+    keys = spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.substring(F.lower(F.col(text_col)), 1, key_len).alias("k"),
+        ),
+        "id",
     ).withColumn("len", F.length("k"))
     grams = keys.select(
         "id",
@@ -769,11 +772,16 @@ def edit_distance_pairs(
     cand = gram_cand.unionByName(short_cand).distinct()
     ka = keys.select(F.col("id").alias("doc_a"), F.col("k").alias("ka"))
     kb = keys.select(F.col("id").alias("doc_b"), F.col("k").alias("kb"))
+    # Banded verify: levenshtein with a threshold runs the O(len*d)
+    # diagonal band instead of the full O(len^2) matrix (-1 = over
+    # threshold) — on low-selectivity corpora (tiny gram vocabulary ->
+    # candidate sets approaching quadratic) the verify dominates, and
+    # the band is a ~len/d-fold cut with identical accepted pairs.
     return (
         cand.join(ka, "doc_a")
         .join(kb, "doc_b")
-        .withColumn("dist", F.levenshtein("ka", "kb"))
-        .filter(F.col("dist") <= max_dist)
+        .withColumn("dist", F.levenshtein("ka", "kb", max_dist))
+        .filter(F.col("dist") >= 0)
         .select("doc_a", "doc_b", "dist")
     )
 

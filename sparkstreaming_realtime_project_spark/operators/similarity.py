@@ -160,13 +160,15 @@ def ivf_centroids(
 
     Seeding is the first n_centroids vectors by id (reproducible — no
     RNG); each Lloyd iteration assigns every vector to its nearest
-    centroid (centroids enter the plan as LITERALS, so assignment is a
-    pure projection — no join, no shuffle of the vectors) and recomputes
-    per-centroid dimension-wise means via posexplode -> groupBy(cid, pos)
-    — ONE aggregate regardless of dimensionality. (A per-dimension
-    ``avg(element_at(v, i))`` expression list works at d=8 but is
-    thousands of aggregate expressions at real embedding dims — codegen/
-    plan-size blowup; the exploded aggregate's plan is O(1) in d.) Only
+    centroid against the model attached as a 1-row broadcast array
+    column (_cents_col/_cell_expr — a narrow projection, no shuffle,
+    plan size O(1) in both k and d)
+    and recomputes per-centroid dimension-wise means via posexplode ->
+    groupBy(cid, pos) — ONE aggregate regardless of dimensionality. (A
+    per-dimension ``avg(element_at(v, i))`` expression list works at
+    d=8 but is thousands of aggregate expressions at real embedding
+    dims — codegen/plan-size blowup; likewise literal-folded assignment
+    compiled the whole codebook into every stage.) Only
     the k x d centroid matrix ever reaches the driver: that is the MODEL,
     not the data — the per-iteration data pass stays fully distributed.
 
@@ -175,50 +177,85 @@ def ivf_centroids(
     unquantized centroids can differ in final ulps between runs/engines
     and flip boundary assignments — quantized, the model is reproducible
     bit-for-bit anywhere (what lets a SQL oracle replay the training)."""
-    e = embeddings.select(as_double_vec(vec_col).alias("v"), F.col(id_col).alias("id"))
+    e = embeddings.select(
+        as_double_vec(vec_col).alias("v"), F.col(id_col).alias("id")
+    ).persist()
     dim = len(e.select("v").first()["v"])
     cents = [
         list(r["v"]) for r in e.orderBy("id").limit(n_centroids).collect()
     ]
-    for _ in range(iters):
-        assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), cents))
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = (
-                round(r["m"], round_decimals) if round_decimals is not None else r["m"]
+    spark = embeddings.sparkSession
+    try:
+        for _ in range(iters):
+            assigned = _attach(e, _cents_col(spark, cents)).select(
+                _cell_expr(F.col("v")).alias("cid"), "v"
             )
-        # empty centroids keep their previous position (standard Lloyd)
-        cents = [
-            [by_cid[c][p] for p in range(dim)] if c in by_cid else cents[c]
-            for c in range(n_centroids)
-        ]
+            means = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = (
+                    round(r["m"], round_decimals)
+                    if round_decimals is not None
+                    else r["m"]
+                )
+            # empty centroids keep their previous position (standard Lloyd)
+            cents = [
+                [by_cid[c][p] for p in range(dim)] if c in by_cid else cents[c]
+                for c in range(n_centroids)
+            ]
+    finally:
+        e.unpersist()
     return cents
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the max-cosine centroid (ties to the lowest index), as a
-    literal-folded expression: k similarity evaluations per row inside
-    codegen, no join. array_min over (neg-sim, idx) structs, NOT a
-    chained when/otherwise argmin — the chain embeds the running best
-    twice per step, growing the expression tree 2^k (heap-OOM at plan
-    build from k=16 up); the struct array is linear in k and struct
-    ordering (first field, then second) is exactly max-sim-lowest-idx."""
-    entries = F.array(
-        *[
-            F.struct(
-                (-cosine(vec, F.array(*[F.lit(x) for x in c]))).alias("negsim"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+def _cents_col(spark, centroids: list[list[float]]) -> DataFrame:
+    """The centroid MODEL as a SINGLE-ROW frame whose one column
+    ``__cents`` is the whole codebook (array<struct<cid, c>>) —
+    model-as-data. Cross-joined (broadcast, 1 row) onto the vectors it
+    keeps assignment a narrow per-row projection — no shuffle, no row
+    fan-out — while the plan stays O(1) in both k and d (the
+    literal-folded alternative compiles the whole codebook into every
+    stage: seconds of codegen per iteration and a plan-size blowup at
+    real dims)."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(
+        [(rows,)], "__cents array<struct<cid:int,c:array<double>>>"
     )
-    return F.array_min(entries)["i"]
+
+
+def _attach(df: DataFrame, model_row: DataFrame) -> DataFrame:
+    """Broadcast the 1-row model frame onto every row of ``df``."""
+    return df.crossJoin(F.broadcast(model_row))
+
+
+def _cell_expr(vec: Column) -> Column:
+    """Nearest-centroid id (max cosine, ties to the lowest cid) against
+    the attached ``__cents`` column. Same math, fold, and struct-order
+    tie-break as a literal argmin, so assignments are bit-identical."""
+    entries = F.transform(
+        F.col("__cents"),
+        lambda x: F.struct(
+            (-cosine(vec, x["c"])).alias("negsim"), x["cid"].alias("cid")
+        ),
+    )
+    return F.array_min(entries)["cid"]
+
+
+def _probe_expr(vec: Column, n_probe: int) -> Column:
+    """The query's ``n_probe`` nearest centroid ids in (negsim, cid)
+    order, against the attached ``__cents`` column."""
+    entries = F.transform(
+        F.col("__cents"),
+        lambda x: F.struct(
+            (-cosine(vec, x["c"])).alias("neg"), x["cid"].alias("cid")
+        ),
+    )
+    return F.slice(F.array_sort(entries), 1, n_probe)["cid"]
 
 
 def ivf_topk(
@@ -239,25 +276,26 @@ def ivf_topk(
     n_cent = len(centroids)
     if not 1 <= n_probe <= n_cent:
         raise ValueError("n_probe must be in [1, n_centroids]")
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
-    ).withColumn("cid", _nearest_centroid(F.col("cv"), centroids))
+    spark = embeddings.sparkSession
+    cents_row = _cents_col(spark, centroids)
+    c = _attach(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+        ),
+        cents_row,
+    ).select("neighbor_id", _cell_expr(F.col("cv")).alias("cid"), "cv")
     # rank ALL centroids per query, keep the top n_probe
-    sims = F.array(
-        *[
-            F.struct(
-                (-cosine(F.col("qv"), F.array(*[F.lit(x) for x in cent]))).alias("neg"),
-                F.lit(i).alias("cid"),
-            )
-            for i, cent in enumerate(centroids)
-        ]
-    )
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+        _attach(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                as_double_vec(vec_col).alias("qv"),
+            ),
+            cents_row,
         )
-        .withColumn("probe", F.slice(F.array_sort(sims), 1, n_probe))
-        .select("query_id", "qv", F.explode("probe.cid").alias("cid"))
+        .select(
+            "query_id", "qv", F.explode(_probe_expr(F.col("qv"), n_probe)).alias("cid")
+        )
     )
     scored = (
         c.join(F.broadcast(q), "cid")
@@ -344,21 +382,52 @@ def _l2(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_code(vec: Column, book: list[list[float]], s: int, sub_dim: int) -> Column:
-    """Code (0-based index of the nearest-by-L2 sub-centroid, ties to the
-    LOWEST index) of subspace ``s`` of ``vec`` against one literal
-    codebook — pure codegen projection, like _nearest_centroid."""
-    sl = F.slice(vec, s * sub_dim + 1, sub_dim)
-    entries = F.array(
-        *[
-            F.struct(
-                _l2(sl, F.array(*[F.lit(x) for x in c])).alias("d"),
-                F.lit(j).alias("j"),
-            )
-            for j, c in enumerate(book)
-        ]
+def _books_col(spark, books: list[list[list[float]]]) -> DataFrame:
+    """The PQ codebook MODEL as a SINGLE-ROW frame whose one column
+    ``__books`` holds all m codebooks (array of array<struct<cid, c>>,
+    cid order 0..k-1 within each subspace) — same model-as-data shape
+    as _cents_col: encode/table-build stay narrow per-row projections
+    with an O(1)-size plan (the literal-folded form's m*k*sd-term
+    expression tree spent seconds in codegen per stage and scales with
+    the model)."""
+    rows = [
+        [(j, [float(x) for x in books[s][j]]) for j in range(len(books[s]))]
+        for s in range(len(books))
+    ]
+    return spark.createDataFrame(
+        [(rows,)], "__books array<array<struct<cid:int,c:array<double>>>>"
     )
-    return F.array_min(entries)["j"]
+
+
+def _codes_expr(vec: Column, m: int, sd: int) -> Column:
+    """PQ codes (nearest sub-centroid per subspace by L2, ties to the
+    lowest cid) against the attached ``__books`` column — bit-identical
+    to the literal argmin (same fold, same struct-order tie-break)."""
+    def code(s: int) -> Column:
+        sl = F.slice(vec, s * sd + 1, sd)
+        entries = F.transform(
+            F.element_at(F.col("__books"), s + 1),
+            lambda b: F.struct(_l2(sl, b["c"]).alias("d"), b["cid"].alias("j")),
+        )
+        return F.array_min(entries)["j"]
+
+    return F.array(*[code(s) for s in range(m)])
+
+
+def _tab_expr(vec: Column, m: int, sd: int) -> Column:
+    """Per-query ADC table — tab[s][j] = dot(query subspace s,
+    sub-centroid j) — against the attached ``__books`` column; lookup
+    layout identical to the literal-table form (cid order 0..k-1)."""
+
+    def row(s: int) -> Column:
+        # factory, NOT a default-arg lambda: a two-arg lambda in a HOF
+        # binds (element, index) and silently shadows the capture
+        sl = F.slice(vec, s * sd + 1, sd)
+        return F.transform(
+            F.element_at(F.col("__books"), s + 1), lambda b: _dot(sl, b["c"])
+        )
+
+    return F.array(*[row(s) for s in range(m)])
 
 
 def pq_codebooks(
@@ -392,34 +461,44 @@ def pq_codebooks(
     books = [
         [seeds[j][s * sd : (s + 1) * sd] for j in range(k)] for s in range(m)
     ]
-    for _ in range(iters):
-        codes = F.array(*[_pq_code(F.col("v"), books[s], s, sd) for s in range(m)])
-        assigned = e.select("v", codes.alias("codes"))
-        exploded = assigned.select(
-            F.posexplode("v").alias("p", "x"), "codes"
-        ).select(
-            (F.col("p") / sd).cast("int").alias("s"),
-            (F.col("p") % sd).alias("sp"),
-            F.element_at("codes", (F.col("p") / sd).cast("int") + 1).alias("cid"),
-            "x",
-        )
-        means = (
-            exploded.groupBy("s", "cid", "sp").agg(F.avg("x").alias("mv")).collect()
-        )
-        got: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means:
-            got.setdefault((r["s"], r["cid"]), {})[r["sp"]] = round(
-                r["mv"], round_decimals
+    spark = embeddings.sparkSession
+    ep = e.persist()
+    try:
+        for _ in range(iters):
+            assigned = _attach(ep, _books_col(spark, books)).select(
+                "v", _codes_expr(F.col("v"), m, sd).alias("codes")
             )
-        books = [
-            [
-                [got[(s, j)][p] for p in range(sd)]
-                if (s, j) in got
-                else books[s][j]
-                for j in range(k)
+            exploded = assigned.select(
+                F.posexplode("v").alias("p", "x"), "codes"
+            ).select(
+                (F.col("p") / sd).cast("int").alias("s"),
+                (F.col("p") % sd).alias("sp"),
+                F.element_at("codes", (F.col("p") / sd).cast("int") + 1).alias(
+                    "cid"
+                ),
+                "x",
+            )
+            means = (
+                exploded.groupBy("s", "cid", "sp")
+                .agg(F.avg("x").alias("mv"))
+                .collect()
+            )
+            got: dict[tuple[int, int], dict[int, float]] = {}
+            for r in means:
+                got.setdefault((r["s"], r["cid"]), {})[r["sp"]] = round(
+                    r["mv"], round_decimals
+                )
+            books = [
+                [
+                    [got[(s, j)][p] for p in range(sd)]
+                    if (s, j) in got
+                    else books[s][j]
+                    for j in range(k)
+                ]
+                for s in range(m)
             ]
-            for s in range(m)
-        ]
+    finally:
+        ep.unpersist()
     return books
 
 
@@ -437,12 +516,14 @@ def pq_topk(
     d doubles — the compressed-domain scale path: at d=1024, m=16 the
     candidate table shrinks ~500x and the scoring join never touches a
     raw database vector); each query precomputes an m x k table of
-    subspace dot products against the literal codebooks, and a pair's
+    subspace dot products against the codebooks, and a pair's
     approximate inner product is m table lookups summed in subspace
     order.
 
-    Encode and table-build are narrow projections (codebooks enter the
-    plan as literals); scoring is a broadcast join against the
+    Encode and table-build are narrow projections against the codebook
+    attached as a 1-row broadcast array column (_books_col/_codes_expr/
+    _tab_expr — O(1) plan size in the model, no shuffle, codegen-safe
+    at real dims); scoring is a broadcast join against the
     codes-only table. Ranking uses the ROUNDED score with neighbor_id
     tiebreak so order is reproducible across engines (same rationale as
     tfidf_top_terms).
@@ -457,33 +538,23 @@ def pq_topk(
     m = len(books)
     kk = len(books[0])
     sd = len(books[0][0])
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
-    ).select(
-        "neighbor_id",
-        F.array(*[_pq_code(F.col("cv"), books[s], s, sd) for s in range(m)]).alias(
-            "codes"
+    spark = embeddings.sparkSession
+    books_row = _books_col(spark, books)
+    c = _attach(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
         ),
-    )
-    qv = as_double_vec(vec_col)
-    tab = F.array(
-        *[
-            F.array(
-                *[
-                    _dot(
-                        F.slice(qv, s * sd + 1, sd),
-                        F.array(*[F.lit(x) for x in books[s][j]]),
-                    )
-                    for j in range(kk)
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        tab.alias("tab"),
-        F.sqrt(_dot(qv, qv)).alias("qnorm"),
+        books_row,
+    ).select("neighbor_id", _codes_expr(F.col("cv"), m, sd).alias("codes"))
+    q = _attach(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
+        ),
+        books_row,
+    ).select(
+        "query_id",
+        _tab_expr(F.col("qv"), m, sd).alias("tab"),
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qnorm"),
     )
     # ||x_hat||^2 = sum_s ||c_{s,code_s}||^2 via a literal norm table —
     # norms computed HERE (python floats) and embedded as the same
@@ -570,53 +641,41 @@ def ivfpq_topk(
     if not 1 <= n_probe <= n_cent:
         raise ValueError("n_probe must be in [1, n_centroids]")
 
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    spark = embeddings.sparkSession
+    cents_row = _cents_col(spark, centroids)
+    books_row = _books_col(spark, books)
+    c = _attach(
+        _attach(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double_vec(vec_col).alias("cv"),
+            ),
+            cents_row,
+        ),
+        books_row,
     ).select(
         "neighbor_id",
-        _nearest_centroid(F.col("cv"), centroids).alias("cid"),
-        F.array(*[_pq_code(F.col("cv"), books[s], s, sd) for s in range(m)]).alias(
-            "codes"
-        ),
+        _cell_expr(F.col("cv")).alias("cid"),
+        _codes_expr(F.col("cv"), m, sd).alias("codes"),
     )
 
-    qv = as_double_vec(vec_col)
-    probe_sims = F.array(
-        *[
-            F.struct(
-                (-cosine(F.col("qv"), F.array(*[F.lit(x) for x in cent]))).alias(
-                    "neg"
-                ),
-                F.lit(i).alias("cid"),
-            )
-            for i, cent in enumerate(centroids)
-        ]
-    )
-    tab = F.array(
-        *[
-            F.array(
-                *[
-                    _dot(
-                        F.slice(F.col("qv"), s * sd + 1, sd),
-                        F.array(*[F.lit(x) for x in books[s][j]]),
-                    )
-                    for j in range(kk)
-                ]
-            )
-            for s in range(m)
-        ]
-    )
     q = (
-        queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
-        .withColumn("probe", F.slice(F.array_sort(probe_sims), 1, n_probe))
+        _attach(
+            _attach(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    as_double_vec(vec_col).alias("qv"),
+                ),
+                cents_row,
+            ),
+            books_row,
+        )
         .select(
             "query_id",
-            "qv",
-            tab.alias("tab"),
+            _tab_expr(F.col("qv"), m, sd).alias("tab"),
             F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qnorm"),
-            F.explode("probe.cid").alias("cid"),
+            F.explode(_probe_expr(F.col("qv"), n_probe)).alias("cid"),
         )
-        .drop("qv")
     )
 
     norm_tab = [
