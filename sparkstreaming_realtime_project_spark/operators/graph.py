@@ -50,28 +50,33 @@ def pagerank(
     The RETURNED frame is persisted (every intermediate cut is released
     before returning) — unpersist it when done.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
     n = nodes.count()
-    # deg's key is renamed so the ranks-deg-edges three-way join never
-    # carries two lineage-shared 'src' columns (self-join ambiguity).
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
-        F.col("src").alias("deg_node"), "deg"
-    )
+    # Fold the static 1/outdeg weight into the edge list ONCE: each
+    # iteration is then a single rank-edge equi-join (the rank side is
+    # node-sized — AQE broadcasts it when it fits, leaving the persisted
+    # edge list unshuffled) instead of a ranks-deg-edges three-way join
+    # re-paying the degree join every round.
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg stays an integer and the contribution stays the single
+    # division r/deg — identical float op sequence to the unfused form,
+    # so the oracle's unrolled recurrence matches bit-for-bit.
+    e = e0.join(deg, "src").select("src", "dst", "deg").persist()
+    e.count()
+    e0.unpersist()
     base = (1.0 - damping) / n
 
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r")).persist()
     prev = ranks
     for _ in range(iters):
-        contrib = (
-            ranks.join(deg, F.col("node") == F.col("deg_node"))
-            .join(e, F.col("node") == F.col("src"))
-            .select(F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("cr"))
+        contrib = ranks.join(e, F.col("node") == F.col("src")).select(
+            F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("cr")
         )
         agg = contrib.groupBy("node").agg(F.sum("cr").alias("s"))
         ranks = (
