@@ -455,3 +455,30 @@ def mixture_plan(
         F.round(F.least(epochs, F.lit(float(max_epochs))), 4).alias("epochs"),
         (epochs > max_epochs).cast("int").alias("capped"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically — the
+    per-domain / per-source document cap of a crawl pipeline (one hot
+    domain must not dominate the corpus). The batch twin of the
+    streaming quota_per_key operator (streaming/stateful.py).
+
+    Selection order is the md5 sampling coordinate (then id for full
+    determinism), NOT arrival order, so the kept subset is an unbiased
+    within-group sample, stable across runs and engines. One window
+    partitioned by the group — state per task is the counter, and a
+    group's rows already live in one partition after the exchange, the
+    same shuffle any per-group operator pays. Returns the capped rows
+    with their selection rank (1..n)."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= n)
+    )

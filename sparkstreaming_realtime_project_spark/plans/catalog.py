@@ -3207,3 +3207,26 @@ def x_zorder_layout(spark, sf_dir):
         F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000)).alias("day"),
     )
     return _ly.zorder_key(ev, ["user_id", "day"], bits=8)
+
+
+@_register(
+    "x_source_cap",
+    "per-source document cap: keep at most N docs per source by the "
+    "deterministic md5 coordinate — the hot-domain cap of a crawl "
+    "pipeline, batch twin of the streaming quota op (north-star)",
+    """
+    SELECT doc_id, source, cap_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS cap_rank
+      FROM documents)
+    WHERE cap_rank <= 100
+    """,
+)
+def x_source_cap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _cx.cap_per_group(docs, "source", "doc_id", n=100).select(
+        "doc_id", "source", "cap_rank"
+    )
