@@ -17,7 +17,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def first_seen_per_key(
@@ -335,6 +335,95 @@ def topk_per_group(
         )
 
     return stream.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def zscore_per_key(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    min_n: int = 5,
+    ttl_hours: int = 24,
+) -> DataFrame:
+    """Streaming per-key anomaly scoring: each row's ``value`` is scored
+    against the key's RUNNING history — z = (x - mean) / sample_std of
+    everything scored before it — then folded into the state (Welford's
+    online update: one (n, mean, M2) triple per key, numerically stable,
+    never a buffer of values). The streaming analog of the batch
+    x_anomaly_zscore entry, for the live side: drift alarms on ingest
+    volume, metric spikes per device, quality-score shifts per source.
+
+    Semantics: z is NULL until the key has ``min_n`` prior observations
+    (and when the prior std is 0) — a cold key cannot be anomalous.
+    Within a trigger rows are scored sequentially in (ts, repr) order,
+    so each sees everything earlier in the batch; ACROSS triggers
+    arrival order is fold order (a late row replayed into a later
+    trigger scores against more history than its event time implies —
+    the first_seen_per_key caveat, inherent to single-pass streaming).
+
+    State is evicted ``ttl_hours`` after the latest folded EVENT time
+    (sliding idle timeout — an active key's history persists, an idle
+    key's is dropped). ``stream`` must already carry a watermark on
+    ``ts_col``."""
+    import math
+
+    keys_schema = [stream.schema[c] for c in key_cols]
+    out_schema = StructType(
+        keys_schema
+        + [
+            stream.schema[ts_col],
+            stream.schema[value_col],
+            StructField("n_prior", LongType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("m2", DoubleType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        rows = [pdf for pdf in pdf_iter if len(pdf)]
+        if not rows:
+            return iter(())
+        batch = pd.concat(rows).sort_values(
+            [ts_col] + [c for c in rows[0].columns if c != ts_col]
+        )
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out_n, out_z = [], []
+        for x in batch[value_col]:
+            x = float(x)
+            if n >= min_n and n >= 2:
+                sd = math.sqrt(m2 / (n - 1))
+                out_z.append((x - mean) / sd if sd > 0 else None)
+            else:
+                out_z.append(None)
+            out_n.append(n)
+            n += 1
+            d = x - mean
+            mean += d / n
+            m2 += d * (x - mean)
+        out = batch[[*key_cols, ts_col, value_col]].copy()
+        out["n_prior"] = pd.Series(out_n, index=batch.index, dtype="int64")
+        out["z"] = pd.Series(out_z, index=batch.index, dtype="float64")
+        state.update((n, mean, m2))
+        last_ms = int(pd.Timestamp(batch[ts_col].iloc[-1]).value // 1_000_000)
+        state.setTimeoutTimestamp(last_ms + ttl_hours * 3600 * 1000)
+        return iter((out,))
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,

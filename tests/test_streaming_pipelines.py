@@ -809,3 +809,67 @@ def test_topk_per_group_snapshots_across_batches(spark, tmp_path):
     assert {(r["rank"], r["key"], r["est_count"]) for r in seq1} == {
         (1, "a", 2), (2, "b", 1)
     }
+
+
+def test_zscore_per_key_flags_outlier_across_batches(spark, tmp_path):
+    """Streaming Welford anomaly scoring: batch 1 establishes a key's
+    baseline (all z NULL below min_n), batch 2's outlier scores against
+    the ACCUMULATED state with a large |z| while an in-range value stays
+    small; a cold key in batch 2 emits NULL z."""
+    from sparkstreaming_realtime_project_spark.streaming.stateful import (
+        zscore_per_key,
+    )
+
+    base = fx.D1_10
+    mk = lambda dev, i, ts, v: json.dumps(
+        {"device": dev, "event_id": i, "ts": ts, "value": v}
+    )
+    in_dir = tmp_path / "in"
+    baseline = [10.0, 11.0, 9.0, 10.5, 9.5, 10.8]
+    fx._write_batches(str(in_dir), [
+        [mk("A", i, base + i * 1000, v) for i, v in enumerate(baseline)],
+        [mk("A", 100, base + 100_000, 10.2),   # in-range
+         mk("A", 101, base + 101_000, 100.0),  # outlier
+         mk("COLD", 200, base + 100_000, 5.0)],
+    ])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    schema = "device string, event_id long, ts long, value double"
+    events = (
+        text_stream(spark, str(in_dir), max_files_per_trigger=1)
+        .select(F.from_json("value", schema).alias("j"))
+        .select(
+            "j.device", "j.event_id", F.timestamp_millis("j.ts").alias("event_ts"),
+            F.col("j.value").alias("value"),
+        )
+        .withWatermark("event_ts", "25 hours")
+    )
+    scored = zscore_per_key(events, ["device"], "event_ts", "value", min_n=5)
+    q = (
+        scored.writeStream.foreachBatch(
+            lambda b, i: b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    rows = {
+        (r["device"], r["value"]): (r["n_prior"], r["z"])
+        for r in read_sink(spark, out).collect()
+    }
+    assert len(rows) == 9
+    # below min_n=5: z NULL (first 5 of the baseline)
+    assert all(rows[("A", v)][1] is None for v in baseline[:5])
+    # 6th baseline row has 5 priors -> scored, in-range
+    n6, z6 = rows[("A", baseline[5])]
+    assert n6 == 5 and z6 is not None and abs(z6) < 3.0
+    # batch-2: state carried across the trigger (n_prior counts batch 1)
+    n_in, z_in = rows[("A", 10.2)]
+    n_out, z_out = rows[("A", 100.0)]
+    assert n_in == 6 and abs(z_in) < 1.0
+    assert n_out == 7 and z_out > 10.0
+    # cold key: no history -> NULL
+    assert rows[("COLD", 5.0)] == (0, None)
