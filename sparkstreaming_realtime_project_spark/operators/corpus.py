@@ -28,18 +28,23 @@ def _spread_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return src.select("doc_id", tokens_expr("__text").alias("t"))
 
 
+def coord_md5(key: Column, salt: str) -> Column:
+    """THE deterministic per-row coordinate every sampling/sharding/
+    capping operator orders or thresholds by: md5(salt || ':' || key).
+    One definition so the scheme (and its oracle-SQL mirror,
+    ``md5('<salt>:' || CAST(key AS VARCHAR))``) can never drift between
+    operators. Hash-based (not ``rand()``) so selections are
+    reproducible run-to-run and identical across engines."""
+    return F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+
+
 def sample_hash_expr(key: Column, salt: str = "smpl") -> Column:
     """Deterministic per-row sampling coordinate in [0, 1): the first 8
-    hex digits of md5(salt || ':' || key), compared as a STRING against a
-    fixed-width hex threshold. Fixed-width lowercase hex sorts exactly
-    like the 32-bit integer it encodes, so the comparison needs no
-    hex->int conversion (which differs between engines).
-
-    Hash-based (not ``rand()``) so the sample is reproducible run-to-run
-    and identical across engines — a re-run of the pipeline on the same
-    corpus selects the same rows, which is what makes downstream caches
-    and incremental re-trains valid."""
-    return F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8)
+    hex digits of coord_md5, compared as a STRING against a fixed-width
+    hex threshold. Fixed-width lowercase hex sorts exactly like the
+    32-bit integer it encodes, so the comparison needs no hex->int
+    conversion (which differs between engines)."""
+    return F.substring(coord_md5(key, salt), 1, 8)
 
 
 def rate_threshold_hex(rate: float) -> str:
@@ -387,7 +392,7 @@ def shard_assign(
 
     Returns (key, shard, pos) with pos 1-based within shard.
     """
-    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    h = coord_md5(F.col(key_col), salt)
     h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
     out = df.select(
         F.col(key_col),
@@ -427,14 +432,20 @@ def mixture_plan(
     projection + a stratum groupBy (partial-agg'd), then the weight
     normalization over the STRATUM table (tiny) via a window — the
     corpus is read once, nothing but (stratum, counts) shuffles."""
-    toks = _spread_toks(df, text_col, id_col)
+    src = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col(text_col).alias("__text"),
+        ),
+        "doc_id",
+    )
     strata = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("stratum"))
-        .join(toks, "doc_id")
+        src.select("stratum", F.size(tokens_expr("__text")).alias("n_toks"))
         .groupBy("stratum")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("t")).cast("bigint").alias("n_tokens"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
         )
     )
     w_all = Window.partitionBy()
@@ -476,7 +487,7 @@ def cap_per_group(
     group's rows already live in one partition after the exchange, the
     same shuffle any per-group operator pays. Returns the capped rows
     with their selection rank (1..n)."""
-    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    h = coord_md5(F.col(id_col), salt)
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (
         df.withColumn("cap_rank", F.row_number().over(w))

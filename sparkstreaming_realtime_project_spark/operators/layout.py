@@ -40,12 +40,13 @@ def zorder_cell(col: Column, mn: Column, mx: Column, bits: int) -> Column:
 
 def _interleave(cells: list[Column], bits: int) -> Column:
     """Morton interleave: bit i of cell j lands at position i*k + j.
-    Pure shift/and/sum expressions — whole-stage codegen, no UDF."""
+    Pure shift/and/sum expressions on bigint — whole-stage codegen, no
+    UDF, no narrowing cast (cells can exceed 32 bits)."""
     k = len(cells)
     out = F.lit(0).cast("bigint")
     for j, c in enumerate(cells):
         for i in range(bits):
-            bit = F.shiftright(c.cast("int"), i).bitwiseAND(F.lit(1)).cast("bigint")
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1).cast("bigint"))
             out = out + bit * F.lit(1 << (i * k + j))
     return out
 
@@ -66,6 +67,9 @@ def zorder_key(
     price as any global sort."""
     if not cols or len(cols) * bits > 62:
         raise ValueError("need 1+ columns and len(cols)*bits <= 62")
+    # range caveat: zorder_cell's numerator (x - mn) * 2^bits must fit
+    # int64 — with bits <= 31 any int32-ranged column is safe; for
+    # full-range int64 columns pre-scale to a coarser unit first
     bounds = df.agg(
         *[F.min(F.col(c).cast("bigint")).alias(f"__mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("bigint")).alias(f"__mx_{c}") for c in cols],

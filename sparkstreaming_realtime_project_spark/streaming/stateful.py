@@ -388,6 +388,7 @@ def zscore_per_key(
             StructField("n", LongType()),
             StructField("mean", DoubleType()),
             StructField("m2", DoubleType()),
+            StructField("last_ms", LongType()),
         ]
     )
 
@@ -401,10 +402,19 @@ def zscore_per_key(
         batch = pd.concat(rows).sort_values(
             [ts_col] + [c for c in rows[0].columns if c != ts_col]
         )
-        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        n, mean, m2, last_ms = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
         out_n, out_z = [], []
         for x in batch[value_col]:
             x = float(x)
+            # a non-finite value (upstream parse failure -> NaN) is
+            # scored NULL and NOT folded — one bad row must not poison
+            # the key's moments into permanent NaN
+            if not math.isfinite(x):
+                out_n.append(n)
+                out_z.append(None)
+                continue
             if n >= min_n and n >= 2:
                 sd = math.sqrt(m2 / (n - 1))
                 out_z.append((x - mean) / sd if sd > 0 else None)
@@ -418,8 +428,11 @@ def zscore_per_key(
         out = batch[[*key_cols, ts_col, value_col]].copy()
         out["n_prior"] = pd.Series(out_n, index=batch.index, dtype="int64")
         out["z"] = pd.Series(out_z, index=batch.index, dtype="float64")
-        state.update((n, mean, m2))
-        last_ms = int(pd.Timestamp(batch[ts_col].iloc[-1]).value // 1_000_000)
+        # TTL anchors to the MAX event time ever folded — a late row in
+        # a later trigger must not regress the eviction deadline
+        batch_ms = int(pd.Timestamp(batch[ts_col].iloc[-1]).value // 1_000_000)
+        last_ms = max(int(last_ms), batch_ms)
+        state.update((n, mean, m2, last_ms))
         state.setTimeoutTimestamp(last_ms + ttl_hours * 3600 * 1000)
         return iter((out,))
 

@@ -14,9 +14,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def test_bucketed_join_has_no_exchange(spark, tmp_path):
-    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+def test_bucketed_join_has_no_exchange(spark, tmp_path, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     try:
         (
             o.write.bucketBy(8, "o_orderkey")
@@ -48,10 +48,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem_t")
 
 
-def test_bucketed_groupby_reuses_layout(spark, tmp_path):
+def test_bucketed_groupby_reuses_layout(spark, tmp_path, sf_dir):
     """Aggregation on the bucket key also skips its exchange — the
     bucketed layout pays for itself across every downstream key use."""
-    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     try:
         (
             li.write.bucketBy(8, "l_orderkey")

@@ -829,6 +829,7 @@ def test_zscore_per_key_flags_outlier_across_batches(spark, tmp_path):
     fx._write_batches(str(in_dir), [
         [mk("A", i, base + i * 1000, v) for i, v in enumerate(baseline)],
         [mk("A", 100, base + 100_000, 10.2),   # in-range
+         mk("A", 102, base + 100_500, None),   # parse-failure NaN: scored NULL, NOT folded
          mk("A", 101, base + 101_000, 100.0),  # outlier
          mk("COLD", 200, base + 100_000, 5.0)],
     ])
@@ -856,11 +857,13 @@ def test_zscore_per_key_flags_outlier_across_batches(spark, tmp_path):
     )
     assert q.awaitTermination(120)
 
+    collected = read_sink(spark, out).collect()
     rows = {
         (r["device"], r["value"]): (r["n_prior"], r["z"])
-        for r in read_sink(spark, out).collect()
+        for r in collected
+        if r["value"] is not None and r["value"] == r["value"]
     }
-    assert len(rows) == 9
+    assert len(collected) == 10 and len(rows) == 9
     # below min_n=5: z NULL (first 5 of the baseline)
     assert all(rows[("A", v)][1] is None for v in baseline[:5])
     # 6th baseline row has 5 priors -> scored, in-range
@@ -870,6 +873,8 @@ def test_zscore_per_key_flags_outlier_across_batches(spark, tmp_path):
     n_in, z_in = rows[("A", 10.2)]
     n_out, z_out = rows[("A", 100.0)]
     assert n_in == 6 and abs(z_in) < 1.0
+    # n_out == 7 proves the NaN row between 10.2 and 100.0 was NOT
+    # folded (a folded NaN would also poison mean/m2 -> z_out None)
     assert n_out == 7 and z_out > 10.0
     # cold key: no history -> NULL
     assert rows[("COLD", 5.0)] == (0, None)
