@@ -3230,3 +3230,74 @@ def x_source_cap(spark, sf_dir):
     return _cx.cap_per_group(docs, "source", "doc_id", n=100).select(
         "doc_id", "source", "cap_rank"
     )
+
+
+@_register(
+    "x_corpus_pipeline",
+    "the corpus-construction pipeline COMPOSED end to end: quality gate "
+    "-> exact-dedup winners -> PII scrub -> per-source cap, one plan "
+    "(proves the operators chain, not just exist; every stage keeps its "
+    "individual entry's semantics) (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    stats AS (SELECT doc_id, len(t) AS n_tokens,
+        list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_len,
+        len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+            * 1.0 / len(t) AS stop_ratio
+      FROM toks),
+    kept AS (SELECT doc_id FROM stats
+             WHERE n_tokens >= 20 AND stop_ratio <= 0.5
+               AND avg_len >= 3.0 AND avg_len <= 12.0),
+    kd AS (SELECT d.doc_id, d.text, d.source, d.lang
+           FROM documents d JOIN kept USING (doc_id)),
+    win AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY md5(text)),
+    canon AS (SELECT kd.doc_id, kd.text, kd.source, kd.lang
+              FROM kd JOIN win USING (doc_id)),
+    s1 AS (SELECT doc_id, source, lang,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g') AS t
+           FROM canon),
+    s2 AS (SELECT doc_id, source, lang, n_email,
+             len(regexp_extract_all(t,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+             regexp_replace(t,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+               '<IP>', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, source, lang, n_email, n_ipv4,
+             len(regexp_extract_all(t, '\\+?\\d[\\d\\- ]{{6,}}\\d')) AS n_phone
+           FROM s2),
+    ranked AS (SELECT doc_id, source, lang,
+                      n_email + n_ipv4 + n_phone AS n_pii,
+                      row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+                      ) AS cap_rank
+               FROM s3)
+    SELECT doc_id, source, lang, n_pii, cap_rank
+    FROM ranked WHERE cap_rank <= 50
+    """,
+)
+def x_corpus_pipeline(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    qf = _cx.quality_filter(docs, "text", "doc_id")
+    kept = docs.join(
+        qf.filter(F.col("kept") == 1).select("doc_id"), "doc_id"
+    ).select("doc_id", "text", "source", "lang")
+    winners = _dd.dedup_exact(kept, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    canon = kept.join(winners, "doc_id")
+    scrubbed = _cx.pii_scrub(canon, "text", "doc_id")
+    enriched = scrubbed.join(canon.select("doc_id", "source", "lang"), "doc_id")
+    capped = _cx.cap_per_group(enriched, "source", "doc_id", n=50)
+    return capped.select(
+        "doc_id",
+        "source",
+        "lang",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")).alias("n_pii"),
+        "cap_rank",
+    )

@@ -119,3 +119,11 @@ def test_plan_shape_r3(spark, sf_dir, name, want, ban):
         assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
     for frag in ban:
         assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
+
+
+def test_corpus_pipeline_plan(spark, sf_dir):
+    """The composed pipeline must stay all-equi-join: quality gate and
+    scrub are narrow, dedup winners and the source cap are keyed."""
+    df = _REG["x_corpus_pipeline"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
