@@ -493,3 +493,33 @@ def cap_per_group(
         df.withColumn("cap_rank", F.row_number().over(w))
         .filter(F.col("cap_rank") <= n)
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic corpus split: every row gets a ``split`` label
+    (train/val/test) from its coord_md5 coordinate — the same hash-range
+    idiom as stratified_sample, so membership is a pure function of the
+    key: reproducible across runs, engines, and INCREMENTAL ingests (a
+    doc added next month lands in the same split it would have today,
+    which row-number or rand() splits cannot promise).
+
+    Ranges are half-open on the 8-hex coordinate: [0, val) -> val,
+    [val, val+test) -> test, rest -> train. One narrow projection, no
+    shuffle; downstream writers filter or partitionBy the label."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError("need val_frac, test_frac >= 0 summing below 1")
+    h = sample_hash_expr(F.col(key_col), salt)
+    val_hi = rate_threshold_hex(val_frac)
+    test_hi = rate_threshold_hex(val_frac + test_frac)
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(val_hi), F.lit("val"))
+        .when(h < F.lit(test_hi), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

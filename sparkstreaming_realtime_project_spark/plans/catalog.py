@@ -3301,3 +3301,26 @@ def x_corpus_pipeline(spark, sf_dir):
         (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")).alias("n_pii"),
         "cap_rank",
     )
+
+
+@_register(
+    "x_split_train_val",
+    "deterministic train/val/test split by hash range: membership is a "
+    "pure function of the doc id, stable under incremental ingest "
+    "(north-star)",
+    f"""
+    WITH coord AS (SELECT doc_id, lang,
+                          substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                   FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN h < '{format(int(0.05 * 16**8), "08x")}' THEN 'val'
+                WHEN h < '{format(int(0.10 * 16**8), "08x")}' THEN 'test'
+                ELSE 'train' END AS split
+    FROM coord
+    """,
+)
+def x_split_train_val(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return _cx.train_val_test_split(
+        docs, "doc_id", val_frac=0.05, test_frac=0.05
+    ).select("doc_id", "lang", "split")
