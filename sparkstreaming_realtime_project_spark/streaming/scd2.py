@@ -1,0 +1,135 @@
+"""Incremental SCD2 dimension-history maintenance.
+
+The reference's dim store keeps ONLY the latest value per key (Redis
+``SET DIM:<TABLE>:<id>``, OdsBaseDbApp.scala:144-163 — K5); the batch
+entry j_scd2_history derives full validity intervals from a complete
+change log after the fact. This sink maintains those intervals
+INCREMENTALLY as CDC batches arrive: the point-in-time dim table a
+training pipeline joins as-of against, kept current per micro-batch
+instead of rebuilt from the full log.
+
+Mechanics (foreachBatch):
+
+1. the batch's changes touch a set of keys; ONLY those keys' histories
+   are rewritten (dim-sized work per batch, never the full table);
+2. an affected key's prior intervals are turned back into their run
+   START events, merged with the new changes, and the value runs are
+   recomputed exactly like the batch operator (lag-compare -> starts,
+   lead -> [from, to) half-open intervals, NULL to = current);
+3. the key's new history lands in the batch's own subdirectory —
+   idempotent under replay (a restarted batch overwrites itself);
+   readers take each key's rows from the newest batch that touched it
+   (read_scd2), so an interrupted write is never half-visible.
+
+Late data caveat (documented, not hidden): history is reconstructed
+from run STARTS, so a same-value change that was collapsed into a run
+cannot re-split it if an out-of-order change later lands inside the
+run. Bound lateness with a watermark upstream if exact late-data
+semantics matter; in-order CDC (the Maxwell topology here) is exact.
+
+At 100 TB: per batch the work is (changed keys' history + new changes)
+— dimension-change-sized, not corpus-sized; everything is keyed
+windows and equi-joins on the dim key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def scd2_intervals(changes: DataFrame) -> DataFrame:
+    """Value runs -> half-open validity intervals for a change frame
+    shaped (key, value, ts_us, ord): one row per run, [valid_from_us,
+    valid_to_us), NULL to = current, is_current flag. Same recurrence
+    as operators.cdc.scd2_history, factored over epoch-us columns."""
+    w = Window.partitionBy("key").orderBy("ts_us", "ord", "value")
+    starts = (
+        changes.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+        .drop("prev")
+    )
+    w2 = Window.partitionBy("key").orderBy("ts_us", "ord", "value")
+    return starts.select(
+        "key",
+        "value",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        "ord",
+        F.lead("ts_us").over(w2).isNull().cast("int").alias("is_current"),
+    )
+
+
+def read_scd2(spark, store_dir: str) -> DataFrame:
+    """Current history: per key, the rows of the NEWEST COMMITTED batch
+    that touched it (earlier batches' rows for that key are superseded
+    whole — step 3 above). Only batch dirs carrying _SUCCESS are read,
+    so a crashed in-flight write is invisible until its replay commits."""
+    committed = [
+        os.path.join(store_dir, d)
+        for d in sorted(os.listdir(store_dir))
+        if d.startswith("batch=")
+        and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
+    ]
+    df = spark.read.option("basePath", store_dir).parquet(*committed)
+    latest = df.groupBy("key").agg(F.max("batch").alias("batch"))
+    return df.join(latest, ["key", "batch"]).drop("batch")
+
+
+def scd2_sink(
+    change_stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    order_col: str,
+):
+    """Build the streaming query maintaining the SCD2 store. The change
+    stream carries (key_col, value_col, ts_col timestamp, order_col
+    tiebreak for equal timestamps)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).alias("value"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(order_col).cast("long").alias("ord"),
+        ).persist()
+        if new.isEmpty():
+            new.unpersist()
+            return
+        affected = new.select("key").distinct()
+        if os.path.isdir(store_dir):
+            # strictly-earlier batches only: a replayed batch must not
+            # read its own crashed attempt's partial dir (untrustworthy,
+            # and overwriting a path the plan still reads corrupts both)
+            hist = (
+                spark.read.option("basePath", store_dir)
+                .parquet(os.path.join(store_dir, "batch=*"))
+                .filter(F.col("batch") < batch_id)
+            )
+            latest = hist.groupBy("key").agg(F.max("batch").alias("batch"))
+            prior = (
+                hist.join(latest, ["key", "batch"])
+                .join(affected, "key")
+                .select("key", "value", F.col("valid_from_us").alias("ts_us"), "ord")
+            )
+            merged = prior.unionByName(new)
+        else:
+            merged = new
+        out = scd2_intervals(merged)
+        out.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+        new.unpersist()
+
+    return (
+        change_stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

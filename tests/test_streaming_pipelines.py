@@ -878,3 +878,51 @@ def test_zscore_per_key_flags_outlier_across_batches(spark, tmp_path):
     assert n_out == 7 and z_out > 10.0
     # cold key: no history -> NULL
     assert rows[("COLD", 5.0)] == (0, None)
+
+
+def test_scd2_sink_incremental_history(spark, tmp_path):
+    """Incremental SCD2 maintenance: batch 2 closes batch 1's open
+    interval for a changed key, extends (not splits) a same-value run,
+    and leaves untouched keys' histories to their original batch."""
+    from sparkstreaming_realtime_project_spark.streaming.scd2 import (
+        read_scd2,
+        scd2_sink,
+    )
+
+    base = fx.D1_10
+    mk = lambda k, v, i, ts: json.dumps({"k": k, "v": v, "event_id": i, "ts": ts})
+    in_dir = tmp_path / "in"
+    fx._write_batches(str(in_dir), [
+        [mk("A", "x", 1, base), mk("A", "y", 2, base + 3000),
+         mk("KEEP", "w", 3, base + 1000)],
+        [mk("A", "y", 4, base + 4000),   # same-value: extends the run
+         mk("A", "z", 5, base + 5000),
+         mk("B", "n", 6, base + 2000)],
+    ])
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    schema = "k string, v string, event_id long, ts long"
+    changes = (
+        text_stream(spark, str(in_dir), max_files_per_trigger=1)
+        .select(F.from_json("value", schema).alias("j"))
+        .select("j.k", "j.v", "j.event_id", F.timestamp_millis("j.ts").alias("event_ts"))
+    )
+    q = (
+        scd2_sink(changes, store, ckpt, "k", "v", "event_ts", "event_id")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    us = lambda ms: ms * 1000
+    got = {
+        (r["key"], r["value"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+        for r in read_scd2(spark, store).collect()
+    }
+    assert got == {
+        ("A", "x", us(base), us(base + 3000), 0),
+        ("A", "y", us(base + 3000), us(base + 5000), 0),  # run extended, then closed
+        ("A", "z", us(base + 5000), None, 1),
+        ("KEEP", "w", us(base + 1000), None, 1),          # untouched by batch 2
+        ("B", "n", us(base + 2000), None, 1),
+    }
