@@ -79,6 +79,53 @@ def read_scd2(spark, store_dir: str) -> DataFrame:
     return df.join(latest, ["key", "batch"]).drop("batch")
 
 
+def scd2_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    order_col: str,
+) -> None:
+    """One batch of SCD2 maintenance (the foreachBatch body, exposed so
+    the replay/crash discipline is testable without a stream)."""
+    spark = batch_df.sparkSession
+    new = batch_df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("value"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(order_col).cast("long").alias("ord"),
+    ).persist()
+    if new.isEmpty():
+        new.unpersist()
+        return
+    affected = new.select("key").distinct()
+    if os.path.isdir(store_dir):
+        # strictly-earlier batches only: a replayed batch must not
+        # read its own crashed attempt's partial dir (untrustworthy,
+        # and overwriting a path the plan still reads corrupts both)
+        hist = (
+            spark.read.option("basePath", store_dir)
+            .parquet(os.path.join(store_dir, "batch=*"))
+            .filter(F.col("batch") < batch_id)
+        )
+        latest = hist.groupBy("key").agg(F.max("batch").alias("batch"))
+        prior = (
+            hist.join(latest, ["key", "batch"])
+            .join(affected, "key")
+            .select("key", "value", F.col("valid_from_us").alias("ts_us"), "ord")
+        )
+        merged = prior.unionByName(new)
+    else:
+        merged = new
+    out = scd2_intervals(merged)
+    out.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={batch_id}")
+    )
+    new.unpersist()
+
+
 def scd2_sink(
     change_stream: DataFrame,
     store_dir: str,
@@ -93,40 +140,9 @@ def scd2_sink(
     tiebreak for equal timestamps)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        new = batch_df.select(
-            F.col(key_col).alias("key"),
-            F.col(value_col).alias("value"),
-            F.unix_micros(F.col(ts_col)).alias("ts_us"),
-            F.col(order_col).cast("long").alias("ord"),
-        ).persist()
-        if new.isEmpty():
-            new.unpersist()
-            return
-        affected = new.select("key").distinct()
-        if os.path.isdir(store_dir):
-            # strictly-earlier batches only: a replayed batch must not
-            # read its own crashed attempt's partial dir (untrustworthy,
-            # and overwriting a path the plan still reads corrupts both)
-            hist = (
-                spark.read.option("basePath", store_dir)
-                .parquet(os.path.join(store_dir, "batch=*"))
-                .filter(F.col("batch") < batch_id)
-            )
-            latest = hist.groupBy("key").agg(F.max("batch").alias("batch"))
-            prior = (
-                hist.join(latest, ["key", "batch"])
-                .join(affected, "key")
-                .select("key", "value", F.col("valid_from_us").alias("ts_us"), "ord")
-            )
-            merged = prior.unionByName(new)
-        else:
-            merged = new
-        out = scd2_intervals(merged)
-        out.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch={batch_id}")
+        scd2_apply_batch(
+            batch_df, batch_id, store_dir, key_col, value_col, ts_col, order_col
         )
-        new.unpersist()
 
     return (
         change_stream.writeStream.foreachBatch(write)

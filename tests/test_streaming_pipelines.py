@@ -926,3 +926,47 @@ def test_scd2_sink_incremental_history(spark, tmp_path):
         ("KEEP", "w", us(base + 1000), None, 1),          # untouched by batch 2
         ("B", "n", us(base + 2000), None, 1),
     }
+
+
+def test_scd2_store_replay_and_crash_visibility(spark, tmp_path):
+    """Exactly-once discipline of the SCD2 store itself: a replayed
+    batch reads only strictly-earlier batches (reproducing, not
+    compounding, its own output), and a crashed write (no _SUCCESS) is
+    invisible to readers until its replay commits."""
+    from sparkstreaming_realtime_project_spark.streaming.scd2 import (
+        read_scd2,
+        scd2_apply_batch,
+    )
+
+    store = str(tmp_path / "store")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k string, v string, event_id long, ts_ms long"
+        ).select(
+            "k", "v", "event_id", F.timestamp_millis("ts_ms").alias("event_ts")
+        )
+
+    def write(df, bid):
+        scd2_apply_batch(df, bid, store, "k", "v", "event_ts", "event_id")
+
+    def snap():
+        return {
+            (r["key"], r["value"], r["is_current"])
+            for r in read_scd2(spark, store).collect()
+        }
+
+    t = 1704067200000
+    write(batch([("A", "x", 1, t)]), 0)
+    write(batch([("A", "y", 2, t + 1000)]), 1)
+    snap1 = snap()
+    # replay batch 1 (restart): same output, not compounded
+    write(batch([("A", "y", 2, t + 1000)]), 1)
+    assert snap() == snap1 == {("A", "x", 0), ("A", "y", 1)}
+    # crashed batch 2: dir present, _SUCCESS removed -> invisible
+    write(batch([("A", "z", 3, t + 2000)]), 2)
+    os.remove(f"{store}/batch=2/_SUCCESS")
+    assert snap() == snap1
+    # replay of batch 2 commits -> now visible
+    write(batch([("A", "z", 3, t + 2000)]), 2)
+    assert snap() == {("A", "x", 0), ("A", "y", 0), ("A", "z", 1)}
