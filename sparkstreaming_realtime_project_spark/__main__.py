@@ -1,0 +1,120 @@
+"""Runnable app entry points — the reference ships four ``main()``
+programs (OdsBaseLogApp, OdsBaseDbApp, DwdDauApp, DwdOrderApp); this
+module is their drop-in launcher surface over the same pipelines the
+tests drive:
+
+    python -m sparkstreaming_realtime_project_spark dau \
+        --input ./in --out ./dau --checkpoint ./ck \
+        [--dim-user user.parquet --dim-province prov.parquet] [--follow]
+
+    python -m sparkstreaming_realtime_project_spark log-split ...
+    python -m sparkstreaming_realtime_project_spark cdc \
+        --fact-tables order_info,order_detail --dim-tables user_info ...
+    python -m sparkstreaming_realtime_project_spark order-wide \
+        --input-info ./in_info --input-detail ./in_detail ...
+
+Inputs are line-JSON directories (the Kafka-replay file source —
+swap ``sources.streams.kafka_stream`` in where a broker exists; the
+pipeline code is identical). Default trigger is ``availableNow`` (drain
+and exit); ``--follow`` keeps a 5 s micro-batch running, the
+reference's cadence (OdsBaseLogApp.scala:35).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .session import get_spark
+from .sources.streams import text_stream
+from .streaming.pipelines import (
+    cdc_route_pipeline,
+    dau_pipeline,
+    log_split_pipeline,
+    order_wide_pipeline,
+)
+
+
+def _start(writer, follow: bool):
+    if follow:
+        q = writer.trigger(processingTime="5 seconds").start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        ok = q.awaitTermination(3600)
+        sys.exit(0 if ok else 1)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="sparkstreaming_realtime_project_spark")
+    sub = ap.add_subparsers(dest="app", required=True)
+
+    def common(p):
+        p.add_argument("--out", required=True)
+        p.add_argument("--checkpoint", required=True)
+        p.add_argument("--follow", action="store_true")
+
+    p = sub.add_parser("dau", help="behavior log -> daily-active-user table")
+    p.add_argument("--input", required=True)
+    # DwdDauApp always enriches (J1/J2) — dims are not optional there
+    p.add_argument("--dim-user", required=True)
+    p.add_argument("--dim-province", required=True)
+    common(p)
+
+    p = sub.add_parser("log-split", help="behavior log -> 5 routed outputs")
+    p.add_argument("--input", required=True)
+    common(p)
+
+    p = sub.add_parser("cdc", help="Maxwell CDC -> fact routes + dim upserts")
+    p.add_argument("--input", required=True)
+    p.add_argument("--fact-tables", required=True, help="comma-separated")
+    p.add_argument("--dim-tables", required=True, help="comma-separated")
+    common(p)
+
+    p = sub.add_parser("order-wide", help="order info x detail wide table")
+    p.add_argument("--input-info", required=True)
+    p.add_argument("--input-detail", required=True)
+    p.add_argument("--dim-user")
+    p.add_argument("--dim-province")
+    common(p)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name=f"app-{args.app}")
+
+    def dim(path):
+        return spark.read.parquet(path) if path else None
+
+    if args.app == "dau":
+        writer = dau_pipeline(
+            text_stream(spark, args.input),
+            dim(args.dim_user),
+            dim(args.dim_province),
+            args.out,
+            args.checkpoint,
+        )
+    elif args.app == "log-split":
+        writer = log_split_pipeline(
+            text_stream(spark, args.input), args.out, args.checkpoint
+        )
+    elif args.app == "cdc":
+        writer = cdc_route_pipeline(
+            text_stream(spark, args.input),
+            args.fact_tables.split(","),
+            args.dim_tables.split(","),
+            args.out,
+            args.checkpoint,
+        )
+    else:
+        writer = order_wide_pipeline(
+            text_stream(spark, args.input_info),
+            text_stream(spark, args.input_detail),
+            args.out,
+            args.checkpoint,
+            dim_user=dim(args.dim_user),
+            dim_province=dim(args.dim_province),
+        )
+    _start(writer, args.follow)
+
+
+if __name__ == "__main__":
+    main()
