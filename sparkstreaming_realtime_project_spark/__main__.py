@@ -5,7 +5,7 @@ tests drive:
 
     python -m sparkstreaming_realtime_project_spark dau \
         --input ./in --out ./dau --checkpoint ./ck \
-        [--dim-user user.parquet --dim-province prov.parquet] [--follow]
+        --dim-user user.parquet --dim-province prov.parquet [--follow]
 
     python -m sparkstreaming_realtime_project_spark log-split ...
     python -m sparkstreaming_realtime_project_spark cdc \
@@ -25,8 +25,9 @@ from __future__ import annotations
 import argparse
 import sys
 
+from .schemas import ORDER_DETAIL_SCHEMA, ORDER_INFO_SCHEMA
 from .session import get_spark
-from .sources.streams import text_stream
+from .sources.streams import file_stream, text_stream
 from .streaming.pipelines import (
     cdc_route_pipeline,
     dau_pipeline,
@@ -99,15 +100,18 @@ def main(argv: list[str] | None = None) -> None:
     elif args.app == "cdc":
         writer = cdc_route_pipeline(
             text_stream(spark, args.input),
-            args.fact_tables.split(","),
-            args.dim_tables.split(","),
+            [t.strip() for t in args.fact_tables.split(",") if t.strip()],
+            [t.strip() for t in args.dim_tables.split(",") if t.strip()],
             args.out,
             args.checkpoint,
         )
     else:
+        # order_wide_pipeline expects PARSED order columns (no internal
+        # parse step, unlike the other three apps) — shred the line-JSON
+        # here with the bean schemas
         writer = order_wide_pipeline(
-            text_stream(spark, args.input_info),
-            text_stream(spark, args.input_detail),
+            file_stream(spark, args.input_info, ORDER_INFO_SCHEMA),
+            file_stream(spark, args.input_detail, ORDER_DETAIL_SCHEMA),
             args.out,
             args.checkpoint,
             dim_user=dim(args.dim_user),

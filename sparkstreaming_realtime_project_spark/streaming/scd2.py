@@ -27,9 +27,13 @@ cannot re-split it if an out-of-order change later lands inside the
 run. Bound lateness with a watermark upstream if exact late-data
 semantics matter; in-order CDC (the Maxwell topology here) is exact.
 
-At 100 TB: per batch the work is (changed keys' history + new changes)
-— dimension-change-sized, not corpus-sized; everything is keyed
-windows and equi-joins on the dim key.
+At 100 TB: per-batch ROW work is affected-key-sized (the semi-join on
+changed keys precedes every aggregate), but the store's batch=* dirs
+accumulate and each batch lists/scans them at the file level —
+periodically compact superseded dirs (the compact_sink winner-rewrite
+idiom over (key, valid_from_us)) or keep the store in a table format
+with real compaction; everything else is keyed windows and equi-joins
+on the dim key.
 """
 
 from __future__ import annotations
@@ -63,17 +67,37 @@ def scd2_intervals(changes: DataFrame) -> DataFrame:
     )
 
 
-def read_scd2(spark, store_dir: str) -> DataFrame:
-    """Current history: per key, the rows of the NEWEST COMMITTED batch
-    that touched it (earlier batches' rows for that key are superseded
-    whole — step 3 above). Only batch dirs carrying _SUCCESS are read,
-    so a crashed in-flight write is invisible until its replay commits."""
-    committed = [
+# empty-history placeholder schema; key/value are string here — a store
+# keyed by another type gets its real schema from the first committed
+# batch, the placeholder only covers the pre-first-commit window
+_HISTORY_SCHEMA = (
+    "key string, value string, valid_from_us long, valid_to_us long, "
+    "ord long, is_current int"
+)
+
+
+def _committed_dirs(store_dir: str) -> list[str]:
+    """batch=* dirs carrying _SUCCESS — the only dirs anyone may read
+    (a crashed in-flight write has no _SUCCESS and stays invisible)."""
+    if not os.path.isdir(store_dir):
+        return []
+    return [
         os.path.join(store_dir, d)
         for d in sorted(os.listdir(store_dir))
         if d.startswith("batch=")
         and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
     ]
+
+
+def read_scd2(spark, store_dir: str) -> DataFrame:
+    """Current history: per key, the rows of the NEWEST COMMITTED batch
+    that touched it (earlier batches' rows for that key are superseded
+    whole — step 3 above). Before any batch has committed — store dir
+    missing, or only crashed partials — the history is EMPTY, not an
+    error: readers started ahead of the sink just see no rows yet."""
+    committed = _committed_dirs(store_dir)
+    if not committed:
+        return spark.createDataFrame([], _HISTORY_SCHEMA)
     df = spark.read.option("basePath", store_dir).parquet(*committed)
     latest = df.groupBy("key").agg(F.max("batch").alias("batch"))
     return df.join(latest, ["key", "batch"]).drop("batch")
@@ -101,19 +125,24 @@ def scd2_apply_batch(
         new.unpersist()
         return
     affected = new.select("key").distinct()
-    if os.path.isdir(store_dir):
-        # strictly-earlier batches only: a replayed batch must not
-        # read its own crashed attempt's partial dir (untrustworthy,
-        # and overwriting a path the plan still reads corrupts both)
+    committed = _committed_dirs(store_dir)
+    if committed:
+        # committed dirs only (a crashed first batch leaves a dir with
+        # no readable files — schema inference would fail) and strictly
+        # earlier batches only: a replayed batch must not read its own
+        # crashed attempt's partial output, nor overwrite a path its
+        # plan still reads. Affected-key semi-join FIRST so the
+        # max-batch aggregate runs on changed keys' rows, not the whole
+        # store.
         hist = (
             spark.read.option("basePath", store_dir)
-            .parquet(os.path.join(store_dir, "batch=*"))
+            .parquet(*committed)
             .filter(F.col("batch") < batch_id)
+            .join(affected, "key")
         )
         latest = hist.groupBy("key").agg(F.max("batch").alias("batch"))
         prior = (
             hist.join(latest, ["key", "batch"])
-            .join(affected, "key")
             .select("key", "value", F.col("valid_from_us").alias("ts_us"), "ord")
         )
         merged = prior.unionByName(new)
