@@ -792,6 +792,7 @@ def duplicate_spans(
     id_col: str,
     k: int = 8,
     min_docs: int = 2,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact repeated-substring span detection: for every document, the
     maximal token spans whose every k-token window also appears in at
@@ -819,9 +820,13 @@ def duplicate_spans(
 
     At 100 TB the gram explode is the dominant cost (x ~n_tokens rows),
     the same footprint as the shingle path MinHash already pays; the
-    span-merge window is per-doc-bounded. Output: one row per maximal
-    duplicated span (doc_id, span_start, span_end, n_grams), token
-    positions 1-based inclusive.
+    span-merge window is per-doc-bounded. The explode feeds BOTH the
+    duplicated-gram aggregate and the hits join — ``materialize=True``
+    caches it so the dominant stage runs once (tfidf_top_terms pattern:
+    cache released before returning, the RETURNED frame persisted,
+    caller unpersists). Output: one row per maximal duplicated span
+    (doc_id, span_start, span_end, n_grams), token positions 1-based
+    inclusive.
     """
     from pyspark.sql.window import Window
 
@@ -841,6 +846,8 @@ def duplicate_spans(
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
     )
+    if materialize:
+        grams = grams.persist()
     dup = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -862,7 +869,7 @@ def duplicate_spans(
             F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
-    return (
+    out = (
         islands.groupBy("doc_id", "span_id")
         .agg(
             F.min("pos").alias("span_start"),
@@ -871,3 +878,8 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_grams")
     )
+    if materialize:
+        out = out.persist()
+        out.count()
+        grams.unpersist()
+    return out

@@ -278,6 +278,13 @@ def bloom_semi_join(
     the fact table rather than all of it. Keep the dim side semi-join
     broadcast-able when small; Catalyst picks BroadcastHashJoin on the
     survivor join automatically under the thresholds.
+
+    EAGER at construction: building the bitmap runs one Spark
+    aggregation over dim_keys immediately (the model-build pattern of
+    ivf_centroids — the filter is dim-table-sized metadata and must be
+    literals to evaluate during the scan), and the dim side is read
+    again by the exact semi join. Plan-only consumers pay that one
+    dim-sized job too.
     """
     bits = bloom_bitmap(dim_keys, dim_key, m_bits, k_hashes)
     pruned = fact.filter(

@@ -77,10 +77,13 @@ def cms_estimate(
     probes = keys.select(F.col(key_col), F.explode(cells).alias("c")).select(
         key_col, "c.row", "c.bucket"
     )
+    # LEFT join + empty-cell = 0: a key the sketch never saw must
+    # estimate 0 (min over its d cells, some of which are absent from
+    # the cell table), not vanish or take min over colliding cells only.
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 
@@ -163,8 +166,12 @@ def quantile_hist(
     """
     from pyspark.sql.window import Window
 
+    # NULL values are excluded everywhere: counted into N they shift
+    # every target rank, and their bin sorts nulls-FIRST on Spark but
+    # nulls-LAST in SQL engines — both wrong, and differently so.
+    vals = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
     bins = (
-        df.select(F.floor(F.col(value_col) / width).alias("b"))
+        vals.select(F.floor(F.col("v") / width).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -172,7 +179,7 @@ def quantile_hist(
     walk = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "prev", F.coalesce(F.lag("cum").over(w), F.lit(0))
     )
-    total = df.agg(F.count(F.lit(1)).alias("n"))
+    total = vals.agg(F.count(F.lit(1)).alias("n"))
     qdf = walk.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
     ).crossJoin(F.broadcast(total))

@@ -413,6 +413,22 @@ def _bigrams(tok_col: str) -> "Column":
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _bigram_occurrences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, gram) — one row per bigram OCCURRENCE, spread across
+    cores. The single tokenize+explode definition ngram_freq and
+    boilerplate_score both hang off (one place to fix, or their corpus
+    statistics silently diverge)."""
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    return (
+        src.select("doc_id", tokens_expr("__text").alias("t"))
+        .select("doc_id", _bigrams("t").alias("g2"))
+        .select("doc_id", F.explode("g2").alias("gram"))
+    )
+
+
 def ngram_freq(
     df: DataFrame, text_col: str, id_col: str, min_count: int = 5
 ) -> DataFrame:
@@ -423,15 +439,7 @@ def ngram_freq(
     One explode + one grouped aggregation with map-side partials; the
     HAVING-style filter sits on the aggregate so the (huge) singleton
     tail never leaves the combiner stage in a wide result."""
-    src = spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
-        "doc_id",
-    )
-    grams = (
-        src.select("doc_id", tokens_expr("__text").alias("t"))
-        .select("doc_id", _bigrams("t").alias("g2"))
-        .select("doc_id", F.explode("g2").alias("gram"))
-    )
+    grams = _bigram_occurrences(df, text_col, id_col)
     return (
         grams.groupBy("gram")
         .agg(
@@ -444,7 +452,11 @@ def ngram_freq(
 
 
 def boilerplate_score(
-    df: DataFrame, text_col: str, id_col: str, common_min: int = 50
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    common_min: int = 50,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document boilerplate ratio: the share of a doc's bigram
     occurrences whose corpus frequency is >= ``common_min``. High ratio
@@ -456,16 +468,13 @@ def boilerplate_score(
     frequency table -> per-doc aggregate. The frequency side is an
     aggregate of the same scan, thresholded before the join so the
     joined table is the common-gram head, not the corpus tail.
+    ``materialize=True`` caches the gram explode feeding both consumers
+    (tfidf_top_terms' pattern: cache released before returning, the
+    RETURNED frame persisted — caller unpersists).
     """
-    src = spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
-        "doc_id",
-    )
-    grams = (
-        src.select("doc_id", tokens_expr("__text").alias("t"))
-        .select("doc_id", _bigrams("t").alias("g2"))
-        .select("doc_id", F.explode("g2").alias("gram"))
-    )
+    grams = _bigram_occurrences(df, text_col, id_col)
+    if materialize:
+        grams = grams.persist()
     common = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -473,7 +482,7 @@ def boilerplate_score(
         .select("gram")
     )
     flagged = grams.join(common.withColumn("is_common", F.lit(1)), "gram", "left")
-    return (
+    out = (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -487,6 +496,11 @@ def boilerplate_score(
             ),
         )
     )
+    if materialize:
+        out = out.persist()
+        out.count()
+        grams.unpersist()
+    return out
 
 
 def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -517,7 +531,9 @@ def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def unigram_logprob(
+    df: DataFrame, text_col: str, id_col: str, materialize: bool = False
+) -> DataFrame:
     """Per-document unigram-LM quality score: the mean token negative
     log-probability under the corpus' own unigram model — the cheap,
     model-free stand-in for the perplexity filters of CCNet/Gopher
@@ -541,10 +557,15 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if materialize:
+        # tf feeds the vocabulary fold AND the score join — same
+        # two-consumer cut as tfidf_top_terms (cache released before
+        # returning; the RETURNED frame is persisted, caller unpersists)
+        tf = tf.persist()
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("__total"))
     scored = tf.join(vocab, "term").crossJoin(F.broadcast(total))
-    return (
+    out = (
         scored.groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),
@@ -556,3 +577,8 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "avg_neg_logp")
     )
+    if materialize:
+        out = out.persist()
+        out.count()
+        tf.unpersist()
+    return out

@@ -269,7 +269,11 @@ def j_order_wide(spark, sf_dir):
         F.round("l_quantity", 2).alias("sku_num"),
         F.round("l_extendedprice", 2).alias("split_total_amount"),
         F.substring("__dts", 1, 10).alias("create_date"),
-        F.substring("__dts", 12, 2).alias("create_hour"),
+        # type-proof hour: a generation shipping o_orderdate as DATE
+        # casts to a 10-char string with no time part — midnight, not ''
+        F.when(
+            F.length("__dts") >= 13, F.substring("__dts", 12, 2)
+        ).otherwise(F.lit("00")).alias("create_hour"),
     )
 
 
@@ -2545,7 +2549,8 @@ def x_ngram_freq(spark, sf_dir):
 )
 def x_boilerplate_score(spark, sf_dir):
     return _ts.boilerplate_score(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", common_min=50
+        _t(spark, sf_dir, "documents"), "text", "doc_id", common_min=50,
+        materialize=True,
     )
 
 
@@ -2805,15 +2810,16 @@ _QH_W, _QH_QS = 5.0, [0.5, 0.9, 0.95, 0.99]
     "count-based rank walk on the bin domain, width-bounded error "
     "(north-star)",
     f"""
-    WITH bins AS (SELECT CAST(floor(value / {_QH_W}) AS BIGINT) AS b,
+    WITH vals AS (SELECT value FROM events WHERE value IS NOT NULL),
+    bins AS (SELECT CAST(floor(value / {_QH_W}) AS BIGINT) AS b,
                          count(*) AS cnt
-                  FROM events GROUP BY 1),
+                  FROM vals GROUP BY 1),
     walk AS (SELECT b, cnt,
                     sum(cnt) OVER (ORDER BY b) AS cum,
                     coalesce(sum(cnt) OVER (ORDER BY b ROWS BETWEEN
                         UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
              FROM bins),
-    n AS (SELECT count(*) AS n FROM events),
+    n AS (SELECT count(*) AS n FROM vals),
     probe AS (SELECT q, CAST(ceil(q * n.n) AS BIGINT) AS target
               FROM (SELECT CAST(unnest({_QH_QS}) AS DOUBLE) AS q), n)
     SELECT q, round(b * {_QH_W} + {_QH_W} * (target - prev) / cnt, 4) AS est
@@ -2946,7 +2952,7 @@ def q3_shipping_priority(spark, sf_dir):
     SELECT event_id, e.event_type,
            round((value - m) / sd, 4) AS z
     FROM events e JOIN s ON e.event_type = s.event_type
-    WHERE abs(round((value - m) / sd, 4)) > 2.5
+    WHERE sd > 0 AND abs(round((value - m) / sd, 4)) > 2.5
     """,
 )
 def x_anomaly_zscore(spark, sf_dir):
@@ -2954,9 +2960,15 @@ def x_anomaly_zscore(spark, sf_dir):
     s = ev.groupBy("event_type").agg(
         F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
     )
+    # sd > 0 guard: a constant-valued group divides by zero — Spark
+    # yields NaN (and NaN > 2.5 is TRUE under Spark NaN ordering) where
+    # DuckDB yields NULL (dropped by the WHERE); an explicit guard on
+    # BOTH sides makes the cut engine-identical and keeps garbage NaN
+    # "anomalies" out of the output.
     z = F.round((F.col("value") - F.col("m")) / F.col("sd"), 4)
     return (
         ev.join(F.broadcast(s), "event_type")
+        .filter(F.col("sd") > 0)
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) > 2.5)
         .select("event_id", "event_type", "z")
@@ -2994,7 +3006,8 @@ def x_anomaly_zscore(spark, sf_dir):
 )
 def x_dup_spans(spark, sf_dir):
     return _dd.duplicate_spans(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, min_docs=2
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, min_docs=2,
+        materialize=True,
     )
 
 
@@ -3091,7 +3104,9 @@ def a_retention_cohort(spark, sf_dir):
     """,
 )
 def x_unigram_logprob(spark, sf_dir):
-    return _ts.unigram_logprob(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return _ts.unigram_logprob(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", materialize=True
+    )
 
 
 # layout / evaluation / planning (round 3 additions) -------------------------

@@ -548,3 +548,28 @@ def test_cluster_by_zorder_layout(spark):
     )
     for prev, cur in zip(parts, parts[1:]):
         assert prev["hi"] < cur["lo"]
+
+
+def test_cms_estimate_unseen_key_is_zero(spark):
+    """A key absent from the sketched data must estimate 0 (not vanish,
+    not inherit a colliding cell's mass): min over its d cells where
+    absent cells count as empty."""
+    from sparkstreaming_realtime_project_spark.operators import sketches as sk
+
+    data = spark.createDataFrame([(f"u{i % 7}",) for i in range(700)], "k string")
+    sketch = sk.cms_sketch(data, "k", d=4, w=64)
+    probes = spark.createDataFrame([("u1",), ("never-seen",)], "k string")
+    got = {r["k"]: r["est"] for r in sk.cms_estimate(probes, sketch, "k", d=4, w=64).collect()}
+    assert got["u1"] == 100
+    assert "never-seen" in got and got["never-seen"] == 0
+
+
+def test_quantile_hist_ignores_nulls(spark):
+    """NULL values must not inflate N or form a phantom bin."""
+    from sparkstreaming_realtime_project_spark.operators import sketches as sk
+
+    rows = [(float(v),) for v in range(1, 101)] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["q"]: r["est"] for r in sk.quantile_hist(df, "v", width=1.0, qs=[0.5]).collect()}
+    # 100 non-null values 1..100: p50 target rank 50 -> bin [50,51)
+    assert abs(got[0.5] - 50.0) <= 1.0
