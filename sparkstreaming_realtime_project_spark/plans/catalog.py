@@ -3339,3 +3339,74 @@ def x_split_train_val(spark, sf_dir):
     return _cx.train_val_test_split(
         docs, "doc_id", val_frac=0.05, test_frac=0.05
     ).select("doc_id", "lang", "split")
+
+
+@_register(
+    "x_minhash_recall",
+    "recall of the MinHash-LSH scale path against exact uncapped-Jaccard "
+    "truth (precision is 1 by construction — candidates are full-set "
+    "verified): the dedup twin of x_ann_recall, the number the k/bands/"
+    "bucket-cap knobs are tuned against (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    mh AS (SELECT doc_id,
+         {_MH_COLS}
+       FROM ex GROUP BY doc_id),
+    bands0 AS (
+  {_BAND_SQL}),
+    small AS (SELECT band, key FROM bands0 GROUP BY band, key
+              HAVING count(*) <= {_MAX_BUCKET}),
+    bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, key)),
+    lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, s, len(s) AS ln FROM sh),
+    lsh AS (SELECT doc_a, doc_b FROM (
+      SELECT doc_a, doc_b,
+             round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                   (sa.ln + sb.ln - len(list_intersect(sa.s, sb.s))), 4) AS j
+      FROM lcand JOIN sz sa ON sa.doc_id = doc_a
+                 JOIN sz sb ON sb.doc_id = doc_b) WHERE j >= 0.8),
+    tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+    truth AS (SELECT doc_a, doc_b FROM (
+      SELECT doc_a, doc_b,
+             round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                   (sa.ln + sb.ln - len(list_intersect(sa.s, sb.s))), 4) AS j
+      FROM tcand JOIN sz sa ON sa.doc_id = doc_a
+                 JOIN sz sb ON sb.doc_id = doc_b) WHERE j >= 0.8),
+    h AS (SELECT count(*) AS n_hits FROM truth JOIN lsh USING (doc_a, doc_b))
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM lsh) AS n_lsh,
+           n_hits,
+           round(n_hits * 1.0 / (SELECT count(*) FROM truth), 4) AS recall
+    FROM h
+    """,
+)
+def x_minhash_recall(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = _dd.with_shingles(docs, "text", "doc_id", 3, materialize=True)
+    # truth: exact Jaccard over ALL shared-shingle candidates (complete
+    # for threshold > 0 — a qualifying pair shares at least one shingle)
+    truth = _dd.jaccard_pairs(sh, 0.8).select("doc_a", "doc_b")
+    found = _dd.minhash_dedup_pairs(
+        docs, "text", "doc_id", n=3, k=_MINHASH_K, bands=_MINHASH_BANDS,
+        threshold=0.8, max_bucket=_MAX_BUCKET,
+    ).select("doc_a", "doc_b")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_lsh"))
+    hits = truth.join(found, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        nt.crossJoin(nf)
+        .crossJoin(hits)
+        .select(
+            "n_truth",
+            "n_lsh",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
