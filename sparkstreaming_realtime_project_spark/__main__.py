@@ -36,13 +36,22 @@ from .streaming.pipelines import (
 )
 
 
-def _start(writer, follow: bool):
+def _start(writer, follow: bool, timeout: float | None = None):
     if follow:
         q = writer.trigger(processingTime="5 seconds").start()
         q.awaitTermination()
     else:
+        # drain-and-exit: wait as long as the replay takes (a large input
+        # directory is a legitimately long batch, not a failure). An
+        # explicit --timeout bounds the wait; on expiry the query is
+        # stopped cleanly before reporting failure.
         q = writer.trigger(availableNow=True).start()
-        ok = q.awaitTermination(3600)
+        if timeout is None:
+            q.awaitTermination()
+            sys.exit(0)
+        ok = q.awaitTermination(timeout)
+        if not ok:
+            q.stop()
         sys.exit(0 if ok else 1)
 
 
@@ -54,6 +63,12 @@ def main(argv: list[str] | None = None) -> None:
         p.add_argument("--out", required=True)
         p.add_argument("--checkpoint", required=True)
         p.add_argument("--follow", action="store_true")
+        p.add_argument(
+            "--timeout",
+            type=float,
+            default=None,
+            help="max seconds for the availableNow drain (default: unbounded)",
+        )
 
     p = sub.add_parser("dau", help="behavior log -> daily-active-user table")
     p.add_argument("--input", required=True)
@@ -79,11 +94,35 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--dim-province")
     common(p)
 
+    # the reference's publisher is a separate Spring Boot app beside the
+    # Spark jobs (PublisherApplication.java); same topology here — a
+    # sidecar serving the sink tables the pipelines write
+    p = sub.add_parser("publisher", help="REST façade over the sink tables")
+    p.add_argument("--dau-table", required=True, help="dau_info parquet dir")
+    p.add_argument("--wide-table", required=True, help="order_wide parquet dir")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8070)
+
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"app-{args.app}")
 
     def dim(path):
         return spark.read.parquet(path) if path else None
+
+    if args.app == "publisher":
+        from .http_api import publisher_server
+
+        # providers re-read per request: each query sees the pipelines'
+        # latest committed files, like the reference hitting live ES
+        server = publisher_server(
+            lambda: spark.read.parquet(args.dau_table),
+            lambda: spark.read.parquet(args.wide_table),
+            host=args.host,
+            port=args.port,
+        )
+        print(f"publisher listening on {server.server_address}", flush=True)
+        server.serve_forever()
+        return
 
     if args.app == "dau":
         writer = dau_pipeline(
@@ -117,7 +156,7 @@ def main(argv: list[str] | None = None) -> None:
             dim_user=dim(args.dim_user),
             dim_province=dim(args.dim_province),
         )
-    _start(writer, args.follow)
+    _start(writer, args.follow, timeout=args.timeout)
 
 
 if __name__ == "__main__":

@@ -24,9 +24,18 @@ def pagerank(
     damping: float = 0.85,
     inter_round: int = 9,
     out_round: int = 6,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank: r_{i+1}(v) = (1-d)/N + d * sum over
     in-edges (u,v) of r_i(u)/outdeg(u). Returns (node, pagerank).
+
+    With ``redistribute_dangling=True`` the mass parked on dangling
+    nodes (no out-edges) is spread uniformly instead of leaking:
+    r_{i+1}(v) = (1-d)/N + d * (sum contribs + D_i/N) where
+    D_i = sum of r_i over dangling nodes — the textbook correction,
+    costing ONE extra scalar aggregate per iteration (a 1-row broadcast
+    crossJoin, no driver round-trip). D_i is rounded to ``inter_round``
+    like the ranks so summation-order drift stays pinned cross-engine.
 
     Execution shape (the 100 TB argument): per iteration ONE equi-join
     of the O(nodes) rank table against the edge list on the source key
@@ -72,6 +81,15 @@ def pagerank(
     e0.unpersist()
     base = (1.0 - damping) / n
 
+    dang = None
+    if redistribute_dangling:
+        # dangling = nodes that never appear as a source (node-sized,
+        # computed once; empty for a symmetrized edge list)
+        dang = nodes.join(
+            e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+        ).persist()
+        dang.count()
+
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r")).persist()
     prev = ranks
     for _ in range(iters):
@@ -79,12 +97,23 @@ def pagerank(
             F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("cr")
         )
         agg = contrib.groupBy("node").agg(F.sum("cr").alias("s"))
+        incoming = F.coalesce(F.col("s"), F.lit(0.0))
+        joined = nodes.join(agg, "node", "left")
+        if redistribute_dangling:
+            dmf = F.broadcast(
+                ranks.join(dang, "node").agg(
+                    F.round(F.coalesce(F.sum("r"), F.lit(0.0)), inter_round).alias(
+                        "dm"
+                    )
+                )
+            )
+            joined = joined.crossJoin(dmf)
+            incoming = incoming + F.col("dm") / F.lit(float(n))
         ranks = (
-            nodes.join(agg, "node", "left")
-            .select(
+            joined.select(
                 "node",
                 F.round(
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    F.lit(base) + F.lit(damping) * incoming,
                     inter_round,
                 ).alias("r"),
             )
@@ -98,4 +127,6 @@ def pagerank(
     ranks.unpersist()
     e.unpersist()
     nodes.unpersist()
+    if dang is not None:
+        dang.unpersist()
     return out

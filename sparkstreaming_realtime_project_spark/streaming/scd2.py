@@ -67,13 +67,16 @@ def scd2_intervals(changes: DataFrame) -> DataFrame:
     )
 
 
-# empty-history placeholder schema; key/value are string here — a store
-# keyed by another type gets its real schema from the first committed
-# batch, the placeholder only covers the pre-first-commit window
-_HISTORY_SCHEMA = (
-    "key string, value string, valid_from_us long, valid_to_us long, "
-    "ord long, is_current int"
-)
+# empty-history placeholder schema for the pre-first-commit window; the
+# string key/value default is a documented fallback — pass key_type /
+# value_type to read_scd2 for a store keyed by another type so the empty
+# frame's schema matches the post-commit one (downstream joins/unions
+# written against the real type never see a schema flip)
+def _history_schema(key_type: str = "string", value_type: str = "string") -> str:
+    return (
+        f"key {key_type}, value {value_type}, valid_from_us long, "
+        "valid_to_us long, ord long, is_current int"
+    )
 
 
 def _committed_dirs(store_dir: str) -> list[str]:
@@ -89,15 +92,22 @@ def _committed_dirs(store_dir: str) -> list[str]:
     ]
 
 
-def read_scd2(spark, store_dir: str) -> DataFrame:
+def read_scd2(
+    spark,
+    store_dir: str,
+    key_type: str = "string",
+    value_type: str = "string",
+) -> DataFrame:
     """Current history: per key, the rows of the NEWEST COMMITTED batch
     that touched it (earlier batches' rows for that key are superseded
     whole — step 3 above). Before any batch has committed — store dir
     missing, or only crashed partials — the history is EMPTY, not an
-    error: readers started ahead of the sink just see no rows yet."""
+    error: readers started ahead of the sink just see no rows yet.
+    ``key_type``/``value_type`` fix the empty frame's schema for stores
+    keyed by non-string types (default keeps the string fallback)."""
     committed = _committed_dirs(store_dir)
     if not committed:
-        return spark.createDataFrame([], _HISTORY_SCHEMA)
+        return spark.createDataFrame([], _history_schema(key_type, value_type))
     df = spark.read.option("basePath", store_dir).parquet(*committed)
     latest = df.groupBy("key").agg(F.max("batch").alias("batch"))
     return df.join(latest, ["key", "batch"]).drop("batch")

@@ -89,3 +89,81 @@ def test_detail_by_item_paging_and_highlight(wide_table):
     # page past the end (reference: from beyond hits -> empty page)
     out2 = detail_by_item_json(wide_table, "2024-01-02", "小米", page_no=3, page_size=2)
     assert out2["total"] == 3 and out2["detail"] == []
+
+
+# --- HTTP façade: the reference's REST routes end to end -------------------
+
+
+@pytest.fixture(scope="module")
+def http_base(dau_table, wide_table):
+    from sparkstreaming_realtime_project_spark.http_api import (
+        publisher_server,
+        serve_in_background,
+    )
+
+    server = publisher_server(dau_table, wide_table)
+    serve_in_background(server)
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+def _get(url: str):
+    import json
+    from urllib.request import urlopen
+    from urllib.error import HTTPError
+
+    try:
+        with urlopen(url) as resp:
+            return resp.status, json.loads(resp.read().decode("utf-8"))
+    except HTTPError as e:
+        return e.code, json.loads(e.read().decode("utf-8"))
+
+
+def test_http_dau_realtime(http_base):
+    """GET /dauRealtime?td= (PublisherController.java:26-33) returns the
+    same shape the Vue dashboard consumes."""
+    status, out = _get(f"{http_base}/dauRealtime?td=2024-01-02")
+    assert status == 200
+    assert out == {
+        "dauTotal": 3,
+        "dauTd": {"01": 2, "09": 1},
+        "dauYd": {"10": 1, "23": 1},
+    }
+
+
+def test_http_stats_by_item(http_base):
+    """GET /statsByItem?itemName=&date=&t= (PublisherController.java:36-42);
+    UTF-8 query params and Chinese bucket labels round-trip."""
+    from urllib.parse import quote
+
+    q = quote("小米 手机")
+    status, out = _get(f"{http_base}/statsByItem?itemName={q}&date=2024-01-02&t=gender")
+    assert status == 200
+    assert out == [{"name": "女", "value": 100.0}, {"name": "男", "value": 50.0}]
+
+
+def test_http_detail_by_item(http_base):
+    """GET /detailByItem?date=&itemName=&pageNo=&pageSize=
+    (PublisherController.java:44-58): {total, detail} with highlight."""
+    from urllib.parse import quote
+
+    q = quote("小米")
+    status, out = _get(
+        f"{http_base}/detailByItem?date=2024-01-02&itemName={q}&pageNo=1&pageSize=2"
+    )
+    assert status == 200
+    assert out["total"] == 3
+    assert [d["detail_id"] for d in out["detail"]] == [4, 2]
+    assert "<em>小米</em>" in out["detail"][0]["sku_name"]
+
+
+def test_http_errors(http_base):
+    """Missing required param and bad t are 400s with a JSON error body;
+    unknown route is 404 (documented fix vs the reference's 500)."""
+    status, out = _get(f"{http_base}/dauRealtime")
+    assert status == 400 and "td" in out["error"]
+    status, out = _get(f"{http_base}/statsByItem?itemName=x&date=2024-01-02&t=city")
+    assert status == 400 and "gender" in out["error"]
+    status, _ = _get(f"{http_base}/nope")
+    assert status == 404
