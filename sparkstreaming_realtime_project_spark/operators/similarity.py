@@ -37,6 +37,21 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def norm_col(vec: Column) -> Column:
+    """sqrt(v·v), for precomputing BEFORE a pairwise join: higher-order
+    folds are interpreted (not codegen'd), so evaluating each side's
+    self-dot once per VECTOR instead of once per PAIR removes ~2/3 of
+    the per-pair element work. Bit-identical to the inline form — same
+    fold, same sqrt, just factored out of the join."""
+    return F.sqrt(_dot(vec, vec))
+
+
+def cosine_prenormed(dot_ab: Column, na: Column, nb: Column) -> Column:
+    """cosine from a cross dot and two precomputed norm_col columns —
+    the same float op sequence as cosine(), one division at the end."""
+    return dot_ab / (na * nb)
+
+
 def as_double_vec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
@@ -56,13 +71,13 @@ def knn_bruteforce(
     per-query top-k, bounded at |Q| x k rows by the window."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm_col(F.col("qv")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    ).withColumn("cn", norm_col(F.col("cv")))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "sim",
+        cosine_prenormed(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -120,23 +135,34 @@ def knn_bucketed(
     one-bit-flip buckets (the recall knob: each candidate lives in
     exactly one bucket, so probing more buckets only adds candidates,
     never duplicates)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_vec(vec_col).alias("qv"),
-    ).withColumn("bucket", sign_bucket(F.col("qv"), dims))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_vec(vec_col).alias("qv"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("qv"), dims))
+        .withColumn("qn", norm_col(F.col("qv")))
+    )
     if probe_radius:
         q = q.withColumn(
             "bucket",
             F.explode(probe_buckets(F.col("bucket"), len(dims), probe_radius)),
         )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_vec(vec_col).alias("cv"),
-    ).withColumn("bucket", sign_bucket(F.col("cv"), dims))
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_vec(vec_col).alias("cv"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("cv"), dims))
+        .withColumn("cn", norm_col(F.col("cv")))
+    )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            cosine_prenormed(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -283,7 +309,12 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
         ),
         cents_row,
-    ).select("neighbor_id", _cell_expr(F.col("cv")).alias("cid"), "cv")
+    ).select(
+        "neighbor_id",
+        _cell_expr(F.col("cv")).alias("cid"),
+        "cv",
+        norm_col(F.col("cv")).alias("cn"),
+    )
     # rank ALL centroids per query, keep the top n_probe
     q = (
         _attach(
@@ -294,13 +325,19 @@ def ivf_topk(
             cents_row,
         )
         .select(
-            "query_id", "qv", F.explode(_probe_expr(F.col("qv"), n_probe)).alias("cid")
+            "query_id",
+            "qv",
+            norm_col(F.col("qv")).alias("qn"),
+            F.explode(_probe_expr(F.col("qv"), n_probe)).alias("cid"),
         )
     )
     scored = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            cosine_prenormed(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -331,19 +368,29 @@ def cosine_near_pairs_bucketed(
     dim) is missed; more/rotated hyperplanes or multi-probe are the
     recall knobs. Brute-force cosine_near_pairs is the
     verification/recall-measurement path, not the default."""
-    e = embeddings.select(
-        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
-    ).withColumn("bucket", sign_bucket(F.col("v"), dims))
+    e = (
+        embeddings.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+        .withColumn("bucket", sign_bucket(F.col("v"), dims))
+        .withColumn("n", norm_col(F.col("v")))
+    )
     a = e.select(
-        F.col("id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+        F.col("id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket"
     )
     b = e.select(
-        F.col("id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+        F.col("id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket"
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    _dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+                ),
+                4,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
@@ -361,13 +408,21 @@ def cosine_near_pairs(
     recall measurement of cosine_near_pairs_bucketed (the scale default)."""
     a = embeddings.select(
         F.col(id_col).alias("vec_a"), as_double_vec(vec_col).alias("va")
-    )
+    ).withColumn("na", norm_col(F.col("va")))
     b = embeddings.select(
         F.col(id_col).alias("vec_b"), as_double_vec(vec_col).alias("vb")
-    )
+    ).withColumn("nb", norm_col(F.col("vb")))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    _dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+                ),
+                4,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
@@ -590,14 +645,22 @@ def pq_topk(
     )
     qv_raw = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm_col(F.col("qv")))
     cv_raw = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm_col(F.col("cv")))
     exact = (
         shortlist.join(F.broadcast(qv_raw), "query_id")
         .join(cv_raw, "neighbor_id")
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    _dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+                ),
+                4,
+            ),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -709,14 +772,22 @@ def ivfpq_topk(
     )
     qv_raw = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm_col(F.col("qv")))
     cv_raw = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm_col(F.col("cv")))
     exact = (
         shortlist.join(F.broadcast(qv_raw), "query_id")
         .join(cv_raw, "neighbor_id")
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    _dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+                ),
+                4,
+            ),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
