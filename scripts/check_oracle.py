@@ -35,6 +35,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - report, keep going
             status, msg = False, f"EXC {type(e).__name__}: {e}"
         dt = time.time() - t0
+        # Several entries return persisted frames (caller-unpersists
+        # contract); drop them so cached blocks don't accumulate across
+        # the 90+ entries of a full run.
+        spark.catalog.clearCache()
         print(f"{'ok ' if status else 'FAIL'} {spec.name:32s} {dt:6.2f}s {msg if not status else ''}")
         sys.stdout.flush()
         if not status:

@@ -928,3 +928,123 @@ def duplicate_spans(
         out.count()
         grams.unpersist()
     return out
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    materialize: bool = False,
+) -> DataFrame:
+    """Cross-document span REMOVAL: the apply step of duplicate_spans.
+    Every maximal duplicated span is kept in exactly one document — the
+    OWNER, per-window the lowest doc_id containing that k-gram — and
+    deleted everywhere else, which is the one-copy-survives policy of
+    suffix-array substring dedup (Lee et al. 2021) expressed per window.
+
+    Shape on top of the duplicate_spans plan (same gram explode, same
+    gaps-and-islands merge), plus:
+
+    5. ownership: the gram aggregate also carries min(doc_id); a window
+       is removable in doc d iff d != owner — so a doc keeps spans it
+       owns and loses spans it copied (a doc can be owner of one span
+       and copier of another in the same text);
+    6. covered positions: islands -> disjoint spans -> one
+       sequence-explode per span (span-count-sized, NOT window-count x
+       k — the merge keeps the inflation bounded by output size);
+    7. rebuild: per-doc covered-position array joined back onto the
+       token array; a single indexed ``filter`` lambda drops covered
+       slots. No shuffle of document text — tokens stay where the scan
+       put them, only the (small) covered-position lists move.
+
+    Output (doc_id, clean_text, n_tokens, n_removed): clean_text is the
+    surviving NORMALIZED token stream (lowercased, single-space joined
+    — the same token view every dedup operator here works on), not the
+    original byte text. Docs with < k tokens or no duplicated windows
+    pass through with n_removed = 0.
+
+    ``materialize=True`` caches the gram explode (consumed by the
+    aggregate and the removable join) and releases it before returning.
+    """
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    grams = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    if materialize:
+        grams = grams.persist()
+    own = (
+        grams.groupBy("g")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") >= min_docs)
+        .select("g", "owner")
+    )
+    removable = (
+        grams.join(own, "g")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        removable.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (k - 1)).alias("e"),
+        )
+    )
+    cov = (
+        spans.select(
+            "doc_id", F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("cov"))
+    )
+    covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    # indexed filter: Spark lambda index is 0-based, positions 1-based.
+    # Projected into its own column FIRST — the interpreted HOF is
+    # referenced twice below and would otherwise run twice per row.
+    kept = F.filter(
+        F.col("toks"), lambda x, i: ~F.array_contains(covered, i + F.lit(1))
+    )
+    out = (
+        toks.join(cov, "doc_id", "left")
+        .select("doc_id", "toks", kept.alias("kept"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "kept").alias("clean_text"),
+            F.size("toks").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).alias("n_removed"),
+        )
+    )
+    if materialize:
+        out = out.persist()
+        out.count()
+        grams.unpersist()
+    return out

@@ -2249,13 +2249,14 @@ def x_knn_pq(spark, sf_dir):
     """,
 )
 def x_dedup_containment(spark, sf_dir):
-    pairs = _dd.containment_dedup_pairs(
+    # Return the persisted pair list itself (caller/bench clears cache):
+    # unpersisting before the driver materializes would re-execute the
+    # whole shingle->candidate->verify pipeline UNCACHED — measured 12.4s
+    # vs ~5s at sf0.1 for exactly that reason.
+    return _dd.containment_dedup_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         n=3, threshold=0.9, max_df=_MAX_DF,
     )
-    out = pairs.select("doc_a", "doc_b", "containment")
-    pairs.unpersist()
-    return out
 
 
 @_register(
@@ -2410,10 +2411,10 @@ def x_pagerank(spark, sf_dir):
     edges = e0.select(p.alias("src"), s.alias("dst")).union(
         e0.select(s.alias("src"), p.alias("dst"))
     )
-    out = _gr.pagerank(edges, iters=3, damping=0.85, inter_round=9, out_round=6)
-    res = out.select("node", "pagerank")
-    out.unpersist()
-    return res
+    # Return the persisted (node, pagerank) frame directly: unpersisting
+    # before the driver materializes would re-run every rank iteration
+    # uncached (caller/bench clears cache when done).
+    return _gr.pagerank(edges, iters=3, damping=0.85, inter_round=9, out_round=6)
 
 
 def _pagerank_dangling_sql(iters: int, d: float, rnd: int, out_rnd: int) -> str:
@@ -2483,9 +2484,9 @@ def x_pagerank_dangling(spark, sf_dir):
         out_round=6,
         redistribute_dangling=True,
     )
-    res = out.select("node", "pagerank")
-    out.unpersist()
-    return res
+    # Persisted result returned as-is — see x_pagerank on why unpersisting
+    # here would force an uncached re-run of the whole iteration chain.
+    return out
 
 
 def _ivfpq_sql(
@@ -3566,4 +3567,54 @@ def x_minhash_recall(spark, sf_dir):
     sh.unpersist()
     return spark.createDataFrame(
         [row], schema="n_truth bigint, n_lsh bigint, n_hits bigint, recall double"
+    )
+
+
+@_register(
+    "x_span_scrub",
+    "cross-doc duplicated-span REMOVAL (apply step of x_dup_spans): "
+    "per-window owner = min doc_id keeps its copy, every other doc's "
+    "covered tokens are dropped via one indexed filter over the token "
+    "array — one-copy-survives substring dedup, Lee et al. 2021 "
+    "(north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    gl AS (SELECT doc_id,
+                  [md5(array_to_string(t[i:i+7], ' ')) FOR i IN range(1, len(t) - 6)] AS gs
+           FROM toks WHERE len(t) >= 8),
+    grams AS (SELECT doc_id, unnest(gs) AS g,
+                     unnest(range(1, len(gs) + 1)) AS pos
+              FROM gl),
+    own AS (SELECT g, min(doc_id) AS owner FROM grams
+            GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    rem AS (SELECT doc_id, pos FROM grams JOIN own USING (g)
+            WHERE doc_id <> owner),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + 8 THEN 1
+                        ELSE 0 END AS new_span
+            FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sp AS (SELECT doc_id, pos,
+                  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS span_id
+           FROM isl),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+              FROM sp GROUP BY doc_id, span_id),
+    cov AS (SELECT doc_id, list(p) AS cov
+            FROM (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans)
+            GROUP BY doc_id),
+    kept AS (SELECT t.doc_id, t.t,
+                    list_filter(t.t, (x, i) -> NOT list_contains(
+                        coalesce(cov, CAST([] AS BIGINT[])), i)) AS kt
+             FROM toks t LEFT JOIN cov USING (doc_id))
+    SELECT doc_id,
+           coalesce(array_to_string(kt, ' '), '') AS clean_text,
+           len(t) AS n_tokens, len(t) - len(kt) AS n_removed
+    FROM kept
+    """,
+)
+def x_span_scrub(spark, sf_dir):
+    return _dd.scrub_repeated_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, min_docs=2,
+        materialize=True,
     )

@@ -418,6 +418,34 @@ def test_duplicate_spans_merges_adjacent_windows(spark):
     }
 
 
+def test_scrub_repeated_spans_owner_keeps_copy(spark):
+    """Apply step on the duplicate_spans fixture: per-window owner = min
+    doc_id keeps its copy, every other doc's covered tokens drop. Doc 1
+    owns both repeated blocks (untouched); doc 2 loses the shared block,
+    doc 3 loses the tail gram; unique doc 4 passes through."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    tail8 = "nov osc pap que rom sie tan uni"
+    d1 = f"{shared} filler1 filler2 filler3 {tail8}"
+    d2 = f"intro1 intro2 {shared}"
+    d3 = f"prefixx {tail8} trailing words here again"
+    d4 = "totally unique words that appear nowhere else at all one two"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], ["doc_id", "text"]
+    )
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        scrub_repeated_spans,
+    )
+
+    rows = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in scrub_repeated_spans(df, "text", "doc_id", k=8).collect()
+    }
+    assert rows[1] == (d1, 23, 0)  # owner of every span: byte-identical
+    assert rows[2] == ("intro1 intro2", 14, 12)
+    assert rows[3] == ("prefixx trailing words here again", 13, 8)
+    assert rows[4] == (d4, 11, 0)
+
+
 def test_bloom_semi_join_exact_and_pruning(spark, sf_dir):
     """No false negatives ever (bloom passes every true key), the final
     semi join kills the false positives (result == plain semi join), and
