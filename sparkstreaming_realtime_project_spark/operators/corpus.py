@@ -523,3 +523,93 @@ def train_val_test_split(
         .when(h < F.lit(test_hi), F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    n_buckets: int = 256,
+    materialize: bool = False,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed unigram distribution is, as
+    the sum over token occurrences of log(p_target(b) / p_raw(b)) over
+    ``n_buckets`` hashed feature buckets with add-1 smoothing.
+
+    ``target_pred`` is a boolean column over ``df`` marking the target
+    domain (e.g. ``F.col("lang") == "en"``); raw = the whole input. The
+    paper then samples by these weights — pair with
+    stratified/temperature sampling or a ``dsir_logratio > 0`` cut
+    (``selected`` is that cut on the ROUNDED score, engine-stable).
+
+    Scale shape: the token explode feeds (a) the bucket-count aggregate
+    — n_buckets result rows, model-sized — and (b) the per-doc score
+    join; ``materialize=True`` caches it so the dominant pass runs once
+    (released before returning, the returned frame persisted —
+    caller unpersists); the bucket LM table and its two scalar totals ride a
+    broadcast, so the only data-sized shuffle is the per-doc groupBy.
+    The bucket hash is the md5 first byte (not xxhash) so an external
+    SQL engine can replay it; at 100 TB the feature space would move to
+    ~2^20 buckets of token n-grams — same plan, bigger broadcast.
+
+    Output (doc_id, n_tokens, dsir_logratio, in_target, selected).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        target_pred.cast("int").alias("in_target"),
+    )
+    toks = spread(base, "doc_id").select(
+        "doc_id", "in_target", tokens_expr("__text").alias("t")
+    )
+    ex = toks.select(
+        "doc_id",
+        "in_target",
+        F.explode("t").alias("term"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("term"), 1, 2), 16, 10).cast("int")
+        % n_buckets,
+    )
+    if materialize:
+        ex = ex.persist()
+    counts = ex.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum("in_target").alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    weights = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + n_buckets))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + n_buckets))
+            ).alias("w"),
+        )
+    )
+    scored = (
+        ex.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "in_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("w"), 4).alias("dsir_logratio"),
+        )
+    )
+    out = scored.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_logratio",
+        "in_target",
+        (F.col("dsir_logratio") > 0).cast("int").alias("selected"),
+    )
+    if materialize:
+        out = out.persist()
+        out.count()
+        ex.unpersist()
+    return out

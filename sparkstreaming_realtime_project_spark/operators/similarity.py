@@ -830,3 +830,83 @@ def ann_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_truth"), 4
         ).alias("recall"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): k-means clusters bound the pairwise cosine search,
+    and within each cluster a vector is a semantic duplicate when some
+    LOWER-id member sits within ``threshold`` cosine of it.
+
+    Divergence from the paper, documented: the paper keeps the member
+    farthest from the centroid; here the keeper is the LOWEST id of a
+    near-duplicate group — id order is reproducible across engines
+    (an oracle can replay it), where "farthest from centroid" ties on
+    float distance are not. The trained centroids come in as a model
+    argument (ivf_centroids — deterministic, quantized), so the same
+    model drives IVF search and semantic dedup.
+
+    Scale shape: assignment is a narrow broadcast-model projection (no
+    shuffle); the only shuffle is the self-join on cid, whose fan-out is
+    bounded by cluster size — n_centroids must scale ~N/target_cluster
+    exactly as IVF's inverted lists do. A hot cluster (mode collapse in
+    the embedding space) is the skew risk; the fix is more centroids or
+    a within-cluster sub-LSH, not a bigger executor.
+
+    Output (vec_id, cid, max_sim_lower, keep): max_sim_lower = rounded
+    max cosine to any lower-id cluster member (null when none), keep =
+    1 iff no lower-id member reaches the threshold. ``keep`` compares
+    the ROUNDED similarity so boundary vectors land identically in any
+    engine.
+    """
+    spark = embeddings.sparkSession
+    e = (
+        _attach(
+            embeddings.select(
+                F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+            ),
+            _cents_col(spark, centroids),
+        )
+        .select("id", "v", _cell_expr(F.col("v")).alias("cid"))
+        .withColumn("n", norm_col(F.col("v")))
+    )
+    a = e.select(
+        F.col("id").alias("ida"), F.col("v").alias("va"), F.col("n").alias("na"), "cid"
+    )
+    b = e.select(
+        F.col("id").alias("idb"), F.col("v").alias("vb"), F.col("n").alias("nb"), "cid"
+    )
+    ms = (
+        a.join(b, "cid")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            "idb",
+            cosine_prenormed(
+                _dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
+        .groupBy("idb")
+        .agg(F.round(F.max("sim"), 4).alias("max_sim_lower"))
+    )
+    return (
+        e.join(ms, e.id == ms.idb, "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cid",
+            "max_sim_lower",
+            F.when(
+                F.col("max_sim_lower").isNull()
+                | (F.col("max_sim_lower") < threshold),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )

@@ -3618,3 +3618,116 @@ def x_span_scrub(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, min_docs=2,
         materialize=True,
     )
+
+
+def _semdedup_sql(n_cent: int, iters: int, t: float) -> str:
+    """SemDeDup oracle: the SAME unrolled deterministic k-means training
+    as _ivf_sql (id-ordered seeds, lowest-cid tie break, 1e-6 quantized
+    means), then a within-cluster lower-id max-cosine per vector and the
+    keep cut on the ROUNDED similarity (boundary vectors land the same
+    in any engine)."""
+    assign = (
+        "(SELECT *, row_number() OVER (PARTITION BY id "
+        "ORDER BY sim DESC, cid) AS rn FROM {src})"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS c "
+        f"FROM (SELECT id, v FROM e ORDER BY id LIMIT {n_cent}))",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.id, e.v, {prev}.cid, "
+            f"{_cos_sql('e.v', prev + '.c')} AS sim FROM e CROSS JOIN {prev})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT id, v, cid FROM "
+            f"{assign.format(src=f's{i}')} WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cid, pos, round(avg(x), 6) AS m FROM "
+            f"(SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos "
+            f"FROM a{i}) GROUP BY cid, pos)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT {prev}.cid, coalesce(mm.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c "
+            f"FROM m{i} GROUP BY cid) mm ON mm.cid = {prev}.cid)"
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"sf AS (SELECT e.id, e.v, {prev}.cid, "
+        f"{_cos_sql('e.v', prev + '.c')} AS sim FROM e CROSS JOIN {prev})"
+    )
+    parts.append(
+        "asg AS (SELECT id, v, cid FROM "
+        f"{assign.format(src='sf')} WHERE rn = 1)"
+    )
+    parts.append(
+        "ms AS (SELECT b.id AS id, "
+        f"round(max({_cos_sql('a.v', 'b.v')}), 4) AS max_sim_lower "
+        "FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id "
+        "GROUP BY b.id)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT asg.id AS vec_id, asg.cid AS cid, ms.max_sim_lower, "
+        f"CASE WHEN ms.max_sim_lower IS NULL OR ms.max_sim_lower < {t} "
+        "THEN 1 ELSE 0 END AS keep "
+        "FROM asg LEFT JOIN ms ON ms.id = asg.id"
+    )
+
+
+@_register(
+    "x_semantic_dedup",
+    "SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters bound "
+    "the pairwise cosine search, lowest-id keeper per near-dup group — "
+    "same deterministic trained centroids as IVF, oracle replays the "
+    "full training (north-star)",
+    _semdedup_sql(n_cent=8, iters=3, t=0.45),
+)
+def x_semantic_dedup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _sim.ivf_centroids(emb, n_centroids=8, iters=3)
+    return _sim.semantic_dedup(emb, cents, threshold=0.45)
+
+
+def _md5_byte_sql(x: str) -> str:
+    """First byte of md5(x) as an integer — two hex-digit lookups, the
+    _sha_byte_sql pattern (DuckDB has no hex->int conv)."""
+    return (
+        f"((instr('0123456789abcdef', substr(md5({x}), 1, 1)) - 1) * 16 + "
+        f"instr('0123456789abcdef', substr(md5({x}), 2, 1)) - 1)"
+    )
+
+
+@_register(
+    "x_dsir_weights",
+    "DSIR importance weights (Xie et al. 2023): hashed-unigram bucket "
+    "LMs for target (lang='en') vs raw, per-doc sum of log(p_t/p_r) "
+    "with add-1 smoothing; selection cut on the rounded score "
+    "(north-star)",
+    f"""
+    WITH ex AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS in_target,
+                       {_md5_byte_sql('term')} % 256 AS b
+                FROM (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS term
+                      FROM documents)),
+    counts AS (SELECT b, count(*) AS cr, sum(in_target) AS ct
+               FROM ex GROUP BY b),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+    w AS (SELECT b, ln((ct + 1) / (nt + 256)) - ln((cr + 1) / (nr + 256)) AS w
+          FROM counts, tot),
+    scored AS (SELECT doc_id, in_target, count(*) AS n_tokens,
+                      round(sum(w), 4) AS dsir_logratio
+               FROM ex JOIN w USING (b) GROUP BY doc_id, in_target)
+    SELECT doc_id, n_tokens, dsir_logratio, in_target,
+           CAST(dsir_logratio > 0 AS INT) AS selected
+    FROM scored
+    """,
+)
+def x_dsir_weights(spark, sf_dir):
+    return _cx.dsir_weights(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        F.col("lang") == "en", materialize=True,
+    )

@@ -601,3 +601,57 @@ def test_quantile_hist_ignores_nulls(spark):
     got = {r["q"]: r["est"] for r in sk.quantile_hist(df, "v", width=1.0, qs=[0.5]).collect()}
     # 100 non-null values 1..100: p50 target rank 50 -> bin [50,51)
     assert abs(got[0.5] - 50.0) <= 1.0
+
+
+def test_semantic_dedup_within_cluster_lowest_id_keeps(spark):
+    """Clusters bound the comparison: a near-identical pair in one
+    cluster keeps only its lowest id; the first member of every cluster
+    has no lower-id neighbor (null sim); similar vectors in DIFFERENT
+    clusters are never compared (the SemDeDup recall trade)."""
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),    # cluster 0, first member
+        (2, [0.99, 0.01, 0.0, 0.0]),  # cluster 0, ~dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),    # cluster 1, first member
+        (4, [0.0, 0.9, 0.1, 0.0]),    # cluster 1, ~dup of 3 -> dropped
+        (5, [0.6, 0.8, 0.0, 0.0]),    # cluster 1, far from 3/4 -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cid"], r["keep"], r["max_sim_lower"])
+        for r in sim.semantic_dedup(df, cents, threshold=0.95).collect()
+    }
+    assert got[1] == (0, 1, None)
+    assert got[3] == (1, 1, None)
+    assert got[2][0] == 0 and got[2][1] == 0 and got[2][2] >= 0.99
+    assert got[4][0] == 1 and got[4][1] == 0 and got[4][2] >= 0.99
+    assert got[5][0] == 1 and got[5][1] == 1 and got[5][2] < 0.95
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Disjoint vocabularies: an UNLABELED doc written in the target
+    vocabulary must outscore (and out-select) docs written in the
+    background vocabulary — the importance-resampling signal."""
+    from sparkstreaming_realtime_project_spark.operators import corpus as cx
+
+    tgt = "quantum proton neutron lepton boson"
+    bg = "recipe butter flour sugar oven"
+    rows = (
+        [(i, tgt, "sci") for i in range(1, 5)]
+        + [(i, bg, "food") for i in range(5, 12)]
+        + [(100, tgt, "unlabeled"), (101, bg, "unlabeled")]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, text string, domain string")
+    got = {
+        r["doc_id"]: (r["dsir_logratio"], r["selected"], r["in_target"])
+        # 64 buckets: add-1 smoothing at the default 256 would swamp
+        # this 65-token corpus and push every score negative
+        for r in cx.dsir_weights(
+            df, "text", "doc_id", F.col("domain") == "sci", n_buckets=64
+        ).collect()
+    }
+    assert got[100][0] > got[101][0]
+    assert got[100][1] == 1 and got[100][2] == 0  # target-like, unlabeled
+    assert got[101][1] == 0
+    assert all(got[i][1] == 1 for i in range(1, 5))
+    assert all(got[i][1] == 0 for i in range(5, 12))
