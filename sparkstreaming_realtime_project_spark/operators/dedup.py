@@ -1048,3 +1048,107 @@ def scrub_repeated_spans(
         out.count()
         grams.unpersist()
     return out
+
+
+def cross_dedup(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-corpus dedup: flag every TRAIN doc that also appears
+    (exactly or as a near-duplicate) in a HOLDOUT corpus — the
+    train-vs-eval leakage sweep that runs before any benchmark is
+    trusted (reference analog: the K3 idempotent-key discipline applied
+    across datasets; LLM-pipeline north-star).
+
+    Exact layer: md5 content fingerprints, LEFT SEMI against the
+    holdout's distinct fingerprint set — shuffle keys are 32-byte
+    hashes, never document bodies.
+
+    Near layer: MinHash band keys computed on BOTH corpora; candidates
+    come from the (band, key) equi-join of train bands against holdout
+    bands — never a cartesian, and only cross-corpus pairs are ever
+    generated (an in-corpus self-join would re-do what
+    minhash_dedup_pairs already covers). Holdout-side hot buckets above
+    ``max_bucket`` are dropped before the join (same degenerate-bucket
+    argument as lsh_candidate_pairs). Candidates are verified with the
+    exact Jaccard on full shingle sets, so every flagged pair is a true
+    >= threshold near-dup.
+
+    Returns one row per TRAIN doc: (doc_id, exact_dup, near_dup, keep)
+    with keep = NOT (exact_dup OR near_dup). The returned frame is
+    persisted and eagerly materialized (intermediate signature caches
+    are released before returning) — unpersist it when done.
+    """
+    fp_h = holdout.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    exact_ids = (
+        train.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp"))
+        .join(fp_h, "fp", "left_semi")
+        .select("id")
+    )
+
+    sh_t = with_shingles(train, text_col, id_col, n, materialize=True)
+    sh_h = with_shingles(holdout, text_col, id_col, n, materialize=True)
+    bands_t = band_keys(minhash_signature(sh_t, k), k, bands)
+    bands_h = band_keys(minhash_signature(sh_h, k), k, bands)
+    if max_bucket is not None:
+        small = (
+            bands_h.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") <= max_bucket)
+            .select("band", "key")
+        )
+        bands_h = bands_h.join(small, ["band", "key"])
+    cand = (
+        bands_t.select("band", "key", F.col("id").alias("tid"))
+        .join(bands_h.select("band", "key", F.col("id").alias("hid")), ["band", "key"])
+        .select("tid", "hid")
+        .distinct()
+    )
+    sa = sh_t.select(F.col("id").alias("tid"), F.col("shingles").alias("sha"))
+    sb = sh_h.select(F.col("id").alias("hid"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    near_ids = (
+        cand.join(sa, "tid")
+        .join(sb, "hid")
+        .filter(inter * F.lit(1.0) / union >= threshold)
+        .select(F.col("tid").alias("id"))
+        .distinct()
+    )
+
+    out = (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(
+            exact_ids.withColumn("__ex", F.lit(True)),
+            F.col("doc_id") == F.col("id"),
+            "left",
+        )
+        .drop("id")
+        .join(
+            near_ids.withColumn("__nr", F.lit(True)),
+            F.col("doc_id") == F.col("id"),
+            "left",
+        )
+        .drop("id")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__ex"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__nr"), F.lit(False)).alias("near_dup"),
+            (
+                ~(F.coalesce(F.col("__ex"), F.lit(False))
+                  | F.coalesce(F.col("__nr"), F.lit(False)))
+            ).alias("keep"),
+        )
+        .persist()
+    )
+    out.count()
+    sh_t.unpersist()
+    sh_h.unpersist()
+    return out

@@ -3750,3 +3750,77 @@ def x_dsir_weights(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         F.col("lang") == "en", materialize=True,
     )
+
+
+def _band_sql_for(mh_tbl: str) -> str:
+    """_BAND_SQL parameterized on the minhash table name (cross-corpus
+    banding needs one band table per side)."""
+    return "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS key FROM {t}".format(
+            b=b, key="||".join(f"h{b * _R + i}" for i in range(_R)), t=mh_tbl
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+
+
+@_register(
+    "x_cross_dedup",
+    "cross-corpus dedup (train-vs-holdout leakage sweep): exact md5 "
+    "semi-join + MinHash band equi-join train x holdout with hot-bucket "
+    "cap and exact-Jaccard verify — never a cartesian (north-star)",
+    f"""
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    ho AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    exd AS (SELECT DISTINCT t.doc_id FROM tr t
+            JOIN (SELECT DISTINCT md5(text) AS fp FROM ho) h
+            ON md5(t.text) = h.fp),
+    tok_t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM tr),
+    tok_h AS (SELECT doc_id, {_TOKS_SQL} AS t FROM ho),
+    sh_t AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM tok_t),
+    sh_h AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM tok_h),
+    ug_t AS (SELECT doc_id, unnest(s) AS g FROM sh_t),
+    ug_h AS (SELECT doc_id, unnest(s) AS g FROM sh_h),
+    mh_t AS (SELECT doc_id,
+         {_MH_COLS}
+       FROM ug_t GROUP BY doc_id),
+    mh_h AS (SELECT doc_id,
+         {_MH_COLS}
+       FROM ug_h GROUP BY doc_id),
+    bt AS (
+  {_band_sql_for('mh_t')}),
+    bh0 AS (
+  {_band_sql_for('mh_h')}),
+    small AS (SELECT band, key FROM bh0 GROUP BY band, key
+              HAVING count(*) <= {_MAX_BUCKET}),
+    bh AS (SELECT bh0.* FROM bh0 JOIN small USING (band, key)),
+    cand AS (SELECT DISTINCT bt.doc_id AS tid, bh.doc_id AS hid
+             FROM bt JOIN bh USING (band, key)),
+    szt AS (SELECT doc_id, s, len(s) AS ln FROM sh_t),
+    szh AS (SELECT doc_id, s, len(s) AS ln FROM sh_h),
+    nr AS (SELECT DISTINCT tid AS doc_id FROM cand
+           JOIN szt ON szt.doc_id = cand.tid
+           JOIN szh ON szh.doc_id = cand.hid
+           WHERE len(list_intersect(szt.s, szh.s)) * 1.0 /
+                 (szt.ln + szh.ln - len(list_intersect(szt.s, szh.s))) >= 0.8)
+    SELECT t.doc_id,
+           (exd.doc_id IS NOT NULL) AS exact_dup,
+           (nr.doc_id IS NOT NULL) AS near_dup,
+           NOT (exd.doc_id IS NOT NULL OR nr.doc_id IS NOT NULL) AS keep
+    FROM tr t
+    LEFT JOIN exd ON exd.doc_id = t.doc_id
+    LEFT JOIN nr ON nr.doc_id = t.doc_id
+    """,
+)
+def x_cross_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.cross_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        n=3,
+        k=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        threshold=0.8,
+        max_bucket=_MAX_BUCKET,
+    )

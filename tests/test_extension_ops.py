@@ -655,3 +655,41 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert got[101][1] == 0
     assert all(got[i][1] == 1 for i in range(1, 5))
     assert all(got[i][1] == 0 for i in range(5, 12))
+
+
+def test_cross_dedup_flags(spark):
+    """Constructed train/holdout corpus: an exact copy is exact_dup (and
+    near_dup — identical shingle sets verify at jaccard 1.0), a one-word
+    edit of a long doc is near-only, an unrelated doc keeps."""
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(("EDIT" if i == 20 else f"w{i}") for i in range(40))
+    train = spark.createDataFrame(
+        [(0, base), (2, near), (4, "completely different text here")],
+        ["doc_id", "text"],
+    )
+    holdout = spark.createDataFrame(
+        [(1, base), (3, "another unrelated holdout document")],
+        ["doc_id", "text"],
+    )
+    out = dd.cross_dedup(train, holdout, "text", "doc_id", max_bucket=50)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    out.unpersist()
+    assert rows[0]["exact_dup"] and not rows[0]["keep"]
+    assert rows[2]["near_dup"] and not rows[2]["exact_dup"] and not rows[2]["keep"]
+    assert rows[4]["keep"] and not rows[4]["exact_dup"] and not rows[4]["near_dup"]
+
+
+def test_cross_dedup_candidates_are_equi_join(spark, sf_dir):
+    """The cross-corpus LSH candidate join must stay an equi-join on
+    (band, key) — no cartesian anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.cross_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        max_bucket=50,
+    )
+    plan = _physical_plan(out)
+    out.unpersist()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
