@@ -3824,3 +3824,103 @@ def x_cross_dedup(spark, sf_dir):
         threshold=0.8,
         max_bucket=_MAX_BUCKET,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5/Q6-style analytics: the 6-table join-ordering showcase and the
+# pure scan-efficiency aggregate. Both exist to prove the engine's general
+# SQL surface plans the way a warehouse should: dims broadcast, the fact
+# table shuffles once on its join key, and Q6's filters all reach the
+# parquet scan (PushedFilters) with a 4-column ReadSchema.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q5_local_supplier_volume",
+    "J-group 6-table join ordering showcase: region->nation->supplier "
+    "broadcast chain, lineitem shuffles once, customer-nation co-location "
+    "predicate (TPC-H Q5 shape)",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    JOIN supplier  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    JOIN region    ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    # Dims (region -> nation -> supplier) reduce FIRST, then broadcast
+    # into the fact side: at 100 TB only lineitem/orders/customer are
+    # big, and each shuffles exactly once on its own join key. The
+    # c_nationkey = s_nationkey predicate rides the customer join.
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@_register(
+    "q6_revenue_delta",
+    "pure scan-efficiency aggregate: every predicate pushed to the "
+    "parquet scan, 4-column ReadSchema, single partial+final agg "
+    "(TPC-H Q6 shape)",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

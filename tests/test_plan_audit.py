@@ -110,6 +110,33 @@ CASES_R3 = [
     ("x_zorder_layout", [], ["CartesianProduct", "Window", "SortMergeJoin"]),
 ]
 
+# round-4 additions: Q5's region->nation->supplier dim chain must ride
+# broadcast joins (only the fact tables may shuffle); Q6 is the scan-
+# efficiency contract — every predicate reaches the parquet scan and
+# the ReadSchema carries only the 4 referenced columns.
+CASES_R4 = [
+    ("q5_local_supplier_volume", ["BroadcastHashJoin"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("q6_revenue_delta",
+     ["PushedFilters: [IsNotNull(l_shipdate)",
+      # shipdate's parquet type varies by testdata generation
+      # (timestamp vs timestamp_ntz) — assert columns, not its type
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+      "l_discount:double,l_shipdate:timestamp"],
+     ["NestedLoop", "CartesianProduct", "Exchange hashpartitioning"]),
+    ("x_cross_dedup", [], ["NestedLoop", "CartesianProduct"]),
+]
+
+
+@pytest.mark.parametrize("name,want,ban", CASES_R4, ids=[c[0] for c in CASES_R4])
+def test_plan_shape_r4(spark, sf_dir, name, want, ban):
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in want:
+        assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
+    for frag in ban:
+        assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
+
 
 @pytest.mark.parametrize("name,want,ban", CASES_R3, ids=[c[0] for c in CASES_R3])
 def test_plan_shape_r3(spark, sf_dir, name, want, ban):
