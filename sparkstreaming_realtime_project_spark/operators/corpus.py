@@ -613,3 +613,56 @@ def dsir_weights(
         out.count()
         ex.unpersist()
     return out
+
+
+def score_bucket_sample(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 4,
+    rates: dict[int, float] | None = None,
+    default_rate: float = 1.0,
+    salt: str = "ppl",
+) -> DataFrame:
+    """CCNet-style score-quantile bucketing + per-bucket deterministic
+    sampling: split the corpus into ``n_buckets`` quantile buckets of
+    any per-doc score (perplexity, DSIR weight, quality), then keep
+    each bucket at its own rate — the "keep the middle, thin the tails"
+    curriculum/quality mix.
+
+    Quantiles are EXACT and scale-safe without a global sort of the
+    corpus: the score is expected pre-rounded (unigram_logprob emits 4
+    decimals), so the distinct-value histogram is tiny; the running
+    cumulative count over that histogram (a histogram-sized window, not
+    a corpus-sized one) gives each value its bucket
+    ``ceil(n_buckets * cum / N)``, and docs join the value->bucket map
+    by score — a broadcast. Ties share a bucket (unlike ntile, which
+    splits ties nondeterministically across engines).
+
+    Returns every input row with (bucket, sampled) so the selection is
+    auditable; filter on ``sampled = 1`` downstream."""
+    rates = rates or {}
+    sc = F.col(score_col)
+    hist = scored.groupBy(sc.alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("__v", F.sum("__c").over(w).alias("__cum"))
+    total = scored.agg(F.count(F.lit(1)).alias("__n"))
+    bucket_map = cum.crossJoin(F.broadcast(total)).select(
+        "__v",
+        F.ceil(F.lit(n_buckets) * F.col("__cum") / F.col("__n"))
+        .cast("int")
+        .alias("bucket"),
+    )
+    thr: Column = F.lit(rate_threshold_hex(default_rate))
+    for b, rate in sorted(rates.items()):
+        thr = F.when(F.col("bucket") == b, F.lit(rate_threshold_hex(rate))).otherwise(
+            thr
+        )
+    return (
+        scored.join(F.broadcast(bucket_map), sc == F.col("__v"))
+        .select(
+            "*",
+            (sample_hash_expr(F.col(id_col), salt) < thr).cast("int").alias("sampled"),
+        )
+        .drop("__v")
+    )

@@ -910,3 +910,52 @@ def semantic_dedup(
             .alias("keep"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query row,
+    the k most-cosine-similar corpus vectors carrying a DIFFERENT label —
+    the "looks like a positive, isn't one" set that makes contrastive
+    batches informative.
+
+    Exact form of knn_bruteforce with the label-mismatch predicate
+    riding the same broadcast join: queries broadcast, candidates stream
+    partition-local, the only shuffle is the final per-query top-k
+    (bounded at |Q| x k rows). At corpus scale swap the candidate side
+    for ivf_topk's probed cells and filter labels before the window —
+    same plan shape, ANN recall trade."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("qv"),
+        F.col(label_col).alias("query_label"),
+    ).withColumn("qn", norm_col(F.col("qv")))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    ).withColumn("cn", norm_col(F.col("cv")))
+    scored = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    ).withColumn(
+        "sim",
+        cosine_prenormed(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            F.round("sim", 4).alias("sim"),
+        )
+    )

@@ -3924,3 +3924,69 @@ def q6_revenue_delta(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@_register(
+    "x_hard_negatives",
+    "hard-negative mining for contrastive training: per-query top-k "
+    "most-similar DIFFERENT-label vectors, broadcast join + bounded "
+    "per-query window (north-star)",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             {_cos_sql('qv', 'e.v')} AS sim
+      FROM q JOIN e ON e.label <> q.ql)
+    SELECT query_id, neighbor_id, neighbor_label, rank, round(sim, 4) AS sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def x_hard_negatives(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+# Bucket rates for the perplexity-bucket sampler: thin the least
+# surprising quartile (boilerplate) and the most surprising one
+# (gibberish/OCR noise), keep the middle — the CCNet head/mid/tail mix.
+_PPL_RATES = {1: 0.5, 4: 0.25}
+
+
+@_register(
+    "x_ppl_bucket_sample",
+    "CCNet-style perplexity-quartile bucket + per-bucket deterministic "
+    "sample: exact quantiles from the rounded-score histogram (no global "
+    "ntile sort), ties share buckets, tails thinned (north-star)",
+    f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+    v AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total FROM v),
+    lp AS (SELECT doc_id, sum(tf) AS n_tokens,
+                  round(-sum(tf * ln(cnt / total)) / sum(tf), 4) AS avg_neg_logp
+           FROM tf JOIN v USING (term), tot
+           GROUP BY doc_id),
+    hist AS (SELECT avg_neg_logp AS vv, count(*) AS c FROM lp GROUP BY vv),
+    cum AS (SELECT vv, sum(c) OVER (ORDER BY vv
+                                    ROWS UNBOUNDED PRECEDING) AS cm FROM hist),
+    n AS (SELECT count(*) AS nn FROM lp),
+    bm AS (SELECT vv, CAST(ceil(4 * cm / nn) AS INT) AS bucket FROM cum, n)
+    SELECT doc_id, n_tokens, avg_neg_logp, bucket,
+           CAST(substr(md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                CASE WHEN bucket = 1 THEN '{_cx.rate_threshold_hex(0.5)}'
+                     WHEN bucket = 4 THEN '{_cx.rate_threshold_hex(0.25)}'
+                     ELSE '{_cx.rate_threshold_hex(1.0)}' END AS INT) AS sampled
+    FROM lp JOIN bm ON avg_neg_logp = vv
+    """,
+)
+def x_ppl_bucket_sample(spark, sf_dir):
+    lp = _ts.unigram_logprob(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", materialize=True
+    )
+    return _cx.score_bucket_sample(
+        lp, "avg_neg_logp", "doc_id", n_buckets=4, rates=_PPL_RATES, salt="ppl"
+    )

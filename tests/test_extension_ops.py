@@ -693,3 +693,48 @@ def test_cross_dedup_candidates_are_equi_join(spark, sf_dir):
     plan = _physical_plan(out)
     out.unpersist()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_hard_negatives_label_constraint(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    query's, ranks are dense 1..k, and similarity is non-increasing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.hard_negatives(emb, emb.filter(F.col("vec_id") < 3), k=4)
+    labels = {r["vec_id"]: r["label"] for r in emb.filter(F.col("vec_id") < 3).collect()}
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["sim"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r[0] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r[1] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_score_bucket_sample_properties(spark):
+    """Buckets are monotone in score with ties sharing a bucket, the
+    selection is deterministic across invocations, and per-bucket rates
+    bind (rate-1.0 buckets keep everything)."""
+    from sparkstreaming_realtime_project_spark.operators import corpus as cx
+
+    rows = [(i, float(i // 10)) for i in range(100)]  # 10-way ties
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    out = cx.score_bucket_sample(
+        df, "score", "doc_id", n_buckets=4, rates={1: 0.5, 4: 0.0}
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(r["bucket"] for r in got.values()) == {1, 2, 3, 4}
+    by_score = sorted((r["score"], r["bucket"]) for r in got.values())
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(by_score, by_score[1:]))
+    same_score_buckets = {}
+    for r in got.values():
+        same_score_buckets.setdefault(r["score"], set()).add(r["bucket"])
+    assert all(len(bs) == 1 for bs in same_score_buckets.values())
+    assert all(r["sampled"] == 0 for r in got.values() if r["bucket"] == 4)
+    assert all(r["sampled"] == 1 for r in got.values() if r["bucket"] in (2, 3))
+    again = {r["doc_id"]: r["sampled"] for r in cx.score_bucket_sample(
+        df, "score", "doc_id", n_buckets=4, rates={1: 0.5, 4: 0.0}
+    ).collect()}
+    assert again == {k: v["sampled"] for k, v in got.items()}
