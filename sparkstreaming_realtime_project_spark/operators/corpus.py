@@ -666,3 +666,36 @@ def score_bucket_sample(
         )
         .drop("__v")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "wsmpl",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws u = hash-uniform(0,1) from its key and
+    scores ln(u)/w; the top-n scores win. Inclusion probabilities match
+    sequential weighted draws without replacement, but the selection is
+    a single distributed top-n — no sequential state, no RNG, identical
+    across engines and runs.
+
+    u comes from the first 8 md5 hex digits ((int+1)/(2^32+1), never 0
+    so ln is finite). Top-n is per-partition heads + a driver-side n-row
+    merge (TakeOrdered shape), not a global sort: at 100 TB each
+    partition ships only n candidates. Ties broken by key for full
+    determinism. Weights must be strictly positive."""
+    u = (
+        F.conv(F.substring(coord_md5(F.col(key_col), salt), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**8 + 1))
+    score = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__score", F.round(score, 12))
+        .orderBy(F.col("__score").desc(), F.col(key_col))
+        .limit(n)
+        .drop("__score")
+    )

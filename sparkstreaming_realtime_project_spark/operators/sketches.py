@@ -198,3 +198,81 @@ def quantile_hist(
             ).alias("est"),
         )
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    m: int = 64,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL register table (group..., reg, mx) — the MERGEABLE
+    form of hll_estimate's state: registers of two corpus slices merge
+    by cell-wise max, so shards/micro-batches/partitions can be
+    sketched independently and combined later without re-reading data.
+    Same portable hash/rank math as hll_estimate (md5-based, integer
+    rank via binary-string length) so a merged store finalizes to
+    exactly what a single batch pass over the union would produce."""
+    if m != 64:
+        raise ValueError("m=64 is the supported register count (alpha pinned)")
+    group_cols = group_cols or []
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    reg = F.pmod(h32, F.lit(m))
+    w = F.floor(h32 / F.lit(m)).cast("bigint")
+    rank = F.when(w == 0, F.lit(27)).otherwise(F.lit(27) - F.length(F.bin(w)))
+    return (
+        df.select(*group_cols, reg.alias("reg"), rank.alias("rank"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two register tables: union + cell-wise max per (group, reg).
+    Associative and commutative — the property that makes the sketch a
+    distributed aggregate rather than a pass over raw keys."""
+    group_cols = group_cols or []
+    cols = [*group_cols, "reg", "mx"]
+    return (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+
+
+def hll_finalize(
+    regs: DataFrame, group_cols: list[str] | None = None, m: int = 64
+) -> DataFrame:
+    """Estimate from a register table, per group: identical float
+    sequence to hll_estimate (64-term 2^-mx sum, alpha correction,
+    linear-counting small-range branch, round 4), so
+    finalize(merge(registers(A), registers(B))) == hll_estimate(A ∪ B)
+    exactly, not approximately."""
+    if m != 64:
+        raise ValueError("m=64 is the supported register count (alpha pinned)")
+    alpha = 0.709
+    group_cols = group_cols or []
+    spark = regs.sparkSession
+    spine = spark.range(m).select(F.col("id").alias("reg"))
+    if group_cols:
+        groups = regs.select(*group_cols).distinct()
+        spine = groups.crossJoin(F.broadcast(spine))
+    full = spine.join(regs, [*group_cols, "reg"], "left").select(
+        *group_cols, F.coalesce(F.col("mx"), F.lit(0)).alias("mx")
+    )
+    agg = full.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("z"),
+        F.sum((F.col("mx") == 0).cast("int")).alias("zeros"),
+    )
+    raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / F.col("z")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+    return agg.select(
+        *group_cols,
+        F.round(
+            F.when((raw <= 2.5 * m) & (F.col("zeros") > 0), linear).otherwise(raw),
+            4,
+        ).alias("hll_estimate"),
+    )

@@ -3990,3 +3990,161 @@ def x_ppl_bucket_sample(spark, sf_dir):
     return _cx.score_bucket_sample(
         lp, "avg_neg_logp", "doc_id", n_buckets=4, rates=_PPL_RATES, salt="ppl"
     )
+
+
+@_register(
+    "a_cube_totals",
+    "CUBE grouping-set aggregation (completes the rollup/grouping-sets/"
+    "pivot family): all 4 combinations of (returnflag, linestatus) "
+    "subtotals in ONE pass — one shuffle, grouping-id expansion map-side",
+    """
+    SELECT coalesce(l_returnflag, '__all__') AS rflag,
+           coalesce(l_linestatus, '__all__') AS lstatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a_cube_totals(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("__all__")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("__all__")).alias("lstatus"),
+            "sum_price",
+            "n_items",
+        )
+    )
+
+
+@_register(
+    "u_unpivot_measures",
+    "UNPIVOT/melt wide measures to long (key, measure, value) — the "
+    "inverse of pivot; narrow per-row expansion, no shuffle at all",
+    """
+    SELECT o_orderkey, measure, round(value, 2) AS value
+    FROM (SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS custkey_d
+          FROM orders)
+    UNPIVOT (value FOR measure IN (o_totalprice, custkey_d))
+    """,
+)
+def u_unpivot_measures(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_custkey").cast("double").alias("custkey_d"),
+        )
+        .unpivot(
+            ids=["o_orderkey"],
+            values=["o_totalprice", "custkey_d"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .select("o_orderkey", "measure", F.round("value", 2).alias("value"))
+    )
+
+
+@_register(
+    "x_corpus_datasheet",
+    "corpus datasheet roll-up: per-(source, lang) doc counts, token "
+    "totals, mean length, exact-dup counts in one two-level aggregate — "
+    "the summary table a dataset card starts from (north-star)",
+    f"""
+    WITH t AS (SELECT source, lang, n_chars,
+                      len({_TOKS_SQL}) AS n_tokens, md5(text) AS fp
+               FROM documents)
+    SELECT source, lang, count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_chars), 2) AS avg_chars,
+           count(*) - count(DISTINCT fp) AS n_exact_dups
+    FROM t GROUP BY source, lang
+    """,
+)
+def x_corpus_datasheet(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(_dd.tokens_expr("text")).alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    return t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+    )
+
+
+@_register(
+    "x_hll_merged_by_type",
+    "grouped HLL distinct users per event_type, computed as "
+    "finalize(merge(registers(half A), registers(half B))) — the oracle "
+    "replays one pass over the union, so a hash-match PROVES the "
+    "mergeable-sketch property (shards/batches sketch independently, "
+    "combine exactly; north-star)",
+    f"""
+    WITH h AS (SELECT event_type,
+                      substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)
+                      AS h8 FROM events),
+    b AS (SELECT event_type, ({_hex32_sql('h8')} % 64) AS reg,
+                 ({_hex32_sql('h8')} // 64) AS w FROM h),
+    r AS (SELECT event_type, reg,
+                 max(CASE WHEN w = 0 THEN 27
+                          ELSE 27 - length(bin(w)) END) AS mx
+          FROM b GROUP BY event_type, reg),
+    spine AS (SELECT DISTINCT event_type, unnest(range(0, 64)) AS reg FROM events),
+    regs AS (SELECT s.event_type, coalesce(r.mx, 0) AS mx
+             FROM spine s LEFT JOIN r
+             ON r.reg = s.reg AND r.event_type = s.event_type),
+    agg AS (SELECT event_type, sum(pow(2.0, -mx)) AS z,
+                   sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM regs GROUP BY event_type)
+    SELECT event_type,
+           round(CASE WHEN (0.709 * 64 * 64 / z) <= 160.0 AND zeros > 0
+                      THEN 64.0 * ln(64.0 / zeros)
+                      ELSE 0.709 * 64 * 64 / z END, 4) AS hll_estimate
+    FROM agg
+    """,
+)
+def x_hll_merged_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = _sk.hll_merge(
+        _sk.hll_registers(half_a, "user_id", ["event_type"]),
+        _sk.hll_registers(half_b, "user_id", ["event_type"]),
+        ["event_type"],
+    )
+    return _sk.hll_finalize(merged, ["event_type"])
+
+
+@_register(
+    "x_weighted_sample",
+    "deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis): ln(hash-uniform)/weight keys, distributed top-n "
+    "(per-partition heads, no global sort), zero RNG/state (north-star)",
+    f"""
+    WITH s AS (SELECT doc_id, source, n_chars,
+                      round(ln(({_hex32_sql("substr(md5('wsmpl:' || CAST(doc_id AS VARCHAR)), 1, 8)")} + 1.0)
+                               / {float(16**8 + 1)!r})
+                            / CAST(n_chars AS DOUBLE), 12) AS sc
+               FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars FROM s
+    ORDER BY sc DESC, doc_id LIMIT 50
+    """,
+)
+def x_weighted_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return _cx.weighted_sample(
+        docs.select("doc_id", "source", "n_chars"), "n_chars", "doc_id", n=50
+    )

@@ -191,3 +191,61 @@ def streaming_minhash_dedup(
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental distinct-count: a streaming HLL register store.
+#
+# The streaming answer to "distinct users per day so far" without keeping
+# the key domain in state: each micro-batch contributes its own per-group
+# register table (<= 64 rows per group — sketch-sized, not data-sized),
+# written idempotently under batch={id}; the estimate at read time is
+# finalize(cell-wise max over every committed batch). Because HLL merge
+# is associative/commutative and the register math is engine-portable
+# (operators/sketches.py), the read-side estimate is EXACTLY what a
+# single batch pass over the union of all batches would produce — replay
+# a batch and the overwrite changes nothing.
+# --------------------------------------------------------------------------
+
+from ..operators.sketches import hll_finalize, hll_registers  # noqa: E402
+
+
+def streaming_hll_distinct(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+):
+    """Build the streaming query: per micro-batch, write the batch's
+    per-group HLL register table under ``batch={id}`` (idempotent on
+    replay — same input batch, same registers, overwrite)."""
+    group_cols = group_cols or []
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, key_col, group_cols)
+        regs.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_hll_estimate(
+    spark, store_dir: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group distinct estimate over everything committed so far:
+    union all batch register tables, cell-wise max, finalize."""
+    group_cols = group_cols or []
+    regs = (
+        spark.read.option("basePath", store_dir)
+        .parquet(os.path.join(store_dir, "batch=*"))
+        .drop("batch")
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    return hll_finalize(regs, group_cols)

@@ -738,3 +738,27 @@ def test_score_bucket_sample_properties(spark):
         df, "score", "doc_id", n_buckets=4, rates={1: 0.5, 4: 0.0}
     ).collect()}
     assert again == {k: v["sampled"] for k, v in got.items()}
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    """Weight-proportional inclusion (heavier docs overrepresented: the
+    sample's mean weight exceeds the population's), deterministic across
+    invocations, and planned as TakeOrdered (per-partition heads), never
+    a global sort."""
+    from sparkstreaming_realtime_project_spark.operators import corpus as cx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    sel = cx.weighted_sample(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id", n=50
+    )
+    plan = _physical_plan(sel)
+    assert "TakeOrderedAndProject" in plan
+    rows = sel.collect()
+    assert len(rows) == 50
+    pop_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    smp_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert smp_mean > pop_mean
+    again = {r["doc_id"] for r in cx.weighted_sample(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id", n=50
+    ).collect()}
+    assert again == {r["doc_id"] for r in rows}

@@ -100,3 +100,87 @@ def test_streaming_dedup_plan_is_bucket_equi_join(spark):
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "band" in plan and "key" in plan
+
+# ---------------------------------------------------------------------------
+# Streaming HLL distinct: incremental mergeable-sketch maintenance
+# ---------------------------------------------------------------------------
+
+EVT_SCHEMA = "user_id long, dt string"
+
+
+def _evt(uid: int, dt: str) -> str:
+    return json.dumps({"user_id": uid, "dt": dt})
+
+
+def test_streaming_hll_matches_batch_exactly(spark, tmp_path):
+    """finalize(merge of per-batch registers) must equal hll_estimate
+    over the union — exactly, not approximately (merge = cell-wise max
+    is associative; identical float sequence at finalization)."""
+    from sparkstreaming_realtime_project_spark.operators.sketches import hll_estimate
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_hll_estimate,
+        streaming_hll_distinct,
+    )
+
+    in_dir = str(tmp_path / "in")
+    batch1 = [_evt(u, "2024-01-01") for u in range(30)]
+    batch2 = [_evt(u, "2024-01-01") for u in range(15, 45)] + [
+        _evt(u, "2024-01-02") for u in range(7)
+    ]
+    fx._write_batches(in_dir, [batch1, batch2])
+    stream = file_stream(
+        spark, in_dir, EVT_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    store = str(tmp_path / "hll")
+    q = (
+        streaming_hll_distinct(
+            stream, store, str(tmp_path / "ck"), "user_id", ["dt"]
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["dt"]: r["hll_estimate"]
+        for r in read_hll_estimate(spark, store, ["dt"]).collect()
+    }
+    # batch twin over the union of all events, per dt
+    rows = [(u, "2024-01-01") for u in range(45)] + [
+        (u, "2024-01-02") for u in range(7)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "dt"])
+    for dt in ("2024-01-01", "2024-01-02"):
+        want = hll_estimate(df.filter(F.col("dt") == dt), "user_id").collect()[0][
+            "hll_estimate"
+        ]
+        assert got[dt] == want
+        true_n = 45 if dt == "2024-01-01" else 7
+        assert abs(got[dt] - true_n) / true_n < 0.35  # m=64 error band
+
+
+def test_streaming_hll_replay_idempotent(spark, tmp_path):
+    """Re-running the whole input against a FRESH checkpoint (the
+    worst-case replay) rewrites the same batch dirs with the same
+    registers — the estimate is unchanged."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_hll_estimate,
+        streaming_hll_distinct,
+    )
+
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(in_dir, [[_evt(u, "d1") for u in range(20)]])
+    store = str(tmp_path / "hll")
+    for ck in ("ck1", "ck2"):
+        stream = file_stream(
+            spark, in_dir, EVT_SCHEMA, fmt="json", max_files_per_trigger=1
+        )
+        q = (
+            streaming_hll_distinct(
+                stream, store, str(tmp_path / ck), "user_id", ["dt"]
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    est = read_hll_estimate(spark, store, ["dt"]).collect()
+    assert len(est) == 1 and est[0]["dt"] == "d1"
