@@ -283,7 +283,16 @@ def j_dim_enrich(spark, sf_dir):
 )
 def j_order_wide(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # spread: the probe side's work (broadcast-hash probe + 10-column
+    # string-heavy projection + sink write) all lives in the SCAN stage;
+    # a single-row-group parquet file pins it to one core. Rebalancing
+    # the 5 narrow probe columns costs one small shuffle and buys a
+    # 32-way join+project (measured 2.2s -> 1.5s at sf0.1); no-op when
+    # the scan already splits to >= defaultParallelism partitions.
+    # Deliberately NOT applied to the agg-shaped headliners (q1, dau):
+    # there the map-side partial agg collapses data before any exchange,
+    # so an up-front full-width shuffle costs more than it saves.
+    li = _dd.spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     # Derive date/hour on the ORDER side before the 1:N join: one
     # tz-free string cast over |orders| rows instead of two date_format
     # calls over |lineitem| joined rows (~4x fewer formatter runs at
