@@ -87,6 +87,102 @@ def knn_bruteforce(
     )
 
 
+def knn_gemm(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors via an Arrow-vectorized batch kernel
+    (``mapInPandas`` + numpy) — same contract and BIT-IDENTICAL results
+    as :func:`knn_bruteforce`.
+
+    Why it exists: the JVM expression path evaluates the cosine as
+    interpreted higher-order folds, ~d element ops per PAIR. This path
+    runs d numpy ops per BATCH (each op vectorized over |Q| x batch
+    pairs) — at production dims (768+) that is the difference between an
+    interpreter loop and SIMD over Arrow buffers, the 10-100x regime the
+    Pandas-UDF guidance is about.
+
+    Determinism: the accumulation is the SAME left-to-right
+    per-dimension fold as the JVM/DuckDB side (``acc += Q[:,d]*C[:,d]``,
+    one dimension at a time, float64) — deliberately NOT ``np.dot``,
+    whose pairwise/BLAS summation reassociates floats. Norms fold the
+    same way; the final division is dot/(qn*cn) in the same order. IEEE
+    double ops are deterministic across JVM and numpy, so every sim
+    matches knn_bruteforce ulp for ulp and the shared oracle SQL needs
+    no change.
+
+    Scale shape: per-batch local top-k (same (sim desc, id asc) total
+    order as the final ranking, so the global top-k is always contained
+    in the union of batch winners) bounds what leaves each executor at
+    |Q| x k rows per Arrow batch; the final exact window ranks only
+    batches x |Q| x k rows. Queries ride along as a model-sized
+    (|Q| x d) broadcast inside the closure — same pattern as the IVF
+    centroid frame, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), as_double_vec(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r["qid"],
+    )
+    if not q_rows:
+        raise ValueError("knn_gemm: empty query set")
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    dims = qmat.shape[1]
+    qn = np.zeros(len(qids), dtype=np.float64)
+    for d in range(dims):  # left-to-right self-dot fold, then sqrt
+        qn += qmat[:, d] * qmat[:, d]
+    qn = np.sqrt(qn)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["cv"]), dtype=np.float64)
+            dot = np.zeros((len(qids), len(cids)), dtype=np.float64)
+            cn = np.zeros(len(cids), dtype=np.float64)
+            for d in range(dims):  # the JVM fold, vectorized across pairs
+                dot += qmat[:, d][:, None] * cmat[:, d][None, :]
+                cn += cmat[:, d] * cmat[:, d]
+            sim = dot / (qn[:, None] * np.sqrt(cn)[None, :])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                keep = cids != qids[qi]
+                ids_i, sim_i = cids[keep], sim[qi][keep]
+                # batch-local top-k under the FINAL total order
+                top = np.lexsort((ids_i, -sim_i))[:k]
+                out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+                out_n.append(ids_i[top])
+                out_s.append(sim_i[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv")
+    )
+    pruned = c.mapInPandas(
+        batches, "query_id bigint, neighbor_id bigint, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def sign_bucket(vec: Column, dims: tuple[int, ...] = (1, 2, 3)) -> Column:
     """Sign-pattern bucket id: '101' = dims 1,3 non-negative, dim 2
     negative (1-based element_at). Axis-aligned hyperplane LSH."""

@@ -1364,10 +1364,7 @@ def x_dedup_embedding_bucketed(spark, sf_dir):
     return _sim.cosine_near_pairs_bucketed(emb, 0.45)
 
 
-@_register(
-    "x_knn_bruteforce",
-    "brute-force cosine top-k similarity search (north-star baseline)",
-    f"""
+_BF_KNN_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
     scored AS (
@@ -1377,12 +1374,32 @@ def x_dedup_embedding_bucketed(spark, sf_dir):
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id) AS rank
       FROM scored) WHERE rank <= 5
-    """,
+    """
+
+
+@_register(
+    "x_knn_bruteforce",
+    "brute-force cosine top-k similarity search (north-star baseline)",
+    _BF_KNN_SQL,
     bench=True,
 )
 def x_knn_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return _sim.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@_register(
+    "x_knn_gemm",
+    "Arrow-vectorized brute-force top-k: mapInPandas numpy batch kernel "
+    "with the JVM's exact left-to-right fold (bit-identical sims), "
+    "batch-local top-k pruning before the global window — the "
+    "high-dimension scale path where interpreted array folds stop being "
+    "viable (north-star)",
+    _BF_KNN_SQL,
+)
+def x_knn_gemm(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.knn_gemm(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
 @_register(

@@ -762,3 +762,22 @@ def test_weighted_sample_properties(spark, sf_dir):
         docs.select("doc_id", "n_chars"), "n_chars", "doc_id", n=50
     ).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_knn_gemm_bit_identical_to_bruteforce(spark, sf_dir):
+    """The Arrow/numpy batch kernel must reproduce knn_bruteforce
+    EXACTLY — same neighbors, same ranks, same sims to the last ulp
+    (the kernel folds dimensions left-to-right like the JVM expression
+    path instead of np.dot's reassociated summation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 7)
+    ref = sim.knn_bruteforce(emb, q, k=4).collect()
+    got = sim.knn_gemm(emb, q, k=4).collect()
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, ref), key=lambda t: (t[0], t[2])
+    )
+    # every query got exactly k rows
+    from collections import Counter
+
+    counts = Counter(r["query_id"] for r in got)
+    assert all(c == 4 for c in counts.values()) and len(counts) == 7
