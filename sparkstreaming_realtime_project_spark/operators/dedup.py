@@ -601,6 +601,129 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 16,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — same output contract as :func:`connected_components`
+    ((doc_id, cluster_id, is_canonical), cluster_id = component min),
+    different round complexity: O(log^2 n) rounds proven, ~log n
+    observed, versus hash-min's O(diameter).
+
+    When to use which: near-dup clusters are near-cliques (diameter
+    2-3), so hash-min settles in 3-4 rounds and is the cheaper default.
+    On graphs with long chains — link graphs, co-citation, session
+    stitching at 100 TB — diameter-bound propagation is the scale
+    killer, and star contraction is the published fix (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Each round is two passes over the edge list, each pass one
+    groupBy(u) min + one equi-join back — the same shuffle primitives
+    as hash-min, no driver-side data, no cartesian anywhere. Edge count
+    monotonically shrinks toward the star forest. Convergence = edge
+    set fixpoint, checked exactly with a join-count (two scalar
+    actions per round on the already-shuffled canonical set).
+
+    large-star(u): every neighbor v > u re-attaches to m(u) = min of
+    u's closed neighborhood — long tails collapse onto local minima
+    without ever disconnecting (v stays reachable from u through m).
+    small-star(u): every neighbor v <= u (and u itself) attaches to
+    m(u) — finishes the contraction into stars rooted at minima.
+
+    The returned frame reads the final round's locally-checkpointed
+    edge list; checkpoint blocks are released by the ContextCleaner
+    once the frame is garbage-collected (no caller-unpersist needed).
+    """
+    id_col = nodes.columns[0]
+    # Lineage discipline: every round references the previous edge set
+    # ~6 times (two symmetrizations, two min-aggregations, the join
+    # back, the convergence join), so an unbroken logical plan grows
+    # 6^rounds and overflows the planner stack long before the data is
+    # big — the classic iterative-algorithm failure. localCheckpoint
+    # (eager) materializes each round's edges executor-local and CUTS
+    # the lineage, keeping the per-round plan O(1). Hash-min
+    # (connected_components) gets away with persist alone only because
+    # near-clique graphs converge in 3-4 rounds.
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            ed.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+
+    def _canon(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    n_old = e.count()
+    for _ in range(max_iters):
+        sym = _sym(e)
+        # large-star: strictly-larger neighbors re-attach to the min
+        ls = _canon(
+            sym.filter(F.col("v") > F.col("u"))
+            .join(_mins(sym), "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        # small-star: smaller neighbors AND u itself attach to the min
+        sym2 = _sym(ls)
+        m2 = _mins(sym2)
+        ss = _canon(
+            sym2.filter(F.col("v") < F.col("u"))
+            .join(m2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(m2.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        ).localCheckpoint(eager=True)
+        n_new = ss.count()
+        unchanged = (
+            n_new == n_old and ss.join(e, ["a", "b"]).count() == n_new
+        )
+        e = ss
+        n_old = n_new
+        if unchanged:
+            break
+    # star forest: every non-root carries exactly its (node, root) edge
+    lbl = (
+        _sym(e)
+        .groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("lbl"))
+    )
+    out = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(lbl, F.col("node") == lbl.u, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("lbl", "node").alias("cluster_id"),
+            (F.coalesce("lbl", "node") == F.col("node"))
+            .cast("int")
+            .alias("is_canonical"),
+        )
+    )
+    return out
+
+
 def containment_pairs(
     shingled: DataFrame,
     threshold: float = 0.9,

@@ -1735,11 +1735,7 @@ from ..operators.dedup import connected_components as _cc
 _STOPWORDS_SQL = "['" + "','".join(_ts.STOPWORDS) + "']"
 
 
-@_register(
-    "x_dedup_cluster",
-    "near-dup pairs -> connected components -> canonical doc per cluster "
-    "(hash-min label propagation vs recursive-CTE oracle) (north-star)",
-    f"""
+_CLUSTER_SQL = f"""
     WITH RECURSIVE
     toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
@@ -1766,7 +1762,14 @@ _STOPWORDS_SQL = "['" + "','".join(_ts.STOPWORDS) + "']"
     SELECT node AS doc_id, min(lbl) AS cluster_id,
            CAST(min(lbl) = node AS INT) AS is_canonical
     FROM reach GROUP BY node
-    """,
+    """
+
+
+@_register(
+    "x_dedup_cluster",
+    "near-dup pairs -> connected components -> canonical doc per cluster "
+    "(hash-min label propagation vs recursive-CTE oracle) (north-star)",
+    _CLUSTER_SQL,
 )
 def x_dedup_cluster(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1776,6 +1779,24 @@ def x_dedup_cluster(spark, sf_dir):
         docs, "text", "doc_id", n=3, threshold=0.8, max_df=_MAX_DF
     )
     out = _cc(pairs, docs.select("doc_id"))
+    pairs.unpersist()
+    return out
+
+
+@_register(
+    "x_dedup_cluster_star",
+    "same clustering via large-star/small-star contraction (Kiveris "
+    "SoCC'14): O(log n) rounds instead of O(diameter) — the variant for "
+    "long-chain graphs (link graphs, session stitching) where hash-min "
+    "propagation is round-bound at scale; identical oracle (north-star)",
+    _CLUSTER_SQL,
+)
+def x_dedup_cluster_star(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_dedup_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_df=_MAX_DF
+    )
+    out = _dd.connected_components_star(pairs, docs.select("doc_id"))
     pairs.unpersist()
     return out
 

@@ -781,3 +781,41 @@ def test_knn_gemm_bit_identical_to_bruteforce(spark, sf_dir):
 
     counts = Counter(r["query_id"] for r in got)
     assert all(c == 4 for c in counts.values()) and len(counts) == 7
+
+
+def test_star_contraction_matches_hashmin_and_handles_chains(spark, sf_dir):
+    """Star contraction must produce identical clusters to hash-min on
+    the near-dup graph, AND converge on a 100-node path graph — the
+    diameter-bound case hash-min's default round budget cannot finish
+    (the whole reason the variant exists)."""
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_dedup_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_df=50
+    )
+    ref = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in connected_components(pairs, docs.select("doc_id")).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in connected_components_star(pairs, docs.select("doc_id")).collect()
+    }
+    pairs.unpersist()
+    assert got == ref
+    spark.catalog.clearCache()
+
+    # path graph 0-1-2-...-99: diameter 99, star contraction must label
+    # every node 0 within its 16-round budget (~log n rounds observed)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    out = connected_components_star(path, nodes).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+    spark.catalog.clearCache()
