@@ -601,6 +601,71 @@ def connected_components(
     )
 
 
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    window: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup (Hernández/Stolfo SNM): the third
+    classic candidate-generation family next to the df-capped shingle
+    join and MinHash-LSH. Sort records by a discriminating key, compare
+    each record only with its ``window - 1`` successors, verify
+    survivors exactly (full-set Jaccard, same verifier as every other
+    candidate generator here).
+
+    Scale shape: the sort is PARTITIONED BY BLOCK (first token) — a
+    global Window.orderBy would collapse to one partition, the
+    single-worker sort being exactly what SNM papers warn about. The
+    neighborhood join is an equi-join on (block, rank + offset) after
+    exploding offsets 1..window-1, so fan-out is a hard window-1 per
+    record — SNM's defining property: candidate count is linear in
+    corpus size no matter how skewed the key distribution.
+
+    Recall trade (inherent to SNM, documented not hidden): near-dups
+    whose keys land further than ``window`` apart in sort order — or in
+    different first-token blocks — are missed; multi-pass SNM with
+    rotated keys is the classic mitigation. Returns
+    (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    sh = with_shingles(docs, text_col, id_col, n, materialize=True)
+    src = spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+        "id",
+    )
+    toks = src.select("id", tokens_expr("__text").alias("t"))
+    keyed = toks.select(
+        "id",
+        F.element_at("t", 1).alias("block"),
+        F.concat_ws(" ", F.slice("t", 1, 3)).alias("skey"),
+    )
+    w = Window.partitionBy("block").orderBy("skey", "id")
+    ranked = keyed.select("id", "block", F.row_number().over(w).alias("rn"))
+    probe = ranked.withColumn(
+        "off", F.explode(F.sequence(F.lit(1), F.lit(window - 1)))
+    ).select("id", "block", (F.col("rn") + F.col("off")).alias("rn_b"))
+    right = ranked.select(
+        "block", F.col("rn").alias("rn_b"), F.col("id").alias("id_b")
+    )
+    cand = (
+        probe.join(right, ["block", "rn_b"])
+        .select(
+            F.least("id", "id_b").alias("doc_a"),
+            F.greatest("id", "id_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # cache hygiene as in ngram_jaccard_dedup_pairs: the small verified
+    # pair list is materialized eagerly, the shingle cache released.
+    # The RETURNED frame is persisted — unpersist it when done.
+    out = jaccard_pairs(sh, threshold, candidates=cand).persist()
+    out.count()
+    sh.unpersist()
+    return out
+
+
 def connected_components_star(
     pairs: DataFrame,
     nodes: DataFrame,

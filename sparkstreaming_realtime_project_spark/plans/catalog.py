@@ -1783,6 +1783,42 @@ def x_dedup_cluster(spark, sf_dir):
     return out
 
 
+_SNM_WINDOW = 8
+
+
+@_register(
+    "x_dedup_sorted_neighborhood",
+    "sorted-neighborhood near-dup (Hernández/Stolfo SNM): block by first "
+    "token, rank by 3-token key within block, compare each doc with its "
+    f"{_SNM_WINDOW - 1} successors only (linear candidate count by "
+    "construction — no df/bucket caps needed), full-set Jaccard verify; "
+    "the third classic candidate family next to shingle-join and LSH "
+    "(north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    keyed AS (SELECT doc_id, t[1] AS block,
+                     array_to_string(t[1:3], ' ') AS skey FROM toks),
+    rn AS (SELECT doc_id, block,
+                  row_number() OVER (PARTITION BY block
+                                     ORDER BY skey, doc_id) AS rn
+           FROM keyed),
+    cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                    greatest(a.doc_id, b.doc_id) AS doc_b
+             FROM rn a JOIN rn b
+             ON a.block = b.block
+                AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW - 1}),
+    {_JACCARD_VERIFY_SQL}
+    """,
+)
+def x_dedup_sorted_neighborhood(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = _dd.sorted_neighborhood_pairs(
+        docs, "text", "doc_id", n=3, window=_SNM_WINDOW, threshold=0.8
+    )
+    return out
+
+
 @_register(
     "x_dedup_cluster_star",
     "same clustering via large-star/small-star contraction (Kiveris "
@@ -4194,4 +4230,38 @@ def x_weighted_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     return _cx.weighted_sample(
         docs.select("doc_id", "source", "n_chars"), "n_chars", "doc_id", n=50
+    )
+
+
+@_register(
+    "x_length_model_by_lang",
+    "per-language OLS length model chars ~ tokens via the built-in "
+    "regr_* aggregates — slope/intercept/r2/corr in ONE distributed "
+    "whole-stage-codegen pass, no per-group fitting loop, no UDF: the "
+    "profiling regression a corpus datasheet pairs with its roll-up "
+    "(north-star)",
+    f"""
+    WITH t AS (SELECT lang, CAST(len({_TOKS_SQL}) AS DOUBLE) AS x,
+                      CAST(n_chars AS DOUBLE) AS y FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(regr_slope(y, x), 4) AS slope,
+           round(regr_intercept(y, x), 4) AS intercept,
+           round(regr_r2(y, x), 4) AS r2,
+           round(corr(y, x), 4) AS corr_xy
+    FROM t GROUP BY lang
+    """,
+)
+def x_length_model_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(_dd.tokens_expr("text")).cast("double").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+        F.round(F.corr("y", "x"), 4).alias("corr_xy"),
     )

@@ -819,3 +819,26 @@ def test_star_contraction_matches_hashmin_and_handles_chains(spark, sf_dir):
     assert all(r["cluster_id"] == 0 for r in out)
     assert sum(r["is_canonical"] for r in out) == 1
     spark.catalog.clearCache()
+
+
+def test_sorted_neighborhood_contained_and_linear(spark, sf_dir):
+    """SNM pairs are a subset of the exact uncapped Jaccard pairs
+    (precision 1 by construction — full-set verify), the neighborhood
+    join is an equi-join (never cartesian), and candidate fan-out is
+    hard-bounded at window-1 per record."""
+    docs = load_table(spark, sf_dir, "documents")
+    snm = dd.sorted_neighborhood_pairs(
+        docs, "text", "doc_id", n=3, window=8, threshold=0.8
+    )
+    plan = _physical_plan(snm)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in snm.collect()}
+    snm.unpersist()
+    sh = dd.with_shingles(docs, "text", "doc_id", 3, materialize=True)
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.jaccard_pairs(sh, 0.8).collect()
+    }
+    sh.unpersist()
+    assert got <= exact
+    assert got, "SNM found nothing — key/window broken for this corpus"
