@@ -4265,3 +4265,96 @@ def x_length_model_by_lang(spark, sf_dir):
         F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
         F.round(F.corr("y", "x"), 4).alias("corr_xy"),
     )
+
+
+@_register(
+    "q18_large_orders",
+    "HAVING-subquery semi-join shape (TPC-H Q18): aggregate the detail "
+    "table, filter on the group total, semi-join the hot keys back — "
+    "expressed as an aggregate-then-join so Catalyst plans one shuffle "
+    "on l_orderkey reused by both the agg and the join; the hot-key "
+    "list is tiny and broadcasts",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o_totalprice, 2) AS total_price,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON lineitem.l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 250)
+        .select(F.col("l_orderkey").alias("__bigkey"))
+    )
+    det = li.select(
+        F.col("l_orderkey").alias("__detkey"), F.col("l_quantity")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("__bigkey"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(det, o.o_orderkey == F.col("__detkey"))
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("order_date"),
+            F.col("o_totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.substring("order_date", 1, 10).alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+@_register(
+    "x_key_skew_report",
+    "shuffle-key skew diagnostics: per-key row counts -> count "
+    "distribution (exact p50/p90/p99 on integer counts, max, mean, "
+    "max/mean skew ratio, top-1 key share) in one two-level aggregate — "
+    "the report that decides salting thresholds and AQE skew settings "
+    "BEFORE a 100 TB join, not after it spills (north-star)",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           round(avg(n), 4) AS mean_rows,
+           round(quantile_cont(n, 0.5), 2) AS p50,
+           round(quantile_cont(n, 0.9), 2) AS p90,
+           round(quantile_cont(n, 0.99), 2) AS p99,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           round(max(n) / avg(n), 4) AS skew_ratio,
+           round(max(n) * 1.0 / sum(n), 6) AS top1_share
+    FROM c
+    """,
+)
+def x_key_skew_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("n"), 4).alias("mean_rows"),
+        F.round(F.percentile("n", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("n", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("n", F.lit(0.99)), 2).alias("p99"),
+        F.max("n").alias("max_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+        F.round(F.max("n") * F.lit(1.0) / F.sum("n"), 6).alias("top1_share"),
+    )
