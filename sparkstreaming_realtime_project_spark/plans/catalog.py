@@ -88,10 +88,29 @@ _DRIVER_VERIFIED_R3 = frozenset(
 )
 
 
+# Verified in the round-2 driver window (CORRECTNESS_r02.json) but absent
+# from r3's: they already have an external green row, so they queue BEHIND
+# entries that have never appeared in any driver check.
+_DRIVER_VERIFIED_R2 = frozenset(
+    {"x_tfidf_top_terms", "x_sample_stratified", "x_quality_filter",
+     "x_pack_greedy"}
+)
+
+
 def registry() -> list[QuerySpec]:
-    unverified = [q for q in _REGISTRY if q.name not in _DRIVER_VERIFIED_R3]
-    verified = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R3]
-    return unverified + verified
+    """Never-driver-verified entries first (registration order — oldest
+    waiting first, so every entry lands in the driver's 50-slot
+    CORRECTNESS window within ceil(N/50) rounds), then r2-verified,
+    then r3-verified. All entries stay green under the full local
+    driver-replica (scripts/check_oracle.py) regardless of order."""
+    never = [
+        q
+        for q in _REGISTRY
+        if q.name not in _DRIVER_VERIFIED_R3 and q.name not in _DRIVER_VERIFIED_R2
+    ]
+    r2 = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R2]
+    r3 = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R3]
+    return never + r2 + r3
 
 
 def _t(spark, sf_dir, name):
