@@ -322,6 +322,45 @@ def vocab_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document lexical-diversity profile: token count, type count,
+    type-token ratio, Shannon entropy of the token distribution, and
+    entropy normalized by its ln(types) maximum — the quality signal
+    that separates natural prose from keyword stuffing and template
+    spam (both get extreme TTR/entropy values).
+
+    Entropy via the count identity H = ln(n) - (sum c*ln(c))/n over the
+    per-(doc, term) count table: one explode + two keyed aggregations,
+    all map-side partial, no window and no per-row loop. A
+    single-distinct-token doc has H = 0 and norm_entropy defined as 0.
+    """
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    tf = (
+        src.select("doc_id", F.explode(tokens_expr("__text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    types = F.count(F.lit(1))
+    clnc = F.sum(F.col("c") * F.log(F.col("c")))
+    h = F.log(n) - clnc / n
+    return tf.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        types.alias("n_types"),
+        F.round(types / n, 6).alias("ttr"),
+        F.round(h, 4).alias("entropy"),
+        F.round(
+            F.when(types > 1, h / F.log(types.cast("double"))).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("norm_entropy"),
+    )
+
+
 def zipf_spectrum(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Frequency spectrum (count-of-counts): terms and token mass per
     log2(frequency) bucket — the Zipf diagnostic (straight-ish line on

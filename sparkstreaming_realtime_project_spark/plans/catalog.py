@@ -4377,3 +4377,58 @@ def x_key_skew_report(spark, sf_dir):
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
         F.round(F.max("n") * F.lit(1.0) / F.sum("n"), 6).alias("top1_share"),
     )
+
+
+@_register(
+    "x_token_entropy",
+    "per-doc lexical diversity: tokens, types, TTR, Shannon entropy and "
+    "its ln(types)-normalized form via the count identity "
+    "H = ln(n) - sum(c*ln c)/n — one explode + two keyed map-side-"
+    "partial aggregations, the stuffing/template-spam quality signal "
+    "(north-star)",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+      GROUP BY doc_id, term)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy,
+           round(CASE WHEN count(*) > 1
+                      THEN (ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                           / ln(CAST(count(*) AS DOUBLE))
+                      ELSE 0.0 END, 4) AS norm_entropy
+    FROM tf GROUP BY doc_id
+    """,
+)
+def x_token_entropy(spark, sf_dir):
+    return _ts.token_entropy(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "x_group_sample",
+    "deterministic per-group fixed-size sample (the per-source eval "
+    "subset): rank by a seeded content hash within each source, keep "
+    "20 — reproducible across runs and engines, window partitioned by "
+    "group (never global), no RNG state (north-star)",
+    """
+    SELECT source, doc_id, pos FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      FROM documents)
+    WHERE pos <= 20
+    """,
+)
+def x_group_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= 20)
+    )
