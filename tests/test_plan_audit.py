@@ -125,6 +125,24 @@ CASES_R4 = [
       "l_discount:double,l_shipdate:timestamp"],
      ["NestedLoop", "CartesianProduct", "Exchange hashpartitioning"]),
     ("x_cross_dedup", [], ["NestedLoop", "CartesianProduct"]),
+    # Arrow kernel KNN: the scoring runs in a MapInPandas/ArrowEval
+    # python node (the whole point), and the only join-free shuffle is
+    # the final bounded top-k window
+    ("x_knn_gemm", ["MapInPandas"], ["NestedLoop", "CartesianProduct"]),
+    # SNM: block-partitioned window (never global) + offset equi-join
+    ("x_dedup_sorted_neighborhood", ["Window"],
+     ["NestedLoop", "CartesianProduct"]),
+    # Q18: the qualifying hot-key list is tiny by selectivity — it must
+    # broadcast, never shuffle orders against it
+    ("q18_large_orders", ["BroadcastHashJoin"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("x_key_skew_report", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("x_token_entropy", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("x_group_sample", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    ("x_length_model_by_lang", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
 ]
 
 
