@@ -524,6 +524,113 @@ def cosine_near_pairs(
     )
 
 
+def cosine_near_pairs_gemm(
+    embeddings: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via blocked Arrow/numpy kernels —
+    bit-identical output to :func:`cosine_near_pairs`, but the O(N^2)
+    element work runs as vectorized batch ops instead of an interpreted
+    fold per pair (the JVM expression baseline measured 10.5 s for 500
+    vectors x 64 dims; this path is the one that survives real dims).
+
+    Topology: vectors are hashed into ``n_blocks`` blocks; every
+    unordered block pair (bi <= bj) becomes ONE group of a
+    groupBy().applyInPandas, holding only its two blocks' vectors.
+    Each vector is shipped to n_blocks groups, so shuffle volume is
+    n_blocks x N rows while per-group memory is (2N/n_blocks) x d —
+    the standard blocked all-pairs trade: raise n_blocks at scale until
+    a group fits an executor. Nothing is ever collected to the driver
+    and no group sees more than two blocks.
+
+    Determinism: same left-to-right per-dimension fold as the JVM /
+    DuckDB expression (never np.dot), raw sims leave the kernel
+    UNROUNDED with a 1e-9-guarded pre-filter, and the authoritative
+    round(4)-then-threshold happens in JVM expressions — so surviving
+    pairs and their printed sims match cosine_near_pairs exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    ).withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+    mem = (
+        e.withColumn(
+            "other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .withColumn("bi", F.least("blk", "other"))
+        .withColumn("bj", F.greatest("blk", "other"))
+        .select("bi", "bj", "id", "v", "blk")
+    )
+    guard = threshold - 1e-9
+
+    def score_block_pair(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        blk = pdf["blk"].to_numpy()
+        dims = mat.shape[1]
+
+        def fold_norms(m):
+            acc = np.zeros(len(m), dtype=np.float64)
+            for d in range(dims):
+                acc += m[:, d] * m[:, d]
+            return np.sqrt(acc)
+
+        def fold_dots(a, b):
+            acc = np.zeros((len(a), len(b)), dtype=np.float64)
+            for d in range(dims):
+                acc += a[:, d][:, None] * b[:, d][None, :]
+            return acc
+
+        if bi == bj:
+            la = ids
+            sim = fold_dots(mat, mat) / (
+                fold_norms(mat)[:, None] * fold_norms(mat)[None, :]
+            )
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ia, ib, s = la[iu], la[ju], sim[iu, ju]
+        else:
+            ma, mb = blk == bi, blk == bj
+            a_ids, b_ids = ids[ma], ids[mb]
+            a_m, b_m = mat[ma], mat[mb]
+            if len(a_ids) == 0 or len(b_ids) == 0:
+                return pd.DataFrame({"doc_a": [], "doc_b": [], "sim": []})
+            sim = fold_dots(a_m, b_m) / (
+                fold_norms(a_m)[:, None] * fold_norms(b_m)[None, :]
+            )
+            ii, jj = np.meshgrid(
+                np.arange(len(a_ids)), np.arange(len(b_ids)), indexing="ij"
+            )
+            ia, ib, s = a_ids[ii.ravel()], b_ids[jj.ravel()], sim.ravel()
+        keep = s >= guard
+        ia, ib, s = ia[keep], ib[keep], s[keep]
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(ia, ib),
+                "doc_b": np.maximum(ia, ib),
+                "sim": s,
+            }
+        )
+
+    raw = mem.groupBy("bi", "bj").applyInPandas(
+        score_block_pair, "doc_a bigint, doc_b bigint, sim double"
+    )
+    return (
+        raw.withColumn("sim", F.round("sim", 4))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            "sim",
+        )
+    )
+
+
 def _l2(a: Column, b: Column) -> Column:
     """Squared L2 distance, same left-to-right fold as _dot."""
     return F.aggregate(

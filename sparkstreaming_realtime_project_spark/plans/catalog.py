@@ -1347,21 +1347,38 @@ _BUCKET_SQL = (
 )
 
 
-@_register(
-    "x_dedup_embedding",
-    "embedding-cosine near-dup pairs (north-star; brute-force baseline)",
-    f"""
+_EMB_PAIRS_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round({_cos_sql('a.v', 'b.v')}, 4) AS sim
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.45
-    """,
+    """
+
+
+@_register(
+    "x_dedup_embedding",
+    "embedding-cosine near-dup pairs (north-star; brute-force baseline)",
+    _EMB_PAIRS_SQL,
 )
 def x_dedup_embedding(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return _sim.cosine_near_pairs(emb, 0.45)
+
+
+@_register(
+    "x_dedup_embedding_gemm",
+    "same exact all-pairs cosine near-dup through blocked Arrow/numpy "
+    "kernels: unordered block pairs -> applyInPandas, n_blocks x N "
+    "shuffle vs (2N/n_blocks) x d per-group memory, bit-identical fold "
+    "so it shares the brute-force oracle — the all-pairs analog of "
+    "x_knn_gemm (north-star)",
+    _EMB_PAIRS_SQL,
+)
+def x_dedup_embedding_gemm(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_near_pairs_gemm(emb, 0.45)
 
 
 @_register(

@@ -842,3 +842,21 @@ def test_sorted_neighborhood_contained_and_linear(spark, sf_dir):
     sh.unpersist()
     assert got <= exact
     assert got, "SNM found nothing — key/window broken for this corpus"
+
+
+def test_embedding_gemm_bit_identical_to_expression(spark, sf_dir):
+    """The blocked Arrow all-pairs kernel must reproduce the JVM
+    expression baseline EXACTLY — same pairs, same rounded sims (the
+    kernel emits raw sims from the same left-to-right fold; round and
+    threshold stay JVM-side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = {
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in sim.cosine_near_pairs(emb, 0.45).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in sim.cosine_near_pairs_gemm(emb, 0.45, n_blocks=5).collect()
+    }
+    assert got == ref
+    assert ref, "baseline found no pairs — threshold/corpus drifted"
