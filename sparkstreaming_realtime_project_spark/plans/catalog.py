@@ -4449,3 +4449,60 @@ def x_group_sample(spark, sf_dir):
         docs.select("source", "doc_id", F.row_number().over(w).alias("pos"))
         .filter(F.col("pos") <= 20)
     )
+
+
+@_register(
+    "x_source_overlap",
+    "pairwise vocabulary overlap between sources: distinct (source, "
+    "term) projection, term equi-join (fan-out bounded by the source "
+    "count per term), per-pair Jaccard of vocabularies — the mixture "
+    "diagnostic that flags near-duplicate corpus slices before they "
+    "double-count in a training mix (north-star)",
+    f"""
+    WITH v AS (SELECT DISTINCT source, term
+               FROM (SELECT source, unnest({_TOKS_SQL}) AS term
+                     FROM documents)),
+    sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     count(*) AS n_common
+              FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS vocab_a, CAST(sb.n AS BIGINT) AS vocab_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.source = src_a
+               JOIN sz sb ON sb.source = src_b
+    """,
+)
+def x_source_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    src = _dd.spread(
+        docs.select("source", F.col("text").alias("__text")), "source"
+    )
+    v = (
+        src.select("source", F.explode(_dd.tokens_expr("__text")).alias("term"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "term")
+    b = v.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, ["term"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("vocab_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_common", "vocab_a", "vocab_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
