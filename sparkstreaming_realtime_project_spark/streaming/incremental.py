@@ -249,3 +249,125 @@ def read_hll_estimate(
         .agg(F.max("mx").alias("mx"))
     )
     return hll_finalize(regs, group_cols)
+
+
+# --------------------------------------------------------------------------
+# Incremental ANN index maintenance: a streaming IVF ingest store.
+#
+# The embedding-side analog of the MinHash store above: vectors arrive
+# continuously, each micro-batch is assigned to its IVF inverted list by
+# the broadcast centroid MODEL (a narrow projection — no shuffle, no
+# training on the hot path) and appended cell-partitioned. Queries probe
+# the store without touching the stream. Centroid (re)training stays a
+# batch job (operators/similarity.ivf_centroids) over the store.
+# --------------------------------------------------------------------------
+
+from ..operators.similarity import (  # noqa: E402
+    _attach,
+    _cell_expr,
+    _cents_col,
+    _dot,
+    _probe_expr,
+    as_double_vec,
+    cosine_prenormed,
+    norm_col,
+)
+
+
+def streaming_ivf_ingest(
+    vec_stream: DataFrame,
+    centroids: list[list[float]],
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming IVF index maintenance.
+
+    Each batch lands under ``batch=<id>/cell=<cid>/`` — idempotent on
+    replay (a restarted batch rewrites its own directory), and the cell
+    partition key means a probe prunes to n_probe cell directories per
+    committed batch instead of scanning the corpus; at 100 TB the same
+    layout on object storage keeps probe I/O independent of store size,
+    and periodic compaction of batch dirs runs as a batch job without
+    pausing ingest."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        assigned = _attach(
+            batch_df.select(
+                F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+            ),
+            _cents_col(spark, centroids),
+        ).select("id", "v", _cell_expr(F.col("v")).alias("cell"))
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def query_ivf_store(
+    spark,
+    store_dir: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ingested store: same scoring contract as
+    operators.similarity.ivf_topk (query_id, cid, neighbor_id, rank,
+    sim) — cell assignment used the same model at ingest time, so the
+    result is identical to running ivf_topk over the store's vectors."""
+    store = (
+        spark.read.option("basePath", store_dir)
+        .parquet(os.path.join(store_dir, "batch=*"))
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("cell").cast("int").alias("cid"),
+        )
+        .withColumn("cn", norm_col(F.col("cv")))
+    )
+    q = (
+        _attach(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                as_double_vec(vec_col).alias("qv"),
+            ),
+            _cents_col(spark, centroids),
+        )
+        .select(
+            "query_id",
+            "qv",
+            norm_col(F.col("qv")).alias("qn"),
+            F.explode(_probe_expr(F.col("qv"), n_probe)).alias("cid"),
+        )
+    )
+    scored = (
+        store.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            cosine_prenormed(
+                _dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "cid", "neighbor_id", "rank",
+            F.round("sim", 4).alias("sim"),
+        )
+    )

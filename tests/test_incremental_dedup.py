@@ -184,3 +184,76 @@ def test_streaming_hll_replay_idempotent(spark, tmp_path):
         assert q.awaitTermination(180)
     est = read_hll_estimate(spark, store, ["dt"]).collect()
     assert len(est) == 1 and est[0]["dt"] == "d1"
+
+
+def test_streaming_ivf_ingest_matches_batch_ivf(spark, tmp_path):
+    """Vectors ingested across two micro-batches, probed through the
+    cell-partitioned store, must return EXACTLY what batch ivf_topk
+    computes over the same vectors with the same centroid model — the
+    store is an incremental materialization of the inverted lists, not
+    an approximation of them. Replaying the ingest (same input, fresh
+    checkpoint) must not change the store's answer (idempotent layout)."""
+    from sparkstreaming_realtime_project_spark.operators import similarity as sim
+    from sparkstreaming_realtime_project_spark.sources.streams import file_stream
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        query_ivf_store,
+        streaming_ivf_ingest,
+    )
+
+    def vec(i):
+        return [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.ivf_centroids(batch, n_centroids=3, iters=2)
+
+    in_dir = str(tmp_path / "vin")
+    fx._write_batches(
+        in_dir,
+        [
+            [json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(20)],
+            [json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(20, 40)],
+        ],
+    )
+    stream = file_stream(
+        spark, in_dir, "vec_id long, embedding array<double>",
+        fmt="json", max_files_per_trigger=1,
+    )
+    store = str(tmp_path / "vstore")
+    q = (
+        streaming_ivf_ingest(stream, cents, store, str(tmp_path / "vck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "ingest did not finish in time"
+
+    queries = batch.filter(F.col("vec_id") < 5)
+    got = {
+        tuple(r)
+        for r in query_ivf_store(
+            spark, store, queries, cents, k=3, n_probe=2
+        ).collect()
+    }
+    ref = {
+        tuple(r) for r in sim.ivf_topk(batch, queries, cents, k=3, n_probe=2).collect()
+    }
+    assert got == ref and got
+
+    # replay with a fresh checkpoint: batch dirs rewritten, answer identical
+    stream2 = file_stream(
+        spark, in_dir, "vec_id long, embedding array<double>",
+        fmt="json", max_files_per_trigger=1,
+    )
+    q2 = (
+        streaming_ivf_ingest(stream2, cents, store, str(tmp_path / "vck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+    again = {
+        tuple(r)
+        for r in query_ivf_store(
+            spark, store, queries, cents, k=3, n_probe=2
+        ).collect()
+    }
+    assert again == ref
