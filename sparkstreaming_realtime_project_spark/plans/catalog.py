@@ -4506,3 +4506,59 @@ def x_source_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@_register(
+    "x_expectations_orders",
+    "declarative data-quality expectations (deequ-style) over orders "
+    "joined to customer: null / domain / range / referential checks all "
+    "as conditional sums in ONE aggregate scan, referential integrity "
+    "folded in as a left-join-null predicate instead of a second "
+    "anti-join pass; per-check report via an inline struct-array "
+    "transpose (north-star)",
+    """
+    WITH j AS (SELECT o.*, c.c_custkey AS ref_custkey
+               FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    base AS (SELECT count(*) AS n,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_not_null_custkey,
+       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_positive_total,
+       sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           AS v_valid_status,
+       sum(CASE WHEN o_orderdate <  TIMESTAMP '1992-01-01 00:00:00'
+                  OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                THEN 1 ELSE 0 END) AS v_date_in_range,
+       sum(CASE WHEN ref_custkey IS NULL THEN 1 ELSE 0 END)
+           AS v_customer_exists
+     FROM j)
+    SELECT check_name, n_violations, n AS n_rows,
+           round(1.0 - n_violations * 1.0 / n, 6) AS pass_rate
+    FROM base, (
+      SELECT 'customer_exists' AS check_name, v_customer_exists AS n_violations FROM base
+      UNION ALL SELECT 'date_in_range', v_date_in_range FROM base
+      UNION ALL SELECT 'not_null_custkey', v_not_null_custkey FROM base
+      UNION ALL SELECT 'positive_total', v_positive_total FROM base
+      UNION ALL SELECT 'valid_status', v_valid_status FROM base)
+    ORDER BY check_name
+    """,
+)
+def x_expectations_orders(spark, sf_dir):
+    from ..operators.validate import expectations_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ref_custkey")
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.ref_custkey, "left")
+    lo = F.lit("1992-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    return expectations_report(
+        j,
+        {
+            "customer_exists": F.col("ref_custkey").isNull(),
+            "date_in_range": (F.col("o_orderdate") < lo)
+            | (F.col("o_orderdate") >= hi),
+            "not_null_custkey": F.col("o_custkey").isNull(),
+            "positive_total": F.col("o_totalprice") <= 0,
+            "valid_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )

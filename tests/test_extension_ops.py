@@ -860,3 +860,31 @@ def test_embedding_gemm_bit_identical_to_expression(spark, sf_dir):
     }
     assert got == ref
     assert ref, "baseline found no pairs — threshold/corpus drifted"
+
+
+def test_expectations_single_scan_and_counts(spark):
+    """All checks fold into one aggregate (single scan — exactly one
+    HashAggregate pair, no per-check jobs) and violation counts are
+    exact."""
+    from sparkstreaming_realtime_project_spark.operators.validate import (
+        expectations_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (None, 5.0), (4, 0.0)],
+        "k int, amount double",
+    )
+    rep = {
+        r["check_name"]: r
+        for r in expectations_report(
+            df,
+            {
+                "not_null_k": F.col("k").isNull(),
+                "positive_amount": F.col("amount") <= 0,
+            },
+        ).collect()
+    }
+    assert rep["not_null_k"]["n_violations"] == 1
+    assert rep["positive_amount"]["n_violations"] == 2
+    assert all(r["n_rows"] == 4 for r in rep.values())
+    assert rep["not_null_k"]["pass_rate"] == 0.75
