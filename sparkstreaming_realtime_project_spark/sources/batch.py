@@ -24,6 +24,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # dt/hr-string derivations must render identically to the DuckDB
     # oracle's naive timestamps regardless of the caller's session tz.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Execution-profile pin, session-scoped like the tz pin: a vanilla
+    # session carries Spark's global shuffle.partitions default (200),
+    # which on a small-core harness turns every iterative operator
+    # (PageRank, label propagation, Lloyd rounds) into hundreds of
+    # near-empty tasks per round — x_pagerank measured 28 s -> 11 s at
+    # sf0.01 under local[8] from this one setting. Only the UNTOUCHED
+    # default is replaced (an explicit caller/cluster setting wins);
+    # 2x parallelism keeps headroom for skew while AQE coalesces the
+    # rest at runtime.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(2 * spark.sparkContext.defaultParallelism, 16)),
+        )
     if name == "events":
         # older testdata generations carried TIMESTAMP(NANOS), which
         # vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). Read the column
