@@ -4562,3 +4562,62 @@ def x_expectations_orders(spark, sf_dir):
             "valid_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
         },
     )
+
+
+def _profile_col(name):
+    mn = F.min(name).cast("string").alias(f"__mn_{name}")
+    mx = F.max(name).cast("string").alias(f"__mx_{name}")
+    return [
+        F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias(f"__nn_{name}"),
+        F.countDistinct(name).alias(f"__nd_{name}"),
+        mn,
+        mx,
+    ]
+
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+
+
+@_register(
+    "x_table_profile",
+    "one-pass per-column table profile of customer (nulls, exact "
+    "distinct, min/max as strings): every column's stats ride ONE "
+    "aggregate (multiple distincts planned via a single Expand), "
+    "transposed to a per-column report by an inline struct-array "
+    "explode — ANALYZE TABLE as a query (north-star)",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM customer"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name",
+)
+def x_table_profile(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    aggs = []
+    for col in _PROFILE_COLS:
+        aggs.extend(_profile_col(col))
+    wide = c.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column_name"),
+                F.col(f"__nn_{col}").alias("n_nulls"),
+                F.col(f"__nd_{col}").alias("n_distinct"),
+                F.col(f"__mn_{col}").alias("min_value"),
+                F.col(f"__mx_{col}").alias("max_value"),
+            )
+            for col in _PROFILE_COLS
+        ]
+    )
+    return (
+        wide.select(F.explode(entries).alias("e"))
+        .select("e.*")
+        .orderBy("column_name")
+    )
