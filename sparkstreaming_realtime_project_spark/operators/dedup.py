@@ -631,16 +631,47 @@ def sorted_neighborhood_pairs(
     (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     sh = with_shingles(docs, text_col, id_col, n, materialize=True)
+    toks = _snm_tokens(docs, text_col, id_col)
+    cand = _snm_candidates(_snm_head_key(toks), window)
+    # cache hygiene as in ngram_jaccard_dedup_pairs: the small verified
+    # pair list is materialized eagerly, the shingle cache released.
+    # The RETURNED frame is persisted — unpersist it when done.
+    out = jaccard_pairs(sh, threshold, candidates=cand).persist()
+    out.count()
+    sh.unpersist()
+    return out
+
+
+def _snm_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     src = spread(
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
         "id",
     )
-    toks = src.select("id", tokens_expr("__text").alias("t"))
-    keyed = toks.select(
+    return src.select("id", tokens_expr("__text").alias("t"))
+
+
+def _snm_head_key(toks: DataFrame) -> DataFrame:
+    """Pass-1 key: first token blocks, first-3-token sort key."""
+    return toks.select(
         "id",
         F.element_at("t", 1).alias("block"),
         F.concat_ws(" ", F.slice("t", 1, 3)).alias("skey"),
     )
+
+
+def _snm_tail_key(toks: DataFrame) -> DataFrame:
+    """Pass-2 key: LAST token blocks, last-3-token sort key — the
+    rotated key of classic multi-pass SNM (a near-dup whose head
+    diverged usually still shares its tail)."""
+    start = F.greatest(F.size("t") - 2, F.lit(1))
+    return toks.select(
+        "id",
+        F.element_at("t", -1).alias("block"),
+        F.concat_ws(" ", F.slice(F.col("t"), start, F.lit(3))).alias("skey"),
+    )
+
+
+def _snm_candidates(keyed: DataFrame, window: int) -> DataFrame:
     w = Window.partitionBy("block").orderBy("skey", "id")
     ranked = keyed.select("id", "block", F.row_number().over(w).alias("rn"))
     probe = ranked.withColumn(
@@ -649,7 +680,7 @@ def sorted_neighborhood_pairs(
     right = ranked.select(
         "block", F.col("rn").alias("rn_b"), F.col("id").alias("id_b")
     )
-    cand = (
+    return (
         probe.join(right, ["block", "rn_b"])
         .select(
             F.least("id", "id_b").alias("doc_a"),
@@ -657,9 +688,31 @@ def sorted_neighborhood_pairs(
         )
         .distinct()
     )
-    # cache hygiene as in ngram_jaccard_dedup_pairs: the small verified
-    # pair list is materialized eagerly, the shingle cache released.
-    # The RETURNED frame is persisted — unpersist it when done.
+
+
+def sorted_neighborhood_pairs_multipass(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    window: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Classic multi-pass SNM: run the window over TWO rotated sort keys
+    (head-of-document and tail-of-document) and verify the union of
+    candidates once. Each pass keeps the linear candidate bound; the
+    rotation recovers near-dups whose divergence happens to sit inside
+    pass 1's key — the standard mitigation for SNM's key-locality
+    recall hole, at exactly 2x the candidate-generation cost and ONE
+    shared verify. Returns (doc_a, doc_b, jaccard), persisted (caller
+    unpersists)."""
+    sh = with_shingles(docs, text_col, id_col, n, materialize=True)
+    toks = _snm_tokens(docs, text_col, id_col)
+    cand = (
+        _snm_candidates(_snm_head_key(toks), window)
+        .union(_snm_candidates(_snm_tail_key(toks), window))
+        .distinct()
+    )
     out = jaccard_pairs(sh, threshold, candidates=cand).persist()
     out.count()
     sh.unpersist()

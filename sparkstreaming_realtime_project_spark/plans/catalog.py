@@ -4621,3 +4621,46 @@ def x_table_profile(spark, sf_dir):
         .select("e.*")
         .orderBy("column_name")
     )
+
+
+@_register(
+    "x_dedup_snm_multipass",
+    "multi-pass sorted-neighborhood: the head-key window UNION a "
+    "rotated tail-key window, one shared full-set Jaccard verify — the "
+    "classic mitigation for SNM's key-locality recall hole at 2x "
+    "candidate cost, still linear per pass (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    k1 AS (SELECT doc_id, t[1] AS block,
+                  array_to_string(t[1:3], ' ') AS skey FROM toks),
+    k2 AS (SELECT doc_id, t[-1] AS block,
+                  array_to_string(list_slice(t, greatest(len(t) - 2, 1),
+                                             len(t)), ' ') AS skey
+           FROM toks),
+    r1 AS (SELECT doc_id, block,
+                  row_number() OVER (PARTITION BY block
+                                     ORDER BY skey, doc_id) AS rn FROM k1),
+    r2 AS (SELECT doc_id, block,
+                  row_number() OVER (PARTITION BY block
+                                     ORDER BY skey, doc_id) AS rn FROM k2),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT least(a.doc_id, b.doc_id) AS doc_a,
+               greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM r1 a JOIN r1 b
+        ON a.block = b.block
+           AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW - 1}
+        UNION ALL
+        SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        FROM r2 a JOIN r2 b
+        ON a.block = b.block
+           AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW - 1})),
+    {_JACCARD_VERIFY_SQL}
+    """,
+)
+def x_dedup_snm_multipass(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.sorted_neighborhood_pairs_multipass(
+        docs, "text", "doc_id", n=3, window=_SNM_WINDOW, threshold=0.8
+    )

@@ -888,3 +888,22 @@ def test_expectations_single_scan_and_counts(spark):
     assert rep["positive_amount"]["n_violations"] == 2
     assert all(r["n_rows"] == 4 for r in rep.values())
     assert rep["not_null_k"]["pass_rate"] == 0.75
+
+
+def test_snm_multipass_recovers_head_divergent_pair(spark):
+    """The rotated tail key must recover a near-dup pair whose FIRST
+    token differs (different pass-1 blocks -> single-pass SNM is blind
+    to it), while staying a subset of the exact answer."""
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, "aaa " + base), (2, "zzz " + base), (3, "unrelated " + " ".join(f"q{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    single = dd.sorted_neighborhood_pairs(docs, "text", "doc_id", window=8)
+    multi = dd.sorted_neighborhood_pairs_multipass(docs, "text", "doc_id", window=8)
+    s = {(r["doc_a"], r["doc_b"]) for r in single.collect()}
+    m = {(r["doc_a"], r["doc_b"]) for r in multi.collect()}
+    single.unpersist()
+    multi.unpersist()
+    assert (1, 2) not in s  # head blocks diverge — pass 1 cannot see it
+    assert (1, 2) in m  # tail key recovers it
