@@ -4664,3 +4664,37 @@ def x_dedup_snm_multipass(spark, sf_dir):
     return _dd.sorted_neighborhood_pairs_multipass(
         docs, "text", "doc_id", n=3, window=_SNM_WINDOW, threshold=0.8
     )
+
+
+@_register(
+    "w_rank_functions",
+    "ranking-window breadth in one pass: rank / dense_rank / "
+    "percent_rank / cume_dist / ntile(4) over account balance WITHIN "
+    "each nation — all five share one partitioned sort (and the window "
+    "is always partitioned: a global ranking window is the single-task "
+    "scale killer this catalog bans everywhere)",
+    """
+    SELECT c_nationkey, c_custkey,
+           round(c_acctbal, 2) AS acctbal,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           ntile(4)       OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w_rank_functions(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
