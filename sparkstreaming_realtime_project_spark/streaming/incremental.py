@@ -371,3 +371,54 @@ def query_ivf_store(
             F.round("sim", 4).alias("sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental frequency store: a streaming count-min register table.
+#
+# The CMS analog of the HLL store above — per-batch d x w cell tables
+# (sketch-sized, never key-domain-sized) written idempotently under
+# batch={id}; CMS merge is cell-wise SUM (vs HLL's max), so the
+# read-side estimate over all committed batches is exactly the sketch a
+# single pass over the union would build — batch replay overwrites its
+# own cells and changes nothing.
+# --------------------------------------------------------------------------
+
+from ..operators.sketches import cms_estimate, cms_sketch  # noqa: E402
+
+
+def streaming_cms_counts(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+):
+    """Maintain a streaming count-min sketch of key occurrences."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cms_sketch(batch_df, key_col, d=d, w=w).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store_dir, f"batch={batch_id}"))
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_cms_estimate(
+    spark, store_dir: str, keys: DataFrame, key_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Point-estimate keys against everything committed so far: cell-wise
+    SUM across batch sketches, then the standard min-over-d probe."""
+    merged = (
+        spark.read.option("basePath", store_dir)
+        .parquet(os.path.join(store_dir, "batch=*"))
+        .drop("batch")
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cms_estimate(keys, merged, key_col, d=d, w=w)

@@ -257,3 +257,53 @@ def test_streaming_ivf_ingest_matches_batch_ivf(spark, tmp_path):
         ).collect()
     }
     assert again == ref
+
+
+def test_streaming_cms_matches_single_pass(spark, tmp_path):
+    """CMS registers accumulated across two micro-batches, merged by
+    cell-wise sum at read time, must estimate every key EXACTLY like a
+    single batch sketch over the union (merge = sum is the associative
+    property the store depends on)."""
+    from sparkstreaming_realtime_project_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from sparkstreaming_realtime_project_spark.sources.streams import file_stream
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_cms_estimate,
+        streaming_cms_counts,
+    )
+
+    b1 = [json.dumps({"user_id": i % 7}) for i in range(50)]
+    b2 = [json.dumps({"user_id": i % 5}) for i in range(30)]
+    in_dir = str(tmp_path / "cin")
+    fx._write_batches(in_dir, [b1, b2])
+    stream = file_stream(
+        spark, in_dir, "user_id long", fmt="json", max_files_per_trigger=1
+    )
+    store = str(tmp_path / "cstore")
+    q = (
+        streaming_cms_counts(stream, store, str(tmp_path / "cck"), "user_id")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    union = spark.createDataFrame(
+        [(i % 7,) for i in range(50)] + [(i % 5,) for i in range(30)],
+        "user_id long",
+    )
+    keys = spark.createDataFrame([(k,) for k in range(8)], "user_id long")
+    got = {
+        r["user_id"]: r["est"]
+        for r in read_cms_estimate(spark, store, keys, "user_id").collect()
+    }
+    ref = {
+        r["user_id"]: r["est"]
+        for r in cms_estimate(keys, cms_sketch(union, "user_id"), "user_id").collect()
+    }
+    assert got == ref
+    # unseen key estimates 0; sketch never underestimates a true count
+    truth = {k: sum(1 for i in range(50) if i % 7 == k) + sum(1 for i in range(30) if i % 5 == k) for k in range(8)}
+    assert got[7] == truth[7] == 0 or got[7] >= truth[7]
+    assert all(got[k] >= truth[k] for k in range(8))
