@@ -490,6 +490,71 @@ def ngram_freq(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 5,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(a,b) = ln( (c_ab / N2) / ((c_a / N1) * (c_b / N1)) ), bigrams
+    below ``min_count`` excluded (PMI's low-count pathology). The
+    standard phrase-mining signal for tokenizer/vocab construction
+    (which word pairs deserve to be one unit).
+
+    Shape: bigram counts and unigram counts are two keyed aggregations
+    off the SAME token projection; the (thresholded, already small)
+    bigram table joins its two unigram counts, the scalar totals ride a
+    1-row broadcast, and the top-k is a distributed TakeOrdered — no
+    global sort, no window. All counts are exact integers so the score
+    is deterministic; ln + round(4) on both engines.
+    """
+    grams = _bigram_occurrences(df, text_col, id_col).persist()
+    # unigram counts come from the token stream itself (bigram-derived
+    # words would double-count interior positions)
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    toks = src.select(F.explode(tokens_expr("__text")).alias("w"))
+    ucnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = toks.agg(F.count(F.lit(1)).alias("n1")).crossJoin(
+        grams.agg(F.count(F.lit(1)).alias("n2"))
+    )
+    big = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= min_count)
+        .withColumn("wa", F.split("gram", " ")[0])
+        .withColumn("wb", F.split("gram", " ")[1])
+    )
+    ca = ucnt.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
+    cb = ucnt.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
+    out = (
+        big.join(ca, "wa")
+        .join(cb, "wb")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "gram",
+            F.col("cab").alias("freq"),
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("n2"))
+                    / ((F.col("ca") / F.col("n1")) * (F.col("cb") / F.col("n1")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "gram")
+        .limit(k)
+    )
+    res = out.persist()
+    res.count()
+    grams.unpersist()
+    return res
+
+
 def boilerplate_score(
     df: DataFrame,
     text_col: str,

@@ -4698,3 +4698,35 @@ def w_rank_functions(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@_register(
+    "x_pmi_collocations",
+    "top-25 collocations by PMI (freq >= 5): bigram + unigram counts "
+    "off one token projection, scalar totals as a 1-row broadcast, "
+    "distributed TakeOrdered top-k — the phrase-mining signal for "
+    "tokenizer/vocab construction (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram FROM toks),
+    words AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, count(*) AS cw FROM words GROUP BY w),
+    n1 AS (SELECT count(*) AS n1 FROM words),
+    n2 AS (SELECT count(*) AS n2 FROM grams),
+    big AS (SELECT gram, count(*) AS cab,
+                   string_split(gram, ' ')[1] AS wa,
+                   string_split(gram, ' ')[2] AS wb
+            FROM grams GROUP BY gram HAVING count(*) >= 5)
+    SELECT gram, cab AS freq,
+           round(ln((cab * 1.0 / n2) /
+                    ((ca.cw * 1.0 / n1) * (cb.cw * 1.0 / n1))), 4) AS pmi
+    FROM big JOIN ucnt ca ON ca.w = wa
+             JOIN ucnt cb ON cb.w = wb
+             CROSS JOIN n1 CROSS JOIN n2
+    ORDER BY pmi DESC, gram LIMIT 25
+    """,
+)
+def x_pmi_collocations(spark, sf_dir):
+    return _ts.pmi_collocations(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", min_count=5, k=25
+    )
