@@ -524,6 +524,63 @@ def cosine_near_pairs(
     )
 
 
+def feature_hash_embed(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 16,
+    salt: str = "fh",
+) -> DataFrame:
+    """Text -> dense vector by the hashing trick (Weinberger et al.):
+    each token adds +-1 (sign from a second hash bit) to the bucket
+    md5-hash(token) mod dim; the result is L2-normalized. The bridge
+    from the text tables to every embedding operator here (KNN, near-dup,
+    semantic dedup) with NO trained vocabulary — the embedding is pure
+    deterministic column math, so any engine reproduces it exactly.
+
+    Shape: one explode + one grouped aggregate whose dim conditional
+    sums all ride the same map-side partial; the normalize is the usual
+    left-to-right self-dot fold. Elements round(6) so the array is
+    hash-stable cross-engine. Returns (id, embedding array<double>).
+    """
+    from ..operators.dedup import spread, tokens_expr
+
+    src = spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+        "id",
+    )
+    tok = src.select("id", F.explode(tokens_expr("__text")).alias("w"))
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("w")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(dim)
+    )
+    # sign bit: first hex digit of the NON-bucket half >= 8 -> +1 else -1
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") >= 8, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    contrib = tok.select("id", bucket.alias("b"), sign.alias("s"))
+    sums = [
+        F.sum(F.when(F.col("b") == j, F.col("s")).otherwise(0.0)).alias(
+            f"__c{j}"
+        )
+        for j in range(dim)
+    ]
+    wide = contrib.groupBy("id").agg(*sums)
+    vec = F.array(*[F.col(f"__c{j}") for j in range(dim)])
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return wide.select(
+        "id",
+        F.transform(
+            vec,
+            lambda x: F.round(
+                F.when(norm > 0, x / norm).otherwise(F.lit(0.0)), 6
+            ),
+        ).alias("embedding"),
+    )
+
+
 def cosine_near_pairs_gemm(
     embeddings: DataFrame,
     threshold: float,

@@ -4730,3 +4730,52 @@ def x_pmi_collocations(spark, sf_dir):
     return _ts.pmi_collocations(
         _t(spark, sf_dir, "documents"), "text", "doc_id", min_count=5, k=25
     )
+
+
+_FH_DIM = 16
+
+
+def _fh_sql(dim: int) -> str:
+    b = "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    ) + f") % {dim}"
+    sign = ("CASE WHEN instr('0123456789abcdef', substr(h, 9, 1)) - 1 >= 8 "
+            "THEN 1.0 ELSE -1.0 END")
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN b = {j} THEN s ELSE 0.0 END) AS c{j}"
+        for j in range(dim)
+    )
+    vec = "list_value(" + ", ".join(f"c{j}" for j in range(dim)) + ")"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tok AS (SELECT doc_id, md5('fh:' || w) AS h
+            FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
+    contrib AS (SELECT doc_id, {b} AS b, {sign} AS s FROM tok),
+    wide AS (SELECT doc_id,
+           {sums}
+     FROM contrib GROUP BY doc_id),
+    vecs AS (SELECT doc_id, {vec} AS v FROM wide),
+    normed AS (SELECT doc_id, v,
+                      sqrt(list_reduce(list_transform(v, x -> x * x),
+                                       (a, x) -> a + x)) AS nrm
+               FROM vecs)
+    SELECT doc_id,
+           list_transform(v, x -> round(CASE WHEN nrm > 0 THEN x / nrm
+                                             ELSE 0.0 END, 6)) AS embedding
+    FROM normed
+    """
+
+
+@_register(
+    "x_feature_hash_embed",
+    "text -> dense vector by the hashing trick (signed md5 buckets, "
+    "L2-normalized): the trained-vocabulary-free bridge from the text "
+    "tables into every embedding operator — one explode + one grouped "
+    "aggregate with all dim sums in the map-side partial (north-star)",
+    _fh_sql(_FH_DIM),
+)
+def x_feature_hash_embed(spark, sf_dir):
+    return _sim.feature_hash_embed(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", dim=_FH_DIM
+    ).select(F.col("id").alias("doc_id"), "embedding")
