@@ -4779,3 +4779,35 @@ def x_feature_hash_embed(spark, sf_dir):
     return _sim.feature_hash_embed(
         _t(spark, sf_dir, "documents"), "text", "doc_id", dim=_FH_DIM
     ).select(F.col("id").alias("doc_id"), "embedding")
+
+
+@_register(
+    "x_text_knn_e2e",
+    "end-to-end text similarity search with no trained artifacts: "
+    "feature-hash embed the corpus, then exact cosine top-3 for the "
+    "first three docs as queries — proves the text->vector bridge "
+    "composes with the KNN operators (query side broadcast, final "
+    "bounded top-k window) (north-star)",
+    f"""
+    WITH fh AS ({_fh_sql(_FH_DIM)}),
+    q AS (SELECT doc_id AS query_id, embedding AS qv FROM fh WHERE doc_id < 3),
+    scored AS (
+      SELECT query_id, fh.doc_id AS neighbor_id,
+             {_cos_sql('qv', 'fh.embedding')} AS sim
+      FROM q JOIN fh ON fh.doc_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def x_text_knn_e2e(spark, sf_dir):
+    emb = _sim.feature_hash_embed(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", dim=_FH_DIM
+    ).persist()
+    out = _sim.knn_bruteforce(
+        emb, emb.filter(F.col("id") < 3), k=3, id_col="id"
+    ).persist()
+    out.count()
+    emb.unpersist()
+    return out
