@@ -221,3 +221,54 @@ def test_edit_distance_pairs_equal_brute_force(spark, texts, max_dist):
             if d <= max_dist:
                 want.add((a, b, d))
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@settings(max_examples=6, deadline=None)
+def test_connected_components_equal_union_find(spark, edges):
+    """Both CC implementations (hash-min propagation and large-star/
+    small-star contraction) must agree with a pure-Python union-find on
+    arbitrary random graphs — including self-loops, duplicate edges,
+    isolated nodes, and long chains."""
+    n_nodes = 26
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp: dict[int, list[int]] = {}
+    for v in range(n_nodes):
+        comp.setdefault(find(v), []).append(v)
+    truth = {v: min(members) for r, members in comp.items() for v in members}
+
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs = pairs.limit(0)
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    hm = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs, nodes, max_iters=30).collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components_star(pairs, nodes).collect()
+    }
+    spark.catalog.clearCache()
+    assert hm == truth
+    assert star == truth
