@@ -88,6 +88,12 @@ _DRIVER_VERIFIED_R3 = frozenset(
 )
 
 
+# ROUND MAINTENANCE: at the start of each round, fold the previous
+# round's CORRECTNESS_r{N}.json green rows into a _DRIVER_VERIFIED_R{N}
+# set and extend registry()'s ordering chain (never-checked first, then
+# oldest-verified) so the 50-slot driver window keeps rotating over
+# entries without an external green row.
+#
 # Verified in the round-2 driver window (CORRECTNESS_r02.json) but absent
 # from r3's: they already have an external green row, so they queue BEHIND
 # entries that have never appeared in any driver check.

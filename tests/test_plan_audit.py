@@ -143,6 +143,20 @@ CASES_R4 = [
     ("x_group_sample", ["Window"], ["NestedLoop", "CartesianProduct"]),
     ("x_length_model_by_lang", ["HashAggregate"],
      ["NestedLoop", "CartesianProduct", "Window"]),
+    # single-scan report families: one aggregate, struct-array
+    # transpose, no window, no joins beyond the declared broadcast
+    ("x_expectations_orders", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window", "SortMergeJoin"]),
+    ("x_table_profile", [], ["NestedLoop", "CartesianProduct", "Window"]),
+    # PMI: unigram joins key on the word, totals ride a 1-row broadcast
+    # NLJ; top-k must be TakeOrdered, never a global sort
+    ("x_pmi_collocations", ["TakeOrderedAndProject"], ["CartesianProduct"]),
+    ("x_feature_hash_embed", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("x_source_overlap", ["BroadcastHashJoin"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("w_rank_functions", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    ("x_dedup_snm_multipass", ["Window"], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
