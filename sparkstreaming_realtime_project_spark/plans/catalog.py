@@ -4817,3 +4817,271 @@ def x_text_knn_e2e(spark, sf_dir):
     out.count()
     emb.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: the remaining canonical TPC-H decision-support
+# shapes the catalog didn't yet cover, each picked for a DISTINCT
+# decorrelation/plan pattern (the reference's serving queries are all
+# simple aggregates — these prove the engine handles the full ad-hoc
+# analytics surface a reference user would eventually ask of it):
+#   Q2  -> argmin-per-group decorrelated into a min join-back
+#   Q13 -> outer-join count distribution (double aggregate)
+#   Q15 -> max-over-aggregate scalar join-back
+#   Q17 -> correlated AVG subquery decorrelated into a per-key join
+#   Q22 -> global scalar threshold + anti-join
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q2_min_cost_supplier",
+    "argmin-per-group (TPC-H Q2 shape): cheapest supplier per part — "
+    "correlated MIN subquery decorrelated into aggregate + equality "
+    "join-back; the part filter is a broadcast prune on the grouped "
+    "side, suppliers broadcast onto the tiny winner set. min() returns "
+    "an ACTUAL group value, so the double equality join is exact — no "
+    "epsilon needed",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    mn AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY l_partkey)
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           round(ps.unit_cost, 4) AS unit_cost
+    FROM ps
+    JOIN mn ON ps.l_partkey = mn.l_partkey AND ps.unit_cost = mn.min_cost
+    JOIN part ON p_partkey = ps.l_partkey AND p_size = 25
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    sup = _t(spark, sf_dir, "supplier")
+    # one shuffle on (l_partkey, l_suppkey); the per-part min reuses the
+    # l_partkey prefix of that partitioning (no second wide shuffle of
+    # the fact table — only of the already-aggregated ps frame)
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    mn = ps.groupBy(F.col("l_partkey").alias("__mnpk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    win = (
+        ps.join(
+            mn,
+            (ps.l_partkey == F.col("__mnpk")) & (ps.unit_cost == F.col("min_cost")),
+        )
+        .select("l_partkey", "l_suppkey", "unit_cost")
+        .join(F.broadcast(part), ps.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return win.select(
+        "p_partkey", "p_name", "s_suppkey", "s_name",
+        F.round("unit_cost", 4).alias("unit_cost"),
+    ).orderBy("p_partkey", "s_suppkey")
+
+
+@_register(
+    "q13_order_count_dist",
+    "outer-join count distribution (TPC-H Q13 shape): orders-per-"
+    "customer histogram INCLUDING zero-order customers. Aggregate-"
+    "before-join: orders collapse to one row per custkey FIRST (the only "
+    "wide shuffle), the left join then carries |customer| rows, and the "
+    "second aggregate is over a tiny distinct-count domain",
+    """
+    WITH oc AS (
+      SELECT o_custkey, count(*) AS n
+      FROM orders WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY o_custkey),
+    co AS (
+      SELECT c_custkey, coalesce(n, 0) AS c_count
+      FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_dist(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    oc = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    co = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.coalesce("n", F.lit(0)).alias("c_count")
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    "max-over-aggregate join-back (TPC-H Q15 shape): quarterly revenue "
+    "per supplier, keep the row(s) hitting the global max — the scalar "
+    "max is a 1-row broadcast against the aggregated frame (never "
+    "against the fact table), supplier dim broadcasts onto the winner. "
+    "Revenue is rounded to 2 BEFORE the max compare on both engines so "
+    "the equality is on identical doubles",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("__mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q17_small_qty_revenue",
+    "correlated AVG subquery decorrelated (TPC-H Q17 shape): lines of "
+    "one brand whose quantity is below half that part's average — the "
+    "per-part avg is ONE aggregate joined back on the part key (Catalyst "
+    "gets a single shuffle on l_partkey reused by agg and join), the "
+    "brand filter broadcasts, the answer is a single global row",
+    """
+    WITH pq AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey),
+    sel AS (
+      SELECT l.l_extendedprice
+      FROM lineitem l
+      JOIN part ON p_partkey = l.l_partkey AND p_brand = 'Brand#12'
+      JOIN pq ON pq.l_partkey = l.l_partkey
+      WHERE l.l_quantity < half_avg)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM sel
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    pq = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    sel = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(pq, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+    )
+    return sel.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_register(
+    "q22_idle_rich_customers",
+    "global scalar threshold + anti-join (TPC-H Q22 shape): customers "
+    "with above-average balance and NO urgent orders, aggregated by "
+    "nation. The global avg rides a 1-row broadcast (the only NLJ, "
+    "bounded), the NOT EXISTS is a left_anti against the urgent-order "
+    "keys — never a full orders shuffle against customer",
+    """
+    WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0),
+    rich AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer, ab WHERE c_acctbal > a),
+    idle AS (
+      SELECT r.* FROM rich r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = r.c_custkey AND o_orderpriority = '1-URGENT'))
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM idle GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__a"))
+    rich = (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@_register(
+    "p_cdc_compact",
+    "changelog compaction (K5 batch twin / Kafka log-compaction "
+    "semantics): latest state per key by (ts, id) — one shuffle on the "
+    "key, per-key ordered window, rank 1. This is the batch equivalent "
+    "of the reference's Redis last-write-wins dim upsert "
+    "(DwdOrderApp-style state maintenance) over the events stream",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+           round(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def p_cdc_compact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("user_id")
+    )

@@ -157,6 +157,23 @@ CASES_R4 = [
      ["NestedLoop", "CartesianProduct", "Window"]),
     ("w_rank_functions", ["Window"], ["NestedLoop", "CartesianProduct"]),
     ("x_dedup_snm_multipass", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    # TPC-H decision-support shapes: every dim/scalar side must ride a
+    # broadcast; the only NLJ allowed is q22's declared 1-row global-avg
+    # cross join. q2/q13/q17's aggregate-before-join keeps the fact
+    # table's wide shuffle to the pre-aggregation only.
+    ("q2_min_cost_supplier", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("q13_order_count_dist", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("q15_top_supplier", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("q17_small_qty_revenue", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("q22_idle_rich_customers", ["BroadcastHashJoin", "HashAggregate"],
+     ["CartesianProduct"]),
+    # log compaction: one keyed window, rank 1 — never a self-join
+    ("p_cdc_compact", ["Window"],
+     ["Join", "NestedLoop", "CartesianProduct"]),
 ]
 
 
