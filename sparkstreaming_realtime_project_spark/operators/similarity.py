@@ -1219,3 +1219,119 @@ def hard_negatives(
             F.round("sim", 4).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the tier between brute-force floats and PQ.
+# ---------------------------------------------------------------------------
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (long fold — no float error, so both
+    engines agree bit-for-bit before the final double division)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_scales(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension max-abs quantization scales as a 1-row model frame.
+
+    Model-as-data: the d scales live in an array<double> column on a
+    single row that broadcasts into the quantization projection — the
+    plan stays O(1) regardless of d, and nothing but this d-element
+    array ever reaches the driver side of the join."""
+    ex = embeddings.select(
+        F.posexplode(as_double_vec(vec_col)).alias("i", "x")
+    )
+    dims = ex.groupBy("i").agg(F.max(F.abs(F.col("x"))).alias("m"))
+    return dims.agg(
+        F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm")
+    ).select(F.transform("sm", lambda s: s["m"]).alias("__scales"))
+
+
+def _sq8_quantize(vec: Column, scales: Column) -> Column:
+    """Symmetric int8 code: floor(v/s*127 + 0.5) — explicit round-half-up
+    so Spark and an external SQL oracle agree on exact .5 boundaries
+    (engine-native round() rounding modes differ); all-zero dims map
+    to code 0 instead of dividing by zero."""
+    return F.zip_with(
+        vec,
+        scales,
+        lambda x, s: F.floor(
+            F.when(s > 0, x / s * 127).otherwise(F.lit(0.0)) + F.lit(0.5)
+        ),
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via int8 scalar quantization + exact re-rank.
+
+    Scale story (the point of SQ at 100 TB): the scan side of the
+    similarity join carries 1 byte/dim instead of 8 — a 768-d corpus
+    drops from 6 KB to 768 B per vector, which is the difference between
+    the candidate pass spilling or running from executor memory/cache.
+    Candidate generation ranks by EXACT integer dot products of the
+    codes (deterministic — no float fold at all until the final
+    division), keeps ``refine * k`` per query, then re-ranks only that
+    bounded set against the full-precision vectors fetched by an id
+    equi-join (|Q| * refine*k rows — the float vectors never join the
+    wide candidate pass).
+
+    Mirrors the reference's search-then-rerank pattern (SURVEY §2.8
+    north-star ANN family; cf. x_knn_pq's ADC + re-rank) one tier up in
+    fidelity: SQ8 keeps per-dim resolution, PQ shares sub-space
+    centroids."""
+    scales = sq8_scales(embeddings, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
+    )
+    qz = (
+        base.crossJoin(F.broadcast(scales))
+        .select(
+            "__id",
+            _sq8_quantize(F.col("__v"), F.col("__scales")).alias("__q"),
+        )
+        .withColumn("__qn", F.sqrt(_int_dot(F.col("__q"), F.col("__q")).cast("double")))
+    )
+    qside = queries.select(F.col(id_col).alias("query_id")).join(
+        qz, F.col("query_id") == qz.__id
+    ).select("query_id", F.col("__q").alias("__qq"), F.col("__qn").alias("__qqn"))
+    approx = qz.join(
+        F.broadcast(qside), F.col("query_id") != F.col("__id")
+    ).select(
+        "query_id",
+        F.col("__id").alias("neighbor_id"),
+        (
+            _int_dot(F.col("__qq"), F.col("__q")).cast("double")
+            / (F.col("__qqn") * F.col("__qn"))
+        ).alias("__asim"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("__asim").desc(), "neighbor_id")
+    cand = (
+        approx.withColumn("__arank", F.row_number().over(wa))
+        .filter(F.col("__arank") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    qe = base.select(F.col("__id").alias("__qid"), F.col("__v").alias("__qv"))
+    ne = base.select(F.col("__id").alias("__nid"), F.col("__v").alias("__nv"))
+    rer = (
+        cand.join(qe, F.col("query_id") == F.col("__qid"))
+        .join(ne, F.col("neighbor_id") == F.col("__nid"))
+        .withColumn("sim", cosine(F.col("__qv"), F.col("__nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

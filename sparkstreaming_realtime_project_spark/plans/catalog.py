@@ -5085,3 +5085,124 @@ def p_cdc_compact(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_IDOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), "
+    "(x, y) -> x + y)"
+)
+
+
+@_register(
+    "x_knn_sq8",
+    "int8 scalar-quantized top-k + exact re-rank: per-dim max-abs "
+    "scales as a 1-row broadcast model, candidate ranking by EXACT "
+    "integer code dot products (1 byte/dim on the wide scan instead of "
+    "8 — the spill-vs-memory difference at 100 TB), full-precision "
+    "vectors fetched by id equi-join only for the bounded refine*k "
+    "re-rank set. The fidelity tier between x_knn_bruteforce and "
+    "x_knn_pq (north-star scale path)",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT i, max(abs(x)) AS m
+          FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e)
+          GROUP BY i),
+    s AS (SELECT list(m ORDER BY i) AS sc FROM d),
+    qz AS (SELECT vec_id,
+             list_transform(range(1, len(v) + 1),
+               i -> CAST(floor((CASE WHEN sc[i] > 0 THEN v[i] / sc[i] * 127
+                                     ELSE 0.0 END) + 0.5) AS BIGINT)) AS q
+           FROM e, s),
+    qn AS (SELECT vec_id, q, sqrt(CAST({_IDOT.format(a='q', b='q')} AS DOUBLE)) AS n
+           FROM qz),
+    qs AS (SELECT vec_id AS query_id, q AS qq, n AS qqn FROM qn WHERE vec_id < 5),
+    approx AS (
+      SELECT query_id, z.vec_id AS neighbor_id,
+             CAST({_IDOT.format(a='qq', b='z.q')} AS DOUBLE) / (qqn * z.n) AS asim
+      FROM qs JOIN qn z ON z.vec_id <> qs.query_id),
+    cand AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY asim DESC, neighbor_id) AS arank
+      FROM approx) WHERE arank <= 15),
+    rer AS (
+      SELECT query_id, neighbor_id, {_cos_sql('qe.v', 'ne.v')} AS sim
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ne ON ne.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM rer) WHERE rank <= 5
+    """,
+)
+def x_knn_sq8(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, refine=3)
+
+
+@_register(
+    "q11_important_parts",
+    "aggregate vs global-threshold scalar (TPC-H Q11 shape): per-part "
+    "value, keep parts above a fraction of TOTAL value — the total is "
+    "re-aggregated from the per-part frame (never a second fact scan) "
+    "and rides a 1-row broadcast into the filter",
+    """
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice) AS val
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(val) * 0.0005 AS cutoff FROM pv)
+    SELECT l_partkey, round(val, 2) AS part_value
+    FROM pv, tot WHERE val > cutoff
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("val"))
+    tot = pv.agg((F.sum("val") * 0.0005).alias("cutoff"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > F.col("cutoff"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@_register(
+    "q14_promo_revenue_share",
+    "conditional-aggregate ratio (TPC-H Q14 shape): promo revenue share "
+    "in one month — the CASE rides INSIDE the aggregate so both the "
+    "numerator and denominator come out of a single scan + single "
+    "grouped reduction; the part type dim broadcasts onto the "
+    "date-pruned fact scan",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-12-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-12-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -907,3 +907,41 @@ def test_snm_multipass_recovers_head_divergent_pair(spark):
     multi.unpersist()
     assert (1, 2) not in s  # head blocks diverge — pass 1 cannot see it
     assert (1, 2) in m  # tail key recovers it
+
+
+def test_sq8_full_refine_equals_bruteforce(spark, sf_dir):
+    """With the refine window covering the whole corpus, SQ8's exact
+    re-rank must reproduce brute-force top-k verbatim (quantization only
+    affects which candidates reach the re-rank, never their final
+    scores) — and at the default narrow refine the result must still be
+    drawn from the same (query, neighbor) universe with exact sims."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    brute = {tuple(r) for r in sim.knn_bruteforce(emb, q, k=5).collect()}
+    full = {tuple(r) for r in sim.sq8_topk(emb, q, k=5, refine=n).collect()}
+    assert full == brute
+    narrow = sim.sq8_topk(emb, q, k=5, refine=3).collect()
+    assert len(narrow) == 25
+    # exact re-rank: every reported sim equals the true cosine (the
+    # brute-force row for the same pair, when present, must agree)
+    brute_sims = {(r[0], r[1]): r[3] for r in brute}
+    for r in narrow:
+        if (r["query_id"], r["neighbor_id"]) in brute_sims:
+            assert r["sim"] == brute_sims[(r["query_id"], r["neighbor_id"])]
+
+
+def test_sq8_quantize_codes_in_int8_range(spark, sf_dir):
+    """Codes must fit int8 ([-127, 127]) — the byte-width claim the
+    100 TB memory story rests on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scales = sim.sq8_scales(emb)
+    qz = emb.crossJoin(F.broadcast(scales)).select(
+        sim._sq8_quantize(
+            sim.as_double_vec("embedding"), F.col("__scales")
+        ).alias("q")
+    )
+    mx = qz.select(
+        F.array_max(F.transform("q", F.abs)).alias("m")
+    ).agg(F.max("m")).collect()[0][0]
+    assert mx <= 127

@@ -174,6 +174,16 @@ CASES_R4 = [
     # log compaction: one keyed window, rank 1 — never a self-join
     ("p_cdc_compact", ["Window"],
      ["Join", "NestedLoop", "CartesianProduct"]),
+    # SQ8: re-rank vectors arrive via BroadcastHashJoin on ids; the
+    # query-side code scan is the declared broadcast NLJ baseline
+    # (like x_knn_bruteforce) — a true cartesian is still banned
+    ("x_knn_sq8", ["BroadcastHashJoin", "Window"], ["CartesianProduct"]),
+    # Q11: the cutoff is a declared 1-row broadcast NLJ over the
+    # ALREADY-aggregated per-part frame — never over the fact table
+    ("q11_important_parts", ["HashAggregate"], ["CartesianProduct"]),
+    # Q14: numerator+denominator from ONE scan — no self-join, no window
+    ("q14_promo_revenue_share", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
 ]
 
 
