@@ -5206,3 +5206,63 @@ def q14_promo_revenue_share(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@_register(
+    "x_sq8_recall",
+    "recall@k of the SQ8 quantized search vs exact brute force — "
+    "quantifies what the int8 candidate ranking + narrow refine window "
+    "actually costs in recall, same measure-the-approximation "
+    "discipline as x_ann_recall / x_minhash_recall (north-star)",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT i, max(abs(x)) AS m
+          FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e)
+          GROUP BY i),
+    s AS (SELECT list(m ORDER BY i) AS sc FROM d),
+    qz AS (SELECT vec_id,
+             list_transform(range(1, len(v) + 1),
+               i -> CAST(floor((CASE WHEN sc[i] > 0 THEN v[i] / sc[i] * 127
+                                     ELSE 0.0 END) + 0.5) AS BIGINT)) AS q
+           FROM e, s),
+    qn AS (SELECT vec_id, q, sqrt(CAST({_IDOT.format(a='q', b='q')} AS DOUBLE)) AS n
+           FROM qz),
+    qs AS (SELECT vec_id AS query_id, q AS qq, n AS qqn FROM qn WHERE vec_id < 20),
+    ap AS (
+      SELECT query_id, z.vec_id AS neighbor_id,
+             CAST({_IDOT.format(a='qq', b='z.q')} AS DOUBLE) / (qqn * z.n) AS asim
+      FROM qs JOIN qn z ON z.vec_id <> qs.query_id),
+    cand AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY asim DESC, neighbor_id) AS arank
+      FROM ap) WHERE arank <= 9),
+    rer AS (
+      SELECT query_id, neighbor_id, {_cos_sql('qe.v', 'ne.v')} AS sim
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ne ON ne.vec_id = cand.neighbor_id),
+    approx AS (SELECT DISTINCT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM rer) WHERE rank <= 3),
+    truth AS (SELECT query_id, neighbor_id FROM (
+      SELECT q2.vec_id AS query_id, b2.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q2.vec_id
+               ORDER BY {_cos_sql('q2.v', 'b2.v')} DESC, b2.vec_id) AS rank
+      FROM e q2 JOIN e b2 ON b2.vec_id <> q2.vec_id WHERE q2.vec_id < 20)
+      WHERE rank <= 3),
+    bt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),
+    hits AS (SELECT query_id, count(*) AS n_hits
+             FROM truth JOIN approx USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT query_id, n_truth, coalesce(n_hits, 0) AS n_hits,
+           round(coalesce(n_hits, 0) * 1.0 / n_truth, 4) AS recall
+    FROM bt LEFT JOIN hits USING (query_id)
+    """,
+)
+def x_sq8_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = _sim.knn_bruteforce(emb, queries, k=3)
+    approx = _sim.sq8_topk(emb, queries, k=3, refine=3)
+    return _sim.ann_recall(truth, approx)

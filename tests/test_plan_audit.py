@@ -184,6 +184,9 @@ CASES_R4 = [
     # Q14: numerator+denominator from ONE scan — no self-join, no window
     ("q14_promo_revenue_share", ["BroadcastHashJoin", "HashAggregate"],
      ["NestedLoop", "CartesianProduct", "Window"]),
+    # SQ8 recall grader: truth side is the declared brute-force NLJ
+    # baseline; the recall join itself is a bounded |Q|*k equi-join
+    ("x_sq8_recall", ["Window"], ["CartesianProduct"]),
 ]
 
 
