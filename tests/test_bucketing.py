@@ -71,3 +71,47 @@ def test_bucketed_groupby_reuses_layout(spark, tmp_path, sf_dir):
         assert agg.count() == li.select("l_orderkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li2_t")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: the engine's AQE config (session.py turns
+    on adaptive.skewJoin) must SPLIT a pathologically skewed shuffle
+    partition at execution time — the no-code-change complement to the
+    manual salting strategy j_salted_skew demonstrates. One hot key
+    carries 75% of the left side; with thresholds scaled down to the
+    test's data volume, the final adaptive plan must show the skew-split
+    SortMergeJoin and an AQEShuffleRead that performed the split."""
+    conf = spark.conf
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        # force SMJ (no broadcast escape hatch) and scale the skew
+        # thresholds to local test volume — at 100 TB the DEFAULTS
+        # (256 MB threshold, factor 5) fire on real skew unmodified
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(50_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("tag")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        # hot key 0 matches right's k=0: 150k rows + 12.5k distinct ids
+        assert len(rows) == 162_500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "AQEShuffleRead" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
