@@ -945,3 +945,46 @@ def test_sq8_quantize_codes_in_int8_range(spark, sf_dir):
         F.array_max(F.transform("q", F.abs)).alias("m")
     ).agg(F.max("m")).collect()[0][0]
     assert mx <= 127
+
+
+def test_q13_distribution_conserves_counts(spark, sf_dir):
+    """The order-count histogram must conserve both totals: sum of
+    custdist equals |customer| (every customer lands in exactly one
+    bucket, including the zero bucket) and sum(c_count * custdist)
+    equals the number of non-urgent orders WITH a matching customer."""
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        q13_order_count_dist,
+    )
+    dist = q13_order_count_dist(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = cust.count()
+    n_orders = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .count()
+    )
+    assert sum(r["custdist"] for r in dist) == n_cust
+    assert sum(r["c_count"] * r["custdist"] for r in dist) == n_orders
+
+
+def test_q2_argmin_rows_are_group_minima(spark, sf_dir):
+    """Every surviving (part, supplier) row must carry that part's true
+    minimum unit cost — and every size-25 part with any lineitem must
+    appear at least once (argmin never drops a group)."""
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        q2_min_cost_supplier,
+    )
+    rows = q2_min_cost_supplier(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    truth = {
+        r["l_partkey"]: r["mc"]
+        for r in li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("mc"))
+        .collect()
+    }
+    assert {r["p_partkey"] for r in rows} == set(truth)
+    for r in rows:
+        assert r["unit_cost"] == round(truth[r["p_partkey"]], 4)
