@@ -1287,6 +1287,12 @@ def sq8_topk(
     equi-join (|Q| * refine*k rows — the float vectors never join the
     wide candidate pass).
 
+    Queries are quantized from THEIR OWN vectors against the corpus
+    scales, so external queries (vectors not present in ``embeddings``)
+    work exactly like in-corpus ones; the tiny query side keeps its
+    full-precision vector alongside the codes (it broadcasts anyway),
+    while the corpus side of both passes stays codes/ids only.
+
     Mirrors the reference's search-then-rerank pattern (SURVEY §2.8
     north-star ANN family; cf. x_knn_pq's ADC + re-rank) one tier up in
     fidelity: SQ8 keeps per-dim resolution, PQ shares sub-space
@@ -1303,13 +1309,25 @@ def sq8_topk(
         )
         .withColumn("__qn", F.sqrt(_int_dot(F.col("__q"), F.col("__q")).cast("double")))
     )
-    qside = queries.select(F.col(id_col).alias("query_id")).join(
-        qz, F.col("query_id") == qz.__id
-    ).select("query_id", F.col("__q").alias("__qq"), F.col("__qn").alias("__qqn"))
+    qside = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+        )
+        .crossJoin(F.broadcast(scales))
+        .select(
+            "query_id",
+            "__qv",
+            _sq8_quantize(F.col("__qv"), F.col("__scales")).alias("__qq"),
+        )
+        .withColumn(
+            "__qqn", F.sqrt(_int_dot(F.col("__qq"), F.col("__qq")).cast("double"))
+        )
+    )
     approx = qz.join(
         F.broadcast(qside), F.col("query_id") != F.col("__id")
     ).select(
         "query_id",
+        "__qv",
         F.col("__id").alias("neighbor_id"),
         (
             _int_dot(F.col("__qq"), F.col("__q")).cast("double")
@@ -1320,14 +1338,11 @@ def sq8_topk(
     cand = (
         approx.withColumn("__arank", F.row_number().over(wa))
         .filter(F.col("__arank") <= refine * k)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "__qv", "neighbor_id")
     )
-    qe = base.select(F.col("__id").alias("__qid"), F.col("__v").alias("__qv"))
     ne = base.select(F.col("__id").alias("__nid"), F.col("__v").alias("__nv"))
-    rer = (
-        cand.join(qe, F.col("query_id") == F.col("__qid"))
-        .join(ne, F.col("neighbor_id") == F.col("__nid"))
-        .withColumn("sim", cosine(F.col("__qv"), F.col("__nv")))
+    rer = cand.join(ne, F.col("neighbor_id") == F.col("__nid")).withColumn(
+        "sim", cosine(F.col("__qv"), F.col("__nv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (

@@ -988,3 +988,22 @@ def test_q2_argmin_rows_are_group_minima(spark, sf_dir):
     assert {r["p_partkey"] for r in rows} == set(truth)
     for r in rows:
         assert r["unit_cost"] == round(truth[r["p_partkey"]], 4)
+
+
+def test_sq8_external_queries(spark, sf_dir):
+    """Queries whose vectors are NOT in the corpus must still get full
+    top-k answers (query codes come from the query frame itself, only
+    the scales come from the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ext = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.5 + 0.01).alias("embedding"),
+    )
+    out = sim.sq8_topk(emb, ext, k=4, refine=3).collect()
+    assert len(out) == 12
+    assert {r["query_id"] for r in out} == {1_000_000, 1_000_001, 1_000_002}
+    # neighbors come from the corpus, ranks are 1..4 per query
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for r in out:
+        assert r["neighbor_id"] in ids
+        assert 1 <= r["rank"] <= 4
