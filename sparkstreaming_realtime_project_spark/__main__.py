@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input-detail", required=True)
     p.add_argument("--dim-user")
     p.add_argument("--dim-province")
+    p.add_argument(
+        "--left-outer",
+        action="store_true",
+        help="detail-preserving join: emit null-padded details whose "
+        "info never arrives within the grace window",
+    )
     common(p)
 
     # the reference's publisher is a separate Spring Boot app beside the
@@ -155,6 +161,7 @@ def main(argv: list[str] | None = None) -> None:
             args.checkpoint,
             dim_user=dim(args.dim_user),
             dim_province=dim(args.dim_province),
+            join_type="left_outer" if args.left_outer else "inner",
         )
     _start(writer, args.follow, timeout=args.timeout)
 

@@ -179,6 +179,7 @@ def order_wide_pipeline(
     dim_user: DataFrame | None = None,
     dim_province: DataFrame | None = None,
     as_of=None,
+    join_type: str = "inner",
 ):
     """DwdOrderApp (DwdOrderApp.scala:35-280): the cross-batch 24 h-state
     join (J3/J4) as a watermarked stream-stream inner join.
@@ -194,7 +195,17 @@ def order_wide_pipeline(
     When dims are supplied, the info side is enriched BEFORE the
     stream-stream join — the reference's per-record Redis dim GETs
     (DwdOrderApp.scala:112-146, J1/J2) as stream-static broadcast joins;
-    province_iso_code is populated (reference bug §2.9 fixed)."""
+    province_iso_code is populated (reference bug §2.9 fixed).
+
+    ``join_type="left_outer"`` upgrades the join to detail-preserving: a
+    detail whose info never arrives within the grace window is emitted
+    null-padded once BOTH watermarks pass its event time (Structured
+    Streaming's outer stream-stream semantics) instead of silently
+    dropped — the reference has no analog (an unmatched Redis detail
+    just expires, DwdOrderApp.scala:247); this is the stream twin of the
+    per-batch full outer (J3). Inner-mode output is unchanged:
+    create_date falls back to the detail's own create_time only when the
+    info side is null, which never happens under inner."""
     if dim_user is not None:
         info_stream = enrich_user(info_stream, dim_user, "user_id", as_of=as_of)
     if dim_province is not None:
@@ -216,6 +227,7 @@ def order_wide_pipeline(
         "split_total_amount",
         "split_activity_amount",
         "split_coupon_amount",
+        F.col("create_time").alias("__detail_create_time"),
         "detail_ts",
     )
     dim_cols = [
@@ -245,12 +257,15 @@ def order_wide_pipeline(
         (d.order_id == i.order_id)
         & (d.detail_ts >= i.info_ts - F.expr("INTERVAL 24 HOURS"))
         & (d.detail_ts <= i.info_ts + F.expr("INTERVAL 24 HOURS")),
-        "inner",
+        join_type,
     ).drop(i.order_id)
     wide = (
-        joined.withColumn("create_date", F.substring("create_time", 1, 10))
+        joined.withColumn(
+            "create_time", F.coalesce("create_time", "__detail_create_time")
+        )
+        .withColumn("create_date", F.substring("create_time", 1, 10))
         .withColumn("create_hour", F.date_format(F.to_timestamp("create_time"), "HH"))
-        .drop("detail_ts", "info_ts")
+        .drop("detail_ts", "info_ts", "__detail_create_time")
     )
     return (
         wide.writeStream.foreachBatch(

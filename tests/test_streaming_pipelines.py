@@ -970,3 +970,70 @@ def test_scd2_store_replay_and_crash_visibility(spark, tmp_path):
     # replay of batch 2 commits -> now visible
     write(batch([("A", "z", 3, t + 2000)]), 2)
     assert snap() == {("A", "x", 0), ("A", "y", 0), ("A", "z", 1)}
+
+
+def test_order_wide_left_outer_emits_unmatched_detail(spark, tmp_path):
+    """join_type="left_outer": a detail whose info NEVER arrives is
+    emitted null-padded once both watermarks pass its join window —
+    detail-preserving semantics the reference cannot express (its
+    unmatched Redis detail buffer just expires silently,
+    DwdOrderApp.scala:247). Matched rows are identical to inner mode;
+    the unmatched row's create_date falls back to the detail's own
+    create_time so the sink partition is never null."""
+    t0 = "2024-01-01 10:00:00"
+    t_far = "2024-01-05 10:00:00"  # 96 h later: both watermarks sail past
+    info_dir, detail_dir = str(tmp_path / "info"), str(tmp_path / "detail")
+    fx._write_batches(info_dir, [
+        [fx.info_row(2, t0)],          # order 1's info never arrives
+        [fx.info_row(3, t_far)],       # advance info watermark
+        [fx.info_row(4, t_far)],
+        [fx.info_row(5, t_far)],
+    ])
+    fx._write_batches(detail_dir, [
+        [fx.detail_row(99, 1, t0), fx.detail_row(90, 2, t0)],
+        [fx.detail_row(91, 3, t_far)],  # advance detail watermark
+        [fx.detail_row(92, 4, t_far)],
+        [fx.detail_row(93, 5, t_far)],
+    ])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    writer = order_wide_pipeline(
+        file_stream(spark, info_dir, ORDER_INFO_SCHEMA, max_files_per_trigger=1),
+        file_stream(spark, detail_dir, ORDER_DETAIL_SCHEMA, max_files_per_trigger=1),
+        out,
+        ckpt,
+        join_type="left_outer",
+    )
+    run_to_completion(writer, timeout=180)
+    got = {r["detail_id"]: r for r in read_sink(spark, out).collect()}
+    assert 90 in got and got[90]["order_status"] is not None  # matched, as inner
+    assert 99 in got, "unmatched detail must surface null-padded"
+    assert got[99]["order_status"] is None
+    assert got[99]["user_id"] is None
+    # detail-side fallback (partition col type-infers to date on read)
+    assert str(got[99]["create_date"]) == "2024-01-01"
+
+
+def test_order_wide_launcher_left_outer_flag(spark, tmp_path):
+    """Launcher smoke for --left-outer: flag parses, the drain completes,
+    and matched rows land exactly as in inner mode (the outer-emission
+    semantics themselves are covered by the pipeline-level test)."""
+    from sparkstreaming_realtime_project_spark.__main__ import main
+
+    t0 = "2024-01-01 10:00:00"
+    info_dir, detail_dir = str(tmp_path / "info"), str(tmp_path / "detail")
+    fx._write_batches(info_dir, [[fx.info_row(1, t0)]])
+    fx._write_batches(detail_dir, [[fx.detail_row(7, 1, t0)]])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(SystemExit) as exc:
+        main([
+            "order-wide",
+            "--input-info", info_dir,
+            "--input-detail", detail_dir,
+            "--out", out,
+            "--checkpoint", ckpt,
+            "--left-outer",
+        ])
+    assert exc.value.code == 0
+    rows = read_sink(spark, out).collect()
+    assert {r["detail_id"] for r in rows} == {7}
+    assert rows[0]["order_status"] is not None
