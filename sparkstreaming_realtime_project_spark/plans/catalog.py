@@ -4845,7 +4845,9 @@ def x_text_knn_e2e(spark, sf_dir):
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
              min(l_extendedprice / l_quantity) AS unit_cost
-      FROM lineitem GROUP BY l_partkey, l_suppkey),
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+      GROUP BY l_partkey, l_suppkey),
     mn AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY l_partkey)
     SELECT p_partkey, p_name, s_suppkey, s_name,
            round(ps.unit_cost, 4) AS unit_cost
@@ -4860,11 +4862,14 @@ def q2_min_cost_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
     sup = _t(spark, sf_dir, "supplier")
-    # one shuffle on (l_partkey, l_suppkey); the per-part min reuses the
-    # l_partkey prefix of that partitioning (no second wide shuffle of
-    # the fact table — only of the already-aggregated ps frame)
+    # ps feeds BOTH the min-per-part aggregate and the equality join
+    # back; the explicit key notnull filter matches the isnotnull the
+    # join branch pushes into its scan, so the two ps subtrees
+    # canonicalize EQUAL and AQE reuses one shuffle (ReusedExchange) —
+    # without it the fact table is scanned and shuffled twice
     ps = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     mn = ps.groupBy(F.col("l_partkey").alias("__mnpk")).agg(
@@ -4938,6 +4943,7 @@ def q13_order_count_dist(spark, sf_dir):
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND l_suppkey IS NOT NULL
       GROUP BY l_suppkey)
     SELECT s_suppkey, s_name, total_rev
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
@@ -4948,10 +4954,14 @@ def q13_order_count_dist(spark, sf_dir):
 def q15_top_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
+    # the key notnull filter makes the rev subtree under the max branch
+    # and under the supplier join canonically identical, so AQE reuses
+    # ONE shuffle for both (see q2_min_cost_supplier)
     rev = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(

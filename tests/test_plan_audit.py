@@ -216,3 +216,21 @@ def test_corpus_pipeline_plan(spark, sf_dir):
     df = _REG["x_corpus_pipeline"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q2_min_cost_supplier", "q15_top_supplier", "q11_important_parts"]
+)
+def test_aggregate_join_back_reuses_shuffle(spark, sf_dir, name):
+    """Decorrelated join-back shapes aggregate the fact table once and
+    consume it from TWO branches (the aggregate and the join-back).
+    AQE must reuse the single shuffle (ReusedExchange in the final
+    adaptive plan) instead of scanning + shuffling the fact table twice
+    — the difference between one and two full passes at 100 TB. This is
+    runtime-only (reuse happens during adaptive execution), hence
+    collect() + final plan, unlike the static contracts above."""
+    df = _REG[name].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, f"{name}: fact aggregation shuffled twice"
