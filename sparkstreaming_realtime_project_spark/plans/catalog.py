@@ -5276,3 +5276,111 @@ def x_sq8_recall(spark, sf_dir):
     truth = _sim.knn_bruteforce(emb, queries, k=3)
     approx = _sim.sq8_topk(emb, queries, k=3, refine=3)
     return _sim.ann_recall(truth, approx)
+
+
+@_register(
+    "q21_waiting_suppliers",
+    "correlated EXISTS + NOT EXISTS on the same fact (TPC-H Q21 shape): "
+    "suppliers whose returned lines sit in multi-supplier orders where "
+    "NO other supplier returned — decorrelated into a left_semi and a "
+    "left_anti against the same fact, each an equi-join on the order "
+    "key with the suppkey<> residual riding along (never a theta join); "
+    "supplier dim broadcasts at the end",
+    """
+    WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_returnflag = 'R')
+    SELECT s_name, count(*) AS numwait
+    FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3"))
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("__ok2")) & (l1.l_suppkey != F.col("__sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("__ok3")) & (l1.l_suppkey != F.col("__sk3")),
+            "left_anti",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@_register(
+    "q19_disjunctive_predicates",
+    "OR-of-ANDs join predicate (TPC-H Q19 shape): three brand/size/"
+    "quantity bands OR'd together — the shared p_partkey = l_partkey "
+    "equi key keeps the join hash-based (the disjunction is a residual "
+    "filter, never a nested loop), and Catalyst extracts the common "
+    "quantity/size bounds into scan-level pushdowns",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -187,6 +187,13 @@ CASES_R4 = [
     # SQ8 recall grader: truth side is the declared brute-force NLJ
     # baseline; the recall join itself is a bounded |Q|*k equi-join
     ("x_sq8_recall", ["Window"], ["CartesianProduct"]),
+    # Q21: EXISTS/NOT EXISTS decorrelate to hash semi/anti joins on the
+    # order key (suppkey<> is a residual) — never a nested loop
+    ("q21_waiting_suppliers", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
+    # Q19: the OR-of-ANDs stays a residual on the hash equi-join
+    ("q19_disjunctive_predicates", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
 ]
 
 
