@@ -1037,3 +1037,72 @@ def test_order_wide_launcher_left_outer_flag(spark, tmp_path):
     rows = read_sink(spark, out).collect()
     assert {r["detail_id"] for r in rows} == {7}
     assert rows[0]["order_status"] is not None
+
+
+def test_first_seen_v2_matches_old_api(spark, tmp_path):
+    """The transformWithStateInPandas rewrite (stateful_v2) must produce
+    EXACTLY the old applyInPandasWithState operator's output on the same
+    multi-batch replay — deterministic min-event-time winners per
+    (mid, dt), later batches' duplicates dropped by restored state.
+    Skips where the TWS worker's protobuf dependency is absent (this
+    sandbox) — same opt-in gate as the Pillow decode tests."""
+    from sparkstreaming_realtime_project_spark.operators.log_split import parse_log
+    from sparkstreaming_realtime_project_spark.streaming.stateful_v2 import (
+        first_seen_per_key_v2,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable — transformWithState worker cannot start")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+
+        in_dir = tmp_path / "in"
+        fx.write_log_fixture(str(in_dir))
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        raw = text_stream(spark, str(in_dir), max_files_per_trigger=1)
+        page = (
+            parse_log(raw)
+            .filter(F.col("err").isNull() & F.col("page").isNotNull())
+            .select(
+                F.col("common.mid").alias("mid"),
+                F.col("page.last_page_id").alias("last_page_id"),
+                F.timestamp_millis(F.col("ts")).alias("event_ts"),
+            )
+            .filter(F.col("last_page_id").isNull())
+            .withColumn("dt", F.date_format("event_ts", "yyyy-MM-dd"))
+            .withWatermark("event_ts", "25 hours")
+        )
+        firsts = first_seen_per_key_v2(page, ["mid", "dt"], "event_ts")
+        q = (
+            firsts.writeStream.foreachBatch(
+                lambda b, i: b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+        got = {
+            (r["mid"], r["dt"], r["event_ts"].hour)
+            for r in read_sink(spark, out).collect()
+        }
+        # same golden set as test_first_seen_custom_stateful_operator
+        assert got == {
+            ("m1", "2024-01-01", 10),
+            ("m5", "2024-01-01", 12),
+            ("m2", "2024-01-02", 1),
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
