@@ -35,3 +35,30 @@ def test_rows_only_runs(spark, sf_dir, spec):
         pytest.skip("no rows-only specs")
     df = spec.spark(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_registry_rotation_order():
+    """The driver's CORRECTNESS window covers only the first 50 registry
+    entries — registry() must float every entry WITHOUT a prior
+    driver-verified green row ahead of all previously-verified ones
+    (oldest-waiting first), or entries can starve outside the window
+    forever."""
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        _DRIVER_VERIFIED_R2,
+        _DRIVER_VERIFIED_R3,
+        registry,
+    )
+
+    names = [s.name for s in registry()]
+    verified = _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
+    first_verified = min(
+        (i for i, n in enumerate(names) if n in verified), default=len(names)
+    )
+    # no never-verified entry may appear after the first verified one
+    stragglers = [n for n in names[first_verified:] if n not in verified]
+    assert not stragglers, f"never-driver-verified entries queued behind verified: {stragglers}"
+    # and the window itself is fully spent on never-verified entries
+    # while more than 50 of them exist
+    never = [n for n in names if n not in verified]
+    if len(never) >= 50:
+        assert all(n not in verified for n in names[:50])
