@@ -5384,3 +5384,48 @@ def q19_disjunctive_predicates(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@_register(
+    "x_dedup_keep_longest",
+    "quality-aware survivor selection: near-dup clusters -> keep the "
+    "LONGEST member per cluster (ties to the smaller id) — the "
+    "longest-copy-survives heuristic a CCNet-style dedup materializes "
+    "as its output table, vs x_dedup_cluster's min-id canonical. One "
+    "keyed window over the (doc, cluster) frame; singletons keep "
+    "themselves by construction (north-star)",
+    f"""
+    SELECT cluster_id, doc_id AS kept_doc_id, n_members,
+           n_chars AS kept_chars
+    FROM (
+      SELECT l.cluster_id, d.doc_id, d.n_chars,
+             count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM ({_CLUSTER_SQL}) l JOIN documents d USING (doc_id))
+    WHERE rk = 1
+    ORDER BY cluster_id
+    """,
+)
+def x_dedup_keep_longest(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_dedup_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_df=_MAX_DF
+    )
+    labs = _cc(pairs, docs.select("doc_id"))
+    pairs.unpersist()
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        labs.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_members",
+            F.col("n_chars").alias("kept_chars"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -194,6 +194,9 @@ CASES_R4 = [
     # Q19: the OR-of-ANDs stays a residual on the hash equi-join
     ("q19_disjunctive_predicates", ["BroadcastHashJoin", "HashAggregate"],
      ["NestedLoop", "CartesianProduct", "Window"]),
+    # survivor selection: one keyed window over (doc, cluster); the
+    # candidate path inherits x_dedup_cluster's equi-join-only contract
+    ("x_dedup_keep_longest", ["Window"], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
