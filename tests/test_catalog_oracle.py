@@ -91,3 +91,33 @@ def test_date_queries_tz_robust(spark, sf_dir):
         assert compact.count() > 0  # epoch-us output, tz-free by contract
     finally:
         spark.conf.set(tz_key, "UTC")
+
+
+def test_ansi_sql_surface_matches_dataframe_plans(spark, sf_dir):
+    """The engine's SQL front door: ANSI-dialect catalog oracles run
+    through spark.sql() on temp views must return exactly what the
+    DataFrame plans return — the same declarative query planable either
+    way (a reference user can keep writing SQL). Only dialect-portable
+    entries qualify (no strftime/epoch_us/list_* DuckDB-isms)."""
+    from sparkstreaming_realtime_project_spark.plans.catalog import registry
+    from sparkstreaming_realtime_project_spark.sources.batch import load_table
+
+    reg = {s.name: s for s in registry()}
+    for t in ("customer", "orders", "lineitem", "supplier", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    try:
+        for name in (
+            "q13_order_count_dist",
+            "q22_idle_rich_customers",
+            "q19_disjunctive_predicates",
+            "q21_waiting_suppliers",
+            "q11_important_parts",
+        ):
+            via_sql = sorted(tuple(r) for r in spark.sql(reg[name].sql).collect())
+            via_df = sorted(
+                tuple(r) for r in reg[name].spark(spark, sf_dir).collect()
+            )
+            assert via_sql == via_df, f"{name}: spark.sql != DataFrame plan"
+    finally:
+        for t in ("customer", "orders", "lineitem", "supplier", "part"):
+            spark.catalog.dropTempView(t)
