@@ -272,3 +272,44 @@ def test_connected_components_equal_union_find(spark, edges):
     spark.catalog.clearCache()
     assert hm == truth
     assert star == truth
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_sq8_quantization_error_bound(spark, vecs):
+    """SQ8's reconstruction error is bounded by half a quantization step
+    per dimension: |v - q*s/127| <= s/254 (+ float eps) with s the
+    per-dim max-abs scale — the accuracy contract behind the 1-byte/dim
+    claim. Also: codes are always within [-127, 127]."""
+    from sparkstreaming_realtime_project_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    scales = sim.sq8_scales(df)
+    srow = scales.collect()[0]["__scales"]
+    qz = df.crossJoin(F.broadcast(scales)).select(
+        "vec_id",
+        sim._sq8_quantize(sim.as_double_vec("embedding"), F.col("__scales")).alias("q"),
+    )
+    got = {r["vec_id"]: r["q"] for r in qz.collect()}
+    for i, v in enumerate(vecs):
+        for d, x in enumerate(v):
+            q, s = got[i][d], srow[d]
+            assert -127 <= q <= 127
+            if s > 0:
+                assert abs(float(x) - q * s / 127.0) <= s / 254.0 + 1e-9 * s
+            else:
+                assert q == 0
