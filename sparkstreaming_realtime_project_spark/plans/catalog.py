@@ -3074,7 +3074,8 @@ def a_pivot_daily_types(spark, sf_dir):
                                       ORDER BY tms, event_id) AS gap
           FROM e)
     SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
-           round(avg(gap / 1000.0), 4) AS avg_gap_s,
+           floor((sum(gap) * 1.0 / count(gap)) / 1000.0 * 10000 + 0.5)
+             / 10000.0 AS avg_gap_s,
            round(max(gap / 1000.0), 4) AS max_gap_s
     FROM g WHERE gap IS NOT NULL GROUP BY user_id
     """,
@@ -3087,9 +3088,17 @@ def w_event_gap_stats(spark, sf_dir):
     g = e.select(
         "user_id", (F.col("tms") - F.lag("tms").over(w)).alias("gap")
     ).filter(F.col("gap").isNotNull())
+    # integer-exact mean: gaps are whole milliseconds — sum as longs,
+    # divide ONCE, and round by the explicit floor(x*1e4 + 0.5)/1e4
+    # formula instead of engine round(). Engine .5-boundary semantics
+    # DIFFER (Spark HALF_UPs the exact binary decimal, DuckDB rounds
+    # the double product), first seen at sf0.1 where one user's mean
+    # lands exactly on ...61175; the explicit form is the same double
+    # op sequence everywhere (cf. _sq8_quantize).
+    avg_s = (F.sum("gap") * F.lit(1.0) / F.count("gap")) / F.lit(1000.0)
     return g.groupBy("user_id").agg(
         F.count("gap").alias("n_gaps"),
-        F.round(F.avg(F.col("gap") / 1000.0), 4).alias("avg_gap_s"),
+        (F.floor(avg_s * 10000 + F.lit(0.5)) / 10000.0).alias("avg_gap_s"),
         F.round(F.max(F.col("gap") / 1000.0), 4).alias("max_gap_s"),
     )
 
