@@ -4693,8 +4693,8 @@ def x_dedup_snm_multipass(spark, sf_dir):
            round(c_acctbal, 2) AS acctbal,
            rank()         OVER w AS rnk,
            dense_rank()   OVER w AS drnk,
-           round(percent_rank() OVER w, 6) AS prank,
-           round(cume_dist()    OVER w, 6) AS cdist,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS prank,
+           floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000.0 AS cdist,
            ntile(4)       OVER w AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -4709,8 +4709,13 @@ def w_rank_functions(spark, sf_dir):
         F.round("c_acctbal", 2).alias("acctbal"),
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # explicit floor(x*1e6+0.5)/1e6 rounding: rank ratios are often
+        # exactly-dyadic (41/640 = .0640625) and engine round() .5
+        # semantics differ — same fix as w_event_gap_stats
+        (F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)) / 1000000.0
+         ).alias("prank"),
+        (F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5)) / 1000000.0
+         ).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
 
