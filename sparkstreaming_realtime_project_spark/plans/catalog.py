@@ -4864,7 +4864,7 @@ def x_text_knn_e2e(spark, sf_dir):
       GROUP BY l_partkey, l_suppkey),
     mn AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY l_partkey)
     SELECT p_partkey, p_name, s_suppkey, s_name,
-           round(ps.unit_cost, 4) AS unit_cost
+           floor(ps.unit_cost * 10000 + 0.5) / 10000.0 AS unit_cost
     FROM ps
     JOIN mn ON ps.l_partkey = mn.l_partkey AND ps.unit_cost = mn.min_cost
     JOIN part ON p_partkey = ps.l_partkey AND p_size = 25
@@ -4898,9 +4898,13 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(part), ps.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
     )
+    # explicit floor(x*1e4+0.5)/1e4: price/quantity ratios can land on
+    # a 4th-decimal .5 where engine round() semantics differ (same fix
+    # as w_event_gap_stats / w_rank_functions, found at sf0.1)
     return win.select(
         "p_partkey", "p_name", "s_suppkey", "s_name",
-        F.round("unit_cost", 4).alias("unit_cost"),
+        (F.floor(F.col("unit_cost") * 10000 + F.lit(0.5)) / 10000.0
+         ).alias("unit_cost"),
     ).orderBy("p_partkey", "s_suppkey")
 
 
