@@ -1323,11 +1323,15 @@ def sq8_topk(
             "__qqn", F.sqrt(_int_dot(F.col("__qq"), F.col("__qq")).cast("double"))
         )
     )
+    # the candidate pass and its top-(refine*k) window shuffle carry IDS
+    # AND THE SCALAR SCORE ONLY — never a float vector (a d-dim qv on
+    # every one of the |Q| x N candidate rows would put 8d bytes/row
+    # through the shuffle and undo the 1-byte/dim economics); the query
+    # vector re-joins AFTER the rank filter from the tiny broadcast side
     approx = qz.join(
-        F.broadcast(qside), F.col("query_id") != F.col("__id")
+        F.broadcast(qside.drop("__qv")), F.col("query_id") != F.col("__id")
     ).select(
         "query_id",
-        "__qv",
         F.col("__id").alias("neighbor_id"),
         (
             _int_dot(F.col("__qq"), F.col("__q")).cast("double")
@@ -1338,11 +1342,13 @@ def sq8_topk(
     cand = (
         approx.withColumn("__arank", F.row_number().over(wa))
         .filter(F.col("__arank") <= refine * k)
-        .select("query_id", "__qv", "neighbor_id")
+        .select("query_id", "neighbor_id")
     )
     ne = base.select(F.col("__id").alias("__nid"), F.col("__v").alias("__nv"))
-    rer = cand.join(ne, F.col("neighbor_id") == F.col("__nid")).withColumn(
-        "sim", cosine(F.col("__qv"), F.col("__nv"))
+    rer = (
+        cand.join(F.broadcast(qside.select("query_id", "__qv")), "query_id")
+        .join(ne, F.col("neighbor_id") == F.col("__nid"))
+        .withColumn("sim", cosine(F.col("__qv"), F.col("__nv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
