@@ -197,6 +197,15 @@ CASES_R4 = [
     # survivor selection: one keyed window over (doc, cluster); the
     # candidate path inherits x_dedup_cluster's equi-join-only contract
     ("x_dedup_keep_longest", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    # rank-limit pushdown: every rank<=k filter must plan a PARTIAL
+    # WindowGroupLimit below its exchange (per-partition top-k heads
+    # shuffle, never all candidate rows) — losing it silently multiplies
+    # the top-k shuffle by N/k
+    ("x_knn_bruteforce", ["WindowGroupLimit"], []),
+    ("x_knn_sq8", ["WindowGroupLimit"], []),
+    ("x_knn_bucketed", ["WindowGroupLimit"], []),
+    ("w_topk_per_group", ["WindowGroupLimit"], []),
+    ("x_dedup_keep_longest", ["WindowGroupLimit"], []),
 ]
 
 
