@@ -4957,7 +4957,8 @@ def q13_order_count_dist(spark, sf_dir):
     """
     WITH rev AS (
       SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+               / 100.0 AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -4983,8 +4984,18 @@ def q15_top_supplier(spark, sf_dir):
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("total_rev")
+            # floor(x*100+0.5)/100 instead of round(): this value feeds
+            # the max-equality join, where an engine .5-rounding
+            # disagreement would change WHICH ROWS return (see the
+            # w_event_gap_stats family of sf0.1 boundary fixes)
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("total_rev")
         )
     )
     mx = rev.agg(F.max("total_rev").alias("__mx"))
