@@ -5458,3 +5458,416 @@ def x_dedup_keep_longest(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (Q4/Q7/Q8/Q9/Q10/Q12/Q16/Q20), adapted where the
+# testdata lacks a TPC-H column (no partsupp/shipmode/receiptdate): the
+# PLAN SHAPE is the thing each entry pins, substitutions are noted.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q4_priority_check",
+    "EXISTS-decorrelated semi join into a date-windowed histogram "
+    "(TPC-H Q4 shape; returnflag='R' substitutes for the missing "
+    "receipt>commit late test): orders with at least one returned line, "
+    "counted by priority — the exists list is an aggregate-free semi "
+    "join on the order key",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_check(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "q7_nation_volume",
+    "two independent dim chains to one fact + disjunctive pair filter "
+    "(TPC-H Q7 shape): customer nation via orders, supplier nation via "
+    "lineitem, keep the two directed pairs, yearly volume — nations "
+    "broadcast twice under different aliases",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    ORDER BY cust_nation, supp_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("__nk1") == F.col("c_nationkey"))
+        .join(F.broadcast(n2), F.col("__nk2") == F.col("s_nationkey"))
+        .filter(pair)
+    )
+    return (
+        j.groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            # DECIMAL-exact revenue: double partial sums are partition-
+            # order dependent and can cross a 2-decimal boundary (1-cent
+            # cross-engine diffs seen at sf0.01 on q9/q10); decimal
+            # addition is exact and order-free
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@_register(
+    "q8_market_share",
+    "conditional-ratio market share by year (TPC-H Q8 shape): one "
+    "supplier nation's share of an entire region's customer market — "
+    "the CASE rides inside both aggregates of a single grouped "
+    "reduction; ratio rounded by the explicit floor form (engine "
+    "round() .5 semantics differ)",
+    """
+    WITH base AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS rev,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey)
+    SELECT l_year,
+           floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                          ELSE 0.0 END) / sum(rev) * 1000000 + 0.5)
+             / 1000000.0 AS mkt_share,
+           count(*) AS n_lines
+    FROM base GROUP BY l_year ORDER BY l_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__nk1"), F.col("n_regionkey").alias("__rk1")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("__nk1") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("__rk1"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("__nk2") == F.col("s_nationkey"))
+        .select(
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(F.lit(0.0))
+    ) / F.sum("rev")
+    return (
+        base.groupBy("l_year")
+        .agg(
+            (F.floor(share * 1000000 + F.lit(0.5)) / 1000000.0).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_year")
+    )
+
+
+@_register(
+    "q9_product_profit",
+    "LIKE-filtered multi-dim profit rollup (TPC-H Q9 shape; revenue "
+    "substitutes for profit — no partsupp supplycost in the testdata): "
+    "parts matching '%gizmo%', revenue by supplier nation and year — "
+    "the LIKE prunes through a broadcast dim before the fact joins",
+    """
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%gizmo%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name, l_year
+    ORDER BY nation, l_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gizmo%"))
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            # DECIMAL-exact revenue: double partial sums are partition-
+            # order dependent and can cross a 2-decimal boundary (1-cent
+            # cross-engine diffs seen at sf0.01 on q9/q10); decimal
+            # addition is exact and order-free
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation", F.col("l_year").desc())
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    "returned-item top customers (TPC-H Q10 shape): revenue lost to "
+    "'R' lines in one quarter per customer with nation, top 20 — "
+    "ordering on the ROUNDED revenue with a key tiebreak so the limit "
+    "is deterministic cross-engine; must plan TakeOrdered, never a "
+    "global sort",
+    """
+    SELECT c_custkey, c_name, n_name AS nation,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "q12_priority_by_status",
+    "conditional two-way counts on a fact join (TPC-H Q12 shape; "
+    "l_linestatus substitutes for the missing shipmode): per status, "
+    "high- vs low-priority order line counts in one year — both counts "
+    "out of ONE grouped reduction",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_priority_by_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_register(
+    "q16_supplier_count",
+    "distinct-count with an exclusion list (TPC-H Q16 shape; negative "
+    "account balance substitutes for the complaints LIKE): suppliers "
+    "per (brand, size) for selected sizes, excluding one brand and the "
+    "bad-supplier list — NOT IN decorrelates to a left_anti (the bad "
+    "list is null-free by construction), then count(DISTINCT)",
+    """
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (10, 20, 30)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(10, 20, 30)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@_register(
+    "q20_part_promotion",
+    "nested semi-join chain over an aggregated subquery (TPC-H Q20 "
+    "shape; shipped-quantity threshold substitutes for the missing "
+    "partsupp availqty): suppliers who moved >45 units of some size-25 "
+    "part in 1996 — the inner aggregate's qualifying keys semi-join the "
+    "supplier dim",
+    """
+    WITH hot AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey AND p_size = 25
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 45)
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    sup = _t(spark, sf_dir, "supplier")
+    hot = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 45)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(hot, sup.s_suppkey == hot.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -206,6 +206,25 @@ CASES_R4 = [
     ("x_knn_bucketed", ["WindowGroupLimit"], []),
     ("w_topk_per_group", ["WindowGroupLimit"], []),
     ("x_dedup_keep_longest", ["WindowGroupLimit"], []),
+    # final TPC-H batch (Q4/Q7/Q8/Q9/Q10/Q12/Q16/Q20): dims broadcast,
+    # aggregates hash-based, Q10's top-20 must be TakeOrdered
+    ("q4_priority_check", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("q7_nation_volume", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("q8_market_share", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("q9_product_profit", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("q10_returned_revenue",
+     ["TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("q12_priority_by_status", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("q16_supplier_count", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    ("q20_part_promotion", ["BroadcastHashJoin", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
 ]
 
 
