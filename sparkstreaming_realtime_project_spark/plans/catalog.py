@@ -4957,8 +4957,8 @@ def q13_order_count_dist(spark, sf_dir):
     """
     WITH rev AS (
       SELECT l_suppkey,
-             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
-               / 100.0 AS total_rev
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -4984,18 +4984,20 @@ def q15_top_supplier(spark, sf_dir):
         )
         .groupBy("l_suppkey")
         .agg(
-            # floor(x*100+0.5)/100 instead of round(): this value feeds
-            # the max-equality join, where an engine .5-rounding
-            # disagreement would change WHICH ROWS return (see the
-            # w_event_gap_stats family of sf0.1 boundary fixes)
-            (
-                F.floor(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                    * 100
-                    + F.lit(0.5)
-                )
-                / 100.0
-            ).alias("total_rev")
+            # decimal-exact sum (order-free) rounded in decimal: this
+            # value feeds the max-equality join, where ANY cross-engine
+            # divergence (ulp from double sum order, or .5 rounding)
+            # would change WHICH ROWS return
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_rev")
         )
     )
     mx = rev.agg(F.max("total_rev").alias("__mx"))
@@ -5024,7 +5026,8 @@ def q15_top_supplier(spark, sf_dir):
       JOIN part ON p_partkey = l.l_partkey AND p_brand = 'Brand#12'
       JOIN pq ON pq.l_partkey = l.l_partkey
       WHERE l.l_quantity < half_avg)
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly,
            count(*) AS n_lines
     FROM sel
     """,
@@ -5041,7 +5044,11 @@ def q17_small_qty_revenue(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("half_avg"))
     )
     return sel.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -5064,7 +5071,8 @@ def q17_small_qty_revenue(spark, sf_dir):
         SELECT 1 FROM orders
         WHERE o_custkey = r.c_custkey AND o_orderpriority = '1-URGENT'))
     SELECT c_nationkey, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS totacctbal
     FROM idle GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 )
@@ -5083,7 +5091,9 @@ def q22_idle_rich_customers(spark, sf_dir):
         idle.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -5187,7 +5197,8 @@ def x_knn_sq8(spark, sf_dir):
     "and rides a 1-row broadcast into the filter",
     """
     WITH pv AS (
-      SELECT l_partkey, sum(l_extendedprice) AS val
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS val
       FROM lineitem GROUP BY l_partkey),
     tot AS (SELECT sum(val) * 0.0005 AS cutoff FROM pv)
     SELECT l_partkey, round(val, 2) AS part_value
@@ -5197,7 +5208,14 @@ def x_knn_sq8(spark, sf_dir):
 )
 def q11_important_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    pv = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("val"))
+    # decimal-exact per-part sums: double partial sums are partition-
+    # order dependent; both the display rounding and the cutoff
+    # comparison need the exact value (see the q9/q10 1-cent diffs)
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("val")
+    )
     tot = pv.agg((F.sum("val") * 0.0005).alias("cutoff"))
     return (
         pv.crossJoin(F.broadcast(tot))
@@ -5215,10 +5233,11 @@ def q11_important_parts(spark, sf_dir):
     "grouped reduction; the part type dim broadcasts onto the "
     "date-pruned fact scan",
     """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_share,
            count(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-12-01 00:00:00'
@@ -5236,10 +5255,16 @@ def q14_promo_revenue_share(spark, sf_dir):
         )
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
+            # decimal-exact numerator/denominator (order-free), ratio in
+            # double of identical inputs -> deterministic
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
                 4,
             ).alias("promo_share"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -5601,8 +5626,11 @@ def q7_nation_volume(spark, sf_dir):
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation n2 ON n2.n_nationkey = s_nationkey)
     SELECT l_year,
-           floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
-                          ELSE 0.0 END) / sum(rev) * 1000000 + 0.5)
+           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN CAST(rev AS DECIMAL(18,6))
+                               ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE)
+                 * 1000000 + 0.5)
              / 1000000.0 AS mkt_share,
            count(*) AS n_lines
     FROM base GROUP BY l_year ORDER BY l_year
@@ -5635,8 +5663,10 @@ def q8_market_share(spark, sf_dir):
         )
     )
     share = F.sum(
-        F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(F.lit(0.0))
-    ) / F.sum("rev")
+        F.when(F.col("supp_nation") == "NATION_3", F.col("rev"))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    ).cast("double") / F.sum(F.col("rev").cast("decimal(18,6)")).cast("double")
     return (
         base.groupBy("l_year")
         .agg(
