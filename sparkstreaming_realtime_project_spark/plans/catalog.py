@@ -5200,7 +5200,8 @@ def x_knn_sq8(spark, sf_dir):
       SELECT l_partkey,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS val
       FROM lineitem GROUP BY l_partkey),
-    tot AS (SELECT sum(val) * 0.0005 AS cutoff FROM pv)
+    tot AS (SELECT CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+                   * 0.0005 AS cutoff FROM pv)
     SELECT l_partkey, round(val, 2) AS part_value
     FROM pv, tot WHERE val > cutoff
     ORDER BY part_value DESC, l_partkey
@@ -5216,7 +5217,13 @@ def q11_important_parts(spark, sf_dir):
         .cast("double")
         .alias("val")
     )
-    tot = pv.agg((F.sum("val") * 0.0005).alias("cutoff"))
+    # the cutoff decides MEMBERSHIP — re-aggregate through decimal so
+    # it's the identical double on every engine and partitioning
+    tot = pv.agg(
+        (F.sum(F.col("val").cast("decimal(18,6)")).cast("double") * 0.0005).alias(
+            "cutoff"
+        )
+    )
     return (
         pv.crossJoin(F.broadcast(tot))
         .filter(F.col("val") > F.col("cutoff"))
