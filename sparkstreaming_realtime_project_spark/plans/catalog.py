@@ -9,7 +9,16 @@ row sets (names, schema, values). Conventions keeping the hash stable:
 - timestamps leave the plan as epoch-micros (``unix_micros`` /
   ``epoch_us``) or formatted strings — never raw timestamp objects;
 - floating aggregates are rounded to 2 decimals on both sides;
-- hour-of-day is the reference's zero-padded 'HH' string (SURVEY §2.7 F2).
+- hour-of-day is the reference's zero-padded 'HH' string (SURVEY §2.7 F2);
+- CROSS-ENGINE FLOAT DETERMINISM (two distinct failure modes, both hit
+  at sf0.1): (a) identical doubles can round DIFFERENTLY at an exact .5
+  (Spark HALF_UPs the exact binary decimal; other engines round the
+  double product) — round ratio outputs with the explicit
+  ``floor(x * 1eN + 0.5) / 1eN`` form, never engine round(); (b) double
+  SUMS are partition-order dependent (±1 ulp flips a rounding boundary
+  or a threshold/equality compare) — aggregate money and any
+  sum-that-feeds-a-comparison through ``DECIMAL(18,6)`` (exact,
+  order-free), then cast out.
 
 The gmall-shaped pipeline semantics (log envelope, CDC, order-wide) are
 exercised on their natural fixtures in tests/; here the same operators run
