@@ -112,20 +112,48 @@ _DRIVER_VERIFIED_R2 = frozenset(
 )
 
 
+# The round-4 CORRECTNESS artifact never landed in the repo, so these are
+# the entries that OCCUPIED the round-4 driver window (the first 50 of
+# registry() at the round-4 end commit) rather than a confirmed green set.
+# They rotate to the back on the same logic — each already had one driver
+# exposure — and every one remains green under scripts/check_oracle.py at
+# sf0.01. If CORRECTNESS_r04.json surfaces with failures, pull those names
+# out of this set so they re-enter the window immediately.
+_DRIVER_WINDOW_R4 = frozenset(
+    {
+        "j_order_wide_decimal", "x_dedup_embedding_gemm", "x_knn_gemm",
+        "x_dedup_sorted_neighborhood", "x_dedup_cluster_star",
+        "x_chunk_overlap", "x_repetition_stats", "x_decontaminate",
+        "x_bm25_topk", "j_scd2_history", "x_sample_temperature",
+        "x_pii_scrub", "x_vocab_stats", "x_zipf_spectrum", "x_knn_pq",
+        "x_dedup_containment", "x_dedup_edit_distance", "x_inverted_index",
+        "x_shard_assign", "x_pagerank", "x_pagerank_dangling", "x_knn_ivfpq",
+        "x_ngram_freq", "x_boilerplate_score", "x_cms_user_counts",
+        "x_hll_distinct_users", "a_funnel_daily", "a_grouping_sets",
+        "a_pivot_daily_types", "w_event_gap_stats", "x_quantile_hist",
+        "x_text_normalize", "a_dau_cumulative", "q3_shipping_priority",
+        "x_anomaly_zscore", "x_dup_spans", "j_bloom_prune",
+        "a_retention_cohort", "x_unigram_logprob", "x_ann_recall",
+        "x_mixture_plan", "x_zorder_layout", "x_source_cap",
+        "x_corpus_pipeline", "x_split_train_val", "x_minhash_recall",
+        "x_span_scrub", "x_semantic_dedup", "x_dsir_weights",
+        "x_cross_dedup",
+    }
+)
+
+
 def registry() -> list[QuerySpec]:
     """Never-driver-verified entries first (registration order — oldest
     waiting first, so every entry lands in the driver's 50-slot
-    CORRECTNESS window within ceil(N/50) rounds), then r2-verified,
-    then r3-verified. All entries stay green under the full local
-    driver-replica (scripts/check_oracle.py) regardless of order."""
-    never = [
-        q
-        for q in _REGISTRY
-        if q.name not in _DRIVER_VERIFIED_R3 and q.name not in _DRIVER_VERIFIED_R2
-    ]
+    CORRECTNESS window within ceil(N/50) rounds), then oldest-verified
+    cohorts (r2, r4-window, r3). All entries stay green under the full
+    local driver-replica (scripts/check_oracle.py) regardless of order."""
+    seen = _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R2 | _DRIVER_WINDOW_R4
+    never = [q for q in _REGISTRY if q.name not in seen]
     r2 = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R2]
+    r4 = [q for q in _REGISTRY if q.name in _DRIVER_WINDOW_R4]
     r3 = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R3]
-    return never + r2 + r3
+    return never + r2 + r4 + r3
 
 
 def _t(spark, sf_dir, name):
