@@ -699,3 +699,69 @@ def weighted_sample(
         .limit(n)
         .drop("__score")
     )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    bench_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact benchmark-contamination report: for every training document
+    (rows where ``bench_pred`` is false), the fraction of its word
+    n-grams that also appear anywhere in the benchmark set (rows where
+    ``bench_pred`` is true), plus a flag at ``threshold``.
+
+    The exact complement to ``decontaminate`` (bloom-bitmap membership,
+    one-sided error): this one reports the real overlap RATIO per
+    document — the number a contamination audit publishes — instead of
+    a drop decision. Same n-gram definition on both paths, so the bloom
+    filter's false-positive cost can be graded against this truth.
+
+    Scale shape: the benchmark gram set is eval-benchmark-sized (tiny
+    next to a 100 TB corpus) and distinct — it BROADCASTS; training-doc
+    grams stream through one hash join against it, partial-aggregated
+    per doc. Nothing corpus-sized shuffles: the join output is bounded
+    by hits, the groupBy key is the doc id. Docs too short for one
+    n-gram surface with n_grams=0 / frac 0.0 rather than vanishing
+    (left join), so the report covers the whole corpus."""
+    from .dedup import with_shingles
+
+    sh = with_shingles(docs, text_col, id_col, n)
+    flags = docs.select(
+        F.col(id_col).alias("id"), bench_pred.alias("__is_bench")
+    )
+    sh = sh.join(flags, "id")
+    bench_grams = (
+        sh.filter(F.col("__is_bench"))
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    train = sh.filter(~F.col("__is_bench")).select(
+        "id", F.size("shingles").alias("n_grams"), "shingles"
+    )
+    hits = (
+        train.select("id", F.explode("shingles").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        train.drop("shingles")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.when(F.col("n_grams") > 0,
+                   F.floor(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams")
+                           * 1e4 + F.lit(0.5)) / 1e4)
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+        )
+        .withColumn(
+            "contaminated", (F.col("overlap_frac") >= threshold).cast("int")
+        )
+    )

