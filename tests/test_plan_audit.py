@@ -227,9 +227,46 @@ CASES_R4 = [
      ["NestedLoop", "CartesianProduct", "Window"]),
 ]
 
+# round-5 additions: the projected-shortlist and curation paths
+CASES_R5 = [
+    # both shortlist and final ranks must push a partial WindowGroupLimit;
+    # the query side broadcasts over a non-equi condition (declared BNLJ
+    # baseline, same as x_knn_bruteforce) but never a true cartesian
+    ("x_knn_randproj", ["WindowGroupLimit"], ["CartesianProduct"]),
+    ("x_randproj_recall", [], ["CartesianProduct"]),
+    # assignment is a narrow broadcast projection of the trained model
+    # (the 1-row model attach is a declared broadcast NLJ, so only a
+    # true cartesian is banned); the per-cluster quota is one keyed
+    # window with rank-limit pushdown
+    ("x_cluster_balanced_sample", ["WindowGroupLimit"], ["CartesianProduct"]),
+    # centroid training is ONE hash aggregate over (label, pos); the
+    # join-back of the tiny centroid frame must broadcast (the n_labels^2
+    # inter-centroid pairwise join is a declared broadcast NLJ)
+    ("x_embed_label_centroids", ["HashAggregate", "BroadcastHashJoin"],
+     ["CartesianProduct", "Window"]),
+    # benchmark gram set broadcasts; the corpus side never shuffles for
+    # the membership join (only the per-doc hit count aggregates)
+    ("x_contamination_overlap", ["BroadcastHashJoin"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
+    # pure column expressions + one map-side-partial groupBy: no explode
+    # (Generate), no window, no join at all
+    ("x_gopher_quality_report", ["HashAggregate"],
+     ["Generate", "Window", "Join", "CartesianProduct"]),
+]
+
 
 @pytest.mark.parametrize("name,want,ban", CASES_R4, ids=[c[0] for c in CASES_R4])
 def test_plan_shape_r4(spark, sf_dir, name, want, ban):
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in want:
+        assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
+    for frag in ban:
+        assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
+
+
+@pytest.mark.parametrize("name,want,ban", CASES_R5, ids=[c[0] for c in CASES_R5])
+def test_plan_shape_r5(spark, sf_dir, name, want, ban):
     df = _REG[name].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     for frag in want:
