@@ -23,7 +23,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "interval_overlap_join", "salted_join"]
+__all__ = [
+    "asof_join",
+    "asof_join_directional",
+    "asof_join_nearest",
+    "interval_overlap_join",
+    "salted_join",
+]
 
 
 def asof_join(
@@ -97,6 +103,153 @@ def asof_join(
         ],
     )
     return out.filter(F.col("__side") == l_side).drop("__side")
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance: float | int | None = None,
+    strict: bool = False,
+    tiebreak: list[str] | None = None,
+    match_ts: str | None = None,
+) -> DataFrame:
+    """``asof_join`` with a ``direction`` knob (pandas ``merge_asof``
+    parity): ``backward`` attaches the greatest ``right_ts`` <=
+    ``left_ts`` (identical semantics to :func:`asof_join`), ``forward``
+    the smallest ``right_ts`` >= ``left_ts``. ``tolerance`` (same units
+    as the — numeric — ts columns) nulls the attachment when the match
+    is further than that; ``match_ts`` optionally exposes the matched
+    right timestamp as a column.
+
+    Same plan as asof_join — tag, UNION, ONE window per key over a
+    running ``last(ignorenulls)`` frame — with the window sorted
+    DESCENDING for forward (a forward as-of is a backward as-of on the
+    reversed timeline). Never a range-predicate join, so never a
+    BroadcastNestedLoop/Cartesian pair blow-up; cost is one exchange of
+    left+right on ``on`` at any scale.
+
+    Ties: at equal timestamps the right row is visible unless
+    ``strict``; among right rows sharing a timestamp the winner is the
+    greatest ``tiebreak`` in BOTH directions (deterministic output —
+    document, don't inherit, engine row order)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    forward = direction == "forward"
+    tiebreak = tiebreak or []
+    lcols = left.columns
+    l_side, r_side = (0, 1) if strict else (1, 0)
+
+    ltag = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__v___mts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{t}") for t in tiebreak],
+    )
+    rtag = right.filter(F.col(right_ts).isNotNull()).select(
+        *[F.col(k) for k in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        F.col(right_ts).alias("__v___mts"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.col(t).alias(f"__tb_{t}") for t in tiebreak],
+    ).select(*ltag.columns)
+
+    ts_order = F.col("__ts").desc_nulls_first() if forward else F.col("__ts").asc_nulls_first()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            ts_order,
+            F.col("__side").asc(),
+            *[F.col(f"__tb_{t}").asc_nulls_first() for t in tiebreak],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mts = F.last(F.col("__v___mts"), ignorenulls=True).over(w)
+    delta = (mts - F.col("__ts")) if forward else (F.col("__ts") - mts)
+    ok = mts.isNotNull() if tolerance is None else (delta <= F.lit(tolerance))
+    out = ltag.unionByName(rtag).select(
+        *[F.col(c) for c in lcols],
+        F.col("__side"),
+        *([F.when(ok, mts).alias(match_ts)] if match_ts else []),
+        *[
+            F.when(ok, F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w)).alias(c)
+            for c in value_cols
+        ],
+    )
+    return out.filter(F.col("__side") == l_side).drop("__side")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance: float | int | None = None,
+    tiebreak: list[str] | None = None,
+    match_ts: str | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of: per left row, the right row with the
+    smallest |right_ts - left_ts| within the key, exact ties going to
+    the BACKWARD (earlier) match — two directional passes joined on the
+    caller's unique ``left_key`` (two windows, not a range join; the
+    explicit key keeps the recombination deterministic — a generated id
+    could be re-derived differently in each branch).
+
+    ``tolerance`` bounds both directions; rows with no match inside it
+    keep NULLs (left-outer semantics, like pandas merge_asof
+    direction='nearest')."""
+    b = asof_join_directional(
+        left, right, on, left_ts, right_ts, value_cols,
+        direction="backward", tolerance=tolerance, tiebreak=tiebreak,
+        match_ts="__b_mts",
+    ).select(
+        left_key,
+        F.col("__b_mts"),
+        *[F.col(c).alias(f"__b_{c}") for c in value_cols],
+    )
+    f = asof_join_directional(
+        left, right, on, left_ts, right_ts, value_cols,
+        direction="forward", tolerance=tolerance, tiebreak=tiebreak,
+        match_ts="__f_mts",
+    ).select(
+        left_key,
+        F.col("__f_mts"),
+        *[F.col(c).alias(f"__f_{c}") for c in value_cols],
+    )
+    lts = F.col("__lts")
+    use_b = F.col("__b_mts").isNotNull() & (
+        F.col("__f_mts").isNull()
+        | ((lts - F.col("__b_mts")) <= (F.col("__f_mts") - lts))
+    )
+    out = (
+        left.withColumn("__lts", F.col(left_ts))
+        .join(b, left_key, "left")
+        .join(f, left_key, "left")
+    )
+    picked = out.select(
+        *[F.col(c) for c in left.columns],
+        *(
+            [F.when(use_b, F.col("__b_mts")).otherwise(F.col("__f_mts")).alias(match_ts)]
+            if match_ts
+            else []
+        ),
+        *[
+            F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+            for c in value_cols
+        ],
+    )
+    return picked
 
 
 def interval_overlap_join(

@@ -6189,3 +6189,107 @@ def x_gopher_quality_report(spark, sf_dir):
     return _ts.gopher_quality_report(
         _t(spark, sf_dir, "documents"), "text", "doc_id", "source"
     )
+
+
+_ASOF_FWD_TOL_MS = 7_200_000  # 2 h view->purchase attribution window
+_ASOF_NEAR_TOL_MS = 600_000  # ±10 min error<->click correlation window
+
+
+@_register(
+    "j_asof_forward",
+    "forward as-of join with tolerance (pandas merge_asof "
+    "direction='forward'): each view event attaches the user's NEXT "
+    "purchase within 2 h — tag+union+ONE descending window per key, "
+    "never a range-predicate join (north-star; extends j_asof_prev_order "
+    "to the full direction/tolerance surface)",
+    f"""
+    WITH v AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, epoch_ms(ts) AS pts, value AS purchase_value,
+                 event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'),
+    cand AS (SELECT v.event_id, p.pts, p.purchase_value, p.purchase_id,
+                    row_number() OVER (PARTITION BY v.event_id
+                      ORDER BY p.pts ASC, p.purchase_id DESC) AS rn
+             FROM v JOIN p ON p.user_id = v.user_id
+               AND p.pts >= v.ts_ms
+               AND p.pts - v.ts_ms <= {_ASOF_FWD_TOL_MS})
+    SELECT v.event_id, v.user_id, v.ts_ms,
+           c.pts AS purchase_ts_ms, c.purchase_value, c.purchase_id
+    FROM v LEFT JOIN cand c ON c.event_id = v.event_id AND c.rn = 1
+    """,
+)
+def j_asof_forward(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_millis("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return _jn.asof_join_directional(
+        views, purch, ["user_id"], "ts_ms", "pts",
+        ["purchase_value", "purchase_id"],
+        direction="forward", tolerance=_ASOF_FWD_TOL_MS,
+        tiebreak=["purchase_id"], match_ts="purchase_ts_ms",
+    ).select(
+        "event_id", "user_id", "ts_ms",
+        "purchase_ts_ms", "purchase_value", "purchase_id",
+    )
+
+
+@_register(
+    "j_asof_nearest",
+    "nearest-direction as-of join with tolerance (pandas merge_asof "
+    "direction='nearest', ties to the earlier match): each error event "
+    "attaches the user's closest click within ±10 min — two directional "
+    "window passes recombined on the unique left key; still no "
+    "range-predicate join anywhere (north-star)",
+    f"""
+    WITH er AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+                FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, epoch_ms(ts) AS cts, event_id AS click_id
+          FROM events WHERE event_type = 'click'),
+    b AS (SELECT event_id, cts, click_id FROM (
+        SELECT er.event_id, c.cts, c.click_id,
+               row_number() OVER (PARTITION BY er.event_id
+                 ORDER BY c.cts DESC, c.click_id DESC) AS rn
+        FROM er JOIN c ON c.user_id = er.user_id
+          AND c.cts <= er.ts_ms
+          AND er.ts_ms - c.cts <= {_ASOF_NEAR_TOL_MS}) WHERE rn = 1),
+    f AS (SELECT event_id, cts, click_id FROM (
+        SELECT er.event_id, c.cts, c.click_id,
+               row_number() OVER (PARTITION BY er.event_id
+                 ORDER BY c.cts ASC, c.click_id DESC) AS rn
+        FROM er JOIN c ON c.user_id = er.user_id
+          AND c.cts >= er.ts_ms
+          AND c.cts - er.ts_ms <= {_ASOF_NEAR_TOL_MS}) WHERE rn = 1)
+    SELECT er.event_id, er.user_id, er.ts_ms,
+           CASE WHEN b.cts IS NOT NULL AND (f.cts IS NULL
+                  OR (er.ts_ms - b.cts) <= (f.cts - er.ts_ms))
+                THEN b.cts ELSE f.cts END AS click_ts_ms,
+           CASE WHEN b.cts IS NOT NULL AND (f.cts IS NULL
+                  OR (er.ts_ms - b.cts) <= (f.cts - er.ts_ms))
+                THEN b.click_id ELSE f.click_id END AS click_id
+    FROM er LEFT JOIN b ON b.event_id = er.event_id
+            LEFT JOIN f ON f.event_id = er.event_id
+    """,
+)
+def j_asof_nearest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_millis("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return _jn.asof_join_nearest(
+        errs, clicks, ["user_id"], "event_id", "ts_ms", "cts",
+        ["click_id"], tolerance=_ASOF_NEAR_TOL_MS,
+        tiebreak=["click_id"], match_ts="click_ts_ms",
+    ).select("event_id", "user_id", "ts_ms", "click_ts_ms", "click_id")

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from sparkstreaming_realtime_project_spark.operators.joins import (
     asof_join,
+    asof_join_directional,
+    asof_join_nearest,
     interval_overlap_join,
     salted_join,
 )
@@ -155,3 +157,109 @@ class TestSaltedJoin:
 
         with pytest.raises(ValueError):
             salted_join(left, left, on=["k"], how="right")
+
+
+class TestAsofDirectional:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "c", 9)],
+            "lid long, k string, ts long",
+        )
+        right = spark.createDataFrame(
+            [("a", 10, "r@10"), ("a", 15, "r@15"), ("a", 26, "r@26"),
+             ("b", 7, "r@7")],
+            "k string, ts long, val string",
+        )
+        return left, right
+
+    def test_backward_matches_asof_join(self, spark):
+        """direction='backward' must reproduce asof_join exactly."""
+        left, right = self._frames(spark)
+        a = _rows(
+            asof_join(left, right, ["k"], "ts", "ts", ["val"]),
+            "lid", "val",
+        )
+        b = _rows(
+            asof_join_directional(
+                left, right, ["k"], "ts", "ts", ["val"], direction="backward"
+            ),
+            "lid", "val",
+        )
+        assert a == b
+
+    def test_forward_picks_next_at_or_after(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join_directional(
+            left, right, ["k"], "ts", "ts", ["val"],
+            direction="forward", match_ts="mts",
+        )
+        got = {r["lid"]: (r["val"], r["mts"]) for r in out.collect()}
+        assert got[1] == ("r@10", 10)   # equal ts visible (inclusive)
+        assert got[2] == ("r@26", 26)   # next after 20
+        assert got[3] == ("r@7", 7)
+        assert got[4] == (None, None)   # no right rows for key c
+
+    def test_tolerance_nulls_far_matches(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join_directional(
+            left, right, ["k"], "ts", "ts", ["val"],
+            direction="forward", tolerance=2, match_ts="mts",
+        )
+        got = {r["lid"]: r["val"] for r in out.collect()}
+        assert got[1] == "r@10"   # delta 0 <= 2
+        assert got[2] is None     # next is 26, delta 6 > 2
+        assert got[3] == "r@7"    # delta 2 <= 2
+
+    def test_matches_pandas_merge_asof(self, spark):
+        """Cross-check all three directions against pandas merge_asof on
+        a random-ish keyed series (the public reference semantics)."""
+        import pandas as pd
+
+        lrows = [(i, f"k{i % 3}", (i * 37) % 100) for i in range(40)]
+        rrows = [(f"k{j % 3}", (j * 23) % 100, float(j)) for j in range(30)]
+        # pandas merge_asof requires unique sorted keys; drop duplicate
+        # (key, ts) right rows to sidestep tie-rule differences
+        seen = set()
+        rdedup = []
+        for k, ts, v in rrows:
+            if (k, ts) not in seen:
+                seen.add((k, ts))
+                rdedup.append((k, ts, v))
+        left = spark.createDataFrame(lrows, "lid long, k string, ts long")
+        right = spark.createDataFrame(rdedup, "k string, ts long, val double")
+        lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+        rpd = pd.DataFrame(rdedup, columns=["k", "ts", "val"]).sort_values("ts")
+        for direction in ("backward", "forward"):
+            want = pd.merge_asof(
+                lpd, rpd, on="ts", by="k", direction=direction, tolerance=15
+            ).set_index("lid")["val"]
+            out = asof_join_directional(
+                left, right, ["k"], "ts", "ts", ["val"],
+                direction=direction, tolerance=15,
+            )
+            got = {r["lid"]: r["val"] for r in out.collect()}
+            for lid in got:
+                w = want.loc[lid]
+                assert (got[lid] is None and pd.isna(w)) or got[lid] == w, (
+                    direction, lid, got[lid], w)
+        want = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction="nearest", tolerance=15
+        ).set_index("lid")["val"]
+        out = asof_join_nearest(
+            left, right, ["k"], "lid", "ts", "ts", ["val"], tolerance=15
+        )
+        got = {r["lid"]: r["val"] for r in out.collect()}
+        for lid in got:
+            w = want.loc[lid]
+            assert (got[lid] is None and pd.isna(w)) or got[lid] == w, (
+                "nearest", lid, got[lid], w)
+
+    def test_nearest_tie_prefers_backward(self, spark):
+        left = spark.createDataFrame([(1, "a", 10)], "lid long, k string, ts long")
+        right = spark.createDataFrame(
+            [("a", 8, "early"), ("a", 12, "late")], "k string, ts long, val string"
+        )
+        out = asof_join_nearest(
+            left, right, ["k"], "lid", "ts", "ts", ["val"], match_ts="mts"
+        ).collect()
+        assert out[0]["val"] == "early" and out[0]["mts"] == 8

@@ -252,6 +252,11 @@ CASES_R5 = [
     # (Generate), no window, no join at all
     ("x_gopher_quality_report", ["HashAggregate"],
      ["Generate", "Window", "Join", "CartesianProduct"]),
+    # directional as-of: tag+union+window — a range-predicate join would
+    # plan BNLJ/cartesian, the exact degeneration these operators exist
+    # to avoid
+    ("j_asof_forward", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    ("j_asof_nearest", ["Window"], ["NestedLoop", "CartesianProduct"]),
 ]
 
 
