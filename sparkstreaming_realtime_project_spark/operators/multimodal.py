@@ -6,10 +6,13 @@ Convention (schemas.MULTIMODAL_META_SCHEMA): a multimodal table carries
 duration_ms, sha256, n_bytes)``. Metadata derivation (hash, byte length,
 modality tagging) is pure JVM expressions; the *decode* step (image
 decode, resize, audio frames) is a ``mapInPandas`` operator whose Spark
-plumbing — schema, batching, partition alignment — is real, while the
-pixel-level work is stubbed: the image/audio libraries are not in this
-container (NotImplementedError behind ``strict=True``, deterministic
-fake features otherwise, clearly marked).
+plumbing — schema, batching, partition alignment — is real. Three pixel
+paths per operator: ``decoder="fake"`` (deterministic sha256-derived
+output, the engine-replayable oracle default; NotImplementedError
+behind ``strict=True``), ``decoder="png"`` (REAL decode/resize/encode
+via the pure-stdlib PNG codec in functions/png.py — runs and is tested
+in this container), and ``decoder="pil"`` (Pillow, opt-in, full-format
+coverage where installed).
 
 Scale notes: payloads never enter a shuffle — derive-then-drop. Any
 grouping/join happens on the metadata columns; ``mapInPandas`` streams
@@ -91,11 +94,41 @@ def decode_features(
       parameter, never auto-detected: output must not depend on what
       happens to be installed.
 
+    - ``"png"``: real PNG decode via the pure-stdlib codec
+      (``functions/png.py`` — zlib + struct, zero executor install
+      footprint): width/height from IHDR, features = the same
+      ``feature_dim``-bin normalized luminance histogram the PIL path
+      computes. Undecodable bytes raise in the task. This is the real
+      pixel path that runs in THIS environment and is exercised by
+      tests; PIL stays opt-in for full-format coverage.
+
     ``strict=True`` with the fake decoder raises NotImplementedError —
     the production posture until a real decoder is chosen.
     """
-    if decoder not in ("fake", "pil"):
+    if decoder not in ("fake", "pil", "png"):
         raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run_png(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions import png as _png
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "modality": pdf["meta"].map(lambda m: m["modality"]),
+                "n_bytes": pdf["meta"].map(lambda m: int(m["n_bytes"])),
+            }
+            dims_w, dims_h, feats = [], [], []
+            for p in pdf["payload"]:
+                w, h, ch, px = _png.decode_png(bytes(p))
+                dims_w.append(w)
+                dims_h.append(h)
+                feats.append(_png.luma_histogram(w, h, ch, px, feature_dim))
+            out["width"] = pd.Series(dims_w, dtype="int32")
+            out["height"] = pd.Series(dims_h, dtype="int32")
+            out["features"] = pd.Series(feats)
+            yield pd.DataFrame(out)
 
     def run_pil(batches: Iterator) -> Iterator:
         import io
@@ -156,9 +189,8 @@ def decode_features(
             out["features"] = pd.Series(feats)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        run_pil if decoder == "pil" else run, schema=DECODED_FEATURE_SCHEMA
-    )
+    fns = {"pil": run_pil, "png": run_png, "fake": run}
+    return df.mapInPandas(fns[decoder], schema=DECODED_FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
@@ -188,14 +220,41 @@ def resize_images(
     NotImplementedError, the production posture until a decoder is
     chosen). ``decoder="pil"``: real Pillow decode -> resize -> PNG
     re-encode; Pillow imports inside the task, errors surface as job
-    failures. Opt-in by parameter, never auto-detected.
+    failures. ``decoder="png"``: real decode -> nearest-neighbor resize
+    -> deterministic PNG re-encode via the pure-stdlib codec
+    (functions/png.py) — the real pixel path that runs in THIS
+    environment. Opt-in by parameter, never auto-detected.
 
     The Spark plumbing is identical either way: Arrow batches of binary
     payloads in, binary payloads out, peak memory one batch per core; at
     100 TB this runs scan -> narrow map -> write with the payload never
     entering a shuffle."""
-    if decoder not in ("fake", "pil"):
+    if decoder not in ("fake", "pil", "png"):
         raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run_png(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..functions import png as _png
+
+        for pdf in batches:
+            payloads, sizes = [], []
+            for p in pdf["payload"]:
+                w, h, ch, px = _png.decode_png(bytes(p))
+                rz = _png.resize_nearest(w, h, ch, px, target_w, target_h)
+                color_type = 0 if ch == 1 else 2
+                data = _png.encode_png(bytes(rz), target_w, target_h, color_type)
+                payloads.append(data)
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized_payload": payloads,
+                    "resized_n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
 
     def run_pil(batches: Iterator) -> Iterator:
         import io
@@ -249,9 +308,8 @@ def resize_images(
                 }
             )
 
-    return df.mapInPandas(
-        run_pil if decoder == "pil" else run, schema=RESIZED_SCHEMA
-    )
+    fns = {"pil": run_pil, "png": run_png, "fake": run}
+    return df.mapInPandas(fns[decoder], schema=RESIZED_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = StructType(
@@ -307,3 +365,62 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+PNG_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def png_roundtrip_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG encode -> decode through the pure-stdlib codec, verified
+    end to end by an external oracle: per payload, a grayscale image is
+    synthesized (dims from sha256 bytes, pixels = the digest tiled to
+    w*h), encoded to actual PNG bytes, decoded back, and the DECODED
+    pixel sum emitted. The sum is an exact integer a SQL oracle
+    recomputes from the 32 digest bytes alone — any corruption in the
+    codec (filtering, zlib framing, tiling) breaks the match. This is
+    the real-pixel-path complement to the fake-decoder entries: same
+    mapInPandas plumbing, but the bytes on the wire are a valid PNG."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from ..functions import png as _png
+
+        for pdf in batches:
+            ids, ws, hs, ns, sums = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                digest = hashlib.sha256(bytes(p)).digest()
+                w = 64 + digest[0] % 64
+                h = 64 + digest[1] % 64
+                n = w * h
+                pixels = (digest * (n // len(digest) + 1))[:n]
+                data = _png.encode_png(pixels, w, h, color_type=0)
+                dw, dh, dch, out = _png.decode_png(data)
+                if (dw, dh, dch) != (w, h, 1):
+                    raise ValueError("png roundtrip corrupted dimensions")
+                ids.append(int(i))
+                ws.append(dw)
+                hs.append(dh)
+                ns.append(n)
+                sums.append(sum(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(ns, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=PNG_ROUNDTRIP_SCHEMA)

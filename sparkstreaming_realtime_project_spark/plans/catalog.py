@@ -6293,3 +6293,35 @@ def j_asof_nearest(spark, sf_dir):
         ["click_id"], tolerance=_ASOF_NEAR_TOL_MS,
         tiebreak=["click_id"], match_ts="click_ts_ms",
     ).select("event_id", "user_id", "ts_ms", "click_ts_ms", "click_id")
+
+
+_SHA_BYTES_LIST_SQL = "[" + ", ".join(_sha_byte_sql(i) for i in range(32)) + "]"
+
+
+@_register(
+    "x_multimodal_png_roundtrip",
+    "REAL PNG encode->decode through the pure-stdlib codec "
+    "(functions/png.py), verified end to end: the DECODED pixel sum is "
+    "an exact integer the oracle recomputes from the 32 sha256 digest "
+    "bytes alone (pixels = digest tiled to w*h) — any filtering/zlib/"
+    "tiling corruption breaks the match; the real-pixel complement to "
+    "the fake-decoder entries (north-star)",
+    f"""
+    WITH hs AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    b AS (SELECT doc_id,
+                 {_SHA_BYTES_LIST_SQL} AS db,
+                 CAST(64 + ({_sha_byte_sql(0)}) % 64 AS INT) AS width,
+                 CAST(64 + ({_sha_byte_sql(1)}) % 64 AS INT) AS height
+          FROM hs)
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST((width * height // 32) * list_sum(db)
+                + coalesce(list_sum(db[1:(width * height % 32)]), 0)
+                AS BIGINT) AS pixel_sum
+    FROM b
+    """,
+)
+def x_multimodal_png_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mm = _mm.attach_binary_payload(docs, "text", modality="image", mime="image/png")
+    return _mm.png_roundtrip_report(mm, "doc_id")
