@@ -313,3 +313,56 @@ def test_sq8_quantization_error_bound(spark, vecs):
                 assert abs(float(x) - q * s / 127.0) <= s / 254.0 + 1e-9 * s
             else:
                 assert q == 0
+
+
+# PNG codec properties (no Spark needed: pure functions) ------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=17),
+    color_type=st.sampled_from([0, 2]),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(w, h, color_type, data):
+    """encode -> decode is the identity for any 8-bit pixel buffer, and
+    encoding is deterministic."""
+    from sparkstreaming_realtime_project_spark.functions import png as pngc
+
+    ch = 1 if color_type == 0 else 3
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    enc = pngc.encode_png(px, w, h, color_type)
+    dw, dh, dch, out = pngc.decode_png(enc)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert bytes(out) == px
+    assert pngc.encode_png(px, w, h, color_type) == enc
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    nw=st.integers(min_value=1, max_value=12),
+    nh=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_png_resize_nearest_property(w, h, nw, nh, data):
+    """Nearest-neighbor resize: every output pixel equals the floor-mapped
+    source pixel (checked against the direct index formula)."""
+    from sparkstreaming_realtime_project_spark.functions import png as pngc
+
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    out = pngc.resize_nearest(w, h, 1, bytearray(px), nw, nh)
+    assert len(out) == nw * nh
+    for y in range(nh):
+        for x in range(nw):
+            assert out[y * nw + x] == px[(y * h // nh) * w + (x * w // nw)]
