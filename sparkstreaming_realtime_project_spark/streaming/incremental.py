@@ -422,3 +422,77 @@ def read_cms_estimate(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return cms_estimate(keys, merged, key_col, d=d, w=w)
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (IVM-lite): the generic mergeable
+# per-key aggregate store. HLL/CMS above maintain SKETCH state; this one
+# maintains EXACT per-key (count, sum, min, max) — the materialized-view
+# pattern behind every "running totals" dashboard table: each micro-batch
+# contributes one partial-aggregate delta, reads merge the deltas.
+# --------------------------------------------------------------------------
+
+
+def streaming_agg_store(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key_cols: list[str],
+    value_col: str,
+):
+    """Build the streaming query: per micro-batch, write the batch's
+    per-key partial aggregate (cnt/sum/min/max over ``value_col``) under
+    ``batch={id}``. Idempotent on replay: the same input batch produces
+    the same partial, overwritten in place — the sinks.py discipline.
+
+    Scale shape: each batch's delta is one map-side-partial groupBy of
+    JUST that batch (never a rescan of history); the store grows one
+    small partial table per trigger. Merging partials is associative +
+    commutative, so reads need no ordering and a periodic compaction
+    (re-aggregating batch dirs into one) is safe at any time — the same
+    contract as the HLL register store above."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sm"),
+            F.min(value_col).alias("mn"),
+            F.max(value_col).alias("mx"),
+        )
+        part.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_agg_totals(spark, store_dir: str, key_cols: list[str]) -> DataFrame:
+    """Exact per-key totals over everything committed so far: union the
+    batch partials and merge (sum of cnt/sum — decimal, so the merged
+    sum is partition-order-free — min of min, max of max; avg derived).
+    Equal by construction to a full groupBy over all input ever seen —
+    the parity a test asserts against a batch recompute."""
+    parts = spark.read.option("basePath", store_dir).parquet(
+        os.path.join(store_dir, "batch=*")
+    )
+    return (
+        parts.groupBy(*key_cols)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sm").alias("sm"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .select(
+            *key_cols,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sm").cast("double").alias("sm"),
+            "mn",
+            "mx",
+            (F.col("sm").cast("double") / F.col("cnt")).alias("avg"),
+        )
+    )

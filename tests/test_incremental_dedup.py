@@ -307,3 +307,97 @@ def test_streaming_cms_matches_single_pass(spark, tmp_path):
     truth = {k: sum(1 for i in range(50) if i % 7 == k) + sum(1 for i in range(30) if i % 5 == k) for k in range(8)}
     assert got[7] == truth[7] == 0 or got[7] >= truth[7]
     assert all(got[k] >= truth[k] for k in range(8))
+
+
+def _vevt(uid: int, dt: str, v: float) -> str:
+    return json.dumps({"user_id": uid, "dt": dt, "value": v})
+
+
+VEVT_SCHEMA = "user_id long, dt string, value double"
+
+
+def test_streaming_agg_store_matches_batch_recompute(spark, tmp_path):
+    """IVM-lite parity: merged per-batch partials must equal a full
+    groupBy over ALL input ever seen — exactly (counts/mins/maxes are
+    integers/raw values; sums merge in decimal, so no float
+    order-dependence)."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_agg_totals,
+        streaming_agg_store,
+    )
+
+    in_dir = str(tmp_path / "in")
+    batch1 = [_vevt(u % 3, "2024-01-01", u * 1.25) for u in range(12)]
+    batch2 = [_vevt(u % 3, "2024-01-01", -u * 0.5) for u in range(9)] + [
+        _vevt(7, "2024-01-02", 42.0)
+    ]
+    fx._write_batches(in_dir, [batch1, batch2])
+    stream = file_stream(
+        spark, in_dir, VEVT_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    store = str(tmp_path / "agg")
+    q = (
+        streaming_agg_store(
+            stream, store, str(tmp_path / "ck"), ["user_id", "dt"], "value"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["dt"]): (r["cnt"], r["sm"], r["mn"], r["mx"], r["avg"])
+        for r in read_agg_totals(spark, store, ["user_id", "dt"]).collect()
+    }
+    rows = [json.loads(s) for s in batch1 + batch2]
+    df = spark.createDataFrame(
+        [(r["user_id"], r["dt"], r["value"]) for r in rows],
+        "user_id long, dt string, value double",
+    )
+    want = {
+        (r["user_id"], r["dt"]): (r["cnt"], r["sm"], r["mn"], r["mx"], r["avg"])
+        for r in df.groupBy("user_id", "dt")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sm"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .withColumn("avg", F.col("sm") / F.col("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_agg_store_replay_idempotent(spark, tmp_path):
+    """Killing the query and re-running availableNow over the same input
+    must leave totals unchanged (batch dirs overwritten, not doubled)."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_agg_totals,
+        streaming_agg_store,
+    )
+
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(
+        in_dir, [[_vevt(1, "2024-01-01", 2.0), _vevt(1, "2024-01-01", 3.0)]]
+    )
+    stream = file_stream(
+        spark, in_dir, VEVT_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    store = str(tmp_path / "agg")
+
+    def run():
+        q = (
+            streaming_agg_store(
+                stream, store, str(tmp_path / "ck"), ["user_id"], "value"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run()
+    first = read_agg_totals(spark, store, ["user_id"]).collect()
+    run()  # same checkpoint, no new input: nothing re-emitted
+    again = read_agg_totals(spark, store, ["user_id"]).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    assert first[0]["cnt"] == 2 and first[0]["sm"] == 5.0
