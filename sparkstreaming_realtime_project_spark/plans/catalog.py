@@ -6325,3 +6325,48 @@ def x_multimodal_png_roundtrip(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     mm = _mm.attach_binary_payload(docs, "text", modality="image", mime="image/png")
     return _mm.png_roundtrip_report(mm, "doc_id")
+
+
+@_register(
+    "w_value_functions",
+    "value-window breadth in one pass: first_value / last_value / "
+    "nth_value(3) / lag / lead over each user's event timeline, with the "
+    "last_value frame pinned to UNBOUNDED FOLLOWING (the default "
+    "current-row frame makes last_value a silent no-op — the classic "
+    "window-frame bug, fixed identically on both engines); always "
+    "partitioned by user, never a global window",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+               FROM events)
+    SELECT event_id, user_id, ts_ms,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER (PARTITION BY user_id
+                                       ORDER BY ts_ms, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS last_event,
+           nth_value(event_id, 3) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ms, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS third_event,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    """,
+)
+def w_value_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wfull).alias("last_event"),
+        F.nth_value("event_id", 3).over(wfull).alias("third_event"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
