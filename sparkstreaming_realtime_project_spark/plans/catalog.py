@@ -6370,3 +6370,71 @@ def w_value_functions(spark, sf_dir):
         F.lag("event_id").over(w).alias("prev_event"),
         F.lead("event_id").over(w).alias("next_event"),
     )
+
+
+@_register(
+    "a_session_conversion",
+    "session-level conversion analytics: 30-min-gap session windows "
+    "(session_window — one keyed aggregate, no self-join) classified by "
+    "whether a purchase occurred inside them, rolled up per day: "
+    "sessions, converted sessions, floor-rounded conversion rate and "
+    "mean session event count — the funnel at session granularity "
+    "rather than a_funnel_daily's strict event ordering",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged),
+    sess AS (
+      SELECT user_id, session_no,
+             strftime(min(ts), '%Y-%m-%d') AS dt,
+             count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM numbered GROUP BY user_id, session_no)
+    SELECT dt,
+           count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           floor(sum(converted) * 1.0 / count(*) * 10000 + 0.5) / 10000
+             AS conversion_rate,
+           floor(sum(n_events) * 1.0 / count(*) * 10000 + 0.5) / 10000
+             AS avg_session_events
+    FROM sess GROUP BY dt
+    """,
+)
+def a_session_conversion(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("converted"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("dt"),
+            "n_events",
+            "converted",
+        )
+    )
+    return sess.groupBy("dt").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (
+            F.floor(F.sum("converted") / F.count(F.lit(1)) * 1e4 + F.lit(0.5))
+            / 1e4
+        ).alias("conversion_rate"),
+        (
+            F.floor(F.sum("n_events") / F.count(F.lit(1)) * 1e4 + F.lit(0.5))
+            / 1e4
+        ).alias("avg_session_events"),
+    )
