@@ -765,3 +765,44 @@ def contamination_overlap(
             "contaminated", (F.col("overlap_frac") >= threshold).cast("int")
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Ingestion-order novelty curve: per document, the fraction of its
+    distinct word n-grams not present in ANY lower-id document — the
+    number a continuously-growing corpus monitors to see marginal new
+    data decaying into repetition (when novelty trends to 0, more
+    ingestion buys nothing).
+
+    Computed without comparing each doc to its whole prefix: a gram's
+    FIRST owner is min(doc_id) over its occurrences — one hash aggregate
+    keyed by gram — and a doc's novel grams are exactly those it owns.
+    Two shuffles total (gram -> owner, doc -> counts), both map-side
+    partial; no self-join, no per-prefix rescan, so the cost at 100 TB
+    is that of exact dedup, not O(docs x prefix)."""
+    from .dedup import with_shingles
+
+    sh = with_shingles(docs, text_col, id_col, n)
+    grams = sh.select("id", F.explode("shingles").alias("g"))
+    owners = grams.groupBy("g").agg(F.min("id").alias("owner"))
+    novel = (
+        grams.join(owners, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("id") == F.col("owner")).cast("int")).alias("n_novel"),
+        )
+    )
+    return novel.select(
+        F.col("id").alias(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        (
+            F.floor(F.col("n_novel") / F.col("n_grams") * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("novelty"),
+    )

@@ -6438,3 +6438,29 @@ def a_session_conversion(spark, sf_dir):
             / 1e4
         ).alias("avg_session_events"),
     )
+
+
+@_register(
+    "x_ngram_novelty",
+    "ingestion-order novelty curve: per doc, the fraction of its "
+    "distinct 3-grams absent from every lower-id doc — first-owner = "
+    "min(doc_id) per gram, so the whole curve costs two map-side-partial "
+    "aggregates (never a per-prefix rescan); the marginal-value monitor "
+    "for continuous corpus growth (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+    grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    owners AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           floor(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000 + 0.5) / 10000 AS novelty
+    FROM grams JOIN owners USING (g)
+    GROUP BY doc_id
+    """,
+)
+def x_ngram_novelty(spark, sf_dir):
+    return _cx.ngram_novelty(_t(spark, sf_dir, "documents"), "text", "doc_id", 3)
