@@ -46,11 +46,14 @@ def test_registry_rotation_order():
     from sparkstreaming_realtime_project_spark.plans.catalog import (
         _DRIVER_VERIFIED_R2,
         _DRIVER_VERIFIED_R3,
+        _DRIVER_WINDOW_R4,
         registry,
     )
 
     names = [s.name for s in registry()]
-    verified = _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3
+    # the r4-window cohort counts as exposed (it occupied the round-4
+    # driver window) even though its CORRECTNESS artifact never landed
+    verified = _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_WINDOW_R4
     first_verified = min(
         (i for i, n in enumerate(names) if n in verified), default=len(names)
     )
