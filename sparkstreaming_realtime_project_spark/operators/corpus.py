@@ -708,6 +708,7 @@ def contamination_overlap(
     id_col: str = "doc_id",
     n: int = 8,
     threshold: float = 0.1,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact benchmark-contamination report: for every training document
     (rows where ``bench_pred`` is false), the fraction of its word
@@ -729,7 +730,11 @@ def contamination_overlap(
     (left join), so the report covers the whole corpus."""
     from .dedup import with_shingles
 
-    sh = with_shingles(docs, text_col, id_col, n)
+    # the shingle projection feeds three consumers (benchmark gram set,
+    # per-doc sizes, the hits explode) — materialize=True caches it so
+    # the corpus tokenizes once, not three times (same contract as
+    # with_shingles: the session/bench clears the cache when done)
+    sh = with_shingles(docs, text_col, id_col, n, materialize=materialize)
     flags = docs.select(
         F.col(id_col).alias("id"), bench_pred.alias("__is_bench")
     )

@@ -6146,7 +6146,8 @@ _CONTAM_N, _CONTAM_BENCH = 8, "src0"
 def x_contamination_overlap(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return _cx.contamination_overlap(
-        docs, F.col("source") == _CONTAM_BENCH, n=_CONTAM_N, threshold=0.1
+        docs, F.col("source") == _CONTAM_BENCH, n=_CONTAM_N, threshold=0.1,
+        materialize=True,
     )
 
 
