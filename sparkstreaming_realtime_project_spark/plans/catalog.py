@@ -6465,3 +6465,52 @@ def a_session_conversion(spark, sf_dir):
 )
 def x_ngram_novelty(spark, sf_dir):
     return _cx.ngram_novelty(_t(spark, sf_dir, "documents"), "text", "doc_id", 3)
+
+
+_SCD2_ASOF_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC, epoch micros
+
+
+@_register(
+    "j_scd2_asof",
+    "point-in-time dimension read over the SCD2 history: per key, the "
+    "value whose half-open validity interval contains the AS OF instant "
+    "— the query that makes j_scd2_history useful (training-data joins "
+    "must see the dim AS OF the fact's event time, not latest); one "
+    "interval filter over the history, no extra shuffle beyond building "
+    "it",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    starts AS (SELECT user_id, event_type, ts, event_id FROM ordered
+               WHERE prev IS NULL OR event_type <> prev),
+    hist AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS valid_to_us
+      FROM starts)
+    SELECT user_id, event_type AS value_asof,
+           valid_from_us, valid_to_us
+    FROM hist
+    WHERE valid_from_us <= {_SCD2_ASOF_US}
+      AND (valid_to_us IS NULL OR valid_to_us > {_SCD2_ASOF_US})
+    """,
+)
+def j_scd2_asof(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from ..operators.cdc import scd2_history
+
+    hist = scd2_history(ev, "user_id", "event_type", "ts", order_col="event_id")
+    t = F.lit(_SCD2_ASOF_US)
+    return hist.filter(
+        (F.col("valid_from_us") <= t)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > t))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("value_asof"),
+        "valid_from_us",
+        "valid_to_us",
+    )
