@@ -139,22 +139,30 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
 def luma_histogram(
     width: int, height: int, channels: int, pixels: bytearray, bins: int
 ) -> list[float]:
-    """Normalized ``bins``-bin luminance histogram (the feature the PIL
-    path computes via ``convert('L').histogram()``); RGB collapses with
-    the same integer ITU-R 601 luma PIL uses: L = (299R+587G+114B)/1000."""
+    """Normalized ``bins``-bin luminance histogram — the SAME binning the
+    PIL decode path computes (slice the 256-level histogram into
+    ``256 // bins``-wide bins; when bins does not divide 256 the
+    partial tail ABOVE ``bins * step`` is dropped and the counts
+    normalize over what was kept, exactly like summing
+    ``hist[i*step:(i+1)*step]`` slices). RGB collapses with PIL's
+    integer ITU-R 601 luma: L = (299R+587G+114B)/1000."""
+    if not 1 <= bins <= 256:
+        raise ValueError(f"bins must be in [1, 256], got {bins}")
     counts = [0] * bins
     step = 256 // bins
-    n = width * height
+    cap = step * bins  # luma >= cap falls in PIL's dropped tail slice
     if channels == 1:
         for v in pixels:
-            counts[v // step] += 1
+            if v < cap:
+                counts[v // step] += 1
     else:
         for i in range(0, len(pixels), 3):
             l8 = (
                 pixels[i] * 299 + pixels[i + 1] * 587 + pixels[i + 2] * 114
             ) // 1000
-            counts[l8 // step] += 1
-    total = n or 1
+            if l8 < cap:
+                counts[l8 // step] += 1
+    total = sum(counts) or 1.0
     return [round(c / total, 6) for c in counts]
 
 

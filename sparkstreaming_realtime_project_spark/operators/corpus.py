@@ -725,9 +725,13 @@ def contamination_overlap(
     next to a 100 TB corpus) and distinct — it BROADCASTS; training-doc
     grams stream through one hash join against it, partial-aggregated
     per doc. Nothing corpus-sized shuffles: the join output is bounded
-    by hits, the groupBy key is the doc id. Docs too short for one
-    n-gram surface with n_grams=0 / frac 0.0 rather than vanishing
-    (left join), so the report covers the whole corpus."""
+    by hits, the groupBy key is the doc id. The report covers the whole
+    corpus (left join, zero-hit docs kept); note the with_shingles
+    short-doc fallback — a doc with fewer than ``n`` tokens contributes
+    its WHOLE token string as its single gram, so such a doc flags as
+    contaminated iff an equally short benchmark doc has the identical
+    text (n_grams is never 0; the >0 guard is belt-and-braces for an
+    upstream change to that fallback)."""
     from .dedup import with_shingles
 
     # the shingle projection feeds three consumers (benchmark gram set,
@@ -777,6 +781,7 @@ def ngram_novelty(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Ingestion-order novelty curve: per document, the fraction of its
     distinct word n-grams not present in ANY lower-id document — the
@@ -792,7 +797,10 @@ def ngram_novelty(
     is that of exact dedup, not O(docs x prefix)."""
     from .dedup import with_shingles
 
-    sh = with_shingles(docs, text_col, id_col, n)
+    # the shingle frame feeds both sides of the owner self-join —
+    # materialize=True caches it so the corpus tokenizes once (session/
+    # bench clears the cache when done, the with_shingles contract)
+    sh = with_shingles(docs, text_col, id_col, n, materialize=materialize)
     grams = sh.select("id", F.explode("shingles").alias("g"))
     owners = grams.groupBy("g").agg(F.min("id").alias("owner"))
     novel = (

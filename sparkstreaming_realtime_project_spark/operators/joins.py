@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 __all__ = [
@@ -61,9 +62,18 @@ def asof_join(
     among equal-``right_ts`` right rows the winner is the greatest
     ``tiebreak`` (required for a deterministic result when version rows
     can share a timestamp).
+
+    All value columns travel in ONE struct (NULL struct on left rows, a
+    non-null struct on every right row), so a single
+    ``last(ignorenulls)`` picks the matched ROW atomically — per-column
+    folds would let a NULL member fall through to an OLDER right row's
+    value, silently mixing rows.
     """
     tiebreak = tiebreak or []
     lcols = left.columns
+    vtype = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     # Side marker doubles as the equal-ts visibility switch: the window
     # sort is (ts, __side, tiebreak), so side 0 sorts before side 1 at
     # the same ts. Inclusive => right first (0); strict => left first.
@@ -73,7 +83,7 @@ def asof_join(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(vtype).alias("__vrow"),
         *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{t}") for t in tiebreak],
     )
     rtag = right.filter(F.col(right_ts).isNotNull()).select(
@@ -81,7 +91,7 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         F.col(right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vrow"),
         *[F.col(t).alias(f"__tb_{t}") for t in tiebreak],
     ).select(*ltag.columns)  # align union order
 
@@ -94,13 +104,11 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    row = F.last(F.col("__vrow"), ignorenulls=True).over(w)
     out = ltag.unionByName(rtag).select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
-        *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        *[row[c].alias(c) for c in value_cols],
     )
     return out.filter(F.col("__side") == l_side).drop("__side")
 
@@ -136,20 +144,28 @@ def asof_join_directional(
     Ties: at equal timestamps the right row is visible unless
     ``strict``; among right rows sharing a timestamp the winner is the
     greatest ``tiebreak`` in BOTH directions (deterministic output —
-    document, don't inherit, engine row order)."""
+    document, don't inherit, engine row order).
+
+    The matched timestamp and every value column travel in ONE struct
+    through a single ``last(ignorenulls)`` — per-column folds would let
+    a NULL value member fall through to a right row OTHER than the
+    matched one (outside the tolerance, even), silently mixing rows."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     forward = direction == "forward"
     tiebreak = tiebreak or []
     lcols = left.columns
+    vtype = StructType(
+        [StructField("__mts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_side, r_side = (0, 1) if strict else (1, 0)
 
     ltag = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__v___mts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(vtype).alias("__vrow"),
         *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{t}") for t in tiebreak],
     )
     rtag = right.filter(F.col(right_ts).isNotNull()).select(
@@ -157,8 +173,10 @@ def asof_join_directional(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         F.col(right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
-        F.col(right_ts).alias("__v___mts"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(
+            F.col(right_ts).alias("__mts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__vrow"),
         *[F.col(t).alias(f"__tb_{t}") for t in tiebreak],
     ).select(*ltag.columns)
 
@@ -172,17 +190,15 @@ def asof_join_directional(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    mts = F.last(F.col("__v___mts"), ignorenulls=True).over(w)
+    row = F.last(F.col("__vrow"), ignorenulls=True).over(w)
+    mts = row["__mts"]
     delta = (mts - F.col("__ts")) if forward else (F.col("__ts") - mts)
     ok = mts.isNotNull() if tolerance is None else (delta <= F.lit(tolerance))
     out = ltag.unionByName(rtag).select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
         *([F.when(ok, mts).alias(match_ts)] if match_ts else []),
-        *[
-            F.when(ok, F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w)).alias(c)
-            for c in value_cols
-        ],
+        *[F.when(ok, row[c]).alias(c) for c in value_cols],
     )
     return out.filter(F.col("__side") == l_side).drop("__side")
 

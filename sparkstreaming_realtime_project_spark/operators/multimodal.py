@@ -108,89 +108,82 @@ def decode_features(
     if decoder not in ("fake", "pil", "png"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
-    def run_png(batches: Iterator) -> Iterator:
-        import pandas as pd
+    # One shared batch scaffold; each decoder contributes only its
+    # per-payload pixel function bytes -> (width, height, features).
+    # make_decode builds the function INSIDE the task so executor-side
+    # imports (Pillow) happen there, not at plan time.
 
-        from ..functions import png as _png
-
-        for pdf in batches:
-            out = {
-                "doc_id": pdf[id_col].astype("int64"),
-                "modality": pdf["meta"].map(lambda m: m["modality"]),
-                "n_bytes": pdf["meta"].map(lambda m: int(m["n_bytes"])),
-            }
-            dims_w, dims_h, feats = [], [], []
-            for p in pdf["payload"]:
-                w, h, ch, px = _png.decode_png(bytes(p))
-                dims_w.append(w)
-                dims_h.append(h)
-                feats.append(_png.luma_histogram(w, h, ch, px, feature_dim))
-            out["width"] = pd.Series(dims_w, dtype="int32")
-            out["height"] = pd.Series(dims_h, dtype="int32")
-            out["features"] = pd.Series(feats)
-            yield pd.DataFrame(out)
-
-    def run_pil(batches: Iterator) -> Iterator:
-        import io
-
-        import pandas as pd
-        from PIL import Image  # executor-side dependency
-
-        for pdf in batches:
-            out = {
-                "doc_id": pdf[id_col].astype("int64"),
-                "modality": pdf["meta"].map(lambda m: m["modality"]),
-                "n_bytes": pdf["meta"].map(lambda m: int(m["n_bytes"])),
-            }
-            dims_w, dims_h, feats = [], [], []
-            for p in pdf["payload"]:
-                img = Image.open(io.BytesIO(bytes(p)))
-                dims_w.append(img.width)
-                dims_h.append(img.height)
-                hist = img.convert("L").histogram()  # 256 bins
-                step = 256 // feature_dim
-                bins = [
-                    float(sum(hist[i * step : (i + 1) * step]))
-                    for i in range(feature_dim)
-                ]
-                total = sum(bins) or 1.0
-                feats.append([round(b / total, 6) for b in bins])
-            out["width"] = pd.Series(dims_w, dtype="int32")
-            out["height"] = pd.Series(dims_h, dtype="int32")
-            out["features"] = pd.Series(feats)
-            yield pd.DataFrame(out)
-
-    def run(batches: Iterator) -> Iterator:
+    def make_fake():
         import hashlib
 
+        def decode(raw: bytes):
+            digest = hashlib.sha256(raw).digest()
+            return (
+                64 + digest[0] % 64,
+                64 + digest[1] % 64,
+                [round(b / 255.0, 6) for b in digest[2 : 2 + feature_dim]],
+            )
+
+        return decode
+
+    def make_png():
+        from ..functions import png as _png
+
+        def decode(raw: bytes):
+            w, h, ch, px = _png.decode_png(raw)
+            return w, h, _png.luma_histogram(w, h, ch, px, feature_dim)
+
+        return decode
+
+    def make_pil():
+        import io
+
+        from PIL import Image  # executor-side dependency
+
+        def decode(raw: bytes):
+            img = Image.open(io.BytesIO(raw))
+            hist = img.convert("L").histogram()  # 256 bins
+            step = 256 // feature_dim
+            bins = [
+                float(sum(hist[i * step : (i + 1) * step]))
+                for i in range(feature_dim)
+            ]
+            total = sum(bins) or 1.0
+            return img.width, img.height, [round(b / total, 6) for b in bins]
+
+        return decode
+
+    makers = {"fake": make_fake, "png": make_png, "pil": make_pil}
+    maker = makers[decoder]
+    fake = decoder == "fake"
+
+    def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        decode = maker()
         for pdf in batches:
-            if strict:
+            if fake and strict:
                 raise NotImplementedError(
                     "media decode stub: no image/audio codecs in this environment"
                 )
-            out = {
-                "doc_id": pdf[id_col].astype("int64"),
-                "modality": pdf["meta"].map(lambda m: m["modality"]),
-                "n_bytes": pdf["meta"].map(lambda m: int(m["n_bytes"])),
-            }
-            # deterministic fake decode: dimensions + features from sha256
             dims_w, dims_h, feats = [], [], []
             for p in pdf["payload"]:
-                digest = hashlib.sha256(bytes(p)).digest()
-                dims_w.append(64 + digest[0] % 64)
-                dims_h.append(64 + digest[1] % 64)
-                feats.append(
-                    [round(b / 255.0, 6) for b in digest[2 : 2 + feature_dim]]
-                )
-            out["width"] = pd.Series(dims_w, dtype="int32")
-            out["height"] = pd.Series(dims_h, dtype="int32")
-            out["features"] = pd.Series(feats)
-            yield pd.DataFrame(out)
+                w, h, f = decode(bytes(p))
+                dims_w.append(w)
+                dims_h.append(h)
+                feats.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "modality": pdf["meta"].map(lambda m: m["modality"]),
+                    "n_bytes": pdf["meta"].map(lambda m: int(m["n_bytes"])),
+                    "width": pd.Series(dims_w, dtype="int32"),
+                    "height": pd.Series(dims_h, dtype="int32"),
+                    "features": pd.Series(feats),
+                }
+            )
 
-    fns = {"pil": run_pil, "png": run_png, "fake": run}
-    return df.mapInPandas(fns[decoder], schema=DECODED_FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema=DECODED_FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
@@ -232,84 +225,73 @@ def resize_images(
     if decoder not in ("fake", "pil", "png"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
-    def run_png(batches: Iterator) -> Iterator:
-        import pandas as pd
+    # Same shared-scaffold shape as decode_features: each decoder is one
+    # per-payload function bytes -> resized payload bytes, built inside
+    # the task so executor-side imports happen there.
 
-        from ..functions import png as _png
-
-        for pdf in batches:
-            payloads, sizes = [], []
-            for p in pdf["payload"]:
-                w, h, ch, px = _png.decode_png(bytes(p))
-                rz = _png.resize_nearest(w, h, ch, px, target_w, target_h)
-                color_type = 0 if ch == 1 else 2
-                data = _png.encode_png(bytes(rz), target_w, target_h, color_type)
-                payloads.append(data)
-                sizes.append(len(data))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
-                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
-                    "resized_payload": payloads,
-                    "resized_n_bytes": pd.Series(sizes, dtype="int64"),
-                }
-            )
-
-    def run_pil(batches: Iterator) -> Iterator:
-        import io
-
-        import pandas as pd
-        from PIL import Image  # executor-side dependency
-
-        for pdf in batches:
-            payloads, sizes = [], []
-            for p in pdf["payload"]:
-                img = Image.open(io.BytesIO(bytes(p)))
-                buf = io.BytesIO()
-                img.resize((target_w, target_h)).save(buf, format="PNG")
-                data = buf.getvalue()
-                payloads.append(data)
-                sizes.append(len(data))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
-                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
-                    "resized_payload": payloads,
-                    "resized_n_bytes": pd.Series(sizes, dtype="int64"),
-                }
-            )
-
-    def run(batches: Iterator) -> Iterator:
+    def make_fake():
         import hashlib
 
+        n = target_w * target_h
+
+        def resize(raw: bytes) -> bytes:
+            digest = hashlib.sha256(raw).digest()
+            return (digest * (n // len(digest) + 1))[:n]
+
+        return resize
+
+    def make_png():
+        from ..functions import png as _png
+
+        def resize(raw: bytes) -> bytes:
+            w, h, ch, px = _png.decode_png(raw)
+            rz = _png.resize_nearest(w, h, ch, px, target_w, target_h)
+            return _png.encode_png(
+                bytes(rz), target_w, target_h, 0 if ch == 1 else 2
+            )
+
+        return resize
+
+    def make_pil():
+        import io
+
+        from PIL import Image  # executor-side dependency
+
+        def resize(raw: bytes) -> bytes:
+            img = Image.open(io.BytesIO(raw))
+            buf = io.BytesIO()
+            img.resize((target_w, target_h)).save(buf, format="PNG")
+            return buf.getvalue()
+
+        return resize
+
+    makers = {"fake": make_fake, "png": make_png, "pil": make_pil}
+    maker = makers[decoder]
+    fake = decoder == "fake"
+
+    def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        resize = maker()
         for pdf in batches:
-            if strict:
+            if fake and strict:
                 raise NotImplementedError(
                     "image resize stub: no codecs in this environment"
                 )
-            payloads, sizes = [], []
-            n = target_w * target_h
-            for p in pdf["payload"]:
-                digest = hashlib.sha256(bytes(p)).digest()
-                fake = (digest * (n // len(digest) + 1))[:n]
-                payloads.append(fake)
-                sizes.append(len(fake))
+            payloads = [resize(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "width": pd.Series([target_w] * len(pdf), dtype="int32"),
                     "height": pd.Series([target_h] * len(pdf), dtype="int32"),
                     "resized_payload": payloads,
-                    "resized_n_bytes": pd.Series(sizes, dtype="int64"),
+                    "resized_n_bytes": pd.Series(
+                        [len(d) for d in payloads], dtype="int64"
+                    ),
                 }
             )
 
-    fns = {"pil": run_pil, "png": run_png, "fake": run}
-    return df.mapInPandas(fns[decoder], schema=RESIZED_SCHEMA)
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = StructType(

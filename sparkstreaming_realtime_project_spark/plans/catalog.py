@@ -115,10 +115,10 @@ _DRIVER_VERIFIED_R2 = frozenset(
 # The round-4 CORRECTNESS artifact never landed in the repo, so these are
 # the entries that OCCUPIED the round-4 driver window (the first 50 of
 # registry() at the round-4 end commit) rather than a confirmed green set.
-# They rotate to the back on the same logic — each already had one driver
-# exposure — and every one remains green under scripts/check_oracle.py at
-# sf0.01. If CORRECTNESS_r04.json surfaces with failures, pull those names
-# out of this set so they re-enter the window immediately.
+# They queue at the very back (most recently exposed cohort) and every
+# one remains green under scripts/check_oracle.py at sf0.01. If
+# CORRECTNESS_r04.json surfaces with failures, pull those names out of
+# this set so they re-enter the window immediately.
 _DRIVER_WINDOW_R4 = frozenset(
     {
         "j_order_wide_decimal", "x_dedup_embedding_gemm", "x_knn_gemm",
@@ -145,15 +145,18 @@ _DRIVER_WINDOW_R4 = frozenset(
 def registry() -> list[QuerySpec]:
     """Never-driver-verified entries first (registration order — oldest
     waiting first, so every entry lands in the driver's 50-slot
-    CORRECTNESS window within ceil(N/50) rounds), then oldest-verified
-    cohorts (r2, r4-window, r3). All entries stay green under the full
-    local driver-replica (scripts/check_oracle.py) regardless of order."""
+    CORRECTNESS window within ceil(N/50) rounds), then the verified
+    cohorts by EXPOSURE STALENESS — r2 (oldest green row), r3, r4-window
+    (most recently exposed) — so whenever spare window slots exist they
+    re-confirm the entries whose last driver check is furthest in the
+    past. All entries stay green under the full local driver-replica
+    (scripts/check_oracle.py) regardless of order."""
     seen = _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R2 | _DRIVER_WINDOW_R4
     never = [q for q in _REGISTRY if q.name not in seen]
     r2 = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R2]
-    r4 = [q for q in _REGISTRY if q.name in _DRIVER_WINDOW_R4]
     r3 = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R3]
-    return never + r2 + r4 + r3
+    r4 = [q for q in _REGISTRY if q.name in _DRIVER_WINDOW_R4]
+    return never + r2 + r3 + r4
 
 
 def _t(spark, sf_dir, name):
@@ -6464,7 +6467,9 @@ def a_session_conversion(spark, sf_dir):
     """,
 )
 def x_ngram_novelty(spark, sf_dir):
-    return _cx.ngram_novelty(_t(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    return _cx.ngram_novelty(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 3, materialize=True
+    )
 
 
 _SCD2_ASOF_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC, epoch micros

@@ -263,3 +263,39 @@ class TestAsofDirectional:
             left, right, ["k"], "lid", "ts", "ts", ["val"], match_ts="mts"
         ).collect()
         assert out[0]["val"] == "early" and out[0]["mts"] == 8
+
+
+class TestAsofNullValueAtomicity:
+    """A NULL value on the MATCHED right row must surface as NULL — not
+    fall through to an older/farther right row's value (the matched row
+    travels as one struct; per-column folds would mix rows)."""
+
+    def test_backward_null_value_stays_null(self, spark):
+        left = spark.createDataFrame([("a", 6)], "k string, ts long")
+        right = spark.createDataFrame(
+            [("a", 1, "old"), ("a", 5, None)], "k string, ts long, val string"
+        )
+        out = asof_join(left, right, ["k"], "ts", "ts", ["val"]).collect()
+        assert out[0]["val"] is None  # matched row ts=5 carries NULL
+
+    def test_forward_null_value_not_leaked_past_tolerance(self, spark):
+        left = spark.createDataFrame([("a", 0)], "k string, ts long")
+        right = spark.createDataFrame(
+            [("a", 5, None), ("a", 100, "far")], "k string, ts long, val string"
+        )
+        out = asof_join_directional(
+            left, right, ["k"], "ts", "ts", ["val"],
+            direction="forward", tolerance=10, match_ts="mts",
+        ).collect()
+        assert out[0]["mts"] == 5
+        assert out[0]["val"] is None  # 'far' (ts=100, outside tol) must not leak
+
+    def test_nearest_null_value_row_atomic(self, spark):
+        left = spark.createDataFrame([(1, "a", 10)], "lid long, k string, ts long")
+        right = spark.createDataFrame(
+            [("a", 9, None), ("a", 30, "later")], "k string, ts long, val string"
+        )
+        out = asof_join_nearest(
+            left, right, ["k"], "lid", "ts", "ts", ["val"], match_ts="mts"
+        ).collect()
+        assert out[0]["mts"] == 9 and out[0]["val"] is None

@@ -260,3 +260,22 @@ def test_resize_png_real_roundtrip(spark):
     again = {r["doc_id"]: bytes(r["resized_payload"]) for r in
              mm.resize_images(df, 4, 3, decoder="png").collect()}
     assert {i: bytes(out[i]["resized_payload"]) for i in out} == again
+
+
+def test_png_histogram_non_dividing_bins(spark):
+    """feature_dim that doesn't divide 256 must not crash (PIL-identical
+    tail-drop semantics): bins sum to ~1 and high-luma pixels land in
+    the last KEPT bin, not out of range."""
+    from sparkstreaming_realtime_project_spark.functions import png as pngc
+
+    px = bytes([255, 250, 249, 0, 10, 100] * 4)  # includes tail lumas
+    hist = pngc.luma_histogram(4, 6, 1, bytearray(px), 10)
+    assert len(hist) == 10
+    assert abs(sum(hist) - 1.0) < 10 * 5e-7 + 1e-9
+    df = _png_payload_frame(spark, n=2)
+    out = mm.decode_features(df, decoder="png", feature_dim=10).collect()
+    assert all(len(r["features"]) == 10 for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pngc.luma_histogram(1, 1, 1, bytearray(b"\x00"), 300)
