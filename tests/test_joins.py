@@ -216,7 +216,13 @@ class TestAsofDirectional:
         import pandas as pd
 
         lrows = [(i, f"k{i % 3}", (i * 37) % 100) for i in range(40)]
-        rrows = [(f"k{j % 3}", (j * 23) % 100, float(j)) for j in range(30)]
+        # every 5th right value NULL: merge_asof keeps the MATCHED row's
+        # NaN — a per-column ignorenulls fold would leak an older row's
+        # value instead (the row-atomicity regression)
+        rrows = [
+            (f"k{j % 3}", (j * 23) % 100, None if j % 5 == 0 else float(j))
+            for j in range(30)
+        ]
         # pandas merge_asof requires unique sorted keys; drop duplicate
         # (key, ts) right rows to sidestep tie-rule differences
         seen = set()
