@@ -496,3 +496,70 @@ def read_agg_totals(spark, store_dir: str, key_cols: list[str]) -> DataFrame:
             (F.col("sm").cast("double") / F.col("cnt")).alias("avg"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming ingestion decontamination guard: the bloom-bitmap gram filter
+# (operators/joins.bloom_bitmap, built ONCE over the benchmark set) applied
+# to every arriving micro-batch — the online complement to the batch
+# decontaminate/contamination_overlap audits: keep a contaminated doc from
+# ever ENTERING the corpus, instead of scrubbing it later.
+# --------------------------------------------------------------------------
+
+
+def streaming_decontaminate(
+    stream: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    bitmap: list[int],
+    m_bits: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k_hashes: int = 5,
+    max_hits: int = 0,
+):
+    """Route each arriving document by its benchmark n-gram bloom hits:
+    docs with more than ``max_hits`` POSSIBLY-shared grams go to
+    ``quarantine/`` (one-sided error: a bloom hit may be a false
+    positive, a miss never is — quarantined docs are re-checked exactly
+    offline; ``clean/`` docs need no second look), the rest to
+    ``clean/``. Both outputs are batch-id subdirectories overwritten on
+    replay (the idempotent-writer discipline).
+
+    Scale shape: the bitmap is benchmark-sized driver metadata broadcast
+    inside the predicate (a pure JVM expression over the gram array —
+    no join, no shuffle, evaluated at scan speed); per batch the only
+    work is tokenize + fold. The same bitmap serves every batch, so the
+    benchmark set is read once per job, not once per trigger."""
+    from ..operators.dedup import shingles_from_tokens, tokens_expr
+    from ..operators.joins import bloom_might_contain
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.withColumn("__t", tokens_expr(text_col))
+        grams = toks.withColumn("__g", shingles_from_tokens("__t", n))
+        scored = grams.withColumn(
+            "n_bloom_hits",
+            F.size(
+                F.filter(
+                    F.col("__g"),
+                    lambda g: bloom_might_contain(g, bitmap, m_bits, k_hashes),
+                )
+            ),
+        ).drop("__t", "__g")
+        scored = scored.persist()
+        try:
+            scored.filter(F.col("n_bloom_hits") <= max_hits).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_root, "clean", f"batch={batch_id}"))
+            scored.filter(F.col("n_bloom_hits") > max_hits).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_root, "quarantine", f"batch={batch_id}"))
+        finally:
+            scored.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

@@ -401,3 +401,82 @@ def test_streaming_agg_store_replay_idempotent(spark, tmp_path):
     again = read_agg_totals(spark, store, ["user_id"]).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, again))
     assert first[0]["cnt"] == 2 and first[0]["sm"] == 5.0
+
+
+def test_streaming_decontaminate_routes_and_agrees_with_batch(spark, tmp_path):
+    """The per-batch bloom guard must (a) quarantine every doc the exact
+    batch decontaminate flags (one-sided error: no false negatives),
+    (b) keep clean/quarantine disjoint and complete, and (c) be
+    idempotent under availableNow replay."""
+    from sparkstreaming_realtime_project_spark.operators.corpus import decontaminate
+    from sparkstreaming_realtime_project_spark.operators.joins import bloom_bitmap
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        shingles_from_tokens,
+        tokens_expr,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        streaming_decontaminate,
+    )
+
+    bench_texts = [
+        (100, " ".join(f"ev{i}" for i in range(20))),
+        (101, "alpha beta gamma delta epsilon"),
+    ]
+    stream_docs = [
+        (1, " ".join(f"tok{i}" for i in range(20))),        # clean
+        (2, "alpha beta gamma something else entirely"),     # shares 1 gram
+        (3, " ".join(f"ev{i}" for i in range(5, 15))),       # eval slice
+        (4, "completely unrelated text body here"),          # clean
+    ]
+    bench = spark.createDataFrame(bench_texts, "doc_id long, text string")
+    bench_grams = bench.select(
+        F.explode(shingles_from_tokens(tokens_expr("text"), 3)).alias("g")
+    ).distinct()
+    bitmap = bloom_bitmap(bench_grams, "g", m_bits=1 << 13, k_hashes=5)
+
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(
+        in_dir,
+        [
+            [json.dumps({"doc_id": d, "text": t}) for d, t in stream_docs[:2]],
+            [json.dumps({"doc_id": d, "text": t}) for d, t in stream_docs[2:]],
+        ],
+    )
+    stream = file_stream(
+        spark, in_dir, "doc_id long, text string", fmt="json",
+        max_files_per_trigger=1,
+    )
+    out_root = str(tmp_path / "decon")
+
+    def run():
+        q = (
+            streaming_decontaminate(
+                stream, out_root, str(tmp_path / "ck"),
+                bitmap, 1 << 13, n=3,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run()
+    clean = {r["doc_id"] for r in
+             spark.read.parquet(f"{out_root}/clean/batch=*").collect()}
+    quar = {r["doc_id"] for r in
+            spark.read.parquet(f"{out_root}/quarantine/batch=*").collect()}
+    assert clean | quar == {1, 2, 3, 4} and not (clean & quar)
+    # exact batch truth: every flagged doc must be quarantined (no false
+    # negatives); quarantine may hold extra bloom false positives
+    all_docs = spark.createDataFrame(stream_docs, "doc_id long, text string")
+    truth = {
+        r["doc_id"]
+        for r in decontaminate(all_docs, bench, "text", "doc_id", 3)
+        .filter(F.col("contaminated") == 1)
+        .collect()
+    }
+    assert truth, "fixture should contain contaminated docs"
+    assert truth <= quar
+    run()  # replay: same routing, nothing duplicated
+    again = {r["doc_id"] for r in
+             spark.read.parquet(f"{out_root}/clean/batch=*").collect()}
+    assert again == clean
