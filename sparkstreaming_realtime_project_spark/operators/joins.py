@@ -19,15 +19,19 @@ shuffles Catalyst can reason about:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 __all__ = [
+    "BloomModel",
     "asof_join",
     "asof_join_directional",
     "asof_join_nearest",
+    "bloom_model",
     "interval_overlap_join",
     "salted_join",
 ]
@@ -423,6 +427,29 @@ def bloom_might_contain(
     for c in checks[1:]:
         out = out & c
     return out
+
+
+class BloomModel(NamedTuple):
+    """A bloom filter plus the parameters it was BUILT with, carried as
+    one value so membership checks can never probe with a mismatched
+    m_bits/k_hashes (a silent mismatch reads absent bits and returns
+    false — false NEGATIVES from a structure whose whole contract is
+    one-sided error)."""
+
+    words: list[int]
+    m_bits: int
+    k_hashes: int
+
+    def might_contain(self, key: Column) -> Column:
+        return bloom_might_contain(key, self.words, self.m_bits, self.k_hashes)
+
+
+def bloom_model(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 13, k_hashes: int = 5
+) -> BloomModel:
+    """bloom_bitmap + its build parameters as one self-consistent model
+    (pass THIS to consumers, not the raw word list)."""
+    return BloomModel(bloom_bitmap(keys, key_col, m_bits, k_hashes), m_bits, k_hashes)
 
 
 def bloom_semi_join(

@@ -511,52 +511,59 @@ def streaming_decontaminate(
     stream: DataFrame,
     out_root: str,
     checkpoint: str,
-    bitmap: list[int],
-    m_bits: int,
+    model,
     text_col: str = "text",
-    id_col: str = "doc_id",
     n: int = 3,
-    k_hashes: int = 5,
     max_hits: int = 0,
 ):
     """Route each arriving document by its benchmark n-gram bloom hits:
     docs with more than ``max_hits`` POSSIBLY-shared grams go to
-    ``quarantine/`` (one-sided error: a bloom hit may be a false
-    positive, a miss never is — quarantined docs are re-checked exactly
-    offline; ``clean/`` docs need no second look), the rest to
-    ``clean/``. Both outputs are batch-id subdirectories overwritten on
-    replay (the idempotent-writer discipline).
+    ``quarantine/``, the rest to ``clean/``. ``model`` is a
+    ``joins.BloomModel`` — the bitmap travels WITH the m_bits/k_hashes
+    it was built with, so a parameter mismatch (which would silently
+    read absent bits and produce false NEGATIVES) cannot happen.
 
-    Scale shape: the bitmap is benchmark-sized driver metadata broadcast
-    inside the predicate (a pure JVM expression over the gram array —
-    no join, no shuffle, evaluated at scan speed); per batch the only
-    work is tokenize + fold. The same bitmap serves every batch, so the
-    benchmark set is read once per job, not once per trigger."""
+    One-sided error holds ONLY at ``max_hits=0``: a bloom miss is never
+    wrong, so every exactly-contaminated doc lands in quarantine/ (the
+    subset property the test asserts) and clean/ needs no second look;
+    quarantined docs are re-checked exactly offline. ``max_hits > 0``
+    trades that guarantee away for bloom-noise tolerance — a doc with
+    <= max_hits REAL shared grams then reaches clean/ — which is why 0
+    is the default and anything else should feed a downstream exact
+    check.
+
+    Scale shape: the hit-count Column (a plan literal embedding the
+    bitmap words — model-sized metadata, like the IVF centroid arrays)
+    is built ONCE per job, outside the per-batch callback, so frequent
+    small triggers don't pay expression construction per batch; per
+    batch the only work is tokenize + fold, no join, no shuffle. The
+    benchmark set is read once per job, not once per trigger. Routing
+    reuses sinks.split_writer's persist/route/overwrite discipline
+    (batch-id dirs, idempotent on replay)."""
     from ..operators.dedup import shingles_from_tokens, tokens_expr
-    from ..operators.joins import bloom_might_contain
+    from ..streaming.sinks import split_writer
+
+    hits_col = F.size(
+        F.filter(
+            shingles_from_tokens("__t", n),
+            lambda g: model.might_contain(g),
+        )
+    )
+    route = split_writer(
+        {
+            "clean": lambda df: df.filter(F.col("n_bloom_hits") <= max_hits),
+            "quarantine": lambda df: df.filter(F.col("n_bloom_hits") > max_hits),
+        },
+        out_root,
+    )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        toks = batch_df.withColumn("__t", tokens_expr(text_col))
-        grams = toks.withColumn("__g", shingles_from_tokens("__t", n))
-        scored = grams.withColumn(
-            "n_bloom_hits",
-            F.size(
-                F.filter(
-                    F.col("__g"),
-                    lambda g: bloom_might_contain(g, bitmap, m_bits, k_hashes),
-                )
-            ),
-        ).drop("__t", "__g")
-        scored = scored.persist()
-        try:
-            scored.filter(F.col("n_bloom_hits") <= max_hits).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out_root, "clean", f"batch={batch_id}"))
-            scored.filter(F.col("n_bloom_hits") > max_hits).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out_root, "quarantine", f"batch={batch_id}"))
-        finally:
-            scored.unpersist()
+        scored = (
+            batch_df.withColumn("__t", tokens_expr(text_col))
+            .withColumn("n_bloom_hits", hits_col)
+            .drop("__t")
+        )
+        route(scored, batch_id)
 
     return (
         stream.writeStream.foreachBatch(write)

@@ -405,15 +405,14 @@ def test_streaming_agg_store_replay_idempotent(spark, tmp_path):
 
 def test_streaming_decontaminate_routes_and_agrees_with_batch(spark, tmp_path):
     """The per-batch bloom guard must (a) quarantine every doc the exact
-    batch decontaminate flags (one-sided error: no false negatives),
-    (b) keep clean/quarantine disjoint and complete, and (c) be
-    idempotent under availableNow replay."""
+    batch decontaminate flags (one-sided error at max_hits=0: no false
+    negatives), (b) keep clean/quarantine disjoint and complete, and
+    (c) overwrite idempotently when a batch actually RE-EXECUTES (the
+    last checkpoint commit is deleted to force a genuine replay — a
+    plain availableNow restart processes nothing and proves nothing)."""
     from sparkstreaming_realtime_project_spark.operators.corpus import decontaminate
-    from sparkstreaming_realtime_project_spark.operators.joins import bloom_bitmap
-    from sparkstreaming_realtime_project_spark.operators.dedup import (
-        shingles_from_tokens,
-        tokens_expr,
-    )
+    from sparkstreaming_realtime_project_spark.operators.dedup import word_shingles
+    from sparkstreaming_realtime_project_spark.operators.joins import bloom_model
     from sparkstreaming_realtime_project_spark.streaming.incremental import (
         streaming_decontaminate,
     )
@@ -430,9 +429,9 @@ def test_streaming_decontaminate_routes_and_agrees_with_batch(spark, tmp_path):
     ]
     bench = spark.createDataFrame(bench_texts, "doc_id long, text string")
     bench_grams = bench.select(
-        F.explode(shingles_from_tokens(tokens_expr("text"), 3)).alias("g")
+        F.explode(word_shingles("text", 3)).alias("g")
     ).distinct()
-    bitmap = bloom_bitmap(bench_grams, "g", m_bits=1 << 13, k_hashes=5)
+    model = bloom_model(bench_grams, "g", m_bits=1 << 13, k_hashes=5)
 
     in_dir = str(tmp_path / "in")
     fx._write_batches(
@@ -447,13 +446,11 @@ def test_streaming_decontaminate_routes_and_agrees_with_batch(spark, tmp_path):
         max_files_per_trigger=1,
     )
     out_root = str(tmp_path / "decon")
+    ck = str(tmp_path / "ck")
 
     def run():
         q = (
-            streaming_decontaminate(
-                stream, out_root, str(tmp_path / "ck"),
-                bitmap, 1 << 13, n=3,
-            )
+            streaming_decontaminate(stream, out_root, ck, model, n=3)
             .trigger(availableNow=True)
             .start()
         )
@@ -476,7 +473,17 @@ def test_streaming_decontaminate_routes_and_agrees_with_batch(spark, tmp_path):
     }
     assert truth, "fixture should contain contaminated docs"
     assert truth <= quar
-    run()  # replay: same routing, nothing duplicated
-    again = {r["doc_id"] for r in
-             spark.read.parquet(f"{out_root}/clean/batch=*").collect()}
-    assert again == clean
+    # force a GENUINE replay of the last batch: drop its commit marker so
+    # the restarted query re-executes it against the already-written dirs
+    commits_dir = os.path.join(ck, "commits")
+    newest = sorted(f for f in os.listdir(commits_dir) if f.isdigit())[-1]
+    os.remove(os.path.join(commits_dir, newest))
+    crc = os.path.join(commits_dir, f".{newest}.crc")
+    if os.path.exists(crc):  # stale checksum breaks the re-commit rename
+        os.remove(crc)
+    run()
+    again_clean = {r["doc_id"] for r in
+                   spark.read.parquet(f"{out_root}/clean/batch=*").collect()}
+    again_quar = {r["doc_id"] for r in
+                  spark.read.parquet(f"{out_root}/quarantine/batch=*").collect()}
+    assert again_clean == clean and again_quar == quar
