@@ -630,8 +630,12 @@ def sorted_neighborhood_pairs(
     rotated keys is the classic mitigation. Returns
     (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    sh = with_shingles(docs, text_col, id_col, n, materialize=True)
-    toks = _snm_tokens(docs, text_col, id_col)
+    # ONE tokenization pass: the cached token projection feeds both the
+    # sort keys and the shingle sets (calling with_shingles separately
+    # would re-tokenize the corpus — the exact cost its persist exists
+    # to avoid).
+    toks = _snm_tokens(docs, text_col, id_col).persist()
+    sh = toks.select("id", shingles_from_tokens("t", n).alias("shingles")).persist()
     cand = _snm_candidates(_snm_head_key(toks), window)
     # cache hygiene as in ngram_jaccard_dedup_pairs: the small verified
     # pair list is materialized eagerly, the shingle cache released.
@@ -639,6 +643,7 @@ def sorted_neighborhood_pairs(
     out = jaccard_pairs(sh, threshold, candidates=cand).persist()
     out.count()
     sh.unpersist()
+    toks.unpersist()
     return out
 
 
@@ -651,10 +656,14 @@ def _snm_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _snm_head_key(toks: DataFrame) -> DataFrame:
-    """Pass-1 key: first token blocks, first-3-token sort key."""
+    """Pass-1 key: first token blocks, first-3-token sort key.
+    try_element_at: an empty/whitespace-only doc has an empty token
+    array — element_at would THROW under Spark 4's default ANSI mode;
+    the NULL block groups empty docs together instead (matching the
+    oracle's t[1], which is NULL out of range in DuckDB)."""
     return toks.select(
         "id",
-        F.element_at("t", 1).alias("block"),
+        F.try_element_at("t", F.lit(1)).alias("block"),
         F.concat_ws(" ", F.slice("t", 1, 3)).alias("skey"),
     )
 
@@ -666,7 +675,7 @@ def _snm_tail_key(toks: DataFrame) -> DataFrame:
     start = F.greatest(F.size("t") - 2, F.lit(1))
     return toks.select(
         "id",
-        F.element_at("t", -1).alias("block"),
+        F.try_element_at("t", F.lit(-1)).alias("block"),
         F.concat_ws(" ", F.slice(F.col("t"), start, F.lit(3))).alias("skey"),
     )
 
@@ -706,8 +715,8 @@ def sorted_neighborhood_pairs_multipass(
     recall hole, at exactly 2x the candidate-generation cost and ONE
     shared verify. Returns (doc_a, doc_b, jaccard), persisted (caller
     unpersists)."""
-    sh = with_shingles(docs, text_col, id_col, n, materialize=True)
-    toks = _snm_tokens(docs, text_col, id_col)
+    toks = _snm_tokens(docs, text_col, id_col).persist()
+    sh = toks.select("id", shingles_from_tokens("t", n).alias("shingles")).persist()
     cand = (
         _snm_candidates(_snm_head_key(toks), window)
         .union(_snm_candidates(_snm_tail_key(toks), window))
@@ -716,6 +725,7 @@ def sorted_neighborhood_pairs_multipass(
     out = jaccard_pairs(sh, threshold, candidates=cand).persist()
     out.count()
     sh.unpersist()
+    toks.unpersist()
     return out
 
 
@@ -880,7 +890,12 @@ def containment_pairs(
     ex = shingled.select("id", F.explode("shingles").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     sz = shingled.select("id", F.size("shingles").alias("ln"))
-    # prefix length L = ln - ceil(t*ln) + 1, rarest-first (df, g) order
+    # prefix length L = ln - ceil(t*ln) + 1, rarest-first (df, g) order.
+    # The 1e-9 guard (same as jaccard_pairs): t*ln can land an ulp ABOVE
+    # an exact integer (0.54*450 = 243.00000000000003), overshooting the
+    # ceil and shortening the prefix by one — a silently dropped true
+    # pair. The guard can only LENGTHEN the prefix (adds candidates,
+    # never loses them), so completeness is preserved exactly.
     w = Window.partitionBy("id").orderBy("df", "g")
     pref = (
         ex.join(dfreq, "g")
@@ -888,7 +903,9 @@ def containment_pairs(
         .withColumn("rk", F.row_number().over(w))
         .filter(
             F.col("rk")
-            <= F.col("ln") - F.ceil(F.lit(threshold) * F.col("ln")) + 1
+            <= F.col("ln")
+            - F.ceil(F.lit(threshold) * F.col("ln") - F.lit(1e-9))
+            + 1
         )
         .select(F.col("id").alias("pid"), "g", F.col("ln").alias("pln"))
     )
@@ -1356,10 +1373,13 @@ def cross_dedup(
     sb = sh_h.select(F.col("id").alias("hid"), F.col("shingles").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
+    # round(4)-then-compare, the same boundary convention as
+    # jaccard_pairs: the SAME pair must classify identically whether it
+    # surfaces in the in-corpus dedup or the cross-corpus sweep
     near_ids = (
         cand.join(sa, "tid")
         .join(sb, "hid")
-        .filter(inter * F.lit(1.0) / union >= threshold)
+        .filter(F.round(inter * F.lit(1.0) / union, 4) >= threshold)
         .select(F.col("tid").alias("id"))
         .distinct()
     )

@@ -605,9 +605,13 @@ def cosine_near_pairs_gemm(
 
     Determinism: same left-to-right per-dimension fold as the JVM /
     DuckDB expression (never np.dot), raw sims leave the kernel
-    UNROUNDED with a 1e-9-guarded pre-filter, and the authoritative
-    round(4)-then-threshold happens in JVM expressions — so surviving
-    pairs and their printed sims match cosine_near_pairs exactly.
+    UNROUNDED, and the authoritative round(4)-then-threshold happens in
+    JVM expressions — so surviving pairs and their printed sims match
+    cosine_near_pairs exactly. The kernel pre-filter must therefore be
+    looser than the final filter by the HALF-ULP of the 4-decimal round
+    (5e-5): a raw sim of t - 4e-5 rounds UP to t and must reach the JVM
+    filter — a bare t - 1e-9 guard would drop it inside the kernel and
+    silently diverge from the expression baseline at the boundary.
     """
     import numpy as np
     import pandas as pd
@@ -623,7 +627,7 @@ def cosine_near_pairs_gemm(
         .withColumn("bj", F.greatest("blk", "other"))
         .select("bi", "bj", "id", "v", "blk")
     )
-    guard = threshold - 1e-9
+    guard = threshold - 5e-5 - 1e-9
 
     def score_block_pair(pdf: "pd.DataFrame") -> "pd.DataFrame":
         bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])

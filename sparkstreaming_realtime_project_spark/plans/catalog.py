@@ -3983,8 +3983,8 @@ def _band_sql_for(mh_tbl: str) -> str:
     nr AS (SELECT DISTINCT tid AS doc_id FROM cand
            JOIN szt ON szt.doc_id = cand.tid
            JOIN szh ON szh.doc_id = cand.hid
-           WHERE len(list_intersect(szt.s, szh.s)) * 1.0 /
-                 (szt.ln + szh.ln - len(list_intersect(szt.s, szh.s))) >= 0.8)
+           WHERE round(len(list_intersect(szt.s, szh.s)) * 1.0 /
+                 (szt.ln + szh.ln - len(list_intersect(szt.s, szh.s))), 4) >= 0.8)
     SELECT t.doc_id,
            (exd.doc_id IS NOT NULL) AS exact_dup,
            (nr.doc_id IS NOT NULL) AS near_dup,
