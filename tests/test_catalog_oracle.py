@@ -39,32 +39,81 @@ def test_rows_only_runs(spark, sf_dir, spec):
 
 def test_registry_rotation_order():
     """The driver's CORRECTNESS window covers only the first 50 registry
-    entries — registry() must float every entry WITHOUT a prior
-    driver-verified green row ahead of all previously-verified ones
-    (oldest-waiting first), or entries can starve outside the window
-    forever."""
+    entries — registry() must order by priority: driver-RED (fixed,
+    awaiting re-verification) beats never-checked beats exposed-but-
+    unconfirmed (r4 window, artifact never landed) beats confirmed-green
+    (stalest exposure first). Otherwise red fixes go unverified or
+    entries starve outside the window forever."""
     from sparkstreaming_realtime_project_spark.plans.catalog import (
+        _DRIVER_RED_R5,
         _DRIVER_VERIFIED_R2,
         _DRIVER_VERIFIED_R3,
+        _DRIVER_VERIFIED_R5,
         _DRIVER_WINDOW_R4,
         registry,
     )
 
     names = [s.name for s in registry()]
-    # the r4-window cohort counts as exposed (it occupied the round-4
-    # driver window) even though its CORRECTNESS artifact never landed
-    verified = _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_WINDOW_R4
-    first_verified = min(
-        (i for i, n in enumerate(names) if n in verified), default=len(names)
+    green = _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R5
+    exposed = _DRIVER_WINDOW_R4
+
+    def tier(n):
+        if n in _DRIVER_RED_R5:
+            return 0  # red beats...
+        if n not in green and n not in exposed:
+            return 1  # ...never-checked beats...
+        if n in exposed:
+            return 2  # ...exposed-unconfirmed beats...
+        return 3  # ...confirmed green
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), (
+        "registry() rotation out of priority order: "
+        f"{[n for n, t, ts in zip(names, tiers, sorted(tiers)) if t != ts][:5]}"
     )
-    # no never-verified entry may appear after the first verified one
-    stragglers = [n for n in names[first_verified:] if n not in verified]
-    assert not stragglers, f"never-driver-verified entries queued behind verified: {stragglers}"
-    # and the window itself is fully spent on never-verified entries
-    # while more than 50 of them exist
-    never = [n for n in names if n not in verified]
-    if len(never) >= 50:
-        assert all(n not in verified for n in names[:50])
+    # every r5 red entry must sit INSIDE the round-6 driver window
+    assert all(n in names[:50] for n in _DRIVER_RED_R5)
+    # and the window is fully spent on non-confirmed-green entries while
+    # more than 50 such entries exist
+    pending = [n for n in names if tier(n) < 3]
+    if len(pending) >= 50:
+        assert all(tier(n) < 3 for n in names[:50])
+
+
+def _flat_duck_types(con, sql):
+    rel = con.sql(sql)
+    return list(zip(rel.columns, [str(t).upper() for t in rel.types]))
+
+
+def test_registry_driver_canon_lint(spark, sf_dir, duck):
+    """Registry-wide lint replicating the round-5 driver failures at the
+    TYPE level, without executing anything:
+
+    - oracle SQL must not emit HUGEINT (DuckDB's integer-sum result
+      type): pandas widens it to float64 while the Spark twin is int64 —
+      hash mismatch (4 of 5 r5 reds). `CAST(sum(...) AS BIGINT)`.
+    - neither side may emit list/struct/map-typed output columns: the
+      driver's pandas row sort crashes on them (5th r5 red).
+    - neither side may emit DECIMAL outputs: Spark->pandas keeps Decimal
+      objects, DuckDB->pandas gives float64 — hash mismatch. Aggregate
+      in decimal if exactness matters, cast out to double.
+    """
+    bad = []
+    for spec in SPECS:
+        for col, t in _flat_duck_types(duck, spec.sql):
+            if "HUGEINT" in t:
+                bad.append(f"{spec.name}.{col}: oracle {t} (uncast int sum)")
+            if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST")):
+                bad.append(f"{spec.name}.{col}: oracle {t} (unsortable)")
+            if t.startswith("DECIMAL"):
+                bad.append(f"{spec.name}.{col}: oracle {t} (decimal out)")
+        for field in spec.spark(spark, sf_dir).schema.fields:
+            tn = field.dataType.typeName()
+            if tn in ("array", "struct", "map"):
+                bad.append(f"{spec.name}.{field.name}: spark {tn} (unsortable)")
+            if tn.startswith("decimal"):
+                bad.append(f"{spec.name}.{field.name}: spark {tn} (decimal out)")
+    assert not bad, "driver-canon lint failures:\n" + "\n".join(bad)
 
 
 def test_date_queries_tz_robust(spark, sf_dir):

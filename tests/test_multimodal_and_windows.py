@@ -279,3 +279,65 @@ def test_png_histogram_non_dividing_bins(spark):
 
     with _pytest.raises(ValueError):
         pngc.luma_histogram(1, 1, 1, bytearray(b"\x00"), 300)
+
+
+def test_png_crc_and_truncation_detected():
+    """Corruption must SURFACE (never garbage): a bit-flip anywhere in a
+    chunk breaks its CRC -> ValueError; a chunk length pointing past EOF
+    -> ValueError; an untouched file still decodes."""
+    from sparkstreaming_realtime_project_spark.functions import png as pngc
+
+    data, px = _gradient_png()
+    w, h, ch, out = pngc.decode_png(data)  # pristine decodes
+    assert bytes(out) == px
+    # flip one bit inside the IDAT payload (sizes stay consistent, so
+    # only the CRC can catch it)
+    idat_at = data.index(b"IDAT")
+    corrupt = bytearray(data)
+    corrupt[idat_at + 10] ^= 0x40
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        pngc.decode_png(bytes(corrupt))
+    # declared chunk length past EOF
+    truncated = bytearray(data)
+    truncated[idat_at - 4 : idat_at] = (2**24).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="past EOF"):
+        pngc.decode_png(bytes(truncated))
+
+
+def test_png_luma_matches_pil_fixed_point():
+    """RGB luma uses PIL's exact rounded fixed-point convert('L')
+    formula — (R*19595 + G*38470 + B*7471 + 0x8000) >> 16 — so
+    decoder='png' and decoder='pil' histograms agree bin-for-bin on RGB
+    inputs, not just grayscale."""
+    from sparkstreaming_realtime_project_spark.functions import png as pngc
+
+    data, px = _gradient_png()
+    w, h, ch, out = pngc.decode_png(data)
+    hist = pngc.luma_histogram(w, h, ch, out, 16)
+    want = [0] * 16
+    for i in range(0, len(px), 3):
+        l8 = (px[i] * 19595 + px[i + 1] * 38470 + px[i + 2] * 7471 + 0x8000) >> 16
+        want[l8 // 16] += 1
+    total = sum(want)
+    assert hist == [round(c / total, 6) for c in want]
+
+
+def test_png_luma_pil_cross_check():
+    """Pillow cross-check of the RGB luma histogram (opt-in, like
+    decoder='pil'; the formula-level twin above always runs)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        pytest.skip("Pillow not installed in this environment")
+    from sparkstreaming_realtime_project_spark.functions import png as pngc
+
+    data, px = _gradient_png()
+    w, h, ch, out = pngc.decode_png(data)
+    hist = pngc.luma_histogram(w, h, ch, out, 16)
+    img = Image.open(io.BytesIO(data)).convert("L")
+    pil_hist = img.histogram()
+    pil_binned = [sum(pil_hist[i * 16 : (i + 1) * 16]) for i in range(16)]
+    total = sum(pil_binned)
+    assert hist == [round(c / total, 6) for c in pil_binned]
