@@ -167,3 +167,72 @@ def test_http_errors(http_base):
     assert status == 400 and "gender" in out["error"]
     status, _ = _get(f"{http_base}/nope")
     assert status == 404
+
+
+def test_http_reflects_live_streaming_sink(spark, tmp_path):
+    """The provider contract end to end against the REAL streaming sink
+    (http_api.py:12-15 claim): start the dau pipeline in availableNow
+    mode, serve read_sink via the HTTP façade, then land MORE source
+    files and replay — the SAME running server must reflect the second
+    run's committed state on its next request (the analog of the
+    reference's Spring app querying live daily ES indices)."""
+    import json as _json
+
+    from sparkstreaming_realtime_project_spark.http_api import (
+        publisher_server,
+        serve_in_background,
+    )
+    from sparkstreaming_realtime_project_spark.sources.streams import text_stream
+    from sparkstreaming_realtime_project_spark.streaming.pipelines import dau_pipeline
+    from sparkstreaming_realtime_project_spark.streaming.sinks import read_sink
+    from pyspark.sql import functions as F
+
+    from . import streaming_fixtures as fx
+
+    in_dir, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    fx.write_log_fixture(in_dir)
+    dim_user, dim_province = fx.dim_frames(spark)
+
+    def run_pipeline():
+        writer = dau_pipeline(
+            text_stream(spark, in_dir, max_files_per_trigger=1),
+            dim_user,
+            dim_province,
+            out,
+            ckpt,
+            as_of=F.lit("2024-06-01"),
+        )
+        q = writer.trigger(availableNow=True).start()
+        assert q.awaitTermination(120)
+
+    run_pipeline()
+    server = publisher_server(lambda: read_sink(spark, out), lambda: read_sink(spark, out))
+    serve_in_background(server)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        status, out1 = _get(f"{base}/dauRealtime?td=2024-01-02")
+        assert status == 200
+        assert out1["dauTotal"] == 1  # m2 is day-2's only active
+        assert sum(out1["dauYd"].values()) == 2  # day-1: m1 + m5
+
+        # land a third source file: a NEW device entering on day 2 plus a
+        # cross-run duplicate of m2 (checkpoint state must still drop it)
+        extra = [
+            fx.log_row("m7", fx.D2_09 + 5000, uid="7", ar="11", page_id="home"),
+            fx.log_row("m2", fx.D2_09 + 6000, uid="2", ar="12", page_id="home"),
+        ]
+        import os as _os
+
+        path = _os.path.join(in_dir, "batch-002.json")
+        with open(path, "w") as f:
+            f.write("\n".join(extra) + "\n")
+        run_pipeline()  # same checkpoint: replay picks up only the new file
+
+        status, out2 = _get(f"{base}/dauRealtime?td=2024-01-02")
+        assert status == 200
+        assert out2["dauTotal"] == 2  # m2 + m7: provider re-read the sink
+        assert out2["dauTd"].get("09") == 1  # m7's hour bucket
+        assert sum(out2["dauYd"].values()) == 2  # day-1 untouched
+    finally:
+        server.shutdown()
