@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from sparkstreaming_realtime_project_spark.plans import catalog
@@ -173,3 +174,39 @@ def test_ansi_sql_surface_matches_dataframe_plans(spark, sf_dir):
     finally:
         for t in ("customer", "orders", "lineitem", "supplier", "part"):
             spark.catalog.dropTempView(t)
+
+
+def test_canon_reproduces_r5_driver_failures():
+    """The hardened canon must catch all three round-5 driver failure
+    modes that the old Python-value compare waved through:
+
+    1. int64 vs float64 (DuckDB HUGEINT widening) — same values, kind
+       mismatch;
+    2. a list-typed cell — 'not driver-canonicalizable';
+    3. Decimal objects vs float64 — kind mismatch.
+
+    And identical frames still compare equal after pandas round-trip."""
+    import decimal
+
+    import pandas as pd
+
+    from .oracle import _canon_cell, _canon_frame
+
+    # kind-strict: int != float even when == in Python
+    assert _canon_cell(4990) != _canon_cell(4990.0)
+    assert _canon_cell(4990) == _canon_cell(np.int32(4990))  # width-blind
+    assert _canon_cell(decimal.Decimal("4990.00")) != _canon_cell(4990.0)
+    # representation noise collapses; NaN and None unify like pandas
+    assert _canon_cell(0.1 + 0.2) == _canon_cell(0.3)
+    assert _canon_cell(float("nan")) == _canon_cell(None)
+    # list cells raise the same class the driver's sort does
+    with pytest.raises(TypeError):
+        _canon_cell([1, 2])
+    lf = pd.DataFrame({"a": [1], "v": [[1.0, 2.0]]})
+    with pytest.raises(TypeError):
+        _canon_frame(lf)
+    # order-insensitive equality on scalar frames, column order ignored
+    f1 = pd.DataFrame({"a": [2, 1], "b": [2.0, 1.0]})
+    f2 = pd.DataFrame({"b": [1.0, 2.0], "a": [1, 2]})
+    assert _canon_frame(f1) == _canon_frame(f2)
+
