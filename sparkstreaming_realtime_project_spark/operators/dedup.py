@@ -269,11 +269,25 @@ def ngram_jaccard_dedup_pairs(
 
 
 def minhash_signature(shingled: DataFrame, k: int = 16) -> DataFrame:
-    """k MinHash components h0..h{k-1}: min over shingles of md5('j:'||s).
+    """k MinHash components h0..h{k-1}: component j is the min over
+    shingles of the j%4-th 8-hex-digit (32-bit) chunk of
+    md5('{j//4}:'||s) — ONE md5 per shingle serves FOUR components
+    (md5's 128 bits are uniform, so disjoint 32-bit chunks behave as
+    independent hashes; the same digit-slicing trick
+    simhash_from_hashes uses). ceil(k/4) seeded hash passes instead of
+    k cuts the dominant per-element md5 work 4x; the per-component work
+    left is a substring + array_min. 32-bit components are the standard
+    MinHash width — component collisions across distinct shingles are
+    the estimator's own 2^-32 noise floor. Computed with
+    ``array_min(transform(...))`` per row — narrow, no explode, no
+    shuffle. Hex-string min == numeric min of the chunk (fixed-width
+    lowercase hex sorts identically).
 
-    Computed with ``array_min(transform(...))`` per row — narrow, no
-    explode, no shuffle. Hex-string min == numeric min of the 128-bit
-    hash (fixed-width lowercase hex sorts identically).
+    Each seeded hash array is PROJECTED into a real column before the
+    four component expressions read it: inlining the transform would
+    recompute the md5 pass once per component (CollapseProject keeps
+    multi-ref non-cheap aliases separate — the array column is the
+    supported way to share one pass).
 
     The per-seed lambda comes from a factory function — NEVER the
     ``lambda s, j=j`` default-arg capture idiom: PySpark binds a TWO-arg
@@ -282,14 +296,28 @@ def minhash_signature(shingled: DataFrame, k: int = 16) -> DataFrame:
     "Column<'y_N'>:" with a session-global counter — wrong and
     nondeterministic signatures."""
 
-    def seeded(j: int):
-        prefix = f"{j}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    n_seeds = (k + 3) // 4
 
-    return shingled.select(
+    def seeded(s: int):
+        prefix = f"{s}:"
+        return lambda g: F.md5(F.concat(F.lit(prefix), g))
+
+    def chunk_at(off: int):
+        return lambda h: F.substring(h, off, 8)
+
+    hashed = shingled.select(
         "*",
         *[
-            F.array_min(F.transform("shingles", seeded(j))).alias(f"h{j}")
+            F.transform("shingles", seeded(s)).alias(f"__mh{s}")
+            for s in range(n_seeds)
+        ],
+    )
+    return hashed.select(
+        *shingled.columns,
+        *[
+            F.array_min(
+                F.transform(f"__mh{j // 4}", chunk_at(8 * (j % 4) + 1))
+            ).alias(f"h{j}")
             for j in range(k)
         ],
     )

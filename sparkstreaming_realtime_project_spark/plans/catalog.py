@@ -1242,8 +1242,12 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
 
 _MINHASH_K, _MINHASH_BANDS = 16, 4
 _R = _MINHASH_K // _MINHASH_BANDS
+# Component j = min over shingles of the j%4-th 32-bit (8-hex) chunk of
+# md5('{j//4}:'||g): one md5 serves four components (mirrors
+# operators.dedup.minhash_signature — ceil(k/4) hash passes, not k).
 _MH_COLS = ",\n         ".join(
-    f"min(md5('{j}:' || g)) AS h{j}" for j in range(_MINHASH_K)
+    f"min(substr(md5('{j // 4}:' || g), {8 * (j % 4) + 1}, 8)) AS h{j}"
+    for j in range(_MINHASH_K)
 )
 _BAND_SQL = "\n  UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({key}) AS key FROM mh".format(
