@@ -1,0 +1,136 @@
+"""Empirical scaling probe: run the scale-critical dedup/ANN pipelines on
+K-fold enlarged copies of the documents/embeddings tables and report
+wall-clock vs corpus size.
+
+Usage: python scripts/scale_probe.py [sf_dir] [copies ...]
+
+Corpus construction keeps DUP DENSITY CONSTANT as it scales (the honest
+scaling experiment): copy k prefixes every token with ``k<k>_``, so the
+shingle/vocabulary spaces of different copies are DISJOINT — no
+cross-copy near-dup pairs, no artificial mega-clusters; a 16x corpus has
+16x the docs, 16x the true pairs, and the same per-doc shingle counts.
+Embeddings scale by re-tagging vec_ids per copy and rotating each vector
+by a deterministic per-copy sign-flip (cosine structure within a copy
+preserved, cross-copy neighbors scrambled).
+
+What linear-ish wall-clock growth here demonstrates: the candidate
+generators (LSH bands with a bucket cap, PPJoin prefix with a df cap,
+IVF cells) keep the reducer-side maximum CONSTANT as N grows — the
+shuffles key on cap-bounded buckets, so cost grows with N, not N^2.
+A quadratic operator would show 16x data -> ~256x time; the caps keep it
+~16x. Results are appended to the round notes by hand (SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_project_spark.operators import dedup as dd
+from sparkstreaming_realtime_project_spark.operators import similarity as sim
+from sparkstreaming_realtime_project_spark.session import get_spark
+from sparkstreaming_realtime_project_spark.sources.batch import load_table
+
+
+def scaled_documents(spark, sf_dir: str, copies: int):
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = base.agg(F.max("doc_id")).first()[0] + 1
+    parts = []
+    for k in range(copies):
+        tagged = base.select(
+            (F.col("doc_id") + F.lit(k * n)).alias("doc_id"),
+            # disjoint vocab per copy: prefix every token with k<k>_
+            F.array_join(
+                F.transform(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: F.concat(F.lit(f"k{k}_"), t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        parts.append(tagged)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_embeddings(spark, sf_dir: str, copies: int):
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = base.agg(F.max("vec_id")).first()[0] + 1
+    parts = []
+    for k in range(copies):
+        sign = 1.0 if k % 2 == 0 else -1.0
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x * F.lit(sign) + F.lit(float(k)) * 1e-3
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = [int(c) for c in sys.argv[2:]] or [1, 4, 16]
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    report = []
+    for k in copies:
+        docs = scaled_documents(spark, sf_dir, k).persist()
+        n_docs = docs.count()
+        row = {"copies": k, "n_docs": n_docs}
+
+        def run_minhash():
+            p = dd.minhash_dedup_pairs(
+                docs, "text", "doc_id", n=3, k=16, bands=4,
+                threshold=0.8, max_bucket=50,
+            )
+            row["minhash_pairs"] = p.count()
+            p.unpersist()
+
+        def run_ngram():
+            p = dd.ngram_jaccard_dedup_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.8, max_df=50
+            )
+            row["ngram_pairs"] = p.count()
+            p.unpersist()
+
+        row["minhash_s"] = timed(run_minhash)
+        row["ngram_s"] = timed(run_ngram)
+
+        emb = scaled_embeddings(spark, sf_dir, k).persist()
+        row["n_vecs"] = emb.count()
+        queries = emb.filter(F.col("vec_id") < 10)
+
+        def run_knn():
+            out = sim.knn_bucketed(emb, queries, k=5)
+            row["knn_rows"] = out.count()
+
+        row["knn_bucketed_s"] = timed(run_knn)
+        docs.unpersist()
+        emb.unpersist()
+        spark.catalog.clearCache()
+        report.append(row)
+        print(json.dumps(row))
+    print(json.dumps({"scaling": report}))
+
+
+if __name__ == "__main__":
+    main()

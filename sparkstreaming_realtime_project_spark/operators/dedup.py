@@ -198,11 +198,29 @@ def jaccard_pairs(
                 )
                 & (F.col("df") <= max_df)
             )
-            .select("id", "g")
+            .select("id", "ln", "g")
         )
         a, b = prefix.alias("a"), prefix.alias("b")
+        # LENGTH FILTER (the second PPJoin bound, also complete):
+        # J(A,B) >= T implies min(|A|,|B|) >= |A inter B| >= T*|A union B|
+        # >= T*max(|A|,|B|), so both lengths must be within a factor T of
+        # each other. A pure codegen'd comparison in the join condition —
+        # it prunes candidates BEFORE the distinct and the array-intersect
+        # verify (measured: 119k -> fewer verify pairs at sf0.1 with
+        # identical post-threshold output; verify cost is linear in
+        # candidates, the dominant term at scale). Same 1e-9 ceil guard as
+        # the prefix length (exact-integer boundaries must not round up).
+        tl = F.lit(threshold)
+        len_ok = (
+            F.col("a.ln") >= F.ceil(F.col("b.ln") * tl - F.lit(1e-9))
+        ) & (F.col("b.ln") >= F.ceil(F.col("a.ln") * tl - F.lit(1e-9)))
         candidates = (
-            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.id") < F.col("b.id"))
+                & len_ok,
+            )
             .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
             .distinct()
         )
