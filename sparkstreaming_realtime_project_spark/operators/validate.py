@@ -59,3 +59,83 @@ def expectations_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+def drift_report(
+    df: DataFrame,
+    current: Column,
+    numeric: dict[str, tuple[Column, float]] | None = None,
+    categorical: dict[str, Column] | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift report between a REFERENCE
+    slice (``current`` false) and a CURRENT slice (``current`` true) of
+    one frame — the standard corpus-snapshot drift check a training-data
+    pipeline runs before every ingestion batch (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate).
+
+    ``numeric`` maps feature name -> (column, bin_width): values bin by
+    ``floor(col / width)`` — FIXED-width bins, not quantiles, so the
+    binning is deterministic, engine-portable, and comparable across
+    runs (quantile bins move with the data, which hides drift).
+    ``categorical`` maps feature name -> column; each distinct value is
+    its own bin.
+
+    Shape: every feature rides ONE scan — per row, an inline array of
+    (feature, bin) structs is exploded and counted by
+    (feature, bin, side) with map-side partials; per-feature totals and
+    the PSI sum are second-stage aggregates over the BIN-COUNT frame
+    (bins-sized, not corpus-sized). Zero-count bins substitute ``eps``
+    for the missing proportion (the PSI convention making the score
+    finite when a bin exists on one side only).
+
+    Returns (feature, psi, n_ref, n_cur) — one row per feature.
+    """
+    numeric = numeric or {}
+    categorical = categorical or {}
+    if not numeric and not categorical:
+        raise ValueError("drift_report: no features given")
+    entries = [
+        F.struct(
+            F.lit(name).alias("feature"),
+            F.floor(col / F.lit(width)).cast("string").alias("bin"),
+        )
+        for name, (col, width) in sorted(numeric.items())
+    ] + [
+        F.struct(F.lit(name).alias("feature"), col.cast("string").alias("bin"))
+        for name, col in sorted(categorical.items())
+    ]
+    pairs = df.select(
+        current.cast("boolean").alias("__cur"), F.explode(F.array(*entries)).alias("fb")
+    )
+    counts = pairs.groupBy(
+        F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("__cur"), 0).otherwise(1)).alias("n_ref_bin"),
+        F.sum(F.when(F.col("__cur"), 1).otherwise(0)).alias("n_cur_bin"),
+    )
+    totals = counts.groupBy("feature").agg(
+        F.sum("n_ref_bin").cast("long").alias("n_ref"),
+        F.sum("n_cur_bin").cast("long").alias("n_cur"),
+    )
+    e = F.lit(eps)
+    pr = F.when(F.col("n_ref_bin") == 0, e).otherwise(
+        F.col("n_ref_bin") / F.col("n_ref")
+    )
+    pc = F.when(F.col("n_cur_bin") == 0, e).otherwise(
+        F.col("n_cur_bin") / F.col("n_cur")
+    )
+    # Per-bin terms are doubles, but the per-feature SUM accumulates
+    # through DECIMAL(18,12): double addition is partition-order
+    # dependent (±1 ulp can flip the round(4) boundary); decimal
+    # addition is exact, so the score replays bit-identically on any
+    # engine/partitioning (the same convention the money aggregates use).
+    term = ((pr - pc) * F.log(pr / pc)).cast("decimal(18,12)")
+    return (
+        counts.join(F.broadcast(totals), "feature")
+        .select("feature", "n_ref", "n_cur", term.alias("t"))
+        .groupBy("feature", "n_ref", "n_cur")
+        .agg(F.round(F.sum("t").cast("double"), 4).alias("psi"))
+        .select("feature", "psi", "n_ref", "n_cur")
+        .orderBy("feature")
+    )

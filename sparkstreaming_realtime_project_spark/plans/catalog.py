@@ -4727,6 +4727,60 @@ _PROFILE_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
 
 
 @_register(
+    "x_drift_report",
+    "population-stability-index (PSI) drift report between corpus "
+    "snapshots (reference sources vs the src0 'new batch'): fixed-width "
+    "numeric bins + categorical bins, every feature counted in ONE "
+    "exploded scan, per-feature PSI from the bins-sized count frame; "
+    "the decimal-accumulated sum makes the score partition-order-free "
+    "— the pre-ingestion drift gate a training-data pipeline runs "
+    "(north-star)",
+    """
+    WITH b AS (
+      SELECT 'lang' AS feature, lang AS bin, (source = 'src0') AS cur
+      FROM documents
+      UNION ALL
+      SELECT 'len_chars',
+             CAST(CAST(floor(n_chars / 200.0) AS BIGINT) AS VARCHAR),
+             (source = 'src0')
+      FROM documents),
+    c AS (SELECT feature, bin,
+                 sum(CASE WHEN cur THEN 0 ELSE 1 END) AS n_ref_bin,
+                 sum(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur_bin
+          FROM b GROUP BY feature, bin),
+    t AS (SELECT feature, CAST(sum(n_ref_bin) AS BIGINT) AS n_ref,
+                 CAST(sum(n_cur_bin) AS BIGINT) AS n_cur
+          FROM c GROUP BY feature),
+    terms AS (
+      SELECT c.feature, n_ref, n_cur,
+             CAST((CASE WHEN n_ref_bin = 0 THEN 1e-6
+                        ELSE n_ref_bin * 1.0 / n_ref END
+                   - CASE WHEN n_cur_bin = 0 THEN 1e-6
+                          ELSE n_cur_bin * 1.0 / n_cur END)
+                  * ln((CASE WHEN n_ref_bin = 0 THEN 1e-6
+                             ELSE n_ref_bin * 1.0 / n_ref END)
+                       / (CASE WHEN n_cur_bin = 0 THEN 1e-6
+                               ELSE n_cur_bin * 1.0 / n_cur END))
+                  AS DECIMAL(18,12)) AS t
+      FROM c JOIN t ON t.feature = c.feature)
+    SELECT feature, round(CAST(sum(t) AS DOUBLE), 4) AS psi, n_ref, n_cur
+    FROM terms GROUP BY feature, n_ref, n_cur
+    ORDER BY feature
+    """,
+)
+def x_drift_report(spark, sf_dir):
+    from ..operators.validate import drift_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return drift_report(
+        docs,
+        current=F.col("source") == "src0",
+        numeric={"len_chars": (F.col("n_chars"), 200.0)},
+        categorical={"lang": F.col("lang")},
+    )
+
+
+@_register(
     "x_table_profile",
     "one-pass per-column table profile of customer (nulls, exact "
     "distinct, min/max as strings): every column's stats ride ONE "

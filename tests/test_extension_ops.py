@@ -1216,3 +1216,37 @@ def test_zorder_written_files_enable_pruning(spark, tmp_path):
     # leading column)
     assert cs["x"] < ps["x"] * 0.6, (cs, ps)
     assert cs["y"] < ps["y"] * 0.6, (cs, ps)
+
+
+def test_drift_report_identical_and_disjoint(spark):
+    """PSI semantics: comparing a slice against an identically-distributed
+    slice scores ~0; a categorical feature whose values are DISJOINT
+    across slices scores far past the 0.25 'investigate' line; every
+    requested feature appears exactly once."""
+    from sparkstreaming_realtime_project_spark.operators.validate import (
+        drift_report,
+    )
+
+    rows = []
+    for i in range(400):
+        # identical length distribution on both sides; lang disjoint
+        side = i % 2  # 0 = ref, 1 = cur
+        rows.append((i, 100 + (i // 2) % 5 * 50, f"L{side}", side))
+    df = spark.createDataFrame(rows, "id long, n_chars int, lang string, cur int")
+    rep = {
+        r["feature"]: r
+        for r in drift_report(
+            df,
+            current=F.col("cur") == 1,
+            numeric={"len": (F.col("n_chars"), 50.0)},
+            categorical={"lang": F.col("lang")},
+        ).collect()
+    }
+    assert set(rep) == {"len", "lang"}
+    assert rep["len"]["n_ref"] == rep["len"]["n_cur"] == 200
+    assert rep["len"]["psi"] == 0.0  # same per-bin proportions
+    assert rep["lang"]["psi"] > 0.25  # fully disjoint categories
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        drift_report(df, current=F.col("cur") == 1)
