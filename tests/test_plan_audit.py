@@ -257,6 +257,11 @@ CASES_R5 = [
     # to avoid
     ("j_asof_forward", ["Window"], ["NestedLoop", "CartesianProduct"]),
     ("j_asof_nearest", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    # round 6: PSI drift — ONE Generate (the feature/bin explode) feeding
+    # a hash aggregate; totals join back by broadcast (bins-sized frame);
+    # no window, no cartesian anywhere
+    ("x_drift_report", ["Generate", "HashAggregate", "BroadcastHashJoin"],
+     ["Window", "NestedLoop", "CartesianProduct"]),
 ]
 
 
