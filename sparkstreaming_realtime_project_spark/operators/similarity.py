@@ -1585,3 +1585,159 @@ def label_centroid_report(
     return intra.join(inter, "label").select(
         "label", "n_vecs", "avg_intra_sim", "max_inter_sim"
     )
+
+
+def embed_covariance(
+    embeddings: DataFrame, vec_col: str = "embedding", decimals: int = 6
+) -> DataFrame:
+    """Full d x d covariance matrix of an embedding column as (i, j, cov)
+    rows — the ORACLE-portable expression form: position pairs from two
+    posexplodes, products accumulated through DECIMAL(28,16) so the sums
+    are partition-order-free (double partial sums differ by +-1 ulp
+    across partitionings; decimal addition is exact — the money-sum
+    convention), then cov = E[xy] - E[x]E[y] in exact decimal until the
+    final round.
+
+    This form fans each row out d^2-fold, which is fine for the verify
+    corpus but NOT the 100 TB path — `pca_model` computes the same
+    matrix from per-batch numpy X^T X partials (one d x d matrix per
+    Arrow batch crosses the driver, never the data); the two paths are
+    parity-tested against each other."""
+    dec = "decimal(28,16)"
+    v = embeddings.select(as_double_vec(vec_col).alias("v"))
+    ex = v.select("v", F.posexplode("v").alias("i", "xi"))
+    pairs = ex.select("i", "xi", F.posexplode("v").alias("j", "xj"))
+    stats = pairs.groupBy("i", "j").agg(
+        F.sum((F.col("xi") * F.col("xj")).cast(dec)).alias("sxy"),
+        F.sum(F.col("xi").cast(dec)).alias("sx"),
+        F.sum(F.col("xj").cast(dec)).alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # The sums are exact decimals (identical across engines); the final
+    # arithmetic runs in IEEE doubles with the SAME expression shape the
+    # oracle uses (engine decimal-division rules differ, IEEE double
+    # ops don't), and rounding is the explicit floor(x*1e6+0.5)/1e6
+    # form — engine round() diverges at exact .5 boundaries (catalog
+    # header convention for ratio outputs).
+    sxy = F.col("sxy").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    n = F.col("n").cast("double")
+    cov = sxy / n - (sx / n) * (sy / n)
+    scale = float(10**decimals)
+    rounded = F.floor(cov * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    return stats.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        rounded.alias("cov"),
+    )
+
+
+def pca_model(
+    embeddings: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> dict:
+    """PCA model {mean, components, explained} from distributed moment
+    partials — the data-aware sibling of the JL random projection
+    (rotates onto the directions of maximal variance instead of random
+    +-1 axes; same downstream use: shortlist in k dims, exact re-rank).
+
+    Scale shape: one `mapInPandas` pass emits per-BATCH partials
+    (n, sum(x), X^T X as a flattened d^2 array) — one row per Arrow
+    batch, so only O(partitions * d^2) crosses the driver, never the
+    data. The driver sums partials (numpy), eigendecomposes the d x d
+    covariance (model-sized), and returns the top-k eigenvectors by
+    descending eigenvalue with a DETERMINISTIC sign convention (first
+    element of largest absolute value made positive) and 1e-6 rounding,
+    so the model replays reproducibly like ivf_centroids/pq_codebooks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = embeddings.select(as_double_vec(vec_col).alias("v"))
+    d = len(src.select("v").first()["v"])
+    schema = "n long, s array<double>, ss array<double>"
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    rows = src.mapInPandas(partials, schema).collect()
+    if not rows:
+        raise ValueError("pca_model: empty embedding table")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c = -c
+        comps.append([round(float(x), round_decimals) for x in c])
+    return {
+        "mean": [round(float(x), round_decimals) for x in mean],
+        "components": comps,
+        "explained": [round(float(w[i]), round_decimals) for i in order],
+    }
+
+
+def pca_project(
+    embeddings: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Project vectors onto a `pca_model`: (id, proj array<double>) with
+    proj[c] = dot(x, comp_c) - dot(mean, comp_c).
+
+    The model enters the plan as a 1-ROW broadcast frame carrying
+    array<struct<cid, c, b>> (b = the precomputed mean offset per
+    component) — model-as-data like _cents_col, so the plan stays O(1)
+    in k and d and assignment is a narrow projection with no shuffle."""
+    spark = embeddings.sparkSession
+    entries = [
+        (
+            ci,
+            [float(x) for x in comp],
+            float(
+                sum(m * c for m, c in zip(model["mean"], comp))
+            ),
+        )
+        for ci, comp in enumerate(model["components"])
+    ]
+    mrow = spark.createDataFrame(
+        [(entries,)], "__pca array<struct<cid:int,c:array<double>,b:double>>"
+    )
+    vec = as_double_vec(vec_col)
+    proj = F.transform(
+        F.col("__pca"),
+        lambda p: F.round(
+            F.aggregate(
+                F.zip_with(vec, p["c"], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - p["b"],
+            round_decimals,
+        ),
+    )
+    return _attach(
+        embeddings.select(F.col(id_col).alias("id"), vec.alias(vec_col)), mrow
+    ).select("id", proj.alias("proj"))

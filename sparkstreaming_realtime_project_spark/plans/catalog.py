@@ -4727,6 +4727,38 @@ _PROFILE_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
 
 
 @_register(
+    "x_embed_covariance",
+    "full d x d embedding covariance as (i, j, cov) rows, products and "
+    "means accumulated through DECIMAL(28,16) so the sums are "
+    "partition-order-free (the money-sum convention) — the verifiable "
+    "base of the PCA family: pca_model computes the SAME matrix from "
+    "mapInPandas X^T X batch partials (parity-tested), then "
+    "eigendecomposes driver-side, model-sized (north-star)",
+    """
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e),
+    pairs AS (SELECT i, v[i] AS xi,
+                     unnest(range(1, len(v) + 1)) AS j, v AS v2 FROM ex),
+    cells AS (SELECT i, j, xi, v2[j] AS xj FROM pairs),
+    stats AS (SELECT i, j,
+                     sum(CAST(xi * xj AS DECIMAL(28,16))) AS sxy,
+                     sum(CAST(xi AS DECIMAL(28,16))) AS sx,
+                     sum(CAST(xj AS DECIMAL(28,16))) AS sy,
+                     count(*) AS n
+              FROM cells GROUP BY i, j),
+    d AS (SELECT i, j, CAST(sxy AS DOUBLE) AS sxy, CAST(sx AS DOUBLE) AS sx,
+                 CAST(sy AS DOUBLE) AS sy, CAST(n AS DOUBLE) AS n
+          FROM stats)
+    SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+           floor((sxy / n - (sx / n) * (sy / n)) * 1e6 + 0.5) / 1e6 AS cov
+    FROM d
+    """,
+)
+def x_embed_covariance(spark, sf_dir):
+    return _sim.embed_covariance(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
     "x_drift_report",
     "population-stability-index (PSI) drift report between corpus "
     "snapshots (reference sources vs the src0 'new batch'): fixed-width "

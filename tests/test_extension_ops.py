@@ -1250,3 +1250,78 @@ def test_drift_report_identical_and_disjoint(spark):
 
     with _pytest.raises(ValueError):
         drift_report(df, current=F.col("cur") == 1)
+
+
+def test_pca_model_matches_expression_covariance(spark, sf_dir):
+    """The mapInPandas X^T X partial path (the 100 TB shape: one d x d
+    matrix per batch crosses the driver) must reproduce the
+    expression-form covariance entry (the oracle shape) cell for cell."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = {
+        (r["i"], r["j"]): r["cov"] for r in sim.embed_covariance(emb).collect()
+    }
+    d = int(max(i for i, _ in cells)) + 1
+    model = sim.pca_model(emb, k=d)
+    # rebuild the covariance from the partial-path moments by projecting
+    # the recovered eigensystem back: C = V diag(w) V^T
+    V = np.array(model["components"]).T  # columns = components
+    w = np.array(model["explained"])
+    C = V @ np.diag(w) @ V.T
+    for (i, j), cov in cells.items():
+        assert abs(C[i, j] - cov) < 5e-5, (i, j, C[i, j], cov)
+
+
+def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
+    """Eigenvectors are orthonormal (up to the 1e-6 model rounding),
+    explained variances are non-increasing, and the sign convention
+    (largest-|x| element positive) makes training reproducible."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m1 = sim.pca_model(emb, k=4)
+    m2 = sim.pca_model(emb, k=4)
+    assert m1 == m2  # deterministic replay
+    V = np.array(m1["components"])
+    G = V @ V.T
+    assert np.allclose(G, np.eye(len(V)), atol=1e-4)
+    ex = m1["explained"]
+    assert all(a >= b for a, b in zip(ex, ex[1:]))
+    for c in m1["components"]:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+
+
+def test_pca_project_preserves_distances_at_full_rank(spark, sf_dir):
+    """Projecting onto ALL d components is a rotation about the mean:
+    pairwise squared distances are preserved (up to rounding); at k < d
+    they can only shrink."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40).cache()
+    d = len(emb.select("embedding").first()["embedding"])
+    full = sim.pca_model(emb, k=d)
+    proj = {
+        r["id"]: np.array(r["proj"])
+        for r in sim.pca_project(emb, full).collect()
+    }
+    orig = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    ids = sorted(orig)[:12]
+    for a in ids[:4]:
+        for b in ids[4:8]:
+            d_orig = float(np.sum((orig[a] - orig[b]) ** 2))
+            d_proj = float(np.sum((proj[a] - proj[b]) ** 2))
+            assert abs(d_orig - d_proj) < 1e-3, (a, b, d_orig, d_proj)
+    low = sim.pca_model(emb, k=2)
+    proj2 = {
+        r["id"]: np.array(r["proj"])
+        for r in sim.pca_project(emb, low).collect()
+    }
+    for a in ids[:4]:
+        for b in ids[4:8]:
+            d_orig = float(np.sum((orig[a] - orig[b]) ** 2))
+            d2 = float(np.sum((proj2[a] - proj2[b]) ** 2))
+            assert d2 <= d_orig + 1e-3
