@@ -61,6 +61,57 @@ def expectations_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     )
 
 
+def bin_entries(
+    numeric: dict[str, tuple[Column, float]] | None,
+    categorical: dict[str, Column] | None,
+) -> list[Column]:
+    """(feature, bin) struct expressions for the PSI binning — numeric
+    features bin by ``floor(col / width)`` (fixed-width, deterministic),
+    categorical by value. Shared by the batch `drift_report` and the
+    streaming drift guard so both sides of a batch-twin comparison bin
+    identically."""
+    numeric = numeric or {}
+    categorical = categorical or {}
+    if not numeric and not categorical:
+        raise ValueError("drift: no features given")
+    return [
+        F.struct(
+            F.lit(name).alias("feature"),
+            F.floor(col / F.lit(width)).cast("string").alias("bin"),
+        )
+        for name, (col, width) in sorted(numeric.items())
+    ] + [
+        F.struct(F.lit(name).alias("feature"), col.cast("string").alias("bin"))
+        for name, col in sorted(categorical.items())
+    ]
+
+
+def psi_from_counts(counts: DataFrame, eps: float = 1e-6) -> DataFrame:
+    """Per-feature PSI from a (feature, bin, n_ref_bin, n_cur_bin)
+    frame — the bins-sized second stage shared by `drift_report` and the
+    streaming guard. Decimal-accumulated sum (partition-order-free)."""
+    totals = counts.groupBy("feature").agg(
+        F.sum("n_ref_bin").cast("long").alias("n_ref"),
+        F.sum("n_cur_bin").cast("long").alias("n_cur"),
+    )
+    e = F.lit(eps)
+    pr = F.when(F.col("n_ref_bin") == 0, e).otherwise(
+        F.col("n_ref_bin") / F.col("n_ref")
+    )
+    pc = F.when(F.col("n_cur_bin") == 0, e).otherwise(
+        F.col("n_cur_bin") / F.col("n_cur")
+    )
+    term = ((pr - pc) * F.log(pr / pc)).cast("decimal(18,12)")
+    return (
+        counts.join(F.broadcast(totals), "feature")
+        .select("feature", "n_ref", "n_cur", term.alias("t"))
+        .groupBy("feature", "n_ref", "n_cur")
+        .agg(F.round(F.sum("t").cast("double"), 4).alias("psi"))
+        .select("feature", "psi", "n_ref", "n_cur")
+        .orderBy("feature")
+    )
+
+
 def drift_report(
     df: DataFrame,
     current: Column,
@@ -91,20 +142,7 @@ def drift_report(
 
     Returns (feature, psi, n_ref, n_cur) — one row per feature.
     """
-    numeric = numeric or {}
-    categorical = categorical or {}
-    if not numeric and not categorical:
-        raise ValueError("drift_report: no features given")
-    entries = [
-        F.struct(
-            F.lit(name).alias("feature"),
-            F.floor(col / F.lit(width)).cast("string").alias("bin"),
-        )
-        for name, (col, width) in sorted(numeric.items())
-    ] + [
-        F.struct(F.lit(name).alias("feature"), col.cast("string").alias("bin"))
-        for name, col in sorted(categorical.items())
-    ]
+    entries = bin_entries(numeric, categorical)
     pairs = df.select(
         current.cast("boolean").alias("__cur"), F.explode(F.array(*entries)).alias("fb")
     )
@@ -114,28 +152,9 @@ def drift_report(
         F.sum(F.when(F.col("__cur"), 0).otherwise(1)).alias("n_ref_bin"),
         F.sum(F.when(F.col("__cur"), 1).otherwise(0)).alias("n_cur_bin"),
     )
-    totals = counts.groupBy("feature").agg(
-        F.sum("n_ref_bin").cast("long").alias("n_ref"),
-        F.sum("n_cur_bin").cast("long").alias("n_cur"),
-    )
-    e = F.lit(eps)
-    pr = F.when(F.col("n_ref_bin") == 0, e).otherwise(
-        F.col("n_ref_bin") / F.col("n_ref")
-    )
-    pc = F.when(F.col("n_cur_bin") == 0, e).otherwise(
-        F.col("n_cur_bin") / F.col("n_cur")
-    )
     # Per-bin terms are doubles, but the per-feature SUM accumulates
     # through DECIMAL(18,12): double addition is partition-order
     # dependent (±1 ulp can flip the round(4) boundary); decimal
     # addition is exact, so the score replays bit-identically on any
     # engine/partitioning (the same convention the money aggregates use).
-    term = ((pr - pc) * F.log(pr / pc)).cast("decimal(18,12)")
-    return (
-        counts.join(F.broadcast(totals), "feature")
-        .select("feature", "n_ref", "n_cur", term.alias("t"))
-        .groupBy("feature", "n_ref", "n_cur")
-        .agg(F.round(F.sum("t").cast("double"), 4).alias("psi"))
-        .select("feature", "psi", "n_ref", "n_cur")
-        .orderBy("feature")
-    )
+    return psi_from_counts(counts, eps)

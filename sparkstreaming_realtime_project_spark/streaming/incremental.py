@@ -570,3 +570,90 @@ def streaming_decontaminate(
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming ingestion drift guard: per-micro-batch PSI against a FIXED
+# reference distribution — the online complement to the batch
+# validate.drift_report, the way streaming_decontaminate complements the
+# batch contamination audits: flag a shifted batch BEFORE it enters the
+# corpus instead of discovering the drift in the next offline report.
+# --------------------------------------------------------------------------
+
+
+def streaming_drift_guard(
+    stream: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    reference: DataFrame,
+    numeric=None,
+    categorical=None,
+    eps: float = 1e-6,
+    psi_threshold: float = 0.25,
+):
+    """Write one (batch_id, feature, psi, n_ref, n_cur, breach) row per
+    feature per micro-batch to ``out_root/batch={id}`` (idempotent on
+    replay — same batch id overwrites the same dir).
+
+    The reference's bin counts are computed ONCE per job and carried as
+    a driver-side list (bins-sized — the PSI analog of model-as-data;
+    the reference TABLE is never re-scanned per trigger). Per batch the
+    work is one explode + one bins-sized aggregate + the PSI fold —
+    no join against the reference data, no shuffle beyond the count.
+
+    Batch-twin contract (tested): a batch's psi here equals
+    ``validate.drift_report(reference UNION batch)`` exactly — same
+    binning expressions (validate.bin_entries), same decimal-accumulated
+    fold (validate.psi_from_counts)."""
+    import os
+
+    from ..operators.validate import bin_entries, psi_from_counts
+
+    entries = bin_entries(numeric, categorical)
+    spark = reference.sparkSession
+    ref_counts = [
+        (r["feature"], r["bin"], r["n"])
+        for r in reference.select(F.explode(F.array(*entries)).alias("fb"))
+        .groupBy(F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        ref = spark.createDataFrame(
+            ref_counts, "feature string, bin string, n_ref_bin long"
+        )
+        cur = (
+            batch_df.select(F.explode(F.array(*entries)).alias("fb"))
+            .groupBy(
+                F.col("fb.feature").alias("feature"),
+                F.col("fb.bin").alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_cur_bin"))
+        )
+        counts = (
+            ref.join(cur, ["feature", "bin"], "full_outer")
+            .select(
+                "feature",
+                "bin",
+                F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
+                F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+            )
+        )
+        report = psi_from_counts(counts, eps).select(
+            F.lit(batch_id).alias("batch_id"),
+            "feature",
+            "psi",
+            "n_ref",
+            "n_cur",
+            (F.col("psi") > psi_threshold).cast("int").alias("breach"),
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

@@ -487,3 +487,74 @@ def test_streaming_decontaminate_routes_and_agrees_with_batch(spark, tmp_path):
     again_quar = {r["doc_id"] for r in
                   spark.read.parquet(f"{out_root}/quarantine/batch=*").collect()}
     assert again_clean == clean and again_quar == quar
+
+
+# --- streaming drift guard -------------------------------------------------
+
+
+def test_streaming_drift_guard_flags_shifted_batch(spark, tmp_path):
+    """Batch 0 replays the reference's language mix (low PSI, no breach);
+    batch 1 is all-one-language (high PSI, breach=1). And the batch-twin
+    contract: each batch's psi equals validate.drift_report over
+    reference UNION batch exactly — same binning, same decimal fold."""
+    from sparkstreaming_realtime_project_spark.operators.validate import (
+        drift_report,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        streaming_drift_guard,
+    )
+
+    def doc(i, lang, n_chars):
+        return json.dumps({"doc_id": i, "lang": lang, "n_chars": n_chars})
+
+    schema = "doc_id long, lang string, n_chars int"
+    # reference: 40 docs, half en half de, lengths 100/300 alternating
+    ref_rows = [
+        (i, "en" if i % 2 else "de", 100 if i % 4 < 2 else 300)
+        for i in range(40)
+    ]
+    reference = spark.createDataFrame(ref_rows, schema)
+    batch0 = [doc(100 + i, "en" if i % 2 else "de", 100 if i % 4 < 2 else 300)
+              for i in range(20)]
+    batch1 = [doc(200 + i, "fr", 900) for i in range(20)]  # fully shifted
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(in_dir, [batch0, batch1])
+
+    feats = dict(
+        numeric={"len": (F.col("n_chars"), 200.0)},
+        categorical={"lang": F.col("lang")},
+    )
+    out, ckpt = str(tmp_path / "report"), str(tmp_path / "ckpt")
+    q = (
+        streaming_drift_guard(
+            file_stream(spark, in_dir, schema, fmt="json", max_files_per_trigger=1),
+            out, ckpt, reference, **feats,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    rep = {
+        (r["batch_id"], r["feature"]): r
+        for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+    }
+    assert set(rep) == {(0, "len"), (0, "lang"), (1, "len"), (1, "lang")}
+    for f in ("len", "lang"):
+        assert rep[(0, f)]["breach"] == 0  # same mix as reference
+        assert rep[(1, f)]["breach"] == 1  # disjoint values
+        assert rep[(1, f)]["psi"] > rep[(0, f)]["psi"]
+        assert rep[(0, f)]["n_ref"] == 40 and rep[(0, f)]["n_cur"] == 20
+
+    # batch-twin: the guard's per-batch psi == drift_report(ref UNION batch)
+    for bid, rows in ((0, batch0), (1, batch1)):
+        batch_df = spark.createDataFrame(
+            [tuple(json.loads(r).values()) for r in rows], schema
+        ).withColumn("__cur", F.lit(True))
+        union = reference.withColumn("__cur", F.lit(False)).unionByName(batch_df)
+        twin = {
+            r["feature"]: r["psi"]
+            for r in drift_report(union, current=F.col("__cur"), **feats).collect()
+        }
+        for f in ("len", "lang"):
+            assert twin[f] == rep[(bid, f)]["psi"], (bid, f)
