@@ -366,3 +366,40 @@ def test_png_resize_nearest_property(w, h, nw, nh, data):
     for y in range(nh):
         for x in range(nw):
             assert out[y * nw + x] == px[(y * h // nh) * w + (x * w // nw)]
+
+
+@given(
+    ref=st.lists(st.integers(0, 50), min_size=2, max_size=8),
+    cur=st.lists(st.integers(0, 50), min_size=2, max_size=8),
+)
+@settings(max_examples=10, deadline=None)
+def test_psi_nonnegative_and_zero_iff_same_mix(spark, ref, cur):
+    """PSI properties on arbitrary histograms: every (pa-pb)ln(pa/pb)
+    term is nonnegative (sign(pa-pb) == sign(ln(pa/pb)), including the
+    eps-substituted zero bins), so psi >= 0 always; and psi == 0 exactly
+    when the two sides have identical bin proportions."""
+    from sparkstreaming_realtime_project_spark.operators.validate import (
+        psi_from_counts,
+    )
+
+    n = max(len(ref), len(cur))
+    ref = (ref + [0] * n)[:n]
+    cur = (cur + [0] * n)[:n]
+    if sum(ref) == 0 or sum(cur) == 0:
+        return  # a side with no rows is not a drift comparison
+    rows = [("f", str(i), ref[i], cur[i]) for i in range(n)]
+    counts = spark.createDataFrame(
+        rows, "feature string, bin string, n_ref_bin long, n_cur_bin long"
+    )
+    out = psi_from_counts(counts).collect()
+    assert len(out) == 1
+    psi = out[0]["psi"]
+    assert psi >= 0.0
+    tr, tc = sum(ref), sum(cur)
+    same_mix = all(
+        ref[i] * tc == cur[i] * tr for i in range(n)
+    )  # integer cross-multiplication: exact proportion equality
+    if same_mix:
+        assert psi == 0.0
+    if psi == 0.0:
+        assert same_mix
