@@ -1741,3 +1741,72 @@ def pca_project(
     return _attach(
         embeddings.select(F.col(id_col).alias("id"), vec.alias(vec_col)), mrow
     ).select("id", proj.alias("proj"))
+
+
+def knn_pca(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    model: dict,
+    k: int = 3,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via a trained PCA basis — the data-aware
+    counterpart of knn_randproj: candidates are ranked by cosine in the
+    r-dim PCA space (r = len(model['components']) << d, the directions
+    of maximal variance), then the ``shortlist * k`` per-query
+    shortlist is re-ranked by exact full-dimension cosine. Same
+    compress-then-refine topology and shortlist/window/tie-break
+    discipline as the randproj/SQ8/PQ paths; the trade vs randproj is a
+    training pass (pca_model) for a shortlist that preserves more of
+    the variance per retained dimension.
+
+    Note the PCA projection is mean-CENTERED, so the shortlist ranks by
+    centered cosine — a deliberate choice (centering spreads anisotropic
+    corpora) whose cost is measured by the recall tests, and the exact
+    re-rank is always on the RAW vectors."""
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
+    )
+    proj = pca_project(embeddings, model, vec_col=vec_col, id_col=id_col).select(
+        F.col("id").alias("__id"), F.col("proj").alias("__rv")
+    )
+    cand_side = proj.withColumn("__rn", norm_col(F.col("__rv")))
+    qproj = pca_project(queries, model, vec_col=vec_col, id_col=id_col).select(
+        F.col("id").alias("query_id"), F.col("proj").alias("__rq")
+    )
+    qraw = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+    )
+    qside = qproj.join(qraw, "query_id").withColumn(
+        "__rqn", norm_col(F.col("__rq"))
+    )
+    scored = cand_side.join(
+        F.broadcast(qside.select("query_id", "__rq", "__rqn")),
+        F.col("query_id") != F.col("__id"),
+    ).select(
+        "query_id",
+        F.col("__id").alias("neighbor_id"),
+        cosine_prenormed(
+            _dot(F.col("__rq"), F.col("__rv")), F.col("__rqn"), F.col("__rn")
+        ).alias("__psim"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("__psim").desc(), "neighbor_id")
+    cand = (
+        scored.withColumn("__prank", F.row_number().over(wa))
+        .filter(F.col("__prank") <= shortlist * k)
+        .select("query_id", "neighbor_id")
+    )
+    ne = base.select(F.col("__id").alias("__nid"), F.col("__v").alias("__nv"))
+    rer = (
+        cand.join(F.broadcast(qside.select("query_id", "__qv")), "query_id")
+        .join(ne, F.col("neighbor_id") == F.col("__nid"))
+        .withColumn("sim", cosine(F.col("__qv"), F.col("__nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

@@ -1325,3 +1325,27 @@ def test_pca_project_preserves_distances_at_full_rank(spark, sf_dir):
             d_orig = float(np.sum((orig[a] - orig[b]) ** 2))
             d2 = float(np.sum((proj2[a] - proj2[b]) ** 2))
             assert d2 <= d_orig + 1e-3
+
+
+def test_knn_pca_recall_monotone_and_complete(spark, sf_dir):
+    """PCA-shortlist KNN: a larger shortlist can only raise recall vs
+    the exact brute force (the re-rank is exact over a candidate
+    superset), and a corpus-covering shortlist reaches recall 1.0."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    model = sim.pca_model(emb, k=3)
+    truth = sim.knn_bruteforce(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+
+    def rec(shortlist):
+        approx = sim.knn_pca(emb, queries, model, k=3, shortlist=shortlist)
+        rows = sim.ann_recall(truth, approx.select("query_id", "neighbor_id")).collect()
+        return sum(r["n_hits"] for r in rows) / sum(r["n_truth"] for r in rows)
+
+    r_small = rec(2)
+    r_big = rec(6)
+    assert r_small <= r_big
+    assert rec((n // 3) + 1) == 1.0  # shortlist*k covers the corpus
+    assert r_big > 0.0
