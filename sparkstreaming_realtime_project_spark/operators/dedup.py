@@ -1459,3 +1459,96 @@ def cross_dedup(
     sh_t.unpersist()
     sh_h.unpersist()
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every POSITIONAL token n-gram, slide a window of w
+    consecutive hashes, keep each window's minimum — the selected set is
+    the document's fingerprint. The guarantee fixed-stride shingling
+    cannot give: ANY shared token run of length >= w + n - 1 produces at
+    least one shared fingerprint, no matter how the run is SHIFTED by
+    insertions before it (positions move, the window minima don't) —
+    the substring-level dedup/plagiarism primitive.
+
+    Density: ~2/(w+1) of the grams are selected, so the per-doc
+    fingerprint set is w/2 x smaller than the full shingle set — the
+    knob trades index size against the minimum detectable run length.
+
+    Pure ordered-array expressions (sequence -> slice -> min), no
+    explode until a consumer needs one; short docs (< n tokens) keep
+    their whole token string as the single gram, and docs with fewer
+    than w grams keep their global minimum — every doc fingerprints.
+
+    Returns (id, n_grams, fps sorted-distinct array<string>).
+    """
+    src = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+        "id",
+    )
+    toks = src.select("id", tokens_expr("__text").alias("t"))
+    grams = F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", F.col("t")))))
+    h = toks.select("id", grams.alias("h"))
+    fps = F.when(
+        F.size("h") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - (w - 1)),
+            lambda j: F.array_min(F.slice("h", j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("h"))))
+    return h.select(
+        "id",
+        F.size("h").alias("n_grams"),
+        F.array_sort(F.array_distinct(fps)).alias("fps"),
+    )
+
+
+def winnow_substring_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    w: int = 4,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Substring-sharing candidate pairs from winnowing fingerprints:
+    docs sharing any fingerprint (equivalently, by the winnowing
+    guarantee, any token run >= w + n - 1 — shift-robust, unlike a
+    fixed-stride gram join) pair up with the count of shared selected
+    hashes. ``max_df`` drops degenerate boilerplate fingerprints before
+    the self-join — the same hot-key cap discipline as every other
+    candidate generator here; at rest the fingerprint table is the
+    substring-dedup INDEX (docs-x-density rows, w/2 x smaller than a
+    full shingle index).
+
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    fps = winnow_fingerprints(df, text_col, id_col, n, w)
+    ex = fps.select(F.col("id"), F.explode("fps").alias("fp"))
+    if max_df is not None:
+        low = (
+            ex.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        ex = ex.join(low, "fp")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

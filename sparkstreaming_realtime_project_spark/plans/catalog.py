@@ -4727,6 +4727,42 @@ _PROFILE_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
 
 
 @_register(
+    "x_winnow_substring_pairs",
+    "winnowing-fingerprint substring sharing (Schleimer et al. / MOSS): "
+    "positional gram hashes -> sliding-window minima -> df-capped "
+    "fingerprint self-join. The guarantee fixed-stride shingles can't "
+    "give: any shared token run >= w+n-1 pairs up even when insertions "
+    "SHIFT it; the fingerprint index is ~2/(w+1) the gram count "
+    "(north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    h AS (SELECT doc_id,
+            CASE WHEN len(t) >= 3
+                 THEN [md5(array_to_string(t[i:i+2], ' '))
+                       FOR i IN range(1, len(t) - 1)]
+                 ELSE [md5(array_to_string(t, ' '))] END AS h
+          FROM toks),
+    fp AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(h) >= 4
+                  THEN [list_min(h[j:j+3]) FOR j IN range(1, len(h) - 2)]
+                  ELSE [list_min(h)] END) AS fps
+           FROM h),
+    ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    low AS (SELECT fp FROM ex0 GROUP BY fp HAVING count(*) <= 50),
+    ex AS (SELECT doc_id, ex0.fp AS fp FROM ex0 JOIN low USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def x_winnow_substring_pairs(spark, sf_dir):
+    return _dd.winnow_substring_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, w=4, max_df=50
+    )
+
+
+@_register(
     "x_embed_covariance",
     "full d x d embedding covariance as (i, j, cov) rows, products and "
     "means accumulated through DECIMAL(28,16) so the sums are "

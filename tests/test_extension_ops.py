@@ -1349,3 +1349,57 @@ def test_knn_pca_recall_monotone_and_complete(spark, sf_dir):
     assert r_small <= r_big
     assert rec((n // 3) + 1) == 1.0  # shortlist*k covers the corpus
     assert r_big > 0.0
+
+
+def test_winnow_guarantee_and_shift_robustness(spark):
+    """The winnowing guarantee (Schleimer et al.): two docs sharing a
+    token run of >= w + n - 1 tokens share at least one fingerprint —
+    and the match SURVIVES a prefix insertion that shifts the run
+    (positions move, window minima don't). Disjoint docs never pair.
+    Also pins the density claim: fingerprints ~2/(w+1) of grams."""
+    shared_run = " ".join(f"run{i}" for i in range(12))  # >= w+n-1 = 6
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha0 alpha1 alpha2 alpha3 " + shared_run),
+            # same run, SHIFTED by a different-length disjoint prefix
+            (2, "beta0 beta1 beta2 beta3 beta4 beta5 beta6 " + shared_run),
+            (3, " ".join(f"gamma{i}" for i in range(16))),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in dd.winnow_substring_pairs(
+            docs, "text", "doc_id", n=3, w=4
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    fps = {
+        r["id"]: r
+        for r in dd.winnow_fingerprints(docs, "text", "doc_id", n=3, w=4).collect()
+    }
+    for r in fps.values():
+        assert 1 <= len(r["fps"]) <= r["n_grams"]
+        assert r["fps"] == sorted(set(r["fps"]))  # sorted-distinct contract
+    # density: far fewer fingerprints than grams on a long doc
+    long_doc = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(200)))], "doc_id long, text string"
+    )
+    r = dd.winnow_fingerprints(long_doc, "text", "doc_id", n=3, w=8).collect()[0]
+    assert len(r["fps"]) < r["n_grams"] / 2  # ~2/(w+1) selected
+
+
+def test_winnow_short_doc_edge_cases(spark):
+    """Docs shorter than n tokens fingerprint their whole token string;
+    docs with fewer than w grams keep the global minimum — nothing is
+    dropped."""
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d"), (3, "x")],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["id"]: r["fps"]
+        for r in dd.winnow_fingerprints(docs, "text", "doc_id", n=3, w=4).collect()
+    }
+    assert all(len(v) == 1 for v in fps.values())
