@@ -262,6 +262,14 @@ CASES_R5 = [
     # no window, no cartesian anywhere
     ("x_drift_report", ["Generate", "HashAggregate", "BroadcastHashJoin"],
      ["Window", "NestedLoop", "CartesianProduct"]),
+    # covariance: two stacked posexplodes feeding ONE hash aggregate on
+    # (i, j); no join of any kind in the plan
+    ("x_embed_covariance", ["Generate", "HashAggregate"],
+     ["Window", "Join", "CartesianProduct"]),
+    # winnowing pairs: fingerprint explode + df-cap + EQUI self-join —
+    # the candidate generator must never degrade to a nested loop
+    ("x_winnow_substring_pairs", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
 ]
 
 
