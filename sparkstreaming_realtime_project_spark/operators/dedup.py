@@ -1467,6 +1467,7 @@ def winnow_fingerprints(
     id_col: str,
     n: int = 3,
     w: int = 4,
+    materialize: bool = False,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): hash every POSITIONAL token n-gram, slide a window of w
@@ -1487,6 +1488,15 @@ def winnow_fingerprints(
     than w grams keep their global minimum — every doc fingerprints.
 
     Returns (id, n_grams, fps sorted-distinct array<string>).
+
+    ``materialize=True`` persists-and-counts the result (caller
+    unpersists) — REQUIRED before any consumer that explodes ``fps``:
+    a downstream Generate collapses the projection barrier between the
+    gram pass and the window pass, inlining the whole gram-hash
+    transform into the per-window ``slice`` lambda — O(m^2) md5 per doc
+    (measured 35x at sf0.1). The projected-column discipline that
+    protects multi-ref aliases inside plain selects does NOT survive
+    Generate; a persisted cut does.
     """
     src = spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
@@ -1508,11 +1518,15 @@ def winnow_fingerprints(
             lambda j: F.array_min(F.slice("h", j, w)),
         ),
     ).otherwise(F.array(F.array_min(F.col("h"))))
-    return h.select(
+    out = h.select(
         "id",
         F.size("h").alias("n_grams"),
         F.array_sort(F.array_distinct(fps)).alias("fps"),
     )
+    if materialize:
+        out = out.persist()
+        out.count()
+    return out
 
 
 def winnow_substring_pairs(
@@ -1533,8 +1547,12 @@ def winnow_substring_pairs(
     substring-dedup INDEX (docs-x-density rows, w/2 x smaller than a
     full shingle index).
 
-    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b."""
-    fps = winnow_fingerprints(df, text_col, id_col, n, w)
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b. The RETURNED
+    frame is persisted (caller unpersists); the fingerprint frame is the
+    one materialized cut (see winnow_fingerprints: exploding an
+    unmaterialized fps column inlines the gram pass into the window
+    lambda — O(m^2) per doc), released before returning."""
+    fps = winnow_fingerprints(df, text_col, id_col, n, w, materialize=True)
     ex = fps.select(F.col("id"), F.explode("fps").alias("fp"))
     if max_df is not None:
         low = (
@@ -1543,12 +1561,18 @@ def winnow_substring_pairs(
             .filter(F.col("df") <= max_df)
             .select("fp")
         )
-        ex = ex.join(low, "fp")
-    a, b = ex.alias("a"), ex.alias("b")
-    return (
+        capped = ex.join(low, "fp")
+    else:
+        capped = ex
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
         a.join(
             b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
         )
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .persist()
     )
+    pairs.count()
+    fps.unpersist()
+    return pairs

@@ -1588,42 +1588,38 @@ def label_centroid_report(
 
 
 def embed_covariance(
-    embeddings: DataFrame, vec_col: str = "embedding", decimals: int = 6
+    embeddings: DataFrame, vec_col: str = "embedding", decimals: int = 4
 ) -> DataFrame:
     """Full d x d covariance matrix of an embedding column as (i, j, cov)
     rows — the ORACLE-portable expression form: position pairs from two
-    posexplodes, products accumulated through DECIMAL(28,16) so the sums
-    are partition-order-free (double partial sums differ by +-1 ulp
-    across partitionings; decimal addition is exact — the money-sum
-    convention), then cov = E[xy] - E[x]E[y] in exact decimal until the
-    final round.
+    posexplodes feeding one codegen'd hash aggregate on (i, j).
+
+    Float determinism is handled by MARGIN, not exact accumulation:
+    double sums are partition-order dependent (±ulp-scale noise, here
+    ~1e-10 on sums over the verify corpus), so the output rounds at
+    1e-4 — six orders of magnitude of headroom to the nearest rounding
+    boundary — via the explicit floor(x*1e4+0.5)/1e4 form (engine
+    round() diverges at exact .5). An exact-decimal accumulation was
+    measured 16x slower (precision > 18 decimals falls off Spark's
+    long-backed fast path into per-row BigDecimal), and buys nothing at
+    this margin.
 
     This form fans each row out d^2-fold, which is fine for the verify
     corpus but NOT the 100 TB path — `pca_model` computes the same
     matrix from per-batch numpy X^T X partials (one d x d matrix per
     Arrow batch crosses the driver, never the data); the two paths are
     parity-tested against each other."""
-    dec = "decimal(28,16)"
     v = embeddings.select(as_double_vec(vec_col).alias("v"))
     ex = v.select("v", F.posexplode("v").alias("i", "xi"))
     pairs = ex.select("i", "xi", F.posexplode("v").alias("j", "xj"))
     stats = pairs.groupBy("i", "j").agg(
-        F.sum((F.col("xi") * F.col("xj")).cast(dec)).alias("sxy"),
-        F.sum(F.col("xi").cast(dec)).alias("sx"),
-        F.sum(F.col("xj").cast(dec)).alias("sy"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        F.sum(F.col("xi")).alias("sx"),
+        F.sum(F.col("xj")).alias("sy"),
         F.count(F.lit(1)).alias("n"),
     )
-    # The sums are exact decimals (identical across engines); the final
-    # arithmetic runs in IEEE doubles with the SAME expression shape the
-    # oracle uses (engine decimal-division rules differ, IEEE double
-    # ops don't), and rounding is the explicit floor(x*1e6+0.5)/1e6
-    # form — engine round() diverges at exact .5 boundaries (catalog
-    # header convention for ratio outputs).
-    sxy = F.col("sxy").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
     n = F.col("n").cast("double")
-    cov = sxy / n - (sx / n) * (sy / n)
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
     scale = float(10**decimals)
     rounded = F.floor(cov * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
     return stats.select(

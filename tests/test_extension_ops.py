@@ -1270,7 +1270,8 @@ def test_pca_model_matches_expression_covariance(spark, sf_dir):
     w = np.array(model["explained"])
     C = V @ np.diag(w) @ V.T
     for (i, j), cov in cells.items():
-        assert abs(C[i, j] - cov) < 5e-5, (i, j, C[i, j], cov)
+        # cells round at 1e-4; the model rounds eigenpairs at 1e-6
+        assert abs(C[i, j] - cov) < 2e-4, (i, j, C[i, j], cov)
 
 
 def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
