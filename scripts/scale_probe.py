@@ -61,17 +61,35 @@ def scaled_documents(spark, sf_dir: str, copies: int):
 
 
 def scaled_embeddings(spark, sf_dir: str, copies: int):
+    """Each copy k applies a DISTINCT orthogonal transform — rotate the
+    components by k mod d and flip signs by a per-copy hash bit pattern
+    — so within-copy geometry is exactly preserved (rotation + sign
+    flips are isometries) while cross-copy cosines are scrambled; a
+    naive shared sign flip would make same-parity copies near-identical
+    twins and concentrate the LSH buckets (the flaw a code review
+    caught in the first version of this probe)."""
     base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = base.agg(F.max("vec_id")).first()[0] + 1
+    d = len(base.select("embedding").first()["embedding"])
     parts = []
     for k in range(copies):
-        sign = 1.0 if k % 2 == 0 else -1.0
+        r = k % d
+        signs = [
+            -1.0 if ((k * 2654435761) >> i) & 1 else 1.0 for i in range(d)
+        ]
+        v = F.col("embedding")
+        rot = (
+            F.concat(F.slice(v, r + 1, d - r), F.slice(v, 1, r)) if r else v
+        )
+        flipped = F.zip_with(
+            rot,
+            F.array(*[F.lit(s) for s in signs]),
+            lambda a, b: a * b,
+        )
         parts.append(
             base.select(
                 (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
-                F.transform(
-                    "embedding", lambda x: x * F.lit(sign) + F.lit(float(k)) * 1e-3
-                ).alias("embedding"),
+                flipped.alias("embedding"),
             )
         )
     out = parts[0]

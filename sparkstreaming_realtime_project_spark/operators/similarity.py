@@ -1653,7 +1653,10 @@ def pca_model(
     import pandas as pd
 
     src = embeddings.select(as_double_vec(vec_col).alias("v"))
-    d = len(src.select("v").first()["v"])
+    probe = src.select("v").first()
+    if probe is None:
+        raise ValueError("pca_model: empty embedding table")
+    d = len(probe["v"])
     schema = "n long, s array<double>, ss array<double>"
 
     def partials(batches):

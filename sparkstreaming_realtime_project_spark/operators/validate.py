@@ -69,19 +69,31 @@ def bin_entries(
     features bin by ``floor(col / width)`` (fixed-width, deterministic),
     categorical by value. Shared by the batch `drift_report` and the
     streaming drift guard so both sides of a batch-twin comparison bin
-    identically."""
+    identically.
+
+    Null feature values coalesce to a sentinel bin: ``groupBy`` groups
+    nulls together but a JOIN key does not (null-unsafe equality), so
+    without the sentinel the guard's ref/cur full-outer join would split
+    one null bin into two eps-scored rows and inflate PSI relative to
+    the batch twin."""
     numeric = numeric or {}
     categorical = categorical or {}
     if not numeric and not categorical:
         raise ValueError("drift: no features given")
+    nb = F.lit("__null__")
     return [
         F.struct(
             F.lit(name).alias("feature"),
-            F.floor(col / F.lit(width)).cast("string").alias("bin"),
+            F.coalesce(
+                F.floor(col / F.lit(width)).cast("string"), nb
+            ).alias("bin"),
         )
         for name, (col, width) in sorted(numeric.items())
     ] + [
-        F.struct(F.lit(name).alias("feature"), col.cast("string").alias("bin"))
+        F.struct(
+            F.lit(name).alias("feature"),
+            F.coalesce(col.cast("string"), nb).alias("bin"),
+        )
         for name, col in sorted(categorical.items())
     ]
 

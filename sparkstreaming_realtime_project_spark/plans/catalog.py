@@ -1926,6 +1926,8 @@ _CLUSTER_LABEL_PATHS: dict[tuple, str] = {}
 def _cluster_labels(spark, sf_dir: str) -> DataFrame:
     key = (sf_dir, 3, 0.8, _MAX_DF)
     if key not in _CLUSTER_LABEL_PATHS:
+        import atexit
+        import shutil
         import tempfile
 
         docs = _t(spark, sf_dir, "documents")
@@ -1936,6 +1938,10 @@ def _cluster_labels(spark, sf_dir: str) -> DataFrame:
         )
         labs = _cc(pairs, docs.select("doc_id"))
         path = tempfile.mkdtemp(prefix="spark_cluster_labels_")
+        # process-lifetime cache, process-lifetime files: remove the
+        # materialized labels on interpreter exit so repeated runs
+        # don't accumulate parquet in the temp dir
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         labs.write.mode("overwrite").parquet(path)
         pairs.unpersist()
         _CLUSTER_LABEL_PATHS[key] = path

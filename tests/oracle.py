@@ -51,7 +51,11 @@ def _canon_cell(v):
     Kind distinguishes int from float (driver hash does, via pandas
     dtypes) but not integer width; floats collapse representation noise
     at 9 decimals — every catalog entry rounds outputs to <=6."""
-    if v is None:
+    if v is None or v is pd.NaT:
+        # NaT must be checked BEFORE the datetime branch: NaTType
+        # subclasses datetime.datetime, so the isinstance check below
+        # would canonicalize it as ('t', 'NaT') instead of unifying it
+        # with None/NaN like every other null representation.
         return ("null",)
     if isinstance(v, _UNSORTABLE):
         raise TypeError(f"unsortable cell type {type(v).__name__}")
@@ -78,8 +82,6 @@ def _canon_cell(v):
         return ("d", v.isoformat())
     if isinstance(v, (bytes, bytearray)):
         return ("y", bytes(v))
-    if v is pd.NaT:
-        return ("null",)
     return ("s", str(v))
 
 

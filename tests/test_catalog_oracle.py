@@ -88,7 +88,12 @@ def _flat_duck_types(con, sql):
 
 def test_registry_driver_canon_lint(spark, sf_dir, duck):
     """Registry-wide lint replicating the round-5 driver failures at the
-    TYPE level, without executing anything:
+    TYPE level. (Mostly plan-only: reading .schema builds the plan
+    lazily for most entries, but entries with eager internal
+    materialization — trained models, cluster labels, persisted pair
+    tables — do execute; their persisted frames are released and the
+    caches cleared at the end so nothing leaks into the shared session.)
+    The three lint rules:
 
     - oracle SQL must not emit HUGEINT (DuckDB's integer-sum result
       type): pandas widens it to float64 while the Spark twin is int64 —
@@ -108,12 +113,15 @@ def test_registry_driver_canon_lint(spark, sf_dir, duck):
                 bad.append(f"{spec.name}.{col}: oracle {t} (unsortable)")
             if t.startswith("DECIMAL"):
                 bad.append(f"{spec.name}.{col}: oracle {t} (decimal out)")
-        for field in spec.spark(spark, sf_dir).schema.fields:
+        df = spec.spark(spark, sf_dir)
+        for field in df.schema.fields:
             tn = field.dataType.typeName()
             if tn in ("array", "struct", "map"):
                 bad.append(f"{spec.name}.{field.name}: spark {tn} (unsortable)")
             if tn.startswith("decimal"):
                 bad.append(f"{spec.name}.{field.name}: spark {tn} (decimal out)")
+        df.unpersist()  # entries that return persisted frames
+    spark.catalog.clearCache()
     assert not bad, "driver-canon lint failures:\n" + "\n".join(bad)
 
 

@@ -513,10 +513,16 @@ def test_streaming_drift_guard_flags_shifted_batch(spark, tmp_path):
         (i, "en" if i % 2 else "de", 100 if i % 4 < 2 else 300)
         for i in range(40)
     ]
-    reference = spark.createDataFrame(ref_rows, schema)
     batch0 = [doc(100 + i, "en" if i % 2 else "de", 100 if i % 4 < 2 else 300)
               for i in range(20)]
     batch1 = [doc(200 + i, "fr", 900) for i in range(20)]  # fully shifted
+    # null feature values on BOTH sides: groupBy groups nulls but a join
+    # key does not — the sentinel bin in bin_entries keeps the guard's
+    # ref/cur join from splitting one null bin into two eps-scored rows
+    # (r6 review finding); the twin equality below proves the fix
+    ref_rows += [(90 + i, None, None) for i in range(4)]
+    batch0 += [doc(190 + i, None, None) for i in range(2)]
+    reference = spark.createDataFrame(ref_rows, schema)
     in_dir = str(tmp_path / "in")
     fx._write_batches(in_dir, [batch0, batch1])
 
@@ -544,7 +550,7 @@ def test_streaming_drift_guard_flags_shifted_batch(spark, tmp_path):
         assert rep[(0, f)]["breach"] == 0  # same mix as reference
         assert rep[(1, f)]["breach"] == 1  # disjoint values
         assert rep[(1, f)]["psi"] > rep[(0, f)]["psi"]
-        assert rep[(0, f)]["n_ref"] == 40 and rep[(0, f)]["n_cur"] == 20
+        assert rep[(0, f)]["n_ref"] == 44 and rep[(0, f)]["n_cur"] == 22
 
     # batch-twin: the guard's per-batch psi == drift_report(ref UNION batch)
     for bid, rows in ((0, batch0), (1, batch1)):

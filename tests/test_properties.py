@@ -401,5 +401,18 @@ def test_psi_nonnegative_and_zero_iff_same_mix(spark, ref, cur):
     )  # integer cross-multiplication: exact proportion equality
     if same_mix:
         assert psi == 0.0
-    if psi == 0.0:
-        assert same_mix
+    # the reverse implication is only true up to the 1e-4 output
+    # rounding (a mix differing by one count in 400 has true PSI ~4e-5
+    # -> rounds to 0.0), so check against a Python mirror of the exact
+    # score instead of asserting psi==0 implies same_mix
+    import math
+
+    def prop(c, total):
+        return c / total if c else 1e-6
+
+    true_psi = sum(
+        (prop(ref[i], tr) - prop(cur[i], tc))
+        * math.log(prop(ref[i], tr) / prop(cur[i], tc))
+        for i in range(n)
+    )
+    assert abs(psi - true_psi) <= 5e-5 + 1e-9  # within the rounding quantum
