@@ -1404,3 +1404,55 @@ def test_winnow_short_doc_edge_cases(spark):
         for r in dd.winnow_fingerprints(docs, "text", "doc_id", n=3, w=4).collect()
     }
     assert all(len(v) == 1 for v in fps.values())
+
+
+def test_scale_probe_builders_preserve_structure(spark, sf_dir):
+    """The scaling probe's corpus builders must actually deliver their
+    premises: K-fold documents have DISJOINT per-copy vocabularies
+    (constant dup density — no cross-copy pairs), and K-fold embeddings
+    apply isometries (norms exactly preserved) that differ per copy
+    (cross-copy cosine scrambled, no near-identical twin copies)."""
+    import math
+    import sys
+
+    sys.argv = ["scale_probe"]
+    from scripts.scale_probe import scaled_documents, scaled_embeddings
+
+    docs = scaled_documents(spark, sf_dir, 2)
+    base_n = load_table(spark, sf_dir, "documents").count()
+    assert docs.count() == 2 * base_n
+    # disjoint vocab: copy-0 tokens all start k0_, copy-1 all k1_
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    assert toks.filter(
+        (F.col("doc_id") < base_n) & ~F.col("t").startswith("k0_")
+    ).count() == 0
+    assert toks.filter(
+        (F.col("doc_id") >= base_n) & ~F.col("t").startswith("k1_")
+    ).count() == 0
+
+    emb = scaled_embeddings(spark, sf_dir, 3)
+    base = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(5)
+        .collect()
+    }
+    n_base = load_table(spark, sf_dir, "embeddings").count()
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(
+            F.col("vec_id").isin(
+                [v + k * n_base for v in base for k in range(3)]
+            )
+        ).collect()
+    }
+    for vid, v in base.items():
+        norm0 = math.sqrt(sum(x * x for x in v))
+        copies = [got[vid + k * n_base] for k in range(3)]
+        for c in copies:
+            assert abs(math.sqrt(sum(x * x for x in c)) - norm0) < 1e-9
+        # distinct transforms: no two copies of the same vector are equal
+        assert len({tuple(c) for c in copies}) == 3
