@@ -1678,6 +1678,22 @@ def pca_model(
     n = sum(r["n"] for r in rows)
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)
     ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    return pca_from_moments(n, s, ss, k, round_decimals)
+
+
+def pca_from_moments(n, s, ss, k: int, round_decimals: int = 6) -> dict:
+    """Eigendecompose accumulated moments (row count, sum(x), X^T X) to
+    a {mean, components, explained} model — the driver-side, model-sized
+    tail shared by `pca_model` (one batch pass) and the streaming moment
+    store (moments accumulated across micro-batches): moments are the
+    SUFFICIENT STATISTIC for PCA, so where they come from doesn't
+    matter. Deterministic sign convention (largest-|x| element positive)
+    and 1e-6 rounding, like every trained model here."""
+    import numpy as np
+
+    s = np.asarray(s, dtype=float)
+    d = s.shape[0]
+    ss = np.asarray(ss, dtype=float).reshape(d, d)
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
     w, vecs = np.linalg.eigh(cov)  # ascending

@@ -657,3 +657,80 @@ def streaming_drift_guard(
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming embedding moment store: per-micro-batch (n, sum x, X^T X)
+# partials — the sufficient statistic for covariance/PCA — appended as
+# idempotent batch-id rows. A current PCA/covariance model is derivable
+# from the store at ANY time without touching the vectors again: the
+# streaming counterpart of operators.similarity.pca_model, the way the
+# IVM-lite agg store is the counterpart of a batch groupBy.
+# --------------------------------------------------------------------------
+
+
+def streaming_moment_store(
+    stream: DataFrame,
+    store_root: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+):
+    """Maintain per-batch embedding moment partials under
+    ``store_root/batch={id}`` (one d + d^2 + 1 row per batch — moment
+    rows are MODEL-sized, never data-sized; replaying a batch overwrites
+    its own dir, so the store stays exactly-once under restarts).
+
+    The vectors never accumulate anywhere: each batch is reduced to its
+    sufficient statistic and dropped — state is O(batches * d^2), and a
+    compaction that sums rows into one is itself just a moment add."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.similarity import as_double_vec
+
+        src = batch_df.select(as_double_vec(vec_col).alias("v"))
+
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["v"].to_numpy())
+                yield pd.DataFrame(
+                    {
+                        "n": [len(x)],
+                        "s": [x.sum(axis=0).tolist()],
+                        "ss": [(x.T @ x).reshape(-1).tolist()],
+                    }
+                )
+
+        rows = src.mapInPandas(
+            partials, "n long, s array<double>, ss array<double>"
+        )
+        rows.write.mode("overwrite").parquet(
+            os.path.join(store_root, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def moments_from_store(spark, store_root: str):
+    """Reduce the moment store to (n, s, ss) — feed
+    ``similarity.pca_from_moments`` for a current PCA model, or divide
+    out for the covariance. Store-sized read (rows per batch per Arrow
+    partition), never the vectors."""
+    import numpy as np
+
+    rows = spark.read.parquet(os.path.join(store_root, "batch=*")).collect()
+    if not rows:
+        raise ValueError("moment store is empty")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    d = len(rows[0]["s"])
+    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    return n, s, ss

@@ -564,3 +564,66 @@ def test_streaming_drift_guard_flags_shifted_batch(spark, tmp_path):
         }
         for f in ("len", "lang"):
             assert twin[f] == rep[(bid, f)]["psi"], (bid, f)
+
+
+# --- streaming moment store (incremental PCA) ------------------------------
+
+
+def test_streaming_moment_store_batch_twin(spark, tmp_path):
+    """The store accumulated over micro-batches must yield the same PCA
+    model as one batch pass over the full table (moments are the
+    sufficient statistic — float partial order differs at ulp scale, so
+    components compare at 1e-5): the streaming counterpart of pca_model.
+    Replaying with the same checkpoint adds nothing (idempotent)."""
+    import numpy as np
+
+    from sparkstreaming_realtime_project_spark.operators import similarity as sim
+    from sparkstreaming_realtime_project_spark.sources.batch import load_table
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        moments_from_store,
+        streaming_moment_store,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rows = emb.collect()
+    half = len(rows) // 2
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(
+        in_dir,
+        [
+            [json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])})
+             for r in rows[:half]],
+            [json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])})
+             for r in rows[half:]],
+        ],
+    )
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            streaming_moment_store(
+                file_stream(
+                    spark, in_dir, "vec_id long, embedding array<double>",
+                    fmt="json", max_files_per_trigger=1,
+                ),
+                store, ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run()
+    n, s, ss = moments_from_store(spark, store)
+    assert n == len(rows)
+    streamed = sim.pca_from_moments(n, s, ss, k=3)
+    batch = sim.pca_model(emb, k=3)
+    assert np.allclose(streamed["mean"], batch["mean"], atol=1e-5)
+    assert np.allclose(streamed["explained"], batch["explained"], atol=1e-5)
+    for a, b in zip(streamed["components"], batch["components"]):
+        assert np.allclose(a, b, atol=1e-4)
+    run()  # replay with the same checkpoint: nothing new lands
+    n2, s2, ss2 = moments_from_store(spark, store)
+    assert n2 == n and np.allclose(s2, s) and np.allclose(ss2, ss)
