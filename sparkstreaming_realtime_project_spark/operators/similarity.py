@@ -1718,21 +1718,36 @@ def pca_project(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_decimals: int = 6,
+    whiten: bool = False,
 ) -> DataFrame:
     """Project vectors onto a `pca_model`: (id, proj array<double>) with
     proj[c] = dot(x, comp_c) - dot(mean, comp_c).
+
+    ``whiten=True`` additionally divides component c by
+    sqrt(explained[c]) so every output dimension has ~unit variance —
+    the normalization embedding-similarity pipelines apply before
+    cosine/L2 when the leading directions would otherwise dominate
+    (folded into the broadcast component vectors, so the per-row work is
+    unchanged). Components with ~zero variance are left unscaled rather
+    than amplified to noise.
 
     The model enters the plan as a 1-ROW broadcast frame carrying
     array<struct<cid, c, b>> (b = the precomputed mean offset per
     component) — model-as-data like _cents_col, so the plan stays O(1)
     in k and d and assignment is a narrow projection with no shuffle."""
     spark = embeddings.sparkSession
+    scales = [1.0] * len(model["components"])
+    if whiten:
+        scales = [
+            1.0 / (ev**0.5) if ev > 1e-12 else 1.0
+            for ev in model["explained"]
+        ]
     entries = [
         (
             ci,
-            [float(x) for x in comp],
+            [float(x) * scales[ci] for x in comp],
             float(
-                sum(m * c for m, c in zip(model["mean"], comp))
+                sum(m * c * scales[ci] for m, c in zip(model["mean"], comp))
             ),
         )
         for ci, comp in enumerate(model["components"])

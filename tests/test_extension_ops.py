@@ -1456,3 +1456,24 @@ def test_scale_probe_builders_preserve_structure(spark, sf_dir):
             assert abs(math.sqrt(sum(x * x for x in c)) - norm0) < 1e-9
         # distinct transforms: no two copies of the same vector are equal
         assert len({tuple(c) for c in copies}) == 3
+
+
+def test_pca_project_whitening_unit_variance(spark, sf_dir):
+    """whiten=True yields ~unit variance per output component (that IS
+    the definition: each direction's variance is its eigenvalue, so
+    dividing by sqrt(eigenvalue) normalizes it); unwhitened variances
+    reproduce the explained eigenvalues."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = sim.pca_model(emb, k=3)
+    raw = np.array(
+        [r["proj"] for r in sim.pca_project(emb, model).collect()]
+    )
+    white = np.array(
+        [r["proj"] for r in sim.pca_project(emb, model, whiten=True).collect()]
+    )
+    var_raw = raw.var(axis=0)
+    var_white = white.var(axis=0)
+    assert np.allclose(var_raw, model["explained"], rtol=1e-3)
+    assert np.allclose(var_white, 1.0, rtol=1e-3)
