@@ -1649,15 +1649,28 @@ def pca_model(
     element of largest absolute value made positive) and 1e-6 rounding,
     so the model replays reproducibly like ivf_centroids/pq_codebooks.
     """
-    import numpy as np
-    import pandas as pd
-
     src = embeddings.select(as_double_vec(vec_col).alias("v"))
     probe = src.select("v").first()
     if probe is None:
         raise ValueError("pca_model: empty embedding table")
-    d = len(probe["v"])
-    schema = "n long, s array<double>, ss array<double>"
+    rows = src.mapInPandas(moment_partials_fn(), MOMENT_SCHEMA).collect()
+    if not rows:
+        raise ValueError("pca_model: empty embedding table")
+    n, s, ss = sum_moment_rows(rows)
+    return pca_from_moments(n, s, ss, k, round_decimals)
+
+
+MOMENT_SCHEMA = "n long, s array<double>, ss array<double>"
+
+
+def moment_partials_fn():
+    """mapInPandas function reducing a batch of ``v`` vector rows to one
+    (n, sum x, X^T X flattened) partial row — the SINGLE definition of
+    the moment statistic, shared by the one-pass `pca_model` and the
+    streaming moment store so their batch-twin equality is definitional,
+    not coincidental."""
+    import numpy as np
+    import pandas as pd
 
     def partials(batches):
         for pdf in batches:
@@ -1672,13 +1685,18 @@ def pca_model(
                 }
             )
 
-    rows = src.mapInPandas(partials, schema).collect()
-    if not rows:
-        raise ValueError("pca_model: empty embedding table")
+    return partials
+
+
+def sum_moment_rows(rows):
+    """Reduce collected moment-partial rows to (n, s, ss ndarray d x d)."""
+    import numpy as np
+
     n = sum(r["n"] for r in rows)
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    d = len(rows[0]["s"])
     ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
-    return pca_from_moments(n, s, ss, k, round_decimals)
+    return n, s, ss
 
 
 def pca_from_moments(n, s, ss, k: int, round_decimals: int = 6) -> dict:
@@ -1728,8 +1746,10 @@ def pca_project(
     the normalization embedding-similarity pipelines apply before
     cosine/L2 when the leading directions would otherwise dominate
     (folded into the broadcast component vectors, so the per-row work is
-    unchanged). Components with ~zero variance are left unscaled rather
-    than amplified to noise.
+    unchanged). Components whose explained variance is within 10x of
+    the model's 1e-6 eigenvalue rounding quantum are left unscaled
+    rather than amplified to noise (a tighter threshold would be dead
+    code: no rounded eigenvalue can sit below the quantum).
 
     The model enters the plan as a 1-ROW broadcast frame carrying
     array<struct<cid, c, b>> (b = the precomputed mean offset per
@@ -1739,7 +1759,7 @@ def pca_project(
     scales = [1.0] * len(model["components"])
     if whiten:
         scales = [
-            1.0 / (ev**0.5) if ev > 1e-12 else 1.0
+            1.0 / (ev**0.5) if ev > 1e-5 else 1.0
             for ev in model["explained"]
         ]
     entries = [

@@ -71,28 +71,35 @@ def bin_entries(
     streaming drift guard so both sides of a batch-twin comparison bin
     identically.
 
-    Null feature values coalesce to a sentinel bin: ``groupBy`` groups
-    nulls together but a JOIN key does not (null-unsafe equality), so
-    without the sentinel the guard's ref/cur full-outer join would split
-    one null bin into two eps-scored rows and inflate PSI relative to
-    the batch twin."""
+    Bins are tagged injectively — value bins as ``"v" + str(value)``,
+    null as ``"n"`` — because ``groupBy`` groups nulls together but a
+    JOIN key does not (null-unsafe equality): without the tag the
+    guard's ref/cur full-outer join would split one null bin into two
+    eps-scored rows and inflate PSI relative to the batch twin, and a
+    bare string sentinel would silently merge genuine nulls with a
+    categorical value that happens to equal the sentinel. The tag keeps
+    per-feature bin COUNTS identical to untagged grouping, so PSI (and
+    the oracle twin, which groups raw values) is unchanged."""
     numeric = numeric or {}
     categorical = categorical or {}
     if not numeric and not categorical:
         raise ValueError("drift: no features given")
-    nb = F.lit("__null__")
+
+    def tagged(bin_expr):
+        return F.when(bin_expr.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), bin_expr)
+        )
+
     return [
         F.struct(
             F.lit(name).alias("feature"),
-            F.coalesce(
-                F.floor(col / F.lit(width)).cast("string"), nb
-            ).alias("bin"),
+            tagged(F.floor(col / F.lit(width)).cast("string")).alias("bin"),
         )
         for name, (col, width) in sorted(numeric.items())
     ] + [
         F.struct(
             F.lit(name).alias("feature"),
-            F.coalesce(col.cast("string"), nb).alias("bin"),
+            tagged(col.cast("string")).alias("bin"),
         )
         for name, col in sorted(categorical.items())
     ]

@@ -685,29 +685,16 @@ def streaming_moment_store(
     compaction that sums rows into one is itself just a moment add."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        import numpy as np
-        import pandas as pd
-
-        from ..operators.similarity import as_double_vec
+        from ..operators.similarity import (
+            MOMENT_SCHEMA,
+            as_double_vec,
+            moment_partials_fn,
+        )
 
         src = batch_df.select(as_double_vec(vec_col).alias("v"))
-
-        def partials(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.stack(pdf["v"].to_numpy())
-                yield pd.DataFrame(
-                    {
-                        "n": [len(x)],
-                        "s": [x.sum(axis=0).tolist()],
-                        "ss": [(x.T @ x).reshape(-1).tolist()],
-                    }
-                )
-
-        rows = src.mapInPandas(
-            partials, "n long, s array<double>, ss array<double>"
-        )
+        # the SAME partials definition pca_model uses — batch-twin
+        # equality with the one-pass trainer is definitional
+        rows = src.mapInPandas(moment_partials_fn(), MOMENT_SCHEMA)
         rows.write.mode("overwrite").parquet(
             os.path.join(store_root, f"batch={batch_id}")
         )
@@ -724,13 +711,15 @@ def moments_from_store(spark, store_root: str):
     ``similarity.pca_from_moments`` for a current PCA model, or divide
     out for the covariance. Store-sized read (rows per batch per Arrow
     partition), never the vectors."""
-    import numpy as np
+    import glob
 
+    from ..operators.similarity import sum_moment_rows
+
+    # check BEFORE spark.read: a zero-match glob raises AnalysisException
+    # inside the reader, masking the friendly error
+    if not glob.glob(os.path.join(store_root, "batch=*")):
+        raise ValueError("moment store is empty")
     rows = spark.read.parquet(os.path.join(store_root, "batch=*")).collect()
     if not rows:
         raise ValueError("moment store is empty")
-    n = sum(r["n"] for r in rows)
-    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
-    d = len(rows[0]["s"])
-    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
-    return n, s, ss
+    return sum_moment_rows(rows)

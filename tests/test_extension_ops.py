@@ -1413,23 +1413,23 @@ def test_scale_probe_builders_preserve_structure(spark, sf_dir):
     apply isometries (norms exactly preserved) that differ per copy
     (cross-copy cosine scrambled, no near-identical twin copies)."""
     import math
-    import sys
 
-    sys.argv = ["scale_probe"]
     from scripts.scale_probe import scaled_documents, scaled_embeddings
 
+    base_docs = load_table(spark, sf_dir, "documents")
     docs = scaled_documents(spark, sf_dir, 2)
-    base_n = load_table(spark, sf_dir, "documents").count()
-    assert docs.count() == 2 * base_n
+    assert docs.count() == 2 * base_docs.count()
+    # copies offset ids by max(id)+1, exactly like the builder
+    n_docs = base_docs.agg(F.max("doc_id")).first()[0] + 1
     # disjoint vocab: copy-0 tokens all start k0_, copy-1 all k1_
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     )
     assert toks.filter(
-        (F.col("doc_id") < base_n) & ~F.col("t").startswith("k0_")
+        (F.col("doc_id") < n_docs) & ~F.col("t").startswith("k0_")
     ).count() == 0
     assert toks.filter(
-        (F.col("doc_id") >= base_n) & ~F.col("t").startswith("k1_")
+        (F.col("doc_id") >= n_docs) & ~F.col("t").startswith("k1_")
     ).count() == 0
 
     emb = scaled_embeddings(spark, sf_dir, 3)
@@ -1440,7 +1440,10 @@ def test_scale_probe_builders_preserve_structure(spark, sf_dir):
         .limit(5)
         .collect()
     }
-    n_base = load_table(spark, sf_dir, "embeddings").count()
+    n_base = (
+        load_table(spark, sf_dir, "embeddings").agg(F.max("vec_id")).first()[0]
+        + 1
+    )
     got = {
         r["vec_id"]: r["embedding"]
         for r in emb.filter(

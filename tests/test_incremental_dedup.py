@@ -584,7 +584,9 @@ def test_streaming_moment_store_batch_twin(spark, tmp_path):
         streaming_moment_store,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
         "vec_id", "embedding"
     )
     rows = emb.collect()
