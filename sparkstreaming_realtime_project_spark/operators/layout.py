@@ -19,8 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["zorder_cell", "zorder_key", "cluster_by_zorder"]
+__all__ = [
+    "zorder_cell", "zorder_key", "cluster_by_zorder", "compaction_plan",
+]
 
 
 def zorder_cell(col: Column, mn: Column, mx: Column, bits: int) -> Column:
@@ -105,4 +108,40 @@ def cluster_by_zorder(
         keyed.repartitionByRange(n_partitions, F.col("zkey"))
         .sortWithinPartitions("zkey")
         .drop(*helper)
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    key_cols: list[str],
+    target_bytes: int,
+) -> DataFrame:
+    """Assign input files/partitions to ~``target_bytes`` output
+    compaction groups — the small-files fix: a 100 TB table ingested in
+    micro-batches accretes millions of KB-scale files whose per-file
+    open/footer cost dominates scans; OPTIMIZE/compaction bin-packs them
+    into target-sized outputs.
+
+    Assignment is the deterministic cumulative-sum banding: order files
+    by (size DESC, key) — a total order, so the plan replays identically
+    on any engine — and give each file group
+    ``floor(cumsum_before / target)``. Every group lands within one file
+    of the target (files bigger than the target get their own group, as
+    they should — they're already compact). Greedy first-fit would pack
+    marginally tighter but is inherently sequential; the banding is one
+    window over the FILE LIST (metadata-sized — at 100 TB the file list
+    is millions of rows, not data), shuffle-free beyond its sort.
+
+    Returns the input columns + (group_id, group_bytes_before) — feed
+    group_id to a repartition/OPTIMIZE job as the output-file key."""
+    w = Window.orderBy(
+        F.col(size_col).desc(), *[F.col(c) for c in key_cols]
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.select(
+        *key_cols,
+        F.col(size_col),
+        F.floor(before / F.lit(target_bytes)).cast("long").alias("group_id"),
+        before.cast("long").alias("group_bytes_before"),
     )

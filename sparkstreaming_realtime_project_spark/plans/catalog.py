@@ -4733,6 +4733,40 @@ _PROFILE_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
 
 
 @_register(
+    "x_compaction_plan",
+    "small-files compaction planner: bin partition sizes into "
+    "~target-byte output groups by deterministic cumulative-sum banding "
+    "over the (size DESC, key) total order — one window over the "
+    "METADATA-sized file list, never the data; oversized inputs get "
+    "their own group. The OPTIMIZE planning step as a query "
+    "(north-star)",
+    """
+    WITH f AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS n_bytes
+               FROM documents GROUP BY source, lang),
+    c AS (SELECT source, lang, n_bytes,
+                 CAST(coalesce(sum(n_bytes) OVER (
+                      ORDER BY n_bytes DESC, source, lang
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS group_bytes_before
+          FROM f)
+    SELECT source, lang, n_bytes,
+           CAST(floor(group_bytes_before / 50000) AS BIGINT) AS group_id,
+           group_bytes_before
+    FROM c
+    """,
+)
+def x_compaction_plan(spark, sf_dir):
+    from ..operators.layout import compaction_plan
+
+    files = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.sum("n_chars").cast("long").alias("n_bytes"))
+    )
+    return compaction_plan(files, "n_bytes", ["source", "lang"], 50000)
+
+
+@_register(
     "x_winnow_substring_pairs",
     "winnowing-fingerprint substring sharing (Schleimer et al. / MOSS): "
     "positional gram hashes -> sliding-window minima -> df-capped "

@@ -115,3 +115,41 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_compaction_plan_invariants(spark):
+    """Cumulative-sum banding invariants: every file is assigned, group
+    ids are dense from 0, each group's byte total stays under
+    target + its own largest member (the banding bound), an oversized
+    file occupies a group alone-or-first, and the plan is deterministic
+    (total order on (size DESC, key))."""
+    from collections import defaultdict
+
+    from sparkstreaming_realtime_project_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    rows = [
+        ("a", 120), ("b", 10), ("c", 10), ("d", 30), ("e", 95),
+        ("f", 40), ("g", 5), ("h", 60), ("i", 1), ("j", 29),
+    ]
+    files = spark.createDataFrame(rows, "name string, sz long")
+    target = 100
+    plan = compaction_plan(files, "sz", ["name"], target).collect()
+    assert len(plan) == len(rows)
+    groups = defaultdict(list)
+    for r in plan:
+        groups[r["group_id"]].append(r)
+    assert sorted(groups) == list(range(len(groups)))  # dense from 0
+    for gid, members in groups.items():
+        total = sum(r["sz"] for r in members)
+        biggest = max(r["sz"] for r in members)
+        assert total < target + biggest
+    # the 120-byte file exceeds the target: it must open group 0 alone
+    # in byte order (size DESC puts it first; its successor starts a new
+    # band at cumsum 120 >= target)
+    g0 = groups[0]
+    assert [r["name"] for r in g0] == ["a"]
+    # deterministic replay
+    again = compaction_plan(files, "sz", ["name"], target).collect()
+    assert sorted(map(tuple, plan)) == sorted(map(tuple, again))
