@@ -1529,6 +1529,73 @@ def winnow_fingerprints(
     return out
 
 
+def winnow_recall(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Measure the winnowing guarantee on real data: ground truth =
+    pairs sharing any positional run of w + n - 1 tokens (equivalently,
+    any (w+n-1)-gram), candidates = uncapped fingerprint-sharing pairs.
+    The theorem says recall is EXACTLY 1.0 — every truth pair shares a
+    window minimum — so this entry turns the proof into a cross-engine
+    measured number (the same grader discipline as x_minhash_recall,
+    except here 1.0 is a theorem, not a tuning outcome). n_candidates >
+    n_truth is expected: fingerprints also pair docs sharing shorter
+    runs (pigeonhole slack), which the exact verify downstream resolves.
+
+    One row: (n_truth, n_covered, recall, n_candidates)."""
+    run_len = w + n - 1
+    src = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+        "id",
+    )
+    toks = src.select("id", tokens_expr("__text").alias("t")).persist()
+    toks.count()
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (run_len - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, run_len))),
+        )
+    )
+    ex = (
+        toks.filter(F.size("t") >= run_len)
+        .select("id", F.explode(grams).alias("g"))
+        .persist()
+    )
+    ex.count()
+    a, b = ex.alias("a"), ex.alias("b")
+    truth = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = winnow_substring_pairs(df, text_col, id_col, n=n, w=w, max_df=None)
+    cand = pairs.select("doc_a", "doc_b")
+    covered = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(F.broadcast(covered.agg(F.count(F.lit(1)).alias("n_covered"))))
+        .crossJoin(
+            F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        )
+        .select(
+            "n_truth",
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_truth"), 4).alias("recall"),
+            "n_candidates",
+        )
+        .persist()
+    )
+    out.count()
+    toks.unpersist()
+    ex.unpersist()
+    pairs.unpersist()
+    return out
+
+
 def winnow_substring_pairs(
     df: DataFrame,
     text_col: str,

@@ -4733,6 +4733,52 @@ _PROFILE_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
 
 
 @_register(
+    "x_winnow_recall",
+    "the winnowing guarantee as a MEASURED number: ground truth = pairs "
+    "sharing any w+n-1 = 6-token positional run, candidates = uncapped "
+    "fingerprint pairs; the Schleimer et al. theorem says recall is "
+    "exactly 1.0 (every such run contains a selected window minimum) — "
+    "same grader discipline as x_minhash_recall, except 1.0 here is a "
+    "theorem, not a tuning outcome (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    h AS (SELECT doc_id,
+            CASE WHEN len(t) >= 3
+                 THEN [md5(array_to_string(t[i:i+2], ' '))
+                       FOR i IN range(1, len(t) - 1)]
+                 ELSE [md5(array_to_string(t, ' '))] END AS h
+          FROM toks),
+    fp AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(h) >= 4
+                  THEN [list_min(h[j:j+3]) FOR j IN range(1, len(h) - 2)]
+                  ELSE [list_min(h)] END) AS fps
+           FROM h),
+    exf AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM exf a JOIN exf b
+             ON a.fp = b.fp AND a.doc_id < b.doc_id),
+    g6 AS (SELECT doc_id, unnest(list_distinct(
+             [md5(array_to_string(t[i:i+5], ' '))
+              FOR i IN range(1, len(t) - 4)])) AS g
+           FROM toks WHERE len(t) >= 6),
+    truth AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM g6 a JOIN g6 b ON a.g = b.g AND a.doc_id < b.doc_id),
+    cov AS (SELECT CAST(count(*) AS BIGINT) AS n_covered
+            FROM truth JOIN cand USING (doc_a, doc_b))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           n_covered,
+           round(n_covered * 1.0 / (SELECT count(*) FROM truth), 4) AS recall,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates
+    FROM cov
+    """,
+)
+def x_winnow_recall(spark, sf_dir):
+    return _dd.winnow_recall(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, w=4
+    )
+
+
+@_register(
     "x_compaction_plan",
     "small-files compaction planner: bin partition sizes into "
     "~target-byte output groups by deterministic cumulative-sum banding "
