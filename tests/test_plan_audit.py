@@ -270,6 +270,13 @@ CASES_R5 = [
     # the candidate generator must never degrade to a nested loop
     ("x_winnow_substring_pairs", ["HashAggregate"],
      ["NestedLoop", "CartesianProduct", "Window"]),
+    # recall grader: truth and candidate sides are EQUI joins; the three
+    # scalar counts combine via 1-row broadcast crossJoins (declared
+    # BNLJ on 1-row frames, never a true cartesian of data)
+    ("x_winnow_recall", ["HashAggregate"], ["CartesianProduct"]),
+    # compaction planning is one window over the metadata-sized file
+    # list: no join of any kind
+    ("x_compaction_plan", ["Window"], ["Join", "CartesianProduct"]),
 ]
 
 
