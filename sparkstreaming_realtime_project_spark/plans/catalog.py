@@ -179,31 +179,73 @@ _DRIVER_RED_R5 = frozenset(
 )
 
 
+# Green in the round-6 driver window (CORRECTNESS_r06.json): 50 of 50,
+# zero reds — the five _DRIVER_RED_R5 fixes confirmed on first driver
+# contact, 11 newly-registered r6 entries confirmed, and 34 of the
+# r4-exposed-unconfirmed cohort finally earned a hard green row. The 16
+# r4-cohort entries NOT in this set are the remaining driver-exposure
+# backlog and sit next in rotation priority.
+_DRIVER_VERIFIED_R6 = frozenset(
+    {
+        "a_dau_cumulative", "a_funnel_daily", "a_grouping_sets",
+        "a_pivot_daily_types", "a_session_conversion", "j_asof_nearest",
+        "j_order_wide_decimal", "j_scd2_asof", "j_scd2_history",
+        "q12_priority_by_status", "q3_shipping_priority", "w_event_gap_stats",
+        "w_value_functions", "x_bm25_topk", "x_boilerplate_score",
+        "x_chunk_overlap", "x_cms_user_counts", "x_compaction_plan",
+        "x_corpus_datasheet", "x_decontaminate", "x_dedup_cluster_star",
+        "x_dedup_containment", "x_dedup_edit_distance",
+        "x_dedup_embedding_gemm", "x_dedup_sorted_neighborhood",
+        "x_drift_report", "x_embed_covariance", "x_expectations_orders",
+        "x_feature_hash_embed", "x_hll_distinct_users", "x_inverted_index",
+        "x_knn_gemm", "x_knn_ivfpq", "x_knn_pq",
+        "x_multimodal_png_roundtrip", "x_ngram_freq", "x_ngram_novelty",
+        "x_pagerank", "x_pagerank_dangling", "x_pii_scrub",
+        "x_ppl_bucket_sample", "x_quantile_hist", "x_repetition_stats",
+        "x_sample_temperature", "x_shard_assign", "x_text_normalize",
+        "x_vocab_stats", "x_winnow_recall", "x_winnow_substring_pairs",
+        "x_zipf_spectrum",
+    }
+)
+
+# No reds in the round-6 driver window.
+_DRIVER_RED_R6 = frozenset()
+
+
 def registry() -> list[QuerySpec]:
     """Driver-window priority: RED beats never-checked beats green.
 
-    1. driver-RED entries (r5 failures, now fixed) — re-verify first;
+    1. driver-RED entries (none after r6 — CORRECTNESS_r06 was 50/50
+       green) — re-verify first when any exist;
     2. never-driver-checked entries (registration order — oldest waiting
        first, so every entry lands in the driver's 50-slot CORRECTNESS
        window within ceil(N/50) rounds);
-    3. the r4-window cohort — EXPOSED but never CONFIRMED (the round-4
-       artifact never landed), so it outranks confirmed-green cohorts;
+    3. the r4-window cohort remainder — EXPOSED but never CONFIRMED (the
+       round-4 artifact never landed; 16 entries left after 34 went green
+       in r6), so it outranks confirmed-green cohorts;
     4. confirmed-green cohorts by exposure staleness — r2 (oldest green
-       row), r3, r5 (most recent).
+       row), r3, r5, r6 (most recent). A name's LATEST green row decides
+       its cohort (r6 re-greens of r4/red entries live in the r6 cohort).
 
     All entries stay green under the full local driver-replica
     (scripts/check_oracle.py) regardless of order."""
     seen = (
         _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R2 | _DRIVER_WINDOW_R4
-        | _DRIVER_VERIFIED_R5 | _DRIVER_RED_R5
+        | _DRIVER_VERIFIED_R5 | _DRIVER_RED_R5 | _DRIVER_VERIFIED_R6
     )
-    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R5]
+    r6n = _DRIVER_VERIFIED_R6
+    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R6]
     never = [q for q in _REGISTRY if q.name not in seen]
-    r4 = [q for q in _REGISTRY if q.name in _DRIVER_WINDOW_R4]
-    r2 = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R2]
-    r3 = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R3]
-    r5 = [q for q in _REGISTRY if q.name in _DRIVER_VERIFIED_R5]
-    return red + never + r4 + r2 + r3 + r5
+    r4 = [q for q in _REGISTRY
+          if q.name in _DRIVER_WINDOW_R4 and q.name not in r6n]
+    r2 = [q for q in _REGISTRY
+          if q.name in _DRIVER_VERIFIED_R2 and q.name not in r6n]
+    r3 = [q for q in _REGISTRY
+          if q.name in _DRIVER_VERIFIED_R3 and q.name not in r6n]
+    r5 = [q for q in _REGISTRY
+          if q.name in _DRIVER_VERIFIED_R5 and q.name not in r6n]
+    r6 = [q for q in _REGISTRY if q.name in r6n]
+    return red + never + r4 + r2 + r3 + r5 + r6
 
 
 def _t(spark, sf_dir, name):

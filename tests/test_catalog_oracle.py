@@ -46,20 +46,26 @@ def test_registry_rotation_order():
     (stalest exposure first). Otherwise red fixes go unverified or
     entries starve outside the window forever."""
     from sparkstreaming_realtime_project_spark.plans.catalog import (
-        _DRIVER_RED_R5,
+        _DRIVER_RED_R6,
         _DRIVER_VERIFIED_R2,
         _DRIVER_VERIFIED_R3,
         _DRIVER_VERIFIED_R5,
+        _DRIVER_VERIFIED_R6,
         _DRIVER_WINDOW_R4,
         registry,
     )
 
     names = [s.name for s in registry()]
-    green = _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R5
-    exposed = _DRIVER_WINDOW_R4
+    green = (
+        _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R5
+        | _DRIVER_VERIFIED_R6
+    )
+    # r6 greens supersede r4 exposure — only the unconfirmed remainder
+    # keeps priority-2 standing
+    exposed = _DRIVER_WINDOW_R4 - _DRIVER_VERIFIED_R6
 
     def tier(n):
-        if n in _DRIVER_RED_R5:
+        if n in _DRIVER_RED_R6:
             return 0  # red beats...
         if n not in green and n not in exposed:
             return 1  # ...never-checked beats...
@@ -72,13 +78,23 @@ def test_registry_rotation_order():
         "registry() rotation out of priority order: "
         f"{[n for n, t, ts in zip(names, tiers, sorted(tiers)) if t != ts][:5]}"
     )
-    # every r5 red entry must sit INSIDE the round-6 driver window
-    assert all(n in names[:50] for n in _DRIVER_RED_R5)
-    # and the window is fully spent on non-confirmed-green entries while
-    # more than 50 such entries exist
-    pending = [n for n in names if tier(n) < 3]
-    if len(pending) >= 50:
-        assert all(tier(n) < 3 for n in names[:50])
+    # the 16-entry r4 exposure backlog must sit INSIDE the round-7 driver
+    # window (the verdict's top item: drain it to zero this round) —
+    # which also caps new never-checked registrations at 50 - 16 = 34
+    assert all(n in names[:50] for n in exposed), (
+        "r4 exposure backlog pushed out of the 50-slot window — too many "
+        "new registrations this round"
+    )
+    # confirmed-green back-fill is ordered stalest-exposure-first
+    green_tail = [n for n in names if tier(n) == 3]
+    cohort = {
+        **{n: 0 for n in _DRIVER_VERIFIED_R2},
+        **{n: 1 for n in _DRIVER_VERIFIED_R3},
+        **{n: 2 for n in _DRIVER_VERIFIED_R5},
+        **{n: 3 for n in _DRIVER_VERIFIED_R6},  # latest green wins
+    }
+    ranks = [cohort[n] for n in green_tail]
+    assert ranks == sorted(ranks)
 
 
 def _flat_duck_types(con, sql):
