@@ -1,7 +1,9 @@
 """Driver-replica correctness check: run every catalog entry's Spark plan
 and DuckDB oracle SQL at a given sf dir and report mismatches.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [entry_name ...]
+(with entry names, checks only those — targeted re-verification after
+touching an operator; without, the full registry)
 """
 
 from __future__ import annotations
@@ -19,11 +21,13 @@ from tests.oracle import compare, duck_connection
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
     bad = []
-    for spec in catalog.registry():
+    specs = [s for s in catalog.registry() if not only or s.name in only]
+    for spec in specs:
         t0 = time.time()
         try:
             df = spec.spark(spark, sf_dir)
@@ -43,7 +47,7 @@ def main() -> None:
         sys.stdout.flush()
         if not status:
             bad.append((spec.name, msg))
-    print(json.dumps({"failed": [b[0] for b in bad], "n": len(catalog.registry())}))
+    print(json.dumps({"failed": [b[0] for b in bad], "n": len(specs)}))
     if bad:
         sys.exit(1)
 

@@ -116,6 +116,7 @@ def compaction_plan(
     size_col: str,
     key_cols: list[str],
     target_bytes: int,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign input files/partitions to ~``target_bytes`` output
     compaction groups — the small-files fix: a 100 TB table ingested in
@@ -133,13 +134,29 @@ def compaction_plan(
     window over the FILE LIST (metadata-sized — at 100 TB the file list
     is millions of rows, not data), shuffle-free beyond its sort.
 
-    Returns the input columns + (group_id, group_bytes_before) — feed
-    group_id to a repartition/OPTIMIZE job as the output-file key."""
-    w = Window.orderBy(
-        F.col(size_col).desc(), *[F.col(c) for c in key_cols]
-    ).rowsBetween(Window.unboundedPreceding, -1)
+    ``partition_cols`` scopes the banding to the table's physical
+    partitions (date=..., etc.): compaction groups must never span
+    partitions of a partitioned table (rewriting a group would touch
+    two partition dirs), and partitioning the window also removes the
+    planner's one serial stage — an un-partitioned window is a
+    single-task sort+cumsum over the whole file list, fine at thousands
+    of rows but the lone non-parallel step at millions. With the
+    default (unpartitioned) the output is bit-identical to the previous
+    global form; with partitions, ``group_id`` restarts per partition,
+    so the compaction key is (*partition_cols, group_id).
+
+    Returns partition cols + input key cols + (group_id,
+    group_bytes_before) — feed the compaction key to a
+    repartition/OPTIMIZE job as the output-file key."""
+    pcols = list(partition_cols or [])
+    w = (
+        Window.partitionBy(*[F.col(c) for c in pcols])
+        .orderBy(F.col(size_col).desc(), *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
     return files.select(
+        *pcols,
         *key_cols,
         F.col(size_col),
         F.floor(before / F.lit(target_bytes)).cast("long").alias("group_id"),

@@ -1650,10 +1650,7 @@ def pca_model(
     so the model replays reproducibly like ivf_centroids/pq_codebooks.
     """
     src = embeddings.select(as_double_vec(vec_col).alias("v"))
-    probe = src.select("v").first()
-    if probe is None:
-        raise ValueError("pca_model: empty embedding table")
-    rows = src.mapInPandas(moment_partials_fn(), MOMENT_SCHEMA).collect()
+    rows = reduced_moments(src).collect()
     if not rows:
         raise ValueError("pca_model: empty embedding table")
     n, s, ss = sum_moment_rows(rows)
@@ -1664,28 +1661,74 @@ MOMENT_SCHEMA = "n long, s array<double>, ss array<double>"
 
 
 def moment_partials_fn():
-    """mapInPandas function reducing a batch of ``v`` vector rows to one
-    (n, sum x, X^T X flattened) partial row — the SINGLE definition of
-    the moment statistic, shared by the one-pass `pca_model` and the
-    streaming moment store so their batch-twin equality is definitional,
-    not coincidental."""
+    """mapInPandas function reducing ALL ``v`` vector rows of a
+    partition to one (n, sum x, X^T X flattened) partial row — the
+    SINGLE definition of the moment statistic, shared by the one-pass
+    `pca_model` and the streaming moment store so their batch-twin
+    equality is definitional, not coincidental. Accumulating across the
+    partition's Arrow batches (rather than emitting one row per batch)
+    is the first level of the executor-side reduction tree: the stage
+    output is O(partitions) rows, independent of Arrow batch size."""
     import numpy as np
     import pandas as pd
 
     def partials(batches):
+        n, s, ss = 0, None, None
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf["v"].to_numpy())
+            n += len(x)
+            bs, bss = x.sum(axis=0), x.T @ x
+            s = bs if s is None else s + bs
+            ss = bss if ss is None else ss + bss
+        if n:
             yield pd.DataFrame(
-                {
-                    "n": [len(x)],
-                    "s": [x.sum(axis=0).tolist()],
-                    "ss": [(x.T @ x).reshape(-1).tolist()],
-                }
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
             )
 
     return partials
+
+
+def moment_reduce_fn():
+    """mapInPandas function summing MOMENT_SCHEMA partial rows into one
+    row per partition — the merge step of the reduction tree (moment
+    addition is associative and commutative; double-sum order noise is
+    ulp-scale and covered by the model's 1e-6 rounding)."""
+    import numpy as np
+    import pandas as pd
+
+    def reduce_(batches):
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n += int(pdf["n"].sum())
+            bs = np.sum(np.stack(pdf["s"].to_numpy()), axis=0)
+            bss = np.sum(np.stack(pdf["ss"].to_numpy()), axis=0)
+            s = bs if s is None else s + bs
+            ss = bss if ss is None else ss + bss
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]}
+            )
+
+    return reduce_
+
+
+def reduced_moments(vectors: DataFrame) -> DataFrame:
+    """EXACTLY-ONE-row DataFrame of summed moments for a ``v`` vector
+    frame: per-partition partials (no shuffle, O(partitions) rows) →
+    shuffle those model-sized rows to one task → final merge. The
+    driver-side `.collect()` downstream therefore sees ≤ 1 row
+    REGARDLESS of partition count — at 100 TB with d=768 the only
+    cross-stage traffic is partitions × (d + d² + 1) doubles, and the
+    driver receives a single row (vs one row per Arrow batch before,
+    which was gigabytes of partials on the driver at 10⁵⁺ batches)."""
+    partials = vectors.mapInPandas(moment_partials_fn(), MOMENT_SCHEMA)
+    return partials.repartition(1).mapInPandas(
+        moment_reduce_fn(), MOMENT_SCHEMA
+    )
 
 
 def sum_moment_rows(rows):

@@ -681,21 +681,22 @@ def streaming_moment_store(
     its own dir, so the store stays exactly-once under restarts).
 
     The vectors never accumulate anywhere: each batch is reduced to its
-    sufficient statistic and dropped — state is O(batches * d^2), and a
-    compaction that sums rows into one is itself just a moment add."""
+    sufficient statistic and dropped — state is O(batches) single-row
+    dirs (each batch's partials merge executor-side to exactly one row
+    before the write), and `compact_moment_store` sums the dirs into
+    one whenever the dir count itself gets annoying."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.similarity import (
             MOMENT_SCHEMA,
             as_double_vec,
-            moment_partials_fn,
+            reduced_moments,
         )
 
         src = batch_df.select(as_double_vec(vec_col).alias("v"))
-        # the SAME partials definition pca_model uses — batch-twin
+        # the SAME partials+merge definition pca_model uses — batch-twin
         # equality with the one-pass trainer is definitional
-        rows = src.mapInPandas(moment_partials_fn(), MOMENT_SCHEMA)
-        rows.write.mode("overwrite").parquet(
+        reduced_moments(src).write.mode("overwrite").parquet(
             os.path.join(store_root, f"batch={batch_id}")
         )
 
@@ -709,17 +710,72 @@ def streaming_moment_store(
 def moments_from_store(spark, store_root: str):
     """Reduce the moment store to (n, s, ss) — feed
     ``similarity.pca_from_moments`` for a current PCA model, or divide
-    out for the covariance. Store-sized read (rows per batch per Arrow
-    partition), never the vectors."""
+    out for the covariance. The store rows merge on the EXECUTORS
+    (per-partition sums, then one model-sized row to a single task), so
+    the driver collects ≤ 1 row no matter how many batch dirs have
+    accumulated — at 10⁵⁺ micro-batches the old collect-every-row read
+    was gigabytes of partials on the driver."""
     import glob
 
-    from ..operators.similarity import sum_moment_rows
+    from ..operators.similarity import (
+        MOMENT_SCHEMA,
+        moment_reduce_fn,
+        sum_moment_rows,
+    )
 
     # check BEFORE spark.read: a zero-match glob raises AnalysisException
     # inside the reader, masking the friendly error
     if not glob.glob(os.path.join(store_root, "batch=*")):
         raise ValueError("moment store is empty")
-    rows = spark.read.parquet(os.path.join(store_root, "batch=*")).collect()
+    store = spark.read.schema(MOMENT_SCHEMA).parquet(
+        os.path.join(store_root, "batch=*")
+    )
+    rows = (
+        store.mapInPandas(moment_reduce_fn(), MOMENT_SCHEMA)
+        .repartition(1)
+        .mapInPandas(moment_reduce_fn(), MOMENT_SCHEMA)
+        .collect()
+    )
     if not rows:
         raise ValueError("moment store is empty")
     return sum_moment_rows(rows)
+
+
+def compact_moment_store(spark, store_root: str) -> str:
+    """Sum every ``batch=*`` dir into the HIGHEST-id dir and drop the
+    rest — the compaction the store's design admits by construction
+    (moments are additive, so summing rows is itself just a moment add;
+    `moments_from_store` returns bit-for-bit-summable state before and
+    after modulo ulp-scale double reorder, which the model's 1e-6
+    rounding absorbs).
+
+    MUST run while the stream is stopped (or past batches the
+    checkpoint has committed): a replay of a compacted-away batch would
+    overwrite its dir and double-count its contribution. Local-fs
+    maintenance op (os.rename commit); a cluster deployment swaps the
+    rename for the object-store/HDFS equivalent."""
+    import glob
+    import shutil
+
+    from ..operators.similarity import MOMENT_SCHEMA, moment_reduce_fn
+
+    dirs = sorted(
+        glob.glob(os.path.join(store_root, "batch=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    if not dirs:
+        raise ValueError("moment store is empty")
+    if len(dirs) == 1:
+        return dirs[-1]
+    reduced = (
+        spark.read.schema(MOMENT_SCHEMA)
+        .parquet(os.path.join(store_root, "batch=*"))
+        .repartition(1)
+        .mapInPandas(moment_reduce_fn(), MOMENT_SCHEMA)
+    )
+    tmp = os.path.join(store_root, "__compact_tmp")
+    reduced.write.mode("overwrite").parquet(tmp)
+    for d in dirs:
+        shutil.rmtree(d)
+    os.rename(tmp, dirs[-1])
+    return dirs[-1]

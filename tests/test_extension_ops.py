@@ -1480,3 +1480,18 @@ def test_pca_project_whitening_unit_variance(spark, sf_dir):
     var_white = white.var(axis=0)
     assert np.allclose(var_raw, model["explained"], rtol=1e-3)
     assert np.allclose(var_white, 1.0, rtol=1e-3)
+
+
+def test_moment_reduction_is_executor_side(spark, sf_dir):
+    """The 100 TB contract of the moment path: the frame `pca_model`
+    collects is EXACTLY one row regardless of input partitioning — the
+    per-partition partials merge on the executors, so no per-batch
+    partial ever reaches the driver (the round-6 verdict's scale
+    finding)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(16)
+    src = emb.select(sim.as_double_vec("embedding").alias("v"))
+    rows = sim.reduced_moments(src).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == emb.count()
+    d = len(rows[0]["s"])
+    assert len(rows[0]["ss"]) == d * d

@@ -629,3 +629,40 @@ def test_streaming_moment_store_batch_twin(spark, tmp_path):
     run()  # replay with the same checkpoint: nothing new lands
     n2, s2, ss2 = moments_from_store(spark, store)
     assert n2 == n and np.allclose(s2, s) and np.allclose(ss2, ss)
+
+
+def test_moment_store_compaction(spark, tmp_path):
+    """`compact_moment_store` collapses all batch dirs into one whose
+    summed moments equal the pre-compaction state (moment addition is
+    associative — compaction IS a moment add), and a compacted store
+    keeps serving `moments_from_store` unchanged."""
+    import glob
+
+    import numpy as np
+
+    from sparkstreaming_realtime_project_spark.operators.similarity import (
+        MOMENT_SCHEMA,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_moment_store,
+        moments_from_store,
+    )
+
+    store = str(tmp_path / "store")
+    rng = np.random.default_rng(7)
+    for bid in range(5):
+        x = rng.normal(size=(20, 4))
+        spark.createDataFrame(
+            [(len(x), x.sum(axis=0).tolist(), (x.T @ x).reshape(-1).tolist())],
+            MOMENT_SCHEMA,
+        ).write.mode("overwrite").parquet(store + f"/batch={bid}")
+    before = moments_from_store(spark, store)
+    kept = compact_moment_store(spark, store)
+    assert kept.endswith("batch=4")
+    assert glob.glob(store + "/batch=*") == [kept]
+    after = moments_from_store(spark, store)
+    assert after[0] == before[0] == 100
+    assert np.allclose(after[1], before[1])
+    assert np.allclose(after[2], before[2])
+    # idempotent on a single-dir store
+    assert compact_moment_store(spark, store) == kept
