@@ -1773,12 +1773,103 @@ def pca_from_moments(n, s, ss, k: int, round_decimals: int = 6) -> dict:
     }
 
 
+def _fold_dot(a, b) -> float:
+    """Strict LEFT-fold dot product: ((0 + a0*b0) + a1*b1) + ... — the
+    accumulation order PySpark's F.aggregate(zip_with(..)) and DuckDB's
+    list_reduce(list_transform(..)) both use, so a driver-side replay is
+    bit-identical to either engine. numpy.dot would NOT be (pairwise /
+    SIMD summation reorders the adds)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def pca_power_component(
+    embeddings: DataFrame,
+    iters: int = 12,
+    squarings: int = 6,
+    vec_col: str = "embedding",
+    cell_decimals: int = 4,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Top principal component by ACCELERATED POWER ITERATION on the
+    distributed covariance — the PCA-family member whose training an
+    ANSI-SQL oracle can replay end to end (eigh cannot be expressed in
+    SQL; matrix squarings and matrix-vector folds on ordered arrays
+    can).
+
+    Scale split: the data-sized work is `embed_covariance` (one
+    d²-fanout scan + hash aggregate); what crosses the driver is the
+    d x d cell frame — MODEL-sized, same contract as `pca_model`'s
+    moment row. The driver-side math is O(squarings * d³ + iters * d²)
+    floats (d=64: milliseconds).
+
+    Acceleration: near-isotropic embedding spectra (λ2/λ1 ≈ 0.93 on the
+    testdata) stall plain power iteration, so the matrix is SQUARED
+    ``squarings`` times first (rescaled by its max-|entry| each time to
+    keep doubles in range — rescaling shifts no eigenvector), giving an
+    effective exponent of 2^squarings * iters ≈ 768: convergence factor
+    (λ2/λ1)^768 even at ratio 0.99. The Rayleigh-quotient eigenvalue is
+    taken against the ORIGINAL (un-squared) matrix.
+
+    Determinism (the whole point): cells are floor-rounded at
+    ``cell_decimals`` (1e-4 — six orders above partition-order ulp
+    noise), every subsequent op is elementwise, a strict left fold
+    (`_fold_dot`), or an order-free max; the start vector is uniform
+    1/sqrt(d), the sign convention pivots on the largest-|x| loading,
+    and outputs floor-round at ``out_decimals`` — all exactly
+    replayable in DuckDB list expressions, so the result is a
+    hash-matchable table, not just "close to numpy". Fixed counts (no
+    convergence test) keep both engines on the identical float path;
+    convergence to numpy.eigh is graded separately in pytest.
+
+    Output: (i, loading, eigenvalue) — loading = component entry i,
+    eigenvalue = the Rayleigh quotient v'Cv of the final iterate."""
+    import math
+
+    spark = embeddings.sparkSession
+    cells = embed_covariance(
+        embeddings, vec_col=vec_col, decimals=cell_decimals
+    ).collect()
+    if not cells:
+        raise ValueError("pca_power_component: empty embedding table")
+    d = int(max(r["i"] for r in cells)) + 1
+    mat = [[0.0] * d for _ in range(d)]
+    for r in cells:
+        mat[int(r["i"])][int(r["j"])] = float(r["cov"])
+    rng = range(d)
+    pm = [row[:] for row in mat]
+    for _ in range(squarings):
+        # symmetric, so (M²)_ij = dot(row_i, row_j) — rows only
+        m2 = [[_fold_dot(pm[i], pm[j]) for j in rng] for i in rng]
+        mx = max(abs(x) for row in m2 for x in row)
+        pm = [[x / mx for x in row] for row in m2]
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(iters):
+        u = [_fold_dot(row, v) for row in pm]
+        nrm = math.sqrt(_fold_dot(u, u))
+        v = [x / nrm for x in u]
+    av = [abs(x) for x in v]
+    sgn = -1.0 if v[av.index(max(av))] < 0 else 1.0
+    lam = _fold_dot(v, [_fold_dot(row, v) for row in mat])
+    scale = float(10**out_decimals)
+
+    def rnd(x: float) -> float:
+        return math.floor(x * scale + 0.5) / scale
+
+    rows = [(i, rnd(sgn * v[i]), rnd(lam)) for i in rng]
+    return spark.createDataFrame(
+        rows, "i long, loading double, eigenvalue double"
+    )
+
+
 def pca_project(
     embeddings: DataFrame,
     model: dict,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    round_decimals: int = 6,
+    round_decimals: int | None = 6,
     whiten: bool = False,
 ) -> DataFrame:
     """Project vectors onto a `pca_model`: (id, proj array<double>) with
@@ -1819,18 +1910,23 @@ def pca_project(
         [(entries,)], "__pca array<struct<cid:int,c:array<double>,b:double>>"
     )
     vec = as_double_vec(vec_col)
-    proj = F.transform(
-        F.col("__pca"),
-        lambda p: F.round(
+
+    def _one(p):
+        raw = (
             F.aggregate(
                 F.zip_with(vec, p["c"], lambda a, b: a * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            - p["b"],
-            round_decimals,
-        ),
-    )
+            - p["b"]
+        )
+        # round_decimals=None skips engine round() entirely — the form
+        # downstream ranking wants (rounding only perturbs ties) and the
+        # form an oracle can replay without the exact-.5 engine-round
+        # divergence
+        return raw if round_decimals is None else F.round(raw, round_decimals)
+
+    proj = F.transform(F.col("__pca"), _one)
     return _attach(
         embeddings.select(F.col(id_col).alias("id"), vec.alias(vec_col)), mrow
     ).select("id", proj.alias("proj"))
@@ -1862,13 +1958,16 @@ def knn_pca(
     base = embeddings.select(
         F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
     )
-    proj = pca_project(embeddings, model, vec_col=vec_col, id_col=id_col).select(
-        F.col("id").alias("__id"), F.col("proj").alias("__rv")
-    )
+    # unrounded projections: the shortlist only RANKS by these, so the
+    # 1e-6 rounding buys nothing and raw dots are oracle-replayable
+    # without engine-round .5 divergence
+    proj = pca_project(
+        embeddings, model, vec_col=vec_col, id_col=id_col, round_decimals=None
+    ).select(F.col("id").alias("__id"), F.col("proj").alias("__rv"))
     cand_side = proj.withColumn("__rn", norm_col(F.col("__rv")))
-    qproj = pca_project(queries, model, vec_col=vec_col, id_col=id_col).select(
-        F.col("id").alias("query_id"), F.col("proj").alias("__rq")
-    )
+    qproj = pca_project(
+        queries, model, vec_col=vec_col, id_col=id_col, round_decimals=None
+    ).select(F.col("id").alias("query_id"), F.col("proj").alias("__rq"))
     qraw = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
     )

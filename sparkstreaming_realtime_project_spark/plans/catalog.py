@@ -6855,3 +6855,245 @@ def j_scd2_asof(spark, sf_dir):
         "valid_from_us",
         "valid_to_us",
     )
+
+
+# round-7 additions ----------------------------------------------------------
+# PCA family driver exposure (round-6 verdict item 3): a power-iteration
+# component whose TRAINING the oracle replays in SQL, plus projection and
+# shortlist-KNN entries over a frozen offline-trained basis (the
+# x_knn_randproj model-as-literals precedent).
+
+
+def _pca_power_sql(iters: int, squarings: int) -> str:
+    """DuckDB twin of operators.similarity.pca_power_component: the
+    x_embed_covariance cell pipeline (floor-rounded at 1e-4 — the shared
+    determinism anchor), rows/matrix as ORDER BY-ed lists, ``squarings``
+    unrolled matrix-squaring CTEs (rescaled by the order-free max-|x|),
+    then ``iters`` matrix-vector CTEs of strict left-fold dots —
+    bit-identical to the driver-side Python fold (same IEEE ops, same
+    order). The final Rayleigh quotient reads the ORIGINAL matrix m."""
+    dot = _DOT.format
+    parts = [
+        "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)",
+        "ex AS (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e)",
+        "prs AS (SELECT i, v[i] AS xi, unnest(range(1, len(v) + 1)) AS j, "
+        "v AS v2 FROM ex)",
+        "cl AS (SELECT i, j, xi, v2[j] AS xj FROM prs)",
+        "st AS (SELECT i, j, sum(xi * xj) AS sxy, sum(xi) AS sx, "
+        "sum(xj) AS sy, CAST(count(*) AS DOUBLE) AS n FROM cl GROUP BY i, j)",
+        "cov AS (SELECT i, j, floor((sxy / n - (sx / n) * (sy / n)) "
+        "* 1e4 + 0.5) / 1e4 AS cov FROM st)",
+        "rws AS (SELECT i, list(cov ORDER BY j) AS r FROM cov GROUP BY i)",
+        "m AS (SELECT list(r ORDER BY i) AS mat FROM rws)",
+    ]
+    prev_m = "m"
+    for s in range(1, squarings + 1):
+        parts.append(
+            f"sq{s} AS (SELECT list_transform(mat, ri -> "
+            f"list_transform(mat, rj -> {dot(a='ri', b='rj')})) AS m2 "
+            f"FROM {prev_m})"
+        )
+        parts.append(
+            f"mx{s} AS (SELECT m2, list_aggregate(flatten("
+            "list_transform(m2, r -> list_transform(r, x -> abs(x)))), "
+            f"'max') AS mx FROM sq{s})"
+        )
+        parts.append(
+            f"sm{s} AS (SELECT list_transform(m2, r -> "
+            f"list_transform(r, x -> x / mx)) AS mat FROM mx{s})"
+        )
+        prev_m = f"sm{s}"
+    parts.append(
+        "v0 AS (SELECT list_transform(mat, r -> "
+        f"1.0 / sqrt(CAST(len(mat) AS DOUBLE))) AS v FROM {prev_m})"
+    )
+    prev = "v0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"u{t} AS (SELECT list_transform(pm.mat, row -> "
+            f"{dot(a='row', b='v')}) AS u FROM {prev_m} pm, {prev})"
+        )
+        parts.append(
+            f"n{t} AS (SELECT u, sqrt({dot(a='u', b='u')}) AS nrm FROM u{t})"
+        )
+        parts.append(
+            f"v{t} AS (SELECT list_transform(u, x -> x / nrm) AS v FROM n{t})"
+        )
+        prev = f"v{t}"
+    parts.append(
+        f"fin AS (SELECT v, list_transform(v, x -> abs(x)) AS av FROM {prev})"
+    )
+    parts.append(
+        "pv AS (SELECT v, CASE WHEN "
+        "v[list_position(av, list_aggregate(av, 'max'))] < 0 "
+        "THEN -1.0 ELSE 1.0 END AS sgn FROM fin)"
+    )
+    parts.append(
+        "mv AS (SELECT v, sgn, list_transform(m.mat, row -> "
+        f"{dot(a='row', b='v')}) AS u FROM pv, m)"
+    )
+    parts.append(
+        f"lam AS (SELECT v, sgn, {dot(a='v', b='u')} AS lr FROM mv)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(i - 1 AS BIGINT) AS i, "
+        "floor((sgn * v[i]) * 1e6 + 0.5) / 1e6 AS loading, "
+        "floor(lr * 1e6 + 0.5) / 1e6 AS eigenvalue "
+        "FROM (SELECT v, sgn, lr, unnest(range(1, len(v) + 1)) AS i FROM lam)"
+    )
+
+
+_PCA_POWER_ITERS, _PCA_POWER_SQUARINGS = 12, 6
+
+
+@_register(
+    "x_pca_power",
+    "top principal component by power iteration on the DISTRIBUTED "
+    "covariance — the PCA-family member whose training an ANSI-SQL "
+    "oracle replays end to end (eigh is not SQL; iters matrix-vector "
+    "folds on ordered lists are): data-sized work is the one covariance "
+    "scan, the d x d cell frame crossing the driver is model-sized, and "
+    "every float op after the 1e-4 cell rounding is a strict left fold "
+    "replayed bit-identically by both engines (north-star)",
+    _pca_power_sql(_PCA_POWER_ITERS, _PCA_POWER_SQUARINGS),
+)
+def x_pca_power(spark, sf_dir):
+    return _sim.pca_power_component(
+        _t(spark, sf_dir, "embeddings"),
+        iters=_PCA_POWER_ITERS,
+        squarings=_PCA_POWER_SQUARINGS,
+    )
+
+
+def _frozen_pca_model(k: int = 4) -> dict:
+    """PCA basis trained OFFLINE (numpy moments + the same
+    pca_from_moments used everywhere) on the fixed sf0.001 embeddings —
+    the model-as-literals precedent of _RP_MAT: by the time a query
+    runs, a trained basis is just a fixed linear map, so the catalog
+    entry pins one and both the Spark plan and the DuckDB oracle replay
+    it from identical literals whatever sf the driver picks. Training
+    parity itself is covered by pca_model's pytest oracle; derived at
+    import (not frozen in source) so regenerated testdata re-derives
+    both sides consistently."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        "SELECT embedding::DOUBLE[] FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=float)
+    return _sim.pca_from_moments(len(x), x.sum(axis=0), x.T @ x, k)
+
+
+_PCA_MODEL = _frozen_pca_model(k=4)
+# per-component mean offsets, the IDENTICAL Python fold pca_project uses
+# internally (b = dot(mean, comp), left sum from int 0) so the SQL
+# literal and the Spark model-frame value are the same double
+_PCA_B = [
+    float(sum(m * c for m, c in zip(_PCA_MODEL["mean"], comp)))
+    for comp in _PCA_MODEL["components"]
+]
+
+
+def _pca_model_cte() -> str:
+    """1-row CTE carrying the frozen components as list columns
+    (c0..ck) — the SQL twin of pca_project's model-as-data broadcast
+    frame. Hoisting matters for SPEED, not just style: a component
+    inlined as a literal inside the _DOT lambda is re-materialized per
+    ELEMENT evaluation (measured 6.8 s vs 0.3 s at sf0.1 — 33M list
+    constructions); a cross-joined column reference is built once.
+    repr() literals roundtrip doubles exactly."""
+    cols = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in comp) + f"]::DOUBLE[] AS c{ci}"
+        for ci, comp in enumerate(_PCA_MODEL["components"])
+    )
+    return f"p AS (SELECT {cols})"
+
+
+def _pca_proj_sql_exprs(vec: str = "v") -> list[str]:
+    """Per-component projection expressions dot(v, p.c_i) - b_i against
+    the _pca_model_cte columns (requires CROSS JOIN p in the query)."""
+    return [
+        f"({_DOT.format(a=vec, b=f'p.c{ci}')} - ({b!r}))"
+        for ci, b in enumerate(_PCA_B)
+    ]
+
+
+@_register(
+    "x_pca_project",
+    "projection onto a frozen offline-trained PCA basis, scalarized to "
+    "pc0..pc3 columns (driver canon: no array outputs) — exercises the "
+    "model-as-data broadcast + zip_with/aggregate fold path of "
+    "pca_project; floor-form 1e-6 rounding on both sides, never engine "
+    "round() (north-star: narrow projection, O(1) plan in k and d, "
+    "no shuffle)",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    + _pca_model_cte()
+    + "\nSELECT vec_id, "
+    + ", ".join(
+        f"floor(({ex}) * 1e6 + 0.5) / 1e6 AS pc{c}"
+        for c, ex in enumerate(_pca_proj_sql_exprs())
+    )
+    + " FROM e CROSS JOIN p",
+)
+def x_pca_project(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = _sim.pca_project(emb, _PCA_MODEL, round_decimals=None)
+
+    def fl(c):
+        x = F.col("proj")[c]
+        return (F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            f"pc{c}"
+        )
+
+    return proj.select(
+        F.col("id").alias("vec_id"),
+        *[fl(c) for c in range(len(_PCA_MODEL["components"]))],
+    )
+
+
+def _pca_cand_sql(q_max: int, k: int, shortlist: int) -> list[str]:
+    """Shared CTE list for the PCA-shortlist KNN: mean-centered
+    projections from the frozen-literal basis -> per-query shortlist by
+    centered cosine -> exact full-dimension re-rank scores (the
+    _randproj_cand_sql shape with a trained basis)."""
+    rv = "[" + ", ".join(_pca_proj_sql_exprs()) + "]"
+    return [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _pca_model_cte(),
+        f"pe AS (SELECT vec_id, {rv} AS rv FROM e CROSS JOIN p)",
+        f"q AS (SELECT vec_id AS query_id, rv AS rq FROM pe "
+        f"WHERE vec_id < {q_max})",
+        "cand AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT query_id, pe.vec_id AS neighbor_id, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY "
+        f"{_cos_sql('rq', 'pe.rv')} DESC, pe.vec_id) AS prank "
+        f"FROM q JOIN pe ON pe.vec_id <> q.query_id) "
+        f"WHERE prank <= {shortlist * k})",
+        "rer AS (SELECT query_id, neighbor_id, "
+        f"{_cos_sql('qe.v', 'ne.v')} AS sim FROM cand "
+        "JOIN e qe ON qe.vec_id = cand.query_id "
+        "JOIN e ne ON ne.vec_id = cand.neighbor_id)",
+    ]
+
+
+@_register(
+    "x_knn_pca",
+    "PCA-shortlist top-k: candidates ranked by centered cosine in the "
+    "frozen 4-dim trained basis (the data-aware counterpart of "
+    "x_knn_randproj — more variance kept per retained dimension), "
+    "shortlist re-ranked by exact full-dimension cosine; same "
+    "compress-then-refine topology, window and tie-break discipline "
+    "(north-star: candidate generation never touches the full vector)",
+    ",\n".join(_pca_cand_sql(q_max=20, k=3, shortlist=4))
+    + "\nSELECT query_id, neighbor_id, rank, round(sim, 4) AS sim FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY sim DESC, neighbor_id) AS rank FROM rer) WHERE rank <= 3",
+)
+def x_knn_pca(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.knn_pca(
+        emb, emb.filter(F.col("vec_id") < 20), _PCA_MODEL, k=3, shortlist=4
+    )
