@@ -1535,6 +1535,7 @@ def winnow_recall(
     id_col: str,
     n: int = 3,
     w: int = 4,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Measure the winnowing guarantee on real data: ground truth =
     pairs sharing any positional run of w + n - 1 tokens (equivalently,
@@ -1546,7 +1547,10 @@ def winnow_recall(
     n_truth is expected: fingerprints also pair docs sharing shorter
     runs (pigeonhole slack), which the exact verify downstream resolves.
 
-    One row: (n_truth, n_covered, recall, n_candidates)."""
+    One row: (n_truth, n_covered, recall, n_candidates). ``fps``: a
+    pre-materialized fingerprint index to grade (and share across
+    consumers) instead of recomputing one — forwarded to
+    `winnow_substring_pairs`."""
     run_len = w + n - 1
     src = spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
@@ -1572,7 +1576,9 @@ def winnow_recall(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
-    pairs = winnow_substring_pairs(df, text_col, id_col, n=n, w=w, max_df=None)
+    pairs = winnow_substring_pairs(
+        df, text_col, id_col, n=n, w=w, max_df=None, fps=fps
+    )
     cand = pairs.select("doc_a", "doc_b")
     covered = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     out = (
@@ -1603,6 +1609,7 @@ def winnow_substring_pairs(
     n: int = 3,
     w: int = 4,
     max_df: int | None = 50,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-sharing candidate pairs from winnowing fingerprints:
     docs sharing any fingerprint (equivalently, by the winnowing
@@ -1618,8 +1625,19 @@ def winnow_substring_pairs(
     frame is persisted (caller unpersists); the fingerprint frame is the
     one materialized cut (see winnow_fingerprints: exploding an
     unmaterialized fps column inlines the gram pass into the window
-    lambda — O(m^2) per doc), released before returning."""
-    fps = winnow_fingerprints(df, text_col, id_col, n, w, materialize=True)
+    lambda — O(m^2) per doc), released before returning.
+
+    ``fps``: an already-materialized (id, n_grams, fps) frame from
+    `winnow_fingerprints` (or an equivalent stored index) — the
+    fingerprint table IS the reusable substring index, so consumers
+    that need it more than once per process (the recall grader, a
+    dedup pass, a plagiarism report) should compute it once and pass
+    it in; ownership (unpersist/cleanup) then stays with the caller.
+    It must already be a materialized cut (persisted or read from
+    storage) — see the Generate-trap note above."""
+    own_fps = fps is None
+    if own_fps:
+        fps = winnow_fingerprints(df, text_col, id_col, n, w, materialize=True)
     ex = fps.select(F.col("id"), F.explode("fps").alias("fp"))
     if max_df is not None:
         low = (
@@ -1641,5 +1659,6 @@ def winnow_substring_pairs(
         .persist()
     )
     pairs.count()
-    fps.unpersist()
+    if own_fps:
+        fps.unpersist()
     return pairs

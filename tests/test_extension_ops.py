@@ -1523,3 +1523,38 @@ def test_pca_power_component_converges_to_eigh(spark, sf_dir):
     assert cos > 0.9999, cos
     assert abs(lam - w[-1]) < 1e-4 * max(1.0, abs(w[-1])), (lam, w[-1])
     assert v[int(np.argmax(np.abs(v)))] > 0
+
+
+def test_winnow_shared_fps_index_identical_and_caller_owned(spark, sf_dir):
+    """A pre-materialized fingerprint index passed via ``fps=`` must
+    produce the identical pair set as the own-computation path (it IS
+    the same index — sharing must not change results), and ownership
+    stays with the caller: the operator must NOT unpersist a frame it
+    didn't build (the process-level catalog cache hands the same frame
+    to both winnow entries)."""
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    own = {
+        (r["doc_a"], r["doc_b"], r["n_shared"])
+        for r in dd.winnow_substring_pairs(
+            docs, "text", "doc_id", n=3, w=4, max_df=50
+        ).collect()
+    }
+    idx = dd.winnow_fingerprints(
+        docs, "text", "doc_id", n=3, w=4, materialize=True
+    )
+    try:
+        shared = {
+            (r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in dd.winnow_substring_pairs(
+                docs, "text", "doc_id", n=3, w=4, max_df=50, fps=idx
+            ).collect()
+        }
+        assert shared == own
+        # still cached: the operator must not have released a caller frame
+        assert idx.storageLevel.useMemory or idx.storageLevel.useDisk
+        rec = dd.winnow_recall(
+            docs, "text", "doc_id", n=3, w=4, fps=idx
+        ).collect()[0]
+        assert rec["recall"] == 1.0
+    finally:
+        idx.unpersist()
