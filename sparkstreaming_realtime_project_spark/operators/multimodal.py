@@ -406,3 +406,69 @@ def png_roundtrip_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=PNG_ROUNDTRIP_SCHEMA)
+
+
+WAV_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_min", LongType()),
+        StructField("sample_max", LongType()),
+    ]
+)
+
+
+def wav_roundtrip_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL WAV encode -> decode through the pure-numpy RIFF codec
+    (functions/wav.py), verified end to end: per payload, a mono PCM16
+    clip is synthesized (rate and length from sha256 bytes, samples =
+    the digest's 16 big-endian byte pairs recentered to int16 and tiled
+    to length), encoded to actual RIFF/WAVE bytes, decoded back through
+    the generic chunk walk, and exact integer stats of the DECODED
+    samples emitted. Every output is an integer a SQL oracle recomputes
+    from the 32 digest bytes alone — n_bytes pins the container layout
+    (44-byte canonical header + 2 bytes/sample), duration_ms the
+    fmt-chunk rate, sample_sum/min/max the data chunk payload — so any
+    corruption in header packing, chunk walking, or sample
+    (de)serialization breaks the match. The audio complement of
+    png_roundtrip_report: same mapInPandas plumbing, real bytes on the
+    wire."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..functions import wav as _wav
+
+        for pdf in batches:
+            out = {k.name: [] for k in WAV_ROUNDTRIP_SCHEMA.fields}
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                digest = hashlib.sha256(bytes(p)).digest()
+                rate = 8000 * (1 + digest[0] % 3)
+                n = 256 + ((digest[1] << 8 | digest[2]) % 1024)
+                pat = np.frombuffer(digest, dtype=">u2").astype(np.int64) - 32768
+                samples = np.tile(pat, n // 16 + 1)[:n].astype("<i2")
+                data = _wav.encode_wav(samples, rate, n_channels=1)
+                drate, dch, dsamp = _wav.decode_wav(data)
+                if (drate, dch, len(dsamp)) != (rate, 1, n):
+                    raise ValueError("wav roundtrip corrupted header")
+                st = _wav.pcm_stats(dsamp)
+                out["doc_id"].append(int(i))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(st["n_samples"])
+                out["n_bytes"].append(len(data))
+                out["duration_ms"].append(n * 1000 // rate)
+                out["sample_sum"].append(st["sample_sum"])
+                out["sample_min"].append(st["sample_min"])
+                out["sample_max"].append(st["sample_max"])
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.mapInPandas(run, schema=WAV_ROUNDTRIP_SCHEMA)

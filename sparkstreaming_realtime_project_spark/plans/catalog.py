@@ -7139,3 +7139,39 @@ def x_knn_pca(spark, sf_dir):
     return _sim.knn_pca(
         emb, emb.filter(F.col("vec_id") < 20), _PCA_MODEL, k=3, shortlist=4
     )
+
+
+@_register(
+    "x_multimodal_wav_roundtrip",
+    "REAL WAV (RIFF/PCM16) encode->decode through the pure-numpy codec "
+    "(functions/wav.py), verified end to end: rate/length/samples are "
+    "synthesized from the sha256 digest, written as actual RIFF bytes, "
+    "decoded back through the generic chunk walk, and every emitted "
+    "stat is an exact integer the oracle recomputes from the 32 digest "
+    "bytes alone — n_bytes pins the container layout, duration_ms the "
+    "fmt chunk, sum/min/max the data chunk; the audio complement of "
+    "x_multimodal_png_roundtrip (north-star)",
+    f"""
+    WITH hs AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    b AS (SELECT doc_id, {_SHA_BYTES_LIST_SQL} AS db FROM hs),
+    c AS (SELECT doc_id,
+            CAST(8000 * (1 + db[1] % 3) AS BIGINT) AS sample_rate,
+            CAST(256 + (db[2] * 256 + db[3]) % 1024 AS BIGINT) AS n_samples,
+            list_transform(range(1, 17),
+                j -> CAST(db[2*j - 1] * 256 + db[2*j] - 32768 AS BIGINT)) AS p
+          FROM b)
+    SELECT doc_id, sample_rate, n_samples,
+           CAST(44 + 2 * n_samples AS BIGINT) AS n_bytes,
+           CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           CAST((n_samples // 16) * list_sum(p)
+                + coalesce(list_sum(p[1:(n_samples % 16)]), 0)
+                AS BIGINT) AS sample_sum,
+           CAST(list_aggregate(p, 'min') AS BIGINT) AS sample_min,
+           CAST(list_aggregate(p, 'max') AS BIGINT) AS sample_max
+    FROM c
+    """,
+)
+def x_multimodal_wav_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mm = _mm.attach_binary_payload(docs, "text", modality="audio", mime="audio/wav")
+    return _mm.wav_roundtrip_report(mm, "doc_id")

@@ -341,3 +341,83 @@ def test_png_luma_pil_cross_check():
     pil_binned = [sum(pil_hist[i * 16 : (i + 1) * 16]) for i in range(16)]
     total = sum(pil_binned)
     assert hist == [round(c / total, 6) for c in pil_binned]
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """encode->decode is sample-exact for mono and interleaved stereo;
+    the decoder's generic chunk walk skips unknown (odd-sized, padded)
+    chunks; structural corruption raises instead of returning garbage."""
+    import struct
+
+    import numpy as np
+
+    from sparkstreaming_realtime_project_spark.functions import wav
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, size=1000, dtype=np.int16)
+    data = wav.encode_wav(s, 16000)
+    assert len(data) == 44 + 2 * len(s)  # canonical header layout
+    rate, ch, out = wav.decode_wav(data)
+    assert (rate, ch) == (16000, 1) and np.array_equal(out, s)
+
+    stereo = wav.encode_wav(s, 44100, n_channels=2)
+    rate, ch, out = wav.decode_wav(stereo)
+    assert (rate, ch) == (44100, 2) and np.array_equal(out, s)
+
+    # unknown odd-sized chunk between fmt and data (writer adds INFO):
+    # the walk must skip it by declared size + RIFF pad byte
+    fmt_chunk, data_chunk = data[12 : 12 + 24], data[12 + 24 :]
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt_chunk) + len(lst) + len(data_chunk))
+        + b"WAVE" + fmt_chunk + lst + data_chunk
+    )
+    rate, ch, out = wav.decode_wav(spliced)
+    assert (rate, ch) == (16000, 1) and np.array_equal(out, s)
+
+    for bad in (data[:30], b"RIFX" + data[4:], data[:40]):
+        with pytest.raises(ValueError):
+            wav.decode_wav(bad)
+    # data-before-fmt is a structural lie, not a skippable quirk
+    with pytest.raises(ValueError):
+        wav.decode_wav(
+            b"RIFF" + struct.pack("<I", 4 + len(data_chunk)) + b"WAVE" + data_chunk
+        )
+
+    assert np.array_equal(wav.decimate(s, 4), s[::4])
+    st = wav.pcm_stats(s)
+    assert st["sample_sum"] == int(s.astype(np.int64).sum())
+    assert st["abs_peak"] == int(np.abs(s.astype(np.int64)).max())
+
+
+def test_wav_roundtrip_report_matches_digest_math(spark):
+    """The mapInPandas report's integers equal a driver-side replay of
+    the digest math — the same invariant the DuckDB oracle checks,
+    pinned here against hand-rolled hashlib/numpy (no Spark, no SQL)."""
+    import hashlib
+
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta beta"), (3, "")], "doc_id long, text string"
+    )
+    mmrows = {
+        r["doc_id"]: r
+        for r in mm.wav_roundtrip_report(
+            mm.attach_binary_payload(docs, "text", modality="audio"), "doc_id"
+        ).collect()
+    }
+    for did, text in [(1, "alpha"), (2, "beta beta"), (3, "")]:
+        d = hashlib.sha256(text.encode()).digest()
+        rate = 8000 * (1 + d[0] % 3)
+        n = 256 + ((d[1] << 8 | d[2]) % 1024)
+        p = np.frombuffer(d, dtype=">u2").astype(np.int64) - 32768
+        want_sum = (n // 16) * int(p.sum()) + int(p[: n % 16].sum())
+        r = mmrows[did]
+        assert r["sample_rate"] == rate and r["n_samples"] == n
+        assert r["n_bytes"] == 44 + 2 * n
+        assert r["duration_ms"] == n * 1000 // rate
+        assert r["sample_sum"] == want_sum
+        assert r["sample_min"] == int(p.min())
+        assert r["sample_max"] == int(p.max())
