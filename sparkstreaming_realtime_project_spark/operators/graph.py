@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -130,3 +130,101 @@ def pagerank(
     if dang is not None:
         dang.unpersist()
     return out
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph, by DEGREE-ORIENTED wedge join (Schank/Wagner;
+    Suri & Vassilvitskii's MapReduce form): canonicalize edges
+    undirected-distinct, orient every edge from its (degree, id)-smaller
+    endpoint to the larger, join oriented edges on their shared source
+    to enumerate wedges, then semi-join wedges against the oriented
+    edge set. Orientation is the whole scale story: out-degree under it
+    is O(sqrt(m)) for any graph (a node of undirected degree d only
+    KEEPS edges to higher-degree neighbors, and there can't be more
+    than ~sqrt(2m) nodes of degree >= sqrt(2m)), so wedge fanout is
+    bounded by sum(outdeg^2) <= O(m^1.5) instead of the naive
+    sum(deg^2), which a single celebrity node makes quadratic. Every
+    triangle is produced exactly once (its vertices have a unique
+    (degree, id) total order), so no /3 fixup and no double counting.
+
+    Three shuffles total (degree agg, wedge join, closing semi-join) on
+    integer keys; counts are exact integers, the coefficient
+    2T/(d(d-1)) is emitted in the floor-round form both engines replay.
+
+    Returns (node, degree, n_triangles, clustering_coeff) for every
+    node of the edge set, zeros included — dropping triangle-free nodes
+    would bias any downstream transitivity average.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient by (degree, id): da/db are small per-node attributes joined
+    # in; the (deg, id) pair is packed into one sortable struct compare
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    lt = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lt, F.col("dega")).otherwise(F.col("degb")).alias("du"),
+            F.when(lt, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+        )
+    )
+    e1 = ori.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = ori.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    # wedge (u; x, y) with x before y in the same (degree, id) order the
+    # orientation uses, so the closing edge, if present, is oriented x->y
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = ori.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.floor(
+            (2.0 * F.col("n_triangles"))
+            / (F.col("degree") * (F.col("degree") - 1))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "node", "left")
+        .fillna(0, subset=["n_triangles"])
+        .select(
+            "node",
+            "degree",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+    )

@@ -7175,3 +7175,49 @@ def x_multimodal_wav_roundtrip(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     mm = _mm.attach_binary_payload(docs, "text", modality="audio", mime="audio/wav")
     return _mm.wav_roundtrip_report(mm, "doc_id")
+
+
+@_register(
+    "x_triangle_counts",
+    "per-node triangle counts + local clustering coefficient on the "
+    "part co-occurrence graph (parts sharing an order), by "
+    "degree-oriented wedge join (Schank/Wagner; Suri/Vassilvitskii): "
+    "orientation bounds wedge fanout by O(m^1.5) regardless of hub "
+    "skew and yields each triangle exactly once, vs the oracle's naive "
+    "a<b<c three-way self-join; exact integer counts, floor-form "
+    "coefficient (north-star: 3 integer-key shuffles, no cartesian)",
+    """
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ed AS (SELECT DISTINCT a.p AS x, b.p AS y
+           FROM e a JOIN e b ON a.o = b.o AND a.p < b.p),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT x AS node FROM ed UNION ALL SELECT y FROM ed)
+            GROUP BY node),
+    tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+            FROM ed e1 JOIN ed e2 ON e2.x = e1.y
+            JOIN ed e3 ON e3.x = e1.x AND e3.y = e2.y),
+    pern AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+             FROM (SELECT a AS node FROM tri UNION ALL
+                   SELECT b FROM tri UNION ALL SELECT c FROM tri)
+             GROUP BY node)
+    SELECT deg.node, deg.degree,
+           coalesce(pern.n_triangles, 0) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN floor(2.0 * coalesce(pern.n_triangles, 0)
+                           / (deg.degree * (deg.degree - 1)) * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN pern USING (node)
+    """,
+)
+def x_triangle_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = e.alias("a"), e.alias("b")
+    edges = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    return _gr.triangle_counts(edges, "src", "dst").withColumnRenamed(
+        "node", "node"
+    )

@@ -1558,3 +1558,59 @@ def test_winnow_shared_fps_index_identical_and_caller_owned(spark, sf_dir):
         assert rec["recall"] == 1.0
     finally:
         idx.unpersist()
+
+
+def test_triangle_counts_known_graph_and_naive_parity(spark):
+    """K4-minus-an-edge has known per-node counts (the two hub nodes sit
+    on both triangles... actually K4 minus one edge has exactly 2
+    triangles? no: K4 has 4 triangles; removing one edge kills the 2
+    triangles through it). Pin the closed-form case, then cross-check a
+    seeded random graph against a naive a<b<c enumeration built with
+    plain joins — same engine, independent algorithm."""
+    from sparkstreaming_realtime_project_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 minus edge (3,4): triangles (1,2,3) and (1,2,4) survive.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in triangle_counts(edges).collect()
+    }
+    assert got[1] == (3, 2, 0.666667)  # floor(2*2/(3*2) * 1e6 + 0.5) / 1e6
+    assert got[2] == (3, 2, 0.666667)
+    assert got[3][:2] == (2, 1) and got[4][:2] == (2, 1)
+    assert got[3][2] == 1.0 and got[4][2] == 1.0
+
+    # directed duplicates + self-loops must canonicalize away
+    noisy = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 1), (4, 1), (3, 2), (4, 2), (7, 7)],
+        "src long, dst long",
+    )
+    got2 = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(noisy).collect()
+    }
+    assert got2 == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    import random
+
+    rnd = random.Random(11)
+    pairs = list({tuple(sorted(rnd.sample(range(30), 2))) for _ in range(120)})
+    g = spark.createDataFrame(pairs, "src long, dst long")
+    mine = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(g).collect()
+    }
+    es = set(pairs)
+    naive = {n: 0 for e in es for n in e}
+    nodes = sorted(naive)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) not in es:
+                continue
+            for c in nodes[nodes.index(b) + 1 :]:
+                if (a, c) in es and (b, c) in es:
+                    for n in (a, b, c):
+                        naive[n] += 1
+    assert mine == naive

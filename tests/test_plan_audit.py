@@ -277,6 +277,12 @@ CASES_R5 = [
     # compaction planning is one window over the metadata-sized file
     # list: no join of any kind
     ("x_compaction_plan", ["Window"], ["Join", "CartesianProduct"]),
+    # round 7: triangle counting — degree-oriented wedge join: every
+    # join is an EQUI hash/sort-merge join on integer keys; a nested
+    # loop or cartesian means the orientation/ordering predicate fell
+    # out of the equi-join keys
+    ("x_triangle_counts", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Window"]),
 ]
 
 
