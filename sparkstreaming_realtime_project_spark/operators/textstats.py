@@ -777,3 +777,109 @@ def gopher_quality_report(
             "pass_rate",
         )
     )
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+    materialize: bool = False,
+) -> DataFrame:
+    """Per-document bigram negative log-prob under an interpolated
+    Kneser-Ney model trained on the corpus itself (Chen & Goodman 1998
+    eq. 4.24, bigram order):
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1.)
+                   + D * N1+(w1 .) / c(w1.) * N1+(. w2) / |bigram types|
+
+    — the absolute-discount mass freed from seen bigrams is spent on
+    the CONTINUATION probability (in how many distinct contexts does w2
+    appear), the fix for unigram backoff overweighting frequent-but-
+    context-bound tokens ("Francisco"). The step up from
+    `unigram_logprob` on the same quality-filter axis: unigram scores
+    surprise per token, this scores surprise per TRANSITION, so
+    shuffled-word salads (unigram-normal, transition-absurd) finally
+    separate from prose. Every bigram the model scores was seen in
+    training (the model is trained on the scored corpus), so the
+    max-term is never the whole story but the interpolation term keeps
+    every probability strictly positive regardless.
+
+    Scale shape (the unigram_logprob discipline, one order up): bigram
+    instances fold to per-doc types (doc_id, w1, w2) before anything
+    joins — the only corpus-sized shuffle. Model tables are
+    bigram-TYPE-sized: c12 (w1, w2), the context fold c1 (w1), the
+    continuation fold pc (w2); the type total is a 1-row broadcast
+    cross-join. The score join keys on (w1, w2) against the per-doc
+    type counts — skew-free after the pre-fold. Docs with < 2 tokens
+    have no transitions and drop out (both engines filter identically).
+
+    Float discipline: probabilities are built with one fixed
+    left-assoc expression shape both engines replay; only the final
+    per-doc sum is order-sensitive, absorbed by floor-rounding at 1e-4
+    (the unigram precedent). Returns (doc_id, n_bigrams, avg_neg_logp).
+    """
+    src = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+    toks = src.select("doc_id", tokens_expr("__text").alias("t"))
+    n = F.size("t")
+    bg = toks.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, n - 1),
+                F.slice("t", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    )
+    dbg = bg.groupBy(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    if materialize:
+        # dbg feeds the model folds AND the score join — the same
+        # two-consumer cut as unigram_logprob's tf frame
+        dbg = dbg.persist()
+    c12 = dbg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    if materialize:
+        c12 = c12.persist()
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    pc = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_rev"))
+    bt = c12.agg(F.count(F.lit(1)).alias("__n_types"))
+    d = F.lit(float(discount))
+    # fixed left-assoc shape, replayed verbatim by the SQL oracle
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("n1p_fwd") / F.col("c1")
+        * (F.col("n1p_rev") / F.col("__n_types"))
+    )
+    model = (
+        c12.join(c1, "w1")
+        .join(pc, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select("w1", "w2", p.alias("__p"))
+    )
+    out = (
+        dbg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (
+                F.floor(
+                    -F.sum(F.col("tf") * F.log("__p")) / F.sum("tf") * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("avg_neg_logp"),
+        )
+    )
+    if materialize:
+        out = out.persist()
+        out.count()
+        dbg.unpersist()
+        c12.unpersist()
+    return out

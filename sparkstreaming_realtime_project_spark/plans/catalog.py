@@ -7221,3 +7221,37 @@ def x_triangle_counts(spark, sf_dir):
     return _gr.triangle_counts(edges, "src", "dst").withColumnRenamed(
         "node", "node"
     )
+
+
+@_register(
+    "x_kn_bigram_logprob",
+    "per-doc bigram surprise under an interpolated Kneser-Ney model "
+    "trained on the corpus itself (Chen & Goodman eq. 4.24): absolute "
+    "discount + continuation-probability interpolation — the "
+    "transition-level step up from x_unigram_logprob on the quality "
+    "axis (word salads separate from prose); model tables are "
+    "bigram-type-sized, one corpus-sized shuffle, fixed left-assoc "
+    "float shape + floor-round 1e-4 (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+    dbg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM dbg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_fwd FROM c12 GROUP BY 1),
+    pc AS (SELECT w2, count(*) AS n1p_rev FROM c12 GROUP BY 1),
+    bt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM c12),
+    model AS (SELECT c12.w1, c12.w2,
+                greatest(c12.c12 - 0.75, 0.0) / c1.c1
+                + 0.75 * c1.n1p_fwd / c1.c1 * (pc.n1p_rev / bt.n_types) AS p
+              FROM c12 JOIN c1 USING (w1) JOIN pc USING (w2), bt)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           floor(-sum(tf * ln(p)) / sum(tf) * 1e4 + 0.5) / 1e4 AS avg_neg_logp
+    FROM dbg JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def x_kn_bigram_logprob(spark, sf_dir):
+    return _ts.kn_bigram_logprob(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", materialize=True
+    )

@@ -1614,3 +1614,63 @@ def test_triangle_counts_known_graph_and_naive_parity(spark):
                     for n in (a, b, c):
                         naive[n] += 1
     assert mine == naive
+
+
+def test_kn_bigram_logprob_matches_hand_model_and_normalizes(spark):
+    """Replay interpolated KN by hand (dict arithmetic, no Spark) on a
+    tiny corpus: (a) the operator's per-doc scores match the replay at
+    1e-4, and (b) the hand model's P(.|w1) sums to exactly 1 over the
+    seen continuation vocabulary — the normalization property that
+    distinguishes real KN from an ad-hoc discount."""
+    import math
+    from collections import Counter
+
+    from sparkstreaming_realtime_project_spark.operators.textstats import (
+        kn_bigram_logprob,
+    )
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+        (4, "one"),  # < 2 tokens: no transitions, must drop out
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"])
+        for r in kn_bigram_logprob(docs, "text", "doc_id").collect()
+    }
+    assert 4 not in got
+
+    D = 0.75
+    c12 = Counter()
+    for _, text in corpus:
+        t = text.lower().split()
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    n1p_fwd = Counter()
+    n1p_rev = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1p_fwd[a] += 1
+        n1p_rev[b] += 1
+    n_types = len(c12)
+
+    def p(a, b):
+        return max(c12[(a, b)] - D, 0.0) / c1[a] + D * n1p_fwd[a] / c1[a] * (
+            n1p_rev[b] / n_types
+        )
+
+    # normalization: for every context, sum over the continuation vocab
+    for a in c1:
+        s = sum(p(a, b) for b in n1p_rev)
+        assert abs(s - 1.0) < 1e-12, (a, s)
+
+    for did, text in corpus[:3]:
+        t = text.lower().split()
+        bgs = list(zip(t, t[1:]))
+        want = -sum(math.log(p(a, b)) for a, b in bgs) / len(bgs)
+        n, score = got[did]
+        assert n == len(bgs)
+        assert abs(score - want) <= 1e-4 + 1e-12, (did, score, want)
