@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_bucket", "cms_sketch", "cms_estimate"]
+__all__ = ["cms_bucket", "cms_sketch", "cms_estimate", "mg_topk"]
 
 
 def cms_bucket(key: Column, row: int, w: int, salt: str = "cms") -> Column:
@@ -276,3 +276,93 @@ def hll_finalize(
             4,
         ).alias("hll_estimate"),
     )
+
+
+def mg_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    n_groups: int = 32,
+    m: int = 64,
+    salt: str = "mg",
+) -> DataFrame:
+    """Misra-Gries / SpaceSaving-style mergeable heavy-hitter summary,
+    distributed the Agarwal et al. ("Mergeable Summaries", PODS'12)
+    way: shard keys into ``n_groups`` DETERMINISTIC virtual groups
+    (md5, engine-portable — never physical partitions, whose layout no
+    oracle can replay), keep each group's exact top-``m`` counters by
+    (count DESC, key), record the group's truncation bound eps_g = the
+    (m+1)-th count (0 when nothing was dropped), then merge: a key's
+    summary estimate is the sum of its surviving group counters — a
+    LOWER bound on its true count, with true <= est + sum of eps_g over
+    the groups that dropped it. The summary is n_groups x m rows
+    regardless of key cardinality — the heavy-hitter complement of the
+    count-min sketch above (CMS overcounts and needs the key to query;
+    MG surfaces the keys themselves and undercounts, with a certificate).
+
+    Emits the top-``k`` by (est DESC, key): (key, est, upper_bound,
+    n_groups_kept) — upper_bound = est + the summed bounds of absent
+    groups, the per-key error certificate a 100 TB run acts on (ship
+    the summary, not the key domain). One key-domain shuffle (the
+    exact per-group fold), one summary-sized window for the per-group
+    rank, one k-sized window for the final cut.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("key").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(n_groups),
+    )
+    counts = (
+        df.select(F.col(key_col).alias("key"))
+        .withColumn("g", g)
+        .groupBy("g", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("cnt").desc(), F.col("key"))
+    ranked = counts.withColumn("rn", F.row_number().over(w)).persist()
+    ranked.count()
+    kept = ranked.filter(F.col("rn") <= m)
+    eps = (
+        ranked.filter(F.col("rn") == m + 1)
+        .select("g", F.col("cnt").alias("eps_g"))
+    )
+    total_eps = eps.agg(
+        F.coalesce(F.sum("eps_g"), F.lit(0)).alias("__total_eps")
+    )
+    per_key = (
+        kept.join(eps, "g", "left")
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").alias("est"),
+            F.count(F.lit(1)).alias("n_groups_kept"),
+            F.coalesce(F.sum("eps_g"), F.lit(0)).alias("__eps_present"),
+        )
+    )
+    wk = Window.orderBy(F.col("est").desc(), F.col("key"))
+    out = (
+        per_key.crossJoin(F.broadcast(total_eps))
+        .select(
+            "key",
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") + F.col("__total_eps") - F.col("__eps_present"))
+            .cast("long")
+            .alias("upper_bound"),
+            F.col("n_groups_kept").cast("long").alias("n_groups_kept"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("rank", "key", "est", "upper_bound", "n_groups_kept")
+        .persist()
+    )
+    out.count()
+    ranked.unpersist()
+    return out

@@ -7255,3 +7255,77 @@ def x_kn_bigram_logprob(spark, sf_dir):
     return _ts.kn_bigram_logprob(
         _t(spark, sf_dir, "documents"), "text", "doc_id", materialize=True
     )
+
+
+_MG_GROUPS, _MG_M, _MG_K = 8, 2, 20
+
+
+def _mg_group_sql(key: str) -> str:
+    return (
+        f"({_hex32_sql(f'''substr(md5('mg:' || {key}), 1, 8)''')}"
+        f" % {_MG_GROUPS})"
+    )
+
+
+@_register(
+    "x_mg_topk",
+    "Misra-Gries/SpaceSaving mergeable heavy-hitter summary over doc "
+    "tokens, graded against exact counts: deterministic md5 virtual "
+    "groups, per-group top-m counters + truncation bound eps_g, merged "
+    "estimate = surviving counter sum (lower bound) with certificate "
+    "true <= est + sum eps_g over absent groups — the summary is "
+    "groups x m rows regardless of key cardinality, the key-surfacing "
+    "complement of the CMS entry (m deliberately tight here so drops "
+    "and bounds are exercised, not vacuous) (north-star)",
+    f"""
+    WITH ex AS (SELECT unnest({_TOKS_SQL}) AS key FROM documents),
+    kg AS (SELECT key, {_mg_group_sql('key')} AS g FROM ex),
+    counts AS (SELECT g, key, count(*) AS cnt FROM kg GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY g
+                 ORDER BY cnt DESC, key) AS rn FROM counts),
+    kept AS (SELECT * FROM ranked WHERE rn <= {_MG_M}),
+    eps AS (SELECT g, cnt AS eps_g FROM ranked WHERE rn = {_MG_M + 1}),
+    te AS (SELECT coalesce(sum(eps_g), 0) AS total_eps FROM eps),
+    pk AS (SELECT key, sum(cnt) AS est, count(*) AS n_groups_kept,
+                  coalesce(sum(eps_g), 0) AS eps_present
+           FROM kept LEFT JOIN eps USING (g) GROUP BY key),
+    tru AS (SELECT key, CAST(count(*) AS BIGINT) AS true_cnt
+            FROM ex GROUP BY key)
+    SELECT CAST(rank AS BIGINT) AS rank, key, est, upper_bound,
+           n_groups_kept, true_cnt
+    FROM (SELECT pk.key, CAST(pk.est AS BIGINT) AS est,
+                 CAST(pk.est + te.total_eps - pk.eps_present AS BIGINT)
+                   AS upper_bound,
+                 CAST(pk.n_groups_kept AS BIGINT) AS n_groups_kept,
+                 row_number() OVER (ORDER BY pk.est DESC, pk.key) AS rank
+          FROM pk, te)
+    JOIN tru USING (key)
+    WHERE rank <= {_MG_K}
+    """,
+)
+def x_mg_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("token")
+    )
+    summary = _sk.mg_topk(
+        ex, "token", k=_MG_K, n_groups=_MG_GROUPS, m=_MG_M, salt="mg"
+    )
+    tru = ex.groupBy(F.col("token").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    out = summary.select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        "est",
+        "upper_bound",
+        "n_groups_kept",
+    ).join(tru, "key")
+    summary.unpersist()
+    return out.select(
+        "rank", "key", "est", "upper_bound", "n_groups_kept", "true_cnt"
+    )

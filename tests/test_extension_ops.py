@@ -1674,3 +1674,27 @@ def test_kn_bigram_logprob_matches_hand_model_and_normalizes(spark):
         n, score = got[did]
         assert n == len(bgs)
         assert abs(score - want) <= 1e-4 + 1e-12, (did, score, want)
+
+
+def test_mg_topk_certificate_on_skewed_keys(spark):
+    """On a genuinely Zipfian key stream the Misra-Gries summary must
+    (a) bracket every emitted key: est <= true <= upper_bound, (b) put
+    the dominant key at rank 1 with an EXACT estimate (a key kept in
+    all of its groups loses nothing), and (c) stay summary-sized."""
+    from sparkstreaming_realtime_project_spark.operators.sketches import mg_topk
+
+    rows = []
+    for i, freq in enumerate([4000, 1200, 600, 300] + [40] * 30 + [3] * 200):
+        rows.extend((f"k{i:03d}",) for _ in range(freq))
+    df = spark.createDataFrame(rows, "key string")
+    true = {}
+    for (k,) in rows:
+        true[k] = true.get(k, 0) + 1
+    out = mg_topk(df, "key", k=10, n_groups=4, m=3).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["est"] <= true[r["key"]] <= r["upper_bound"], (
+            r["key"], r["est"], true[r["key"]], r["upper_bound"],
+        )
+    top = next(r for r in out if r["rank"] == 1)
+    assert top["key"] == "k000" and top["est"] == 4000
