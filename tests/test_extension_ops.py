@@ -1698,3 +1698,43 @@ def test_mg_topk_certificate_on_skewed_keys(spark):
         )
     top = next(r for r in out if r["rank"] == 1)
     assert top["key"] == "k000" and top["est"] == 4000
+
+
+def test_bpe_train_and_fold_parity(spark):
+    """Training: greedy most-frequent-pair with (count DESC, pair ASC)
+    ties, verified on a corpus with a known merge order; application:
+    the Spark fold chain must equal the Python replay token-for-token,
+    including the overlapping-run greedy-left case and merges that
+    consume earlier merge outputs."""
+    from sparkstreaming_realtime_project_spark.functions import bpe
+
+    docs = [
+        "the cat sat".split(),
+        "the cat ran".split(),
+        "the cat sat down".split(),
+        "a a a".split(),
+    ]
+    merges = bpe.train_merges(docs, n_merges=3)
+    # (the,cat) x3 first; then a 2-count tie — ('a','a') counts both
+    # overlapping positions in "a a a", and ties break pair-ASC, so
+    # ('a','a') < ('the+cat','sat'); the latter lands third
+    assert merges[0] == ("the", "cat")
+    assert merges[1] == ("a", "a")
+    assert merges[2] == ("the+cat", "sat")
+
+    assert bpe.apply_merges_py("a a a".split(), [("a", "a")]) == ["a+a", "a"]
+    assert bpe.apply_merges_py("the cat sat".split(), merges) == ["the+cat+sat"]
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            bpe.apply_merges_col(
+                F.split(F.col("text"), " "), merges
+            ).alias("s"),
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == bpe.apply_merges_py(d, merges), (i, got[i])
