@@ -32,7 +32,9 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from sparkstreaming_realtime_project_spark.operators import dedup as dd
+from sparkstreaming_realtime_project_spark.operators import graph as gr
 from sparkstreaming_realtime_project_spark.operators import similarity as sim
+from sparkstreaming_realtime_project_spark.operators import textstats as ts
 from sparkstreaming_realtime_project_spark.session import get_spark
 from sparkstreaming_realtime_project_spark.sources.batch import load_table
 
@@ -132,6 +134,32 @@ def main() -> None:
 
         row["minhash_s"] = timed(run_minhash)
         row["ngram_s"] = timed(run_ngram)
+
+        # round-7 families: substring dedup (winnow), graph (triangles
+        # over the winnow pair graph — disjoint copies keep triangle
+        # density constant), bigram LM scoring
+        wp = {}
+
+        def run_winnow():
+            p = dd.winnow_substring_pairs(
+                docs, "text", "doc_id", n=3, w=4, max_df=50
+            )
+            row["winnow_pairs"] = p.count()
+            wp["pairs"] = p
+
+        def run_triangles():
+            t = gr.triangle_counts(wp["pairs"], "doc_a", "doc_b")
+            row["tri_nodes"] = t.count()
+            wp["pairs"].unpersist()
+
+        def run_kn():
+            out = ts.kn_bigram_logprob(docs, "text", "doc_id", materialize=True)
+            row["kn_docs"] = out.count()
+            out.unpersist()
+
+        row["winnow_s"] = timed(run_winnow)
+        row["triangle_s"] = timed(run_triangles)
+        row["kn_bigram_s"] = timed(run_kn)
 
         emb = scaled_embeddings(spark, sf_dir, k).persist()
         row["n_vecs"] = emb.count()

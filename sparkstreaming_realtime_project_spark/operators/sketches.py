@@ -281,6 +281,7 @@ def hll_finalize(
 def mg_topk(
     df: DataFrame,
     key_col: str,
+    shard_col: str,
     k: int = 20,
     n_groups: int = 32,
     m: int = 64,
@@ -288,31 +289,35 @@ def mg_topk(
 ) -> DataFrame:
     """Misra-Gries / SpaceSaving-style mergeable heavy-hitter summary,
     distributed the Agarwal et al. ("Mergeable Summaries", PODS'12)
-    way: shard keys into ``n_groups`` DETERMINISTIC virtual groups
-    (md5, engine-portable — never physical partitions, whose layout no
-    oracle can replay), keep each group's exact top-``m`` counters by
-    (count DESC, key), record the group's truncation bound eps_g = the
-    (m+1)-th count (0 when nothing was dropped), then merge: a key's
-    summary estimate is the sum of its surviving group counters — a
-    LOWER bound on its true count, with true <= est + sum of eps_g over
-    the groups that dropped it. The summary is n_groups x m rows
-    regardless of key cardinality — the heavy-hitter complement of the
-    count-min sketch above (CMS overcounts and needs the key to query;
-    MG surfaces the keys themselves and undercounts, with a certificate).
+    way: shard the ROWS into ``n_groups`` deterministic virtual groups
+    by md5 of ``shard_col`` (engine-portable — never physical
+    partitions, whose layout no oracle can replay; and never the key
+    itself, which would make each group a disjoint exact count, not a
+    summary), build each group's summary — its exact top-``m`` counters
+    by (count DESC, key) plus the truncation bound eps_g = the group's
+    (m+1)-th count (0 when nothing was dropped) — then MERGE the
+    summaries: a key's estimate is the sum of its surviving group
+    counters, a LOWER bound on its true count, certified by
+    true <= est + sum of eps_g over the groups that dropped it (a kept
+    counter is exact within its group; a dropped key sat at or below
+    that group's cut). The merged state is n_groups x m rows regardless
+    of key cardinality — the heavy-hitter complement of the count-min
+    sketch above (CMS overcounts and needs the key to query; MG
+    surfaces the keys themselves and undercounts, with a certificate).
 
     Emits the top-``k`` by (est DESC, key): (key, est, upper_bound,
-    n_groups_kept) — upper_bound = est + the summed bounds of absent
-    groups, the per-key error certificate a 100 TB run acts on (ship
-    the summary, not the key domain). One key-domain shuffle (the
-    exact per-group fold), one summary-sized window for the per-group
-    rank, one k-sized window for the final cut.
+    n_groups_kept). One key-domain shuffle (the exact per-group fold),
+    one summary-sized window for the per-group rank, one k-sized window
+    for the final cut.
     """
     from pyspark.sql.window import Window
 
     g = F.pmod(
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(f"{salt}:"), F.col("key").cast("string"))),
+                F.md5(
+                    F.concat(F.lit(f"{salt}:"), F.col("__shard").cast("string"))
+                ),
                 1,
                 8,
             ),
@@ -322,7 +327,9 @@ def mg_topk(
         F.lit(n_groups),
     )
     counts = (
-        df.select(F.col(key_col).alias("key"))
+        df.select(
+            F.col(key_col).alias("key"), F.col(shard_col).alias("__shard")
+        )
         .withColumn("g", g)
         .groupBy("g", "key")
         .agg(F.count(F.lit(1)).alias("cnt"))

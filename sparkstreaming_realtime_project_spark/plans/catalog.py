@@ -7260,9 +7260,9 @@ def x_kn_bigram_logprob(spark, sf_dir):
 _MG_GROUPS, _MG_M, _MG_K = 8, 2, 20
 
 
-def _mg_group_sql(key: str) -> str:
+def _mg_group_sql(shard: str) -> str:
     return (
-        f"({_hex32_sql(f'''substr(md5('mg:' || {key}), 1, 8)''')}"
+        f"({_hex32_sql(f'''substr(md5('mg:' || CAST({shard} AS VARCHAR)), 1, 8)''')}"
         f" % {_MG_GROUPS})"
     )
 
@@ -7270,16 +7270,18 @@ def _mg_group_sql(key: str) -> str:
 @_register(
     "x_mg_topk",
     "Misra-Gries/SpaceSaving mergeable heavy-hitter summary over doc "
-    "tokens, graded against exact counts: deterministic md5 virtual "
-    "groups, per-group top-m counters + truncation bound eps_g, merged "
-    "estimate = surviving counter sum (lower bound) with certificate "
-    "true <= est + sum eps_g over absent groups — the summary is "
-    "groups x m rows regardless of key cardinality, the key-surfacing "
-    "complement of the CMS entry (m deliberately tight here so drops "
-    "and bounds are exercised, not vacuous) (north-star)",
+    "tokens, graded against exact counts: rows sharded into md5(doc_id) "
+    "virtual groups (row shards, never key shards — a key-sharded "
+    "'summary' is just a disjoint exact count), per-group top-m "
+    "counters + truncation bound eps_g, merged estimate = surviving "
+    "counter sum (lower bound) with certificate true <= est + sum "
+    "eps_g over absent groups — the summary is groups x m rows "
+    "regardless of key cardinality, the key-surfacing complement of "
+    "the CMS entry (m deliberately tight here so drops and bounds are "
+    "exercised, not vacuous) (north-star)",
     f"""
-    WITH ex AS (SELECT unnest({_TOKS_SQL}) AS key FROM documents),
-    kg AS (SELECT key, {_mg_group_sql('key')} AS g FROM ex),
+    WITH ex AS (SELECT doc_id, unnest({_TOKS_SQL}) AS key FROM documents),
+    kg AS (SELECT key, {_mg_group_sql('doc_id')} AS g FROM ex),
     counts AS (SELECT g, key, count(*) AS cnt FROM kg GROUP BY 1, 2),
     ranked AS (SELECT *, row_number() OVER (PARTITION BY g
                  ORDER BY cnt DESC, key) AS rn FROM counts),
@@ -7306,14 +7308,15 @@ def _mg_group_sql(key: str) -> str:
 def x_mg_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     ex = docs.select(
+        "doc_id",
         F.explode(
             F.filter(
                 F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
             )
-        ).alias("token")
+        ).alias("token"),
     )
     summary = _sk.mg_topk(
-        ex, "token", k=_MG_K, n_groups=_MG_GROUPS, m=_MG_M, salt="mg"
+        ex, "token", "doc_id", k=_MG_K, n_groups=_MG_GROUPS, m=_MG_M, salt="mg"
     )
     tru = ex.groupBy(F.col("token").alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("true_cnt")

@@ -779,3 +779,115 @@ def compact_moment_store(spark, store_root: str) -> str:
         shutil.rmtree(d)
     os.rename(tmp, dirs[-1])
     return dirs[-1]
+
+
+# --------------------------------------------------------------------------
+# Streaming heavy hitters: a Misra-Gries summary store. Each micro-batch
+# IS a row shard of the stream, so it writes ONE summary — its exact
+# top-m counters plus the truncation bound — and reads merge summaries
+# by counter addition + re-truncation, the Agarwal et al. mergeable-
+# summaries operation. State is m+1 rows per batch no matter how many
+# distinct keys stream past, and the answer carries a per-key error
+# certificate instead of silent approximation.
+# --------------------------------------------------------------------------
+
+
+def streaming_mg_topk(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key_col: str,
+    m: int = 64,
+):
+    """Maintain per-batch Misra-Gries summaries of key occurrences.
+
+    Each batch writes TWO row kinds under its idempotent batch dir:
+    kind='k' — the kept counters (key, cnt: the batch's exact counts of
+    its top-m keys by (count DESC, key)), and kind='e' — the truncation
+    bound (NULL key, eps = the batch's (m+1)-th count; absent when the
+    batch had <= m distinct keys). Counters are exact WITHIN the batch,
+    so every batch summary satisfies the mergeable-summary contract:
+    kept_cnt <= true_batch_cnt <= kept_cnt + eps for every key."""
+    from pyspark.sql.window import Window
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.select(F.col(key_col).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+        ranked = counts.withColumn("rn", F.row_number().over(w))
+        kept = ranked.filter(F.col("rn") <= m).select(
+            "key", "cnt", F.lit("k").alias("kind")
+        )
+        eps = ranked.filter(F.col("rn") == m + 1).select(
+            F.lit(None).cast(ranked.schema["key"].dataType).alias("key"),
+            F.col("cnt"),
+            F.lit("e").alias("kind"),
+        )
+        kept.unionByName(eps).write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_mg_topk(spark, store_dir: str, k: int, m: int = 64) -> DataFrame:
+    """Merge everything committed so far: sum kept counters per key,
+    re-truncate to the m largest merged counters (recording the merged
+    (m+1)-th counter t as additional truncation error), and emit the
+    top-``k`` with the certificate
+
+        est <= true <= upper_bound = est + sum of batch eps + t
+
+    — a key's merged counter misses at most eps_b in every batch that
+    dropped it (conservatively summed over ALL batches), plus t if the
+    re-truncation could have cut a sibling just below it. Output
+    (rank, key, est, upper_bound); the read is summary-sized
+    (batches x (m+1) rows), never key-domain-sized. The per-batch
+    window in the writer is over an already-folded count frame; the
+    merge here is one summary-sized aggregate + window."""
+    from pyspark.sql.window import Window
+
+    raw = spark.read.option("basePath", store_dir).parquet(
+        os.path.join(store_dir, "batch=*")
+    )
+    merged = (
+        raw.filter(F.col("kind") == "k")
+        .groupBy("key")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    ranked = merged.withColumn("rn", F.row_number().over(w)).persist()
+    ranked.count()
+    kept = ranked.filter(F.col("rn") <= m)
+    tcut = ranked.filter(F.col("rn") == m + 1).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__t")
+    )
+    etot = raw.filter(F.col("kind") == "e").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__etot")
+    )
+    wk = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    out = (
+        kept.crossJoin(F.broadcast(etot))
+        .crossJoin(F.broadcast(tcut))
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("est"),
+            (F.col("cnt") + F.col("__etot") + F.col("__t"))
+            .cast("long")
+            .alias("upper_bound"),
+            F.row_number().over(wk).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+        .select("rank", "key", "est", "upper_bound")
+        .persist()
+    )
+    out.count()
+    ranked.unpersist()
+    return out

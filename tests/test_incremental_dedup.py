@@ -666,3 +666,56 @@ def test_moment_store_compaction(spark, tmp_path):
     assert np.allclose(after[2], before[2])
     # idempotent on a single-dir store
     assert compact_moment_store(spark, store) == kept
+
+
+def test_streaming_mg_topk_certificate_and_large_m_exactness(spark, tmp_path):
+    """The merged MG store must (a) bracket every emitted key against
+    the exact union counts (est <= true <= upper_bound), (b) put the
+    stream's dominant key at rank 1, and (c) with m large enough to
+    keep every batch's full count table, reproduce the exact counts
+    with zero error (merge = counter addition, the associative core
+    the store depends on)."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_mg_topk,
+        streaming_mg_topk,
+    )
+
+    b1 = [json.dumps({"term": t}) for t in
+          ["a"] * 40 + ["b"] * 12 + ["c"] * 5 + ["d", "e", "f", "g"]]
+    b2 = [json.dumps({"term": t}) for t in
+          ["a"] * 25 + ["c"] * 9 + ["b"] * 2 + ["h", "e", "e"]]
+    in_dir = str(tmp_path / "min")
+    fx._write_batches(in_dir, [b1, b2])
+    true = {}
+    for b in (b1, b2):
+        for row in b:
+            t = json.loads(row)["term"]
+            true[t] = true.get(t, 0) + 1
+
+    def run(m, store, ck):
+        stream = file_stream(
+            spark, in_dir, "term string", fmt="json", max_files_per_trigger=1
+        )
+        q = (
+            streaming_mg_topk(stream, store, ck, "term", m=m)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return read_mg_topk(spark, store, k=10, m=m)
+
+    tight = run(3, str(tmp_path / "mg3"), str(tmp_path / "mgck3")).collect()
+    assert tight, "tight summary emitted nothing"
+    for r in tight:
+        assert r["est"] <= true[r["key"]] <= r["upper_bound"], (
+            r["key"], r["est"], true[r["key"]], r["upper_bound"],
+        )
+    assert next(r for r in tight if r["rank"] == 1)["key"] == "a"
+
+    wide = {
+        r["key"]: (r["est"], r["upper_bound"])
+        for r in run(50, str(tmp_path / "mg50"), str(tmp_path / "mgck50"))
+        .collect()
+    }
+    for t, c in sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]:
+        assert wide[t] == (c, c), (t, wide[t], c)
