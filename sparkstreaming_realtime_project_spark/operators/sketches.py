@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_bucket", "cms_sketch", "cms_estimate", "mg_topk"]
+__all__ = ["cms_bucket", "cms_sketch", "cms_estimate", "cms_self_join_size", "mg_topk"]
 
 
 def cms_bucket(key: Column, row: int, w: int, salt: str = "cms") -> Column:
@@ -373,3 +373,25 @@ def mg_topk(
     out.count()
     ranked.unpersist()
     return out
+
+
+def cms_self_join_size(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 256, salt: str = "cms"
+) -> DataFrame:
+    """Self-join size (the F2 moment, sum of squared key frequencies)
+    estimated from the count-min sketch's inner product with itself —
+    the AMS/CMS join-size estimator (Alon-Matias-Szegedy; Cormode &
+    Muthukrishnan §4.2): per sketch row, sum cnt^2 over buckets; take
+    the min across the d rows. Overestimates only (colliding keys add
+    cross terms, never subtract), with the standard err <= eps * N^2
+    guarantee at w = 2/eps. This is the number a planner needs BEFORE
+    attempting a key self-join (sessionization, co-occurrence): sketch
+    cost is one pass + a d x w table, vs the exact count table whose
+    size is the key domain. Returns one row (est BIGINT) — integer-
+    exact, so the oracle matches bit-for-bit; grade against the exact
+    F2 where feasible (the catalog entry joins it on)."""
+    sk = cms_sketch(df, key_col, d=d, w=w, salt=salt)
+    per_row = sk.groupBy("row").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("f2_row")
+    )
+    return per_row.agg(F.min("f2_row").cast("long").alias("est"))

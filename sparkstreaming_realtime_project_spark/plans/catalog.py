@@ -7420,3 +7420,47 @@ def x_bpe_segment(spark, sf_dir):
         ).alias("compression"),
         F.array_join("s", " ").alias("merged_text"),
     )
+
+
+@_register(
+    "x_cms_join_size",
+    "self-join size (F2 moment) of events by user_id estimated from "
+    "the count-min sketch's inner product with itself (AMS/CMS join-"
+    "size estimation), graded against the exact sum of squared "
+    "frequencies — the cardinality a planner needs BEFORE attempting a "
+    "key self-join, from a d x w table instead of the key domain; "
+    "overcount-only, integer-exact on both engines (north-star)",
+    f"""
+    WITH rows AS (SELECT unnest(range(0, {_CMS_D})) AS row),
+    cells AS (SELECT r.row,
+                     {_cms_bucket_sql('r.row', 'e.user_id', _CMS_W)} AS bucket
+              FROM events e CROSS JOIN rows r),
+    sk AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    pr AS (SELECT row, sum(cnt * cnt) AS f2_row FROM sk GROUP BY row),
+    est AS (SELECT CAST(min(f2_row) AS BIGINT) AS est FROM pr),
+    tru AS (SELECT CAST(sum(c * c) AS BIGINT) AS true_f2 FROM
+            (SELECT count(*) AS c FROM events GROUP BY user_id))
+    SELECT est, true_f2,
+           floor(est * 1.0 / true_f2 * 1e4 + 0.5) / 1e4 AS overcount_ratio
+    FROM est, tru
+    """,
+)
+def x_cms_join_size(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    est = _sk.cms_self_join_size(ev, "user_id", d=_CMS_D, w=_CMS_W)
+    tru = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("true_f2"))
+    )
+    return (
+        est.crossJoin(F.broadcast(tru))
+        .select(
+            "est",
+            "true_f2",
+            (
+                F.floor(F.col("est") / F.col("true_f2") * F.lit(1e4) + F.lit(0.5))
+                / F.lit(1e4)
+            ).alias("overcount_ratio"),
+        )
+    )
