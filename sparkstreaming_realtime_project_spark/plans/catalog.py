@@ -7464,3 +7464,99 @@ def x_cms_join_size(spark, sf_dir):
             ).alias("overcount_ratio"),
         )
     )
+
+
+_RRF_K0, _RRF_DEPTH, _RRF_OUT = 60, 50, 10
+
+
+@_register(
+    "x_hybrid_rrf",
+    "hybrid retrieval by reciprocal-rank fusion (Cormack et al.): the "
+    "BM25 lexical ranking and the exact-cosine vector ranking (query = "
+    "embedding 0) fused as sum of 1/(60 + rank) over the rankers that "
+    "returned the doc — rank-space fusion needs no score calibration "
+    "between BM25 logs and cosines, which is why it's the default "
+    "hybrid in production retrieval; composes two existing oracle-"
+    "checked rankers, full-outer on doc id, absent rank contributes 0 "
+    "(north-star: each ranker's depth-bounded output is the only thing "
+    "fused — list-sized, never corpus-sized)",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, g AS term, tfv AS tf FROM (
+             SELECT doc_id,
+                    unnest(list_intersect(t, {list(_BM25_TERMS)!r})) AS g,
+                    t FROM toks),
+           LATERAL (SELECT len(list_filter(t, x -> x = g)) AS tfv)),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bscored AS (
+      SELECT doc_id,
+             round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {_BM25_K1 + 1.0})
+                   / (tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl))), 4)
+               AS score
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+           CROSS JOIN corpus
+      GROUP BY doc_id),
+    lex AS (SELECT doc_id, rank AS lex_rank FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bscored) WHERE rank <= {_RRF_DEPTH}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    vscored AS (SELECT e.vec_id AS doc_id, {_cos_sql('qv', 'e.v')} AS sim
+                FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+    vec AS (SELECT doc_id, rank AS vec_rank FROM (
+      SELECT *, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+      FROM vscored) WHERE rank <= {_RRF_DEPTH}),
+    fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                     coalesce(lex_rank, 0) AS lex_rank,
+                     coalesce(vec_rank, 0) AS vec_rank,
+                     (CASE WHEN lex_rank IS NULL THEN 0.0
+                           ELSE 1.0 / ({_RRF_K0} + lex_rank) END
+                      + CASE WHEN vec_rank IS NULL THEN 0.0
+                             ELSE 1.0 / ({_RRF_K0} + vec_rank) END) AS s
+              FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           floor(s * 1e6 + 0.5) / 1e6 AS rrf_score
+    FROM (SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= {_RRF_OUT}
+    """,
+)
+def x_hybrid_rrf(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = _ts.bm25_topk(
+        docs, "text", "doc_id", list(_BM25_TERMS),
+        k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B,
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    vec = (
+        _sim.knn_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=_RRF_DEPTH)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    )
+    contrib = lambda c: F.when(  # noqa: E731 — local fusion term
+        F.col(c).isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(_RRF_K0) + F.col(c)))
+    fused = lex.join(vec, "doc_id", "outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        (contrib("lex_rank") + contrib("vec_rank")).alias("s"),
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RRF_OUT)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            (F.floor(F.col("s") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "rrf_score"
+            ),
+        )
+    )
