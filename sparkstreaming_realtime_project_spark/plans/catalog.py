@@ -7218,9 +7218,7 @@ def x_triangle_counts(spark, sf_dir):
     edges = a.join(
         b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
     ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    return _gr.triangle_counts(edges, "src", "dst").withColumnRenamed(
-        "node", "node"
-    )
+    return _gr.triangle_counts(edges, "src", "dst")
 
 
 @_register(

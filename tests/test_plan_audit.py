@@ -283,6 +283,23 @@ CASES_R5 = [
     # out of the equi-join keys
     ("x_triangle_counts", ["HashAggregate"],
      ["NestedLoop", "CartesianProduct", "Window"]),
+    # BPE application is a chain of per-row array folds: scan +
+    # projection ONLY — any Exchange/Join/Generate means the tokenizer
+    # stopped being a narrow map
+    ("x_bpe_segment", [], ["Exchange", "Join", "Generate", "Window"]),
+    # WAV roundtrip: mapInPandas straight off the scan — the payload
+    # must never shuffle
+    ("x_multimodal_wav_roundtrip", ["MapInPandas"], ["Exchange", "Join"]),
+    # MG summary: per-group rank window + summary-sized final window;
+    # scalar bounds attach by 1-row broadcast (BNLJ), never a true
+    # cartesian of data
+    ("x_mg_topk", ["HashAggregate", "Window"], ["CartesianProduct"]),
+    # KN bigram: type-sized model joins are equi; the type total is a
+    # 1-row broadcast
+    ("x_kn_bigram_logprob", ["HashAggregate"], ["CartesianProduct"]),
+    # RRF fusion: two depth-bounded rank lists full-outer-joined on id
+    ("x_hybrid_rrf", ["Window"], ["CartesianProduct"]),
+    ("x_cms_join_size", ["HashAggregate"], ["CartesianProduct"]),
 ]
 
 
