@@ -596,15 +596,25 @@ def connected_components(
     driver-side row collection ever.
 
     100 TB notes: each round is one shuffle-join edges x labels plus a
-    groupBy(dst) min — both partition on node ids (uniform). Labels are
-    persisted per round and the previous round unpersisted, so lineage
-    stays one round deep for recovery. For graphs with large diameter at
+    groupBy(dst) min — both partition on node ids (uniform). Each
+    round's labels are localCheckpoint'ed (eager), which both
+    materializes them for the convergence count AND truncates the
+    logical plan to the materialized cut: a round references the
+    previous labels twice (the neighbor join and the carry-through), so
+    an unbroken plan doubles per round and the exponential plan STRING
+    alone OOMs the driver via AQE's per-update explain long before the
+    data matters (caching does not help — InMemoryRelation still prints
+    its full child plan; hypothesis falsified the persist-only version
+    with a 26-node chain needing 20 rounds). Same discipline as
+    connected_components_star. For graphs with large diameter at
     extreme scale, swap in large-star/small-star (O(log n) rounds, same
-    join/agg building blocks); near-dup graphs do not need it.
+    building blocks); near-dup graphs converge in 3-4 rounds either way.
 
     ``pairs``: (doc_a, doc_b) columns. ``nodes``: one column of ids.
-    The RETURNED frame reads from the final round's persisted labels
-    (the product of the iterative computation) — unpersist when done.
+    The RETURNED frame reads the final round's locally-checkpointed
+    labels; checkpoint blocks are released by the ContextCleaner once
+    the frame is garbage-collected (caller unpersist is a harmless
+    no-op).
     """
     id_col = nodes.columns[0]
     edges = (
@@ -614,8 +624,7 @@ def connected_components(
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    ).persist()
-    persisted = labels
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
@@ -631,11 +640,9 @@ def connected_components(
                     "lbl"
                 ),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         n_changed = new_full.filter(F.col("lbl") != F.col("prev_lbl")).count()
-        persisted.unpersist()
-        persisted = new_full
         labels = new_full.select("node", "lbl")
         if n_changed == 0:
             break
