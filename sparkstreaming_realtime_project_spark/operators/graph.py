@@ -41,9 +41,12 @@ def pagerank(
     of the O(nodes) rank table against the edge list on the source key
     and ONE groupBy on the destination — the standard distributed PR
     topology. The edge list is persisted once and reused across rounds;
-    rank state is persisted per round and the previous round released
-    (same hygiene as connected_components). Nothing driver-side except
-    the node count N (a scalar, like the IVF model collect).
+    rank state is eagerly localCheckpoint'ed per round — materialized
+    AND lineage-cut, so the per-round plan stays O(1) however many
+    iterations the caller asks for (same discipline as
+    connected_components; checkpoint blocks are freed by the
+    ContextCleaner as old rounds go out of scope). Nothing driver-side
+    except the node count N (a scalar, like the IVF model collect).
 
     Determinism across engines: each iteration's rank is rounded to
     ``inter_round`` decimals, so float summation-order drift (~1e-16)
@@ -90,8 +93,14 @@ def pagerank(
         ).persist()
         dang.count()
 
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("r")).persist()
-    prev = ranks
+    # per-round eager localCheckpoint, not persist: a round references
+    # ranks twice under redistribute_dangling (contrib join + dangling
+    # mass), so an unbroken plan doubles per round — harmless at the
+    # default 3 iterations, an exponential-plan-string driver OOM at
+    # caller-chosen large ones (the connected_components lesson)
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.lit(n)).alias("r")
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = ranks.join(e, F.col("node") == F.col("src")).select(
             F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("cr")
@@ -109,19 +118,13 @@ def pagerank(
             )
             joined = joined.crossJoin(dmf)
             incoming = incoming + F.col("dm") / F.lit(float(n))
-        ranks = (
-            joined.select(
-                "node",
-                F.round(
-                    F.lit(base) + F.lit(damping) * incoming,
-                    inter_round,
-                ).alias("r"),
-            )
-            .persist()
-        )
-        ranks.count()
-        prev.unpersist()
-        prev = ranks
+        ranks = joined.select(
+            "node",
+            F.round(
+                F.lit(base) + F.lit(damping) * incoming,
+                inter_round,
+            ).alias("r"),
+        ).localCheckpoint(eager=True)
     out = ranks.select("node", F.round("r", out_round).alias("pagerank")).persist()
     out.count()  # materialize before releasing every intermediate cut
     ranks.unpersist()
