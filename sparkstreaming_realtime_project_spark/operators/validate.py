@@ -177,3 +177,33 @@ def drift_report(
     # addition is exact, so the score replays bit-identically on any
     # engine/partitioning (the same convention the money aggregates use).
     return psi_from_counts(counts, eps)
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list, k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney):
+    every row should be indistinguishable from at least k-1 others on
+    the quasi-identifier columns; equivalence classes smaller than k
+    are re-identification risks — the release gate a training-data
+    pipeline runs BEFORE shipping user-derived records, the structural
+    complement of the pattern-based PII scrub (which removes literal
+    identifiers; this catches combinations of innocuous columns that
+    are jointly identifying).
+
+    ``quasi_cols``: column names or Column expressions (banded
+    continuous values — floor(balance/1000) — belong here, passed as
+    expressions; raw continuous columns make every row its own class
+    and the report trivially all-risk). Returns one row per
+    equivalence class: (quasi values..., n, at_risk) — a single
+    groupBy, aggregate-state-sized output, sorted consumption left to
+    the caller."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "*",
+            (F.col("n") < k).cast("int").alias("at_risk"),
+        )
+    )

@@ -7558,3 +7558,44 @@ def x_hybrid_rrf(spark, sf_dir):
             ),
         )
     )
+
+
+_KANON_K = 5
+
+
+@_register(
+    "x_k_anonymity",
+    "k-anonymity audit (Sweeney) of customer quasi-identifiers "
+    "(nation, segment, banded balance): equivalence classes smaller "
+    "than k are re-identification risks — the structural release gate "
+    "complementing the pattern-based PII scrub (innocuous columns can "
+    "be jointly identifying); one groupBy, class-sized output "
+    "(north-star)",
+    f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) < {_KANON_K} AS INT) AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def x_k_anonymity(spark, sf_dir):
+    from ..operators.validate import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        ],
+        k=_KANON_K,
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        F.col("n").cast("long").alias("n"),
+        "at_risk",
+    )
