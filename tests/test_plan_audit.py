@@ -61,7 +61,13 @@ CASES = [
     # postings cap filters BEFORE collect_list: window then aggregate
     ("x_inverted_index", ["Window", "HashAggregate"], ["NestedLoop", "CartesianProduct"]),
     ("x_shard_assign", ["Window"], ["NestedLoop", "CartesianProduct"]),
-    ("x_pagerank", ["HashAggregate"], ["NestedLoop", "CartesianProduct"]),
+    # pagerank's per-round join+aggregate now executes eagerly inside
+    # the loop (each round localCheckpoints to cut the doubling plan
+    # lineage), so the RETURNED frame's plan is a projection over the
+    # final round's RDD scan — assert that shape, and that no join
+    # leaked past the checkpoint
+    ("x_pagerank", ["ExistingRDD"],
+     ["Join", "NestedLoop", "CartesianProduct", "HashAggregate"]),
     # candidate prune is an equi-join on the inverted-list id
     ("x_knn_ivfpq", ["BroadcastHashJoin"], ["CartesianProduct"]),
     ("x_ngram_freq", ["HashAggregate"], ["NestedLoop", "CartesianProduct", "Window"]),
