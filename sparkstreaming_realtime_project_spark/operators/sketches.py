@@ -335,7 +335,17 @@ def mg_topk(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("g").orderBy(F.col("cnt").desc(), F.col("key"))
-    ranked = counts.withColumn("rn", F.row_number().over(w)).persist()
+    # rank-filter BEFORE persisting: the rn <= m+1 predicate adjacent to
+    # the window triggers WindowGroupLimit (partial per-partition top-k
+    # before the shuffle), so neither the sort nor the materialized
+    # frame ever holds more than groups x (m+1) rows — persisting the
+    # unfiltered rank would both block that pushdown and cache the
+    # whole key domain
+    ranked = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m + 1)
+        .persist()
+    )
     ranked.count()
     kept = ranked.filter(F.col("rn") <= m)
     eps = (

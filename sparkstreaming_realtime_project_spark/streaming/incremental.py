@@ -817,7 +817,12 @@ def streaming_mg_topk(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
-        ranked = counts.withColumn("rn", F.row_number().over(w))
+        # rank-filter adjacent to the window: WindowGroupLimit turns the
+        # batch-wide top-(m+1) into per-partition partial limits before
+        # the single merge task — the sort never sees the key domain
+        ranked = counts.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= m + 1
+        )
         kept = ranked.filter(F.col("rn") <= m).select(
             "key", "cnt", F.lit("k").alias("kind")
         )
@@ -863,7 +868,11 @@ def read_mg_topk(spark, store_dir: str, k: int, m: int = 64) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
-    ranked = merged.withColumn("rn", F.row_number().over(w)).persist()
+    ranked = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m + 1)  # WindowGroupLimit partial top-k
+        .persist()
+    )
     ranked.count()
     kept = ranked.filter(F.col("rn") <= m)
     tcut = ranked.filter(F.col("rn") == m + 1).agg(
