@@ -472,3 +472,68 @@ def wav_roundtrip_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=WAV_ROUNDTRIP_SCHEMA)
+
+
+WAV_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("in_rate", LongType()),
+        StructField("out_rate", LongType()),
+        StructField("n_in", LongType()),
+        StructField("n_out", LongType()),
+        StructField("out_n_bytes", LongType()),
+        StructField("out_sum", LongType()),
+    ]
+)
+
+
+def resample_audio(
+    df: DataFrame, factor: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio downsample stage — the audio analog of resize_images: per
+    payload, synthesize the same deterministic clip as
+    wav_roundtrip_report, decode it, decimate by ``factor`` (stride
+    slice; a real deployment swaps in a polyphase kernel, the Spark
+    plumbing is identical), re-encode at rate/factor, and re-decode the
+    RESULT for the emitted stats — so the numbers certify the full
+    encode->decimate->encode->decode chain, and every one of them is an
+    integer a SQL oracle replays from the digest bytes (the decimated
+    stream of a 16-periodic pattern is 16/gcd-periodic with stride
+    positions known in closed form)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..functions import wav as _wav
+
+        for pdf in batches:
+            out = {k.name: [] for k in WAV_RESAMPLE_SCHEMA.fields}
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                digest = hashlib.sha256(bytes(p)).digest()
+                rate = 8000 * (1 + digest[0] % 3)
+                n = 256 + ((digest[1] << 8 | digest[2]) % 1024)
+                pat = np.frombuffer(digest, dtype=">u2").astype(np.int64) - 32768
+                samples = np.tile(pat, n // 16 + 1)[:n].astype("<i2")
+                clip = _wav.encode_wav(samples, rate, n_channels=1)
+                r0, _, s0 = _wav.decode_wav(clip)
+                ds = _wav.decimate(s0, factor)
+                out_clip = _wav.encode_wav(ds, r0 // factor, n_channels=1)
+                r1, c1, s1 = _wav.decode_wav(out_clip)
+                if (r1, c1) != (r0 // factor, 1) or len(s1) != len(ds):
+                    raise ValueError("resample roundtrip corrupted header")
+                st = _wav.pcm_stats(s1)
+                out["doc_id"].append(int(i))
+                out["in_rate"].append(r0)
+                out["out_rate"].append(r1)
+                out["n_in"].append(n)
+                out["n_out"].append(st["n_samples"])
+                out["out_n_bytes"].append(len(out_clip))
+                out["out_sum"].append(st["sample_sum"])
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return df.mapInPandas(run, schema=WAV_RESAMPLE_SCHEMA)

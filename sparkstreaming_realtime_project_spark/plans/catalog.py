@@ -7599,3 +7599,44 @@ def x_k_anonymity(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         "at_risk",
     )
+
+
+_RESAMPLE_FACTOR = 4
+
+
+@_register(
+    "x_audio_resample",
+    "audio downsample through the real codec (the audio analog of the "
+    "image resize path): decode -> stride decimate -> re-encode at "
+    "rate/4 -> re-decode; emitted stats certify the full chain and the "
+    "oracle replays them in closed form (a 16-periodic pattern "
+    "decimated by 4 is 4-periodic at known positions) (north-star: "
+    "mapInPandas off the scan, payload never shuffles)",
+    f"""
+    WITH hs AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    b AS (SELECT doc_id, {_SHA_BYTES_LIST_SQL} AS db FROM hs),
+    c AS (SELECT doc_id,
+            CAST(8000 * (1 + db[1] % 3) AS BIGINT) AS in_rate,
+            CAST(256 + (db[2] * 256 + db[3]) % 1024 AS BIGINT) AS n_in,
+            list_transform(range(1, 17),
+                j -> CAST(db[2*j - 1] * 256 + db[2*j] - 32768 AS BIGINT)) AS p
+          FROM b),
+    d AS (SELECT doc_id, in_rate, n_in,
+                 [p[1], p[5], p[9], p[13]] AS p4,
+                 CAST((n_in + {_RESAMPLE_FACTOR - 1}) // {_RESAMPLE_FACTOR}
+                      AS BIGINT) AS n_out
+          FROM c)
+    SELECT doc_id, in_rate,
+           CAST(in_rate // {_RESAMPLE_FACTOR} AS BIGINT) AS out_rate,
+           n_in, n_out,
+           CAST(44 + 2 * n_out AS BIGINT) AS out_n_bytes,
+           CAST((n_out // 4) * list_sum(p4)
+                + coalesce(list_sum(p4[1:(n_out % 4)]), 0)
+                AS BIGINT) AS out_sum
+    FROM d
+    """,
+)
+def x_audio_resample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mm = _mm.attach_binary_payload(docs, "text", modality="audio", mime="audio/wav")
+    return _mm.resample_audio(mm, factor=_RESAMPLE_FACTOR, id_col="doc_id")
