@@ -416,3 +416,37 @@ def test_psi_nonnegative_and_zero_iff_same_mix(spark, ref, cur):
         for i in range(n)
     )
     assert abs(psi - true_psi) <= 5e-5 + 1e-9  # within the rounding quantum
+
+
+@given(texts=st.lists(TEXT, min_size=2, max_size=10), n=st.integers(2, 3),
+       w=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_winnow_guarantee_property(spark, texts, n, w):
+    """The Schleimer et al. theorem as a hypothesis property: for ANY
+    doc set and (n, w), every pair of docs sharing a positional token
+    run of length >= w + n - 1 shares at least one winnowing
+    fingerprint. (The small shared WORD alphabet makes shared runs
+    common.)"""
+    run_len = w + n - 1
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    fps = {
+        r["id"]: set(r["fps"])
+        for r in dd.winnow_fingerprints(
+            docs, "text", "doc_id", n=n, w=w
+        ).collect()
+    }
+    toks = [_py_tokens(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            runs_i = {
+                tuple(toks[i][a : a + run_len])
+                for a in range(len(toks[i]) - run_len + 1)
+            }
+            runs_j = {
+                tuple(toks[j][a : a + run_len])
+                for a in range(len(toks[j]) - run_len + 1)
+            }
+            if runs_i & runs_j:
+                assert fps[i] & fps[j], (i, j, n, w, texts[i], texts[j])
