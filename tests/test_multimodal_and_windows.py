@@ -421,3 +421,40 @@ def test_wav_roundtrip_report_matches_digest_math(spark):
         assert r["sample_sum"] == want_sum
         assert r["sample_min"] == int(p.min())
         assert r["sample_max"] == int(p.max())
+
+
+def test_wav_codec_cross_validates_against_stdlib_wave():
+    """Independent-oracle check: bytes our encoder writes must decode
+    correctly in Python's stdlib `wave` module (rate/channels/width/
+    frames all agree), and bytes `wave` writes must decode correctly in
+    our chunk walk — interop both directions, not just self-roundtrip."""
+    import io
+    import wave as stdwave
+
+    import numpy as np
+
+    from sparkstreaming_realtime_project_spark.functions import wav
+
+    rng = np.random.default_rng(13)
+    s = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+
+    # ours -> stdlib
+    data = wav.encode_wav(s, 22050, n_channels=1)
+    with stdwave.open(io.BytesIO(data), "rb") as r:
+        assert r.getframerate() == 22050
+        assert r.getnchannels() == 1
+        assert r.getsampwidth() == 2
+        assert r.getnframes() == len(s)
+        back = np.frombuffer(r.readframes(len(s)), dtype="<i2")
+    assert np.array_equal(back, s)
+
+    # stdlib -> ours
+    buf = io.BytesIO()
+    with stdwave.open(buf, "wb") as wr:
+        wr.setnchannels(2)
+        wr.setsampwidth(2)
+        wr.setframerate(8000)
+        wr.writeframes(s[:776].tobytes())  # 388 stereo frames
+    rate, ch, out = wav.decode_wav(buf.getvalue())
+    assert (rate, ch) == (8000, 2)
+    assert np.array_equal(out, s[:776])
