@@ -115,3 +115,112 @@ def route_dims(decoded: DataFrame, dim_tables: list[str]) -> DataFrame:
         F.col("op"),
         F.col("ts"),
     )
+
+
+def merge_changelog(
+    changes: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    op_col: str,
+    delete_op: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Collapse a keyed changelog to its final state: last op per key
+    wins (ordered by ``order_cols`` — pass a unique tiebreaker), keys
+    whose final op is ``delete_op`` vanish. This is the BATCH TWIN of
+    the streaming dim upsert sink (K5: streaming/sinks.py last-write-
+    wins by (ts, op-rank); reference OdsBaseDbApp.scala:144-163 applies
+    the same changelog to Redis row by row) — run it over a day's CDC
+    capture and you get exactly the state the streaming sink converged
+    to, which is how the state store is audited/backfilled.
+
+    Shape: ONE hash aggregate — max_by(payload-struct, order-struct) has
+    a map-side partial, so the shuffle carries one candidate row per
+    key per partition, never the changelog (the same partial-agg
+    contract as o_dedup_first_per_day's min_by; a row_number window
+    would shuffle every change). The delete filter runs after the
+    aggregate on state-sized rows."""
+    ordkey = F.struct(*[F.col(c) for c in order_cols])
+    payload = F.struct(
+        *[F.col(c) for c in payload_cols], F.col(op_col).alias("_op")
+    )
+    last = changes.groupBy(key_col).agg(
+        F.max_by(payload, ordkey).alias("_last")
+    )
+    return last.filter(F.col("_last._op") != delete_op).select(
+        F.col(key_col),
+        *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Diff two keyed snapshots into a changefeed: one row per key that
+    differs, op in {'I' (in new only), 'D' (in old only), 'U' (in both,
+    any compare column differs — null-safe)}; unchanged keys drop out.
+    The inverse of merge_changelog (state -> changes instead of
+    changes -> state): diffing yesterday's and today's dim snapshots
+    recovers the CDC stream a binlog would have produced — the standard
+    backfill path when a source can't emit real CDC, and the audit that
+    a streaming K5 store and a batch rebuild agree.
+
+    One full outer hash join on the key (both sides state-sized, both
+    shuffled once on the same key); the op classification is a pure
+    projection. Output carries old_*/new_* compare columns so the
+    consumer can apply or inspect the change."""
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = reduce_and(
+        [F.col(f"_ok_{k}") == F.col(f"_nk_{k}") for k in key_cols]
+    )
+    j = o.join(n, cond, "full_outer")
+    changed = reduce_or(
+        [
+            ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            for c in compare_cols
+        ]
+    )
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("I"))
+        .when(F.col("_in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "op",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )
+
+
+def reduce_and(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def reduce_or(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out

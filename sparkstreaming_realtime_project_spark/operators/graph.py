@@ -231,3 +231,74 @@ def triangle_counts(
             coeff.alias("clustering_coeff"),
         )
     )
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+) -> DataFrame:
+    """Neighbor-overlap link prediction (Liben-Nowell & Kleinberg,
+    CIKM 2003): for every NON-adjacent node pair at distance 2, the
+    Jaccard coefficient of their neighbor sets
+    |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — the classic "products bought
+    together but never in the same order yet" / related-entity score.
+
+    Shape: candidates come only from the WEDGE join (pairs sharing at
+    least one neighbor — anything else scores 0 and is never
+    materialized), the same symmetric-edge self-join on the shared
+    endpoint the triangle counter uses; common-neighbor counts are one
+    hash aggregate over wedges; existing edges leave via a left-anti
+    join; degrees (broadcast-joined, node-sized) close the union term
+    as deg(x) + deg(y) - common, so the union is never recomputed from
+    edges. ``min_common`` prunes the long tail of weak candidates
+    BEFORE the degree join — at scale the single-common-neighbor pairs
+    dominate the wedge volume and carry no signal. Hub fanout is the
+    usual wedge caveat: bound it upstream by df-capping/removing
+    celebrity nodes (the same governance every wedge-based op here
+    documents).
+
+    Returns (node_x, node_y, common, jacc) with node_x < node_y, jacc
+    in the floor-round form both engines replay."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1 = sym.select(F.col("a").alias("u"), F.col("b").alias("x"))
+    e2 = sym.select(F.col("a").alias("u"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
+    common = (
+        wedges.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    cand = common.join(
+        und,
+        (common.x == und.a) & (common.y == und.b),
+        "left_anti",
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("deg_y"))
+    scored = cand.join(dx, "x").join(dy, "y")
+    union = F.col("deg_x") + F.col("deg_y") - F.col("common")
+    jacc = F.floor(
+        F.col("common").cast("double") / union.cast("double") * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return scored.select(
+        F.col("x").alias("node_x"),
+        F.col("y").alias("node_y"),
+        F.col("common").cast("long").alias("common"),
+        jacc.alias("jacc"),
+    )

@@ -1,0 +1,241 @@
+"""Ordered / sequential analytics: interval union (gaps-and-islands),
+2D skyline (Pareto frontier), bounded EWMA deviation, and Markov
+transition matrices.
+
+These are the order-dependent operators a session/activity pipeline
+needs beyond plain windows: the reference's DWD layer orders events
+inside a session (DwdDauApp.scala:136-142 sorts a user's page log by
+ts to find the session entry); the operators here generalize that
+"order within key, then reason about runs" shape to interval coverage,
+frontier filtering, and transition statistics — each expressed as
+DataFrame windows/aggregates so Catalyst keeps the single shuffle on
+the partition key and whole-stage codegen owns the arithmetic.
+
+Determinism contract (oracle-portable): island ids depend only on the
+(start, end)-sorted order — full ties are interchangeable, so counts
+and sums are order-free; EWMA uses an explicit left-associated
+fixed-weight chain (identical float op order on any engine); Markov
+probabilities are integer-count ratios rounded with the floor form.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union per-key [start, end] day-intervals into maximal disjoint
+    islands and report coverage: (key, n_intervals, n_islands,
+    covered_days, longest_island_days).
+
+    Classic gaps-and-islands: order intervals by (start, end) within
+    the key, open a new island whenever a start clears the running max
+    of all previous ends (touching/overlapping intervals merge —
+    inclusive day granularity), then two aggregates. Island assignment
+    is deterministic under ties: rows equal on (start, end) are
+    interchangeable — whichever sorts first sees the same
+    running-max decision, and the island COUNT/min/max are unaffected.
+
+    Scale: one shuffle on ``key_col``; both windows and both groupBys
+    reuse that partitioning (no second exchange — the plan pins this).
+    Per-key work is a sort + linear scan: the canonical distributed
+    interval-merge, no self-join on time (an interval-overlap self-join
+    is quadratic per key and was never needed)."""
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (s > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    islands = (
+        df.select(F.col(key_col).alias("key"), s.alias("s"), e.alias("e"))
+        .withColumn("island", island)
+        .groupBy("key", "island")
+        .agg(
+            F.min("s").alias("is_"),
+            F.max("e").alias("ie"),
+            F.count(F.lit(1)).alias("n_iv"),
+        )
+    )
+    days = F.datediff(F.col("ie"), F.col("is_")) + F.lit(1)
+    return (
+        islands.groupBy("key")
+        .agg(
+            F.sum("n_iv").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum(days).cast("long").alias("covered_days"),
+            F.max(days).cast("long").alias("longest_island_days"),
+        )
+        .withColumnRenamed("key", key_col)
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+) -> DataFrame:
+    """Pareto frontier (skyline) of ``df`` minimizing ``cost_col`` and
+    maximizing ``gain_col``: keep exactly the rows no other row
+    dominates (other.cost <= cost AND other.gain >= gain with one
+    strict). Ties on BOTH axes are mutually non-dominating and all
+    survive — the standard skyline definition (Börzsönyi et al., ICDE
+    2001).
+
+    Shape, chosen for 100 TB: the naive form is an all-pairs dominance
+    anti-join (quadratic — it is the ORACLE, not the plan). Instead:
+
+    1. reduce data-sized input to one row per distinct cost with the
+       max gain at that cost (hash aggregate, map-side partial — the
+       only data-sized shuffle);
+    2. one running-max window over that COST-DOMAIN-sized frame
+       (ordered by cost; a row is on the frontier iff its gain beats
+       every strictly-cheaper row's best gain). The global window is a
+       single task over the domain frame — domain-sized, never
+       data-sized (the same serial-stage budget as compaction_plan's
+       per-partition banding);
+    3. equi-join survivors back to the input on (cost, gain) —
+       broadcast-sized whenever the frontier is.
+
+    Correctness of the reduction: a dominator with strictly smaller
+    cost exists iff max(gain | cost' < cost) >= gain; a same-cost
+    dominator exists iff gain < max(gain | cost' = cost). Both are
+    exactly what stages 1-2 compute."""
+    c, g = F.col(cost_col), F.col(gain_col)
+    per_cost = df.groupBy(c.alias("cost")).agg(F.max(g).alias("gmax"))
+    wc = Window.orderBy("cost").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        per_cost.withColumn("best_cheaper", F.max("gmax").over(wc))
+        .filter(
+            F.col("best_cheaper").isNull()
+            | (F.col("gmax") > F.col("best_cheaper"))
+        )
+        .select("cost", "gmax")
+    )
+    return df.join(
+        F.broadcast(frontier),
+        (c == F.col("cost")) & (g == F.col("gmax")),
+    ).drop("cost", "gmax")
+
+
+def ewma_deviation(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    key_col: str | None = None,
+    alpha: float = 0.5,
+    k: int = 8,
+    decimals: int = 4,
+) -> DataFrame:
+    """Exponentially-weighted moving average of the PREVIOUS ``k``
+    observations (a bounded-memory EWMA) plus the current value's
+    deviation from it — the batch form of the alerting check a
+    streaming monitor runs per micro-batch.
+
+    Weights are alpha * (1-alpha)^(i-1) for lag i, renormalized over
+    the lags that exist (series head has fewer than k): with the
+    default alpha=0.5 every weight is an exact binary fraction, and the
+    numerator/denominator are built as EXPLICIT left-associated chains
+    (w1*lag1 + w2*lag2 + ...), so any engine evaluating the same chain
+    produces bit-identical doubles — float determinism by fixed op
+    order, not by decimal arithmetic (the oracle SQL spells out the
+    same chain; see catalog x_ewma_deviation). Rows with no preceding
+    observation (the series head) are dropped — no EWMA to deviate
+    from.
+
+    One shuffle on ``key_col`` (or a single-task global window when
+    None — a per-SERIES operator: at scale you have many keys, and the
+    catalog's keyless entry is a domain-sized daily series, ~2.4k rows
+    over the whole TPC-H date range). Bounded lags keep the frame k
+    rows — no unbounded running state."""
+    v = F.col(value_col)
+    w = (
+        Window.partitionBy(key_col) if key_col else Window.partitionBy()
+    ).orderBy(order_col)
+    weights = [alpha * (1 - alpha) ** (i - 1) for i in range(1, k + 1)]
+    lags = [F.lag(v, i).over(w) for i in range(1, k + 1)]
+    num = reduce(
+        lambda acc, t: acc + t,
+        [
+            F.when(lag.isNotNull(), F.lit(wt) * lag).otherwise(F.lit(0.0))
+            for wt, lag in zip(weights, lags)
+        ],
+    )
+    den = reduce(
+        lambda acc, t: acc + t,
+        [
+            F.when(lag.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+            for wt, lag in zip(weights, lags)
+        ],
+    )
+    scale = float(10**decimals)
+
+    def _r(col: Column) -> Column:
+        return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+    out_cols = ([key_col] if key_col else []) + [order_col]
+    return (
+        df.withColumn("_num", num)
+        .withColumn("_den", den)
+        .filter(F.col("_den") > 0)
+        .select(
+            *out_cols,
+            v.alias("value"),
+            _r(F.col("_num") / F.col("_den")).alias("ewma"),
+            _r(v - F.col("_num") / F.col("_den")).alias("deviation"),
+        )
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered state
+    sequences: (from_state, to_state, n, p) with p = n / sum(n | from).
+
+    The reference's session analytics order a user's events by ts to
+    find session entries (DwdDauApp.scala:136-142); the transition
+    matrix is the next modeling step on the same ordered stream —
+    which event type follows which (drop-off prediction, funnel
+    design, synthetic-session generation for load tests).
+
+    One shuffle on ``key_col`` for the lead() window (``order_cols``
+    must make the order total — pass a unique tiebreaker), then a hash
+    aggregate to transition counts. The row-probability normalization
+    runs as a window over the TRANSITION-MATRIX-sized frame (|S|^2
+    rows) — model-sized, never data-sized. Counts are exact integers;
+    p is one integer-ratio division rounded with the floor form."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    nxt = F.lead(state_col).over(w)
+    counts = (
+        df.select(F.col(state_col).alias("from_state"), nxt.alias("to_state"))
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("from_state"))
+    scale = float(10**decimals)
+    p = F.floor(
+        F.col("n").cast("double") / tot.cast("double") * F.lit(scale)
+        + F.lit(0.5)
+    ) / F.lit(scale)
+    return counts.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        p.alias("p"),
+    )

@@ -207,3 +207,31 @@ def k_anonymity_report(
             (F.col("n") < k).cast("int").alias("at_risk"),
         )
     )
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: list, sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006): the
+    k-anonymity follow-up — a class can be large (k-safe) yet leak the
+    sensitive attribute anyway when every member SHARES it (homogeneity
+    attack: "all 12 people in this class bought the same thing").
+    Requires >= l distinct sensitive values per quasi-identifier
+    equivalence class.
+
+    Same single-groupBy shape as k_anonymity_report — one hash
+    aggregate with count + count(distinct sensitive), class-sized
+    output; run both audits before releasing user-derived records
+    (k catches small classes, l catches uniform ones)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    return (
+        df.groupBy(*cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .select(
+            "*",
+            (F.col("n_sensitive") < l).cast("int").alias("at_risk"),
+        )
+    )
