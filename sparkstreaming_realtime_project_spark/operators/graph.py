@@ -290,7 +290,7 @@ def jaccard_link_prediction(
     )
     dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("deg_x"))
     dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("deg_y"))
-    scored = cand.join(dx, "x").join(dy, "y")
+    scored = cand.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
     union = F.col("deg_x") + F.col("deg_y") - F.col("common")
     jacc = F.floor(
         F.col("common").cast("double") / union.cast("double") * F.lit(1e6)

@@ -63,12 +63,18 @@ def linkage_pairs(
     for c in block_cols:
         cond = cond & (F.col(f"_bk_a_{c}") == F.col(f"_bk_b_{c}"))
     pairs = sides["a"].join(sides["b"], cond)
+    # Missing comparisons (predicate evaluates to NULL — e.g. equality on
+    # a null field) follow the Fellegi-Sunter convention: weight 0, flag
+    # NULL. The three-way when keeps the score and the emitted flag
+    # consistent (1 <-> +w_agree, 0 <-> -w_disagree, NULL <-> 0).
     score = F.lit(0)
     flags = []
     for name, pred, w_agree, w_disagree in features:
         agree = pred.cast("int")
-        score = score + F.when(pred, F.lit(w_agree)).otherwise(
-            F.lit(-w_disagree)
+        score = score + (
+            F.when(pred, F.lit(w_agree))
+            .when(~pred, F.lit(-w_disagree))
+            .otherwise(F.lit(0))
         )
         flags.append(agree.alias(f"agree_{name}"))
     return (

@@ -50,16 +50,26 @@ def interval_union(
     Per-key work is a sort + linear scan: the canonical distributed
     interval-merge, no self-join on time (an interval-overlap self-join
     is quadratic per key and was never needed)."""
-    s, e = F.col(start_col), F.col(end_col)
-    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
-    prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    # All island expressions are built against the RENAMED frame (key/s/e)
+    # so callers' column names never have to match the internal aliases.
+    w = Window.partitionBy("key").orderBy("s", "e")
+    prev_max_end = F.max(F.col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     new_island = F.when(
-        prev_max_end.isNull() | (s > prev_max_end), F.lit(1)
+        prev_max_end.isNull() | (F.col("s") > prev_max_end), F.lit(1)
     ).otherwise(F.lit(0))
-    island = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
     islands = (
-        df.select(F.col(key_col).alias("key"), s.alias("s"), e.alias("e"))
-        .withColumn("island", island)
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(start_col).alias("s"),
+            F.col(end_col).alias("e"),
+        )
+        .withColumn("_new", new_island)
+        .withColumn(
+            "island",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
         .groupBy("key", "island")
         .agg(
             F.min("s").alias("is_"),
@@ -111,21 +121,26 @@ def skyline_2d(
     cost exists iff max(gain | cost' < cost) >= gain; a same-cost
     dominator exists iff gain < max(gain | cost' = cost). Both are
     exactly what stages 1-2 compute."""
+    # Collision-proof internal aliases: the frontier frame's columns are
+    # _sky_cost/_sky_gmax and the join condition is qualified through the
+    # frame handles, so a caller whose cost/gain columns are literally
+    # named "cost"/"gmax" (or anything else) can never be ambiguous.
     c, g = F.col(cost_col), F.col(gain_col)
-    per_cost = df.groupBy(c.alias("cost")).agg(F.max(g).alias("gmax"))
-    wc = Window.orderBy("cost").rowsBetween(Window.unboundedPreceding, -1)
+    per_cost = df.groupBy(c.alias("_sky_cost")).agg(F.max(g).alias("_sky_gmax"))
+    wc = Window.orderBy("_sky_cost").rowsBetween(Window.unboundedPreceding, -1)
     frontier = (
-        per_cost.withColumn("best_cheaper", F.max("gmax").over(wc))
+        per_cost.withColumn("_sky_best", F.max("_sky_gmax").over(wc))
         .filter(
-            F.col("best_cheaper").isNull()
-            | (F.col("gmax") > F.col("best_cheaper"))
+            F.col("_sky_best").isNull()
+            | (F.col("_sky_gmax") > F.col("_sky_best"))
         )
-        .select("cost", "gmax")
+        .select("_sky_cost", "_sky_gmax")
     )
+    bf = F.broadcast(frontier)
     return df.join(
-        F.broadcast(frontier),
-        (c == F.col("cost")) & (g == F.col("gmax")),
-    ).drop("cost", "gmax")
+        bf,
+        (df[cost_col] == bf["_sky_cost"]) & (df[gain_col] == bf["_sky_gmax"]),
+    ).drop("_sky_cost", "_sky_gmax")
 
 
 def ewma_deviation(

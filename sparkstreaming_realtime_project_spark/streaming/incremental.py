@@ -808,37 +808,52 @@ def streaming_mg_topk(
     batch had <= m distinct keys). Counters are exact WITHIN the batch,
     so every batch summary satisfies the mergeable-summary contract:
     kept_cnt <= true_batch_cnt <= kept_cnt + eps for every key."""
-    from pyspark.sql.window import Window
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        counts = (
-            batch_df.select(F.col(key_col).alias("key"))
-            .groupBy("key")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
-        # rank-filter adjacent to the window: WindowGroupLimit turns the
-        # batch-wide top-(m+1) into per-partition partial limits before
-        # the single merge task — the sort never sees the key domain
-        ranked = counts.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") <= m + 1
-        )
-        kept = ranked.filter(F.col("rn") <= m).select(
-            "key", "cnt", F.lit("k").alias("kind")
-        )
-        eps = ranked.filter(F.col("rn") == m + 1).select(
-            F.lit(None).cast(ranked.schema["key"].dataType).alias("key"),
-            F.col("cnt"),
-            F.lit("e").alias("kind"),
-        )
-        kept.unionByName(eps).write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch={batch_id}")
-        )
+        mg_write_batch(batch_df, batch_id, store_dir, key_col, m)
 
     return (
         stream.writeStream.foreachBatch(write)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
+    )
+
+
+def mg_write_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    key_col: str,
+    m: int = 64,
+) -> None:
+    """One batch's Misra-Gries summary write — the foreachBatch body of
+    :func:`streaming_mg_topk`, module-level so a batch replay (catalog
+    exposure, backfill over a day of row shards) runs the identical
+    code path the stream does."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        batch_df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    # rank-filter adjacent to the window: WindowGroupLimit turns the
+    # batch-wide top-(m+1) into per-partition partial limits before
+    # the single merge task — the sort never sees the key domain
+    ranked = counts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= m + 1
+    )
+    kept = ranked.filter(F.col("rn") <= m).select(
+        "key", "cnt", F.lit("k").alias("kind")
+    )
+    eps = ranked.filter(F.col("rn") == m + 1).select(
+        F.lit(None).cast(ranked.schema["key"].dataType).alias("key"),
+        F.col("cnt"),
+        F.lit("e").alias("kind"),
+    )
+    kept.unionByName(eps).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={batch_id}")
     )
 
 

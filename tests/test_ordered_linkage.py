@@ -1,0 +1,342 @@
+"""Tests for the round-7 tail: ordered.py (interval union, skyline,
+EWMA, Markov), linkage.py, cdc.merge_changelog/snapshot_diff,
+validate.l_diversity_report, graph.jaccard_link_prediction.
+
+Each hand-computed case doubles as a regression for the round-7 ADVICE
+bugs: interval_union must work with arbitrary caller column names (it
+previously resolved the window against pre-rename names), skyline_2d
+must work when the cost column is literally named "cost" (previously
+AMBIGUOUS_REFERENCE), and linkage_pairs must score NULL comparisons as
+0 (Fellegi-Sunter missing-field convention) with a NULL agree flag.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_project_spark.operators.cdc import (
+    merge_changelog,
+    snapshot_diff,
+)
+from sparkstreaming_realtime_project_spark.operators.graph import (
+    jaccard_link_prediction,
+)
+from sparkstreaming_realtime_project_spark.operators.linkage import (
+    linkage_pairs,
+)
+from sparkstreaming_realtime_project_spark.operators.ordered import (
+    ewma_deviation,
+    interval_union,
+    markov_transitions,
+    skyline_2d,
+)
+from sparkstreaming_realtime_project_spark.operators.validate import (
+    l_diversity_report,
+)
+
+
+def _d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- ordered
+
+
+def test_interval_union_hand_computed(spark):
+    # Arbitrary caller column names (ADVICE regression: the window used
+    # to reference pre-rename names and failed at analysis time).
+    df = spark.createDataFrame(
+        [
+            ("u1", _d("2024-01-01"), _d("2024-01-03")),
+            ("u1", _d("2024-01-03"), _d("2024-01-05")),  # touches -> merges
+            ("u1", _d("2024-01-07"), _d("2024-01-07")),
+            ("u2", _d("2024-01-01"), _d("2024-01-02")),
+            ("u2", _d("2024-01-03"), _d("2024-01-04")),  # adjacent day: NEW
+        ],
+        "user_id string, start_d date, end_d date",
+    )
+    rows = {
+        r["user_id"]: r
+        for r in interval_union(df, "user_id", "start_d", "end_d").collect()
+    }
+    assert rows["u1"]["n_intervals"] == 3
+    assert rows["u1"]["n_islands"] == 2
+    assert rows["u1"]["covered_days"] == 6  # 5 + 1
+    assert rows["u1"]["longest_island_days"] == 5
+    assert rows["u2"]["n_islands"] == 2
+    assert rows["u2"]["covered_days"] == 4
+
+
+def test_interval_union_internal_names_ok(spark):
+    # Columns literally named key/s/e must not collide with internals.
+    df = spark.createDataFrame(
+        [("k", _d("2024-02-01"), _d("2024-02-02"))],
+        "key string, s date, e date",
+    )
+    out = interval_union(df, "key", "s", "e").collect()
+    assert len(out) == 1 and out[0]["covered_days"] == 2
+
+
+def test_skyline_2d_hand_computed(spark):
+    # cost column literally named "cost" (ADVICE regression:
+    # AMBIGUOUS_REFERENCE against the frontier frame's internal alias).
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5),
+            ("a2", 1, 5),  # full tie with "a": both survive
+            ("b", 2, 7),
+            ("c", 2, 6),  # dominated by b (same cost, less gain)
+            ("d", 3, 7),  # dominated by b (more cost, same gain)
+        ],
+        "item string, cost int, gain int",
+    )
+    kept = sorted(r["item"] for r in skyline_2d(df, "cost", "gain").collect())
+    assert kept == ["a", "a2", "b"]
+
+
+def test_skyline_matches_naive_dominance_antijoin(spark, sf_dir):
+    from sparkstreaming_realtime_project_spark.sources.batch import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    fast = skyline_2d(part, "p_retailprice", "p_size")
+    o = part.select(
+        F.col("p_retailprice").alias("oc"), F.col("p_size").alias("og")
+    )
+    naive = part.join(
+        o,
+        (F.col("oc") <= F.col("p_retailprice"))
+        & (F.col("og") >= F.col("p_size"))
+        & (
+            (F.col("oc") < F.col("p_retailprice"))
+            | (F.col("og") > F.col("p_size"))
+        ),
+        "left_anti",
+    )
+    got = sorted(r["p_partkey"] for r in fast.collect())
+    want = sorted(r["p_partkey"] for r in naive.collect())
+    assert got == want and len(got) > 0
+
+
+def test_ewma_deviation_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 4.0)], "t int, v double"
+    )
+    rows = {
+        r["t"]: r
+        for r in ewma_deviation(df, "t", "v", alpha=0.5, k=8).collect()
+    }
+    assert 1 not in rows  # series head: no previous observation
+    assert rows[2]["ewma"] == 1.0 and rows[2]["deviation"] == 1.0
+    # lags [2,1]: (0.5*2 + 0.25*1) / 0.75 = 1.666... -> 1.6667
+    assert rows[3]["ewma"] == 1.6667
+    assert rows[3]["deviation"] == 2.3333
+
+
+def test_ewma_keyed_partitions_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0), ("b", 2, 7.0)],
+        "k string, t int, v double",
+    )
+    rows = {
+        (r["k"], r["t"]): r
+        for r in ewma_deviation(df, "t", "v", key_col="k").collect()
+    }
+    assert set(rows) == {("a", 2), ("b", 2)}
+    assert rows[("a", 2)]["ewma"] == 10.0
+    assert rows[("b", 2)]["deviation"] == 2.0
+
+
+def test_markov_transitions_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "B"),
+            (2, 1, "A"), (2, 2, "A"),
+        ],
+        "uid int, ts int, ev string",
+    )
+    out = {
+        (r["from_state"], r["to_state"]): r
+        for r in markov_transitions(df, "uid", ["ts"], "ev").collect()
+    }
+    assert out[("A", "B")]["n"] == 2
+    assert out[("A", "A")]["n"] == 1
+    assert out[("B", "A")]["n"] == 1
+    assert out[("A", "B")]["p"] == 0.666667
+    assert out[("A", "A")]["p"] == 0.333333
+    assert out[("B", "A")]["p"] == 1.0
+
+
+# ---------------------------------------------------------------- linkage
+
+
+def test_linkage_pairs_blocked_and_scored(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "b1", "smith", "NY"),
+            (2, "b1", "smith", "LA"),
+            (3, "b1", "jones", "NY"),
+            (4, "b2", "smith", "NY"),  # other block: never paired with 1-3
+        ],
+        "rid int, blk string, name string, city string",
+    )
+    out = linkage_pairs(
+        df,
+        "rid",
+        ["blk"],
+        [
+            ("name", F.col("a_name") == F.col("b_name"), 4, 2),
+            ("city", F.col("a_city") == F.col("b_city"), 3, 1),
+        ],
+        threshold=-100,
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    # (1,2): name agrees (+4), city disagrees (-1) -> 3
+    assert rows[(1, 2)]["score"] == 3
+    assert rows[(1, 2)]["agree_name"] == 1
+    assert rows[(1, 2)]["agree_city"] == 0
+    # (1,3): name -2, city +3 -> 1 ; (2,3): -2 -1 -> -3
+    assert rows[(1, 3)]["score"] == 1
+    assert rows[(2, 3)]["score"] == -3
+    # cross-block pairs never materialize; id_a < id_b always
+    assert all(a < b for (a, b) in rows)
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_linkage_pairs_null_comparison_scores_zero(spark):
+    # ADVICE regression: a NULL predicate must contribute weight 0
+    # (not the full disagree weight) and emit a NULL flag.
+    df = spark.createDataFrame(
+        [(1, "b", None, "NY"), (2, "b", "smith", "NY")],
+        "rid int, blk string, name string, city string",
+    )
+    out = linkage_pairs(
+        df,
+        "rid",
+        ["blk"],
+        [
+            ("name", F.col("a_name") == F.col("b_name"), 4, 2),
+            ("city", F.col("a_city") == F.col("b_city"), 3, 1),
+        ],
+        threshold=0,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["score"] == 3  # 0 (missing name) + 3 (city agrees)
+    assert r["agree_name"] is None
+    assert r["agree_city"] == 1
+
+
+# ------------------------------------------------------------- changelog
+
+
+def test_merge_changelog_last_wins_and_delete(spark):
+    df = spark.createDataFrame(
+        [
+            ("k1", 1, "I", 1, "x"),
+            ("k1", 2, "U", 5, "y"),
+            ("k2", 1, "I", 9, "z"),
+            ("k2", 2, "D", 0, ""),
+        ],
+        "k string, seq int, op string, v int, s string",
+    )
+    out = merge_changelog(df, "k", ["seq"], "op", "D", ["v", "s"]).collect()
+    assert len(out) == 1
+    assert out[0]["k"] == "k1" and out[0]["v"] == 5 and out[0]["s"] == "y"
+
+
+def test_snapshot_diff_classifies_ops(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "x"), (4, "d")], "id int, v string"
+    )
+    rows = {
+        r["id"]: r for r in snapshot_diff(old, new, ["id"], ["v"]).collect()
+    }
+    assert rows[1]["op"] == "D" and rows[1]["old_v"] == "a"
+    assert rows[3]["op"] == "U" and rows[3]["new_v"] == "x"
+    assert rows[4]["op"] == "I" and rows[4]["new_v"] == "d"
+    assert 2 not in rows  # unchanged key drops out
+
+
+def test_snapshot_diff_then_merge_reproduces_new_state(spark):
+    # Round-trip: applying the diff changefeed over the old snapshot
+    # (as a changelog) converges to the new snapshot.
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "x"), (4, "d")], "id int, v string"
+    )
+    feed = snapshot_diff(old, new, ["id"], ["v"]).select(
+        "id", "op", F.coalesce("new_v", "old_v").alias("v")
+    )
+    base = old.select("id", F.lit("I").alias("op"), "v").withColumn(
+        "seq", F.lit(0)
+    )
+    log = base.unionByName(feed.withColumn("seq", F.lit(1)))
+    state = merge_changelog(log, "id", ["seq"], "op", "D", ["v"])
+    got = sorted((r["id"], r["v"]) for r in state.collect())
+    want = sorted((r["id"], r["v"]) for r in new.collect())
+    assert got == want
+
+
+# ------------------------------------------------------------- validate
+
+
+def test_l_diversity_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g1", "x"), ("g2", "x"), ("g2", "y")],
+        "q string, s string",
+    )
+    rows = {
+        r["q"]: r
+        for r in l_diversity_report(df, ["q"], "s", l=2).collect()
+    }
+    assert rows["g1"]["n"] == 3
+    assert rows["g1"]["n_sensitive"] == 1 and rows["g1"]["at_risk"] == 1
+    assert rows["g2"]["n_sensitive"] == 2 and rows["g2"]["at_risk"] == 0
+
+
+# ------------------------------------------------------------ link pred
+
+
+def test_jaccard_link_prediction_square(spark):
+    # 4-cycle 1-2-3-4-1: the two diagonals are the only distance-2
+    # non-edges; each shares both neighbors -> jacc = 2/(2+2-2) = 1.0.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    rows = {
+        (r["node_x"], r["node_y"]): r
+        for r in jaccard_link_prediction(edges, min_common=2).collect()
+    }
+    assert set(rows) == {(1, 3), (2, 4)}
+    assert rows[(1, 3)]["common"] == 2 and rows[(1, 3)]["jacc"] == 1.0
+
+
+def test_jaccard_link_prediction_excludes_existing_edges(spark):
+    # triangle + pendant: 1-2,2-3,1-3,3-4. Pair (1,4) and (2,4) share
+    # neighbor 3 (common=1); pair (1,2) is an existing edge and must
+    # not appear even though it has a common neighbor.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    rows = {
+        (r["node_x"], r["node_y"]): r
+        for r in jaccard_link_prediction(edges, min_common=1).collect()
+    }
+    assert set(rows) == {(1, 4), (2, 4)}
+    # deg(1)=2, deg(4)=1, common=1 -> 1/(2+1-1) = 0.5
+    assert rows[(1, 4)]["jacc"] == 0.5
+
+
+def test_jaccard_link_prediction_degree_join_broadcasts(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    plan = jaccard_link_prediction(edges)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
