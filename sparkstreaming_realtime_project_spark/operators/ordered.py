@@ -40,10 +40,17 @@ def interval_union(
     Classic gaps-and-islands: order intervals by (start, end) within
     the key, open a new island whenever a start clears the running max
     of all previous ends (touching/overlapping intervals merge —
-    inclusive day granularity), then two aggregates. Island assignment
-    is deterministic under ties: rows equal on (start, end) are
-    interchangeable — whichever sorts first sees the same
-    running-max decision, and the island COUNT/min/max are unaffected.
+    inclusive day granularity), then two aggregates. The order is made
+    TOTAL with a synthesized row_number tiebreaker before the island
+    windows run: duplicate (start, end) rows are value-identical, so
+    which physical row takes which rank is irrelevant — but the island
+    computation is TWO window passes (flag, then prefix-sum of flags),
+    and without a total order an engine may sort the two passes with
+    DIFFERENT tie orders, pairing a pass-1 flag with the wrong pass-2
+    position and splitting a tied block across two islands (observed as
+    run-to-run nondeterministic covered_days in DuckDB's parallel
+    window executor; Spark happens to fuse both passes over one sort,
+    which hides rather than solves it).
 
     Scale: one shuffle on ``key_col``; both windows and both groupBys
     reuse that partitioning (no second exchange — the plan pins this).
@@ -52,7 +59,8 @@ def interval_union(
     is quadratic per key and was never needed)."""
     # All island expressions are built against the RENAMED frame (key/s/e)
     # so callers' column names never have to match the internal aliases.
-    w = Window.partitionBy("key").orderBy("s", "e")
+    w0 = Window.partitionBy("key").orderBy("s", "e")
+    w = Window.partitionBy("key").orderBy("s", "e", "rn")
     prev_max_end = F.max(F.col("e")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -65,6 +73,7 @@ def interval_union(
             F.col(start_col).alias("s"),
             F.col(end_col).alias("e"),
         )
+        .withColumn("rn", F.row_number().over(w0))
         .withColumn("_new", new_island)
         .withColumn(
             "island",

@@ -212,6 +212,36 @@ _DRIVER_VERIFIED_R6 = frozenset(
 _DRIVER_RED_R6 = frozenset()
 
 
+# Green in the round-7 driver window (CORRECTNESS_r07.json): 50 of 50,
+# zero reds — the 16-entry r4-cohort exposure backlog fully drained
+# (every catalog entry ever registered now has a driver-confirmed green
+# row), the 12 newly-registered r7 entries confirmed, plus stale r2/r3
+# greens re-confirmed.
+_DRIVER_VERIFIED_R7 = frozenset(
+    {
+        "a_dau_compare", "a_dau_hourly", "a_dau_total",
+        "a_retention_cohort", "a_stats_by_item_band",
+        "a_stats_by_item_segment", "j_asof_prev_order", "j_bloom_prune",
+        "j_dim_enrich", "j_full_outer", "j_order_wide", "j_range_overlap",
+        "j_salted_skew", "j_semi_anti", "p_cdc_decode", "p_explode_tokens",
+        "p_filter_route", "p_json_extract", "q1_pricing_summary",
+        "w_rolling_7d", "x_ann_recall", "x_anomaly_zscore",
+        "x_audio_resample", "x_bpe_segment", "x_cms_join_size",
+        "x_corpus_pipeline", "x_cross_dedup", "x_dsir_weights",
+        "x_dup_spans", "x_hybrid_rrf", "x_k_anonymity",
+        "x_kn_bigram_logprob", "x_knn_pca", "x_mg_topk", "x_minhash_recall",
+        "x_mixture_plan", "x_multimodal_wav_roundtrip", "x_pack_greedy",
+        "x_pca_power", "x_pca_project", "x_quality_filter",
+        "x_sample_stratified", "x_semantic_dedup", "x_source_cap",
+        "x_span_scrub", "x_split_train_val", "x_tfidf_top_terms",
+        "x_triangle_counts", "x_unigram_logprob", "x_zorder_layout",
+    }
+)
+
+# No reds in the round-7 driver window.
+_DRIVER_RED_R7 = frozenset()
+
+
 def registry() -> list[QuerySpec]:
     """Driver-window priority: RED beats never-checked beats green.
 
@@ -220,21 +250,22 @@ def registry() -> list[QuerySpec]:
     2. never-driver-checked entries (registration order — oldest waiting
        first, so every entry lands in the driver's 50-slot CORRECTNESS
        window within ceil(N/50) rounds);
-    3. the r4-window cohort remainder — EXPOSED but never CONFIRMED (the
-       round-4 artifact never landed; 16 entries left after 34 went green
-       in r6), so it outranks confirmed-green cohorts;
-    4. confirmed-green cohorts by exposure staleness — r2 (oldest green
-       row), r3, r5, r6 (most recent). A name's LATEST green row decides
-       its cohort (r6 re-greens of r4/red entries live in the r6 cohort).
+    3. confirmed-green cohorts by exposure staleness — r2 (oldest green
+       row), r3, r5, r6, r7 (most recent). A name's LATEST green row
+       decides its cohort (r7 re-greens of r2/r3-cohort entries live in
+       the r7 cohort). The r4 exposure backlog drained in r7 — every
+       registered entry now has a driver-confirmed green row.
 
     All entries stay green under the full local driver-replica
     (scripts/check_oracle.py) regardless of order."""
     seen = (
         _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R2 | _DRIVER_WINDOW_R4
         | _DRIVER_VERIFIED_R5 | _DRIVER_RED_R5 | _DRIVER_VERIFIED_R6
+        | _DRIVER_VERIFIED_R7
     )
-    r6n = _DRIVER_VERIFIED_R6
-    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R6]
+    r6n = _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7
+    r7n = _DRIVER_VERIFIED_R7
+    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R7]
     never = [q for q in _REGISTRY if q.name not in seen]
     r4 = [q for q in _REGISTRY
           if q.name in _DRIVER_WINDOW_R4 and q.name not in r6n]
@@ -244,8 +275,10 @@ def registry() -> list[QuerySpec]:
           if q.name in _DRIVER_VERIFIED_R3 and q.name not in r6n]
     r5 = [q for q in _REGISTRY
           if q.name in _DRIVER_VERIFIED_R5 and q.name not in r6n]
-    r6 = [q for q in _REGISTRY if q.name in r6n]
-    return red + never + r4 + r2 + r3 + r5 + r6
+    r6 = [q for q in _REGISTRY
+          if q.name in _DRIVER_VERIFIED_R6 and q.name not in r7n]
+    r7 = [q for q in _REGISTRY if q.name in r7n]
+    return red + never + r4 + r2 + r3 + r5 + r6 + r7
 
 
 def _t(spark, sf_dir, name):
@@ -7640,3 +7673,496 @@ def x_audio_resample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     mm = _mm.attach_binary_payload(docs, "text", modality="audio", mime="audio/wav")
     return _mm.resample_audio(mm, factor=_RESAMPLE_FACTOR, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: ordered/sequential analytics, record linkage + entity resolution,
+# changelog/snapshot CDC twins, l-diversity, streaming Misra-Gries exposure.
+# ---------------------------------------------------------------------------
+
+from ..operators import cdc as _cdc
+from ..operators import linkage as _lk
+from ..operators import ordered as _ord
+from ..operators.validate import l_diversity_report as _ldiv
+from ..streaming import incremental as _inc
+
+
+@_register(
+    "x_interval_union",
+    "gaps-and-islands interval union: per-supplier shipment service "
+    "intervals [shipdate, shipdate + linenumber%7 days] merged into "
+    "maximal disjoint islands — coverage, island count, longest run; "
+    "one shuffle on the key, windows and aggregates reuse the "
+    "partitioning (north-star)",
+    """
+    WITH base AS (
+      SELECT l_suppkey AS key, CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE) + (l_linenumber % 7) AS e
+      FROM lineitem),
+    r AS (
+      -- total-order tiebreaker: duplicate (s, e) rows are value-
+      -- identical, but the two window passes below must agree on ONE
+      -- tie order or a tied block can split across islands
+      SELECT key, s, e,
+             row_number() OVER (PARTITION BY key ORDER BY s, e) AS rn
+      FROM base),
+    m AS (
+      SELECT key, s, e, rn,
+             max(e) OVER (PARTITION BY key ORDER BY s, e, rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM r),
+    isl AS (
+      SELECT key, s, e,
+             sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key ORDER BY s, e, rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS island
+      FROM m),
+    g AS (
+      SELECT key, island, min(s) AS is_, max(e) AS ie, count(*) AS n_iv
+      FROM isl GROUP BY key, island)
+    SELECT key AS l_suppkey,
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(date_diff('day', is_, ie) + 1) AS BIGINT)
+             AS covered_days,
+           CAST(max(date_diff('day', is_, ie) + 1) AS BIGINT)
+             AS longest_island_days
+    FROM g GROUP BY key
+    """,
+)
+def x_interval_union(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("s_d"),
+        F.date_add(
+            F.to_date("l_shipdate"), F.col("l_linenumber") % 7
+        ).alias("e_d"),
+    )
+    return _ord.interval_union(li, "l_suppkey", "s_d", "e_d")
+
+
+_SKY_BRAND = "Brand#23"
+
+
+@_register(
+    "x_skyline",
+    "2D skyline / Pareto frontier (Börzsönyi ICDE'01) of one brand's "
+    "parts minimizing retail price, maximizing size: per-cost max-gain "
+    "reduction + one domain-sized running-max window + equi-join back "
+    "(the quadratic all-pairs dominance anti-join is the ORACLE, never "
+    "the plan) (north-star)",
+    f"""
+    WITH b AS (SELECT p_partkey, p_retailprice, p_size FROM part
+               WHERE p_brand = '{_SKY_BRAND}')
+    SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+    FROM b p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b o
+      WHERE o.p_retailprice <= p.p_retailprice AND o.p_size >= p.p_size
+        AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))
+    """,
+)
+def x_skyline(spark, sf_dir):
+    b = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _SKY_BRAND)
+        .select("p_partkey", "p_retailprice", F.col("p_size").cast("long"))
+    )
+    return _ord.skyline_2d(b, "p_retailprice", "p_size")
+
+
+_EWMA_K = 8
+_EWMA_ALPHA = 0.5
+_EWMA_WEIGHTS = [
+    _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** (i - 1) for i in range(1, _EWMA_K + 1)
+]
+_EWMA_NUM_SQL = " + ".join(
+    f"(CASE WHEN g{i} IS NOT NULL THEN {w!r} * g{i} ELSE 0 END)"
+    for i, w in enumerate(_EWMA_WEIGHTS, 1)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN g{i} IS NOT NULL THEN {w!r} ELSE 0 END)"
+    for i, w in enumerate(_EWMA_WEIGHTS, 1)
+)
+_EWMA_LAGS_SQL = ", ".join(
+    f"lag(v, {i}) OVER (ORDER BY dt) AS g{i}" for i in range(1, _EWMA_K + 1)
+)
+
+
+@_register(
+    "x_ewma_deviation",
+    "bounded-memory EWMA anomaly check over the daily order-count "
+    "series: weighted mean of the previous 8 days (alpha=0.5 binary-"
+    "fraction weights, explicit left-associated chain -> bit-identical "
+    "doubles on any engine) + today's deviation; the batch form of a "
+    "per-micro-batch alerting monitor (north-star: keyless window is "
+    "DOMAIN-sized, ~2.4k daily rows, never data-sized)",
+    f"""
+    WITH daily AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS dt,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM orders GROUP BY 1),
+    l AS (SELECT dt, v, {_EWMA_LAGS_SQL} FROM daily),
+    nd AS (SELECT dt, v, {_EWMA_NUM_SQL} AS num, {_EWMA_DEN_SQL} AS den
+           FROM l)
+    SELECT dt, v AS value,
+           floor(num / den * 10000 + 0.5) / 10000 AS ewma,
+           floor((v - num / den) * 10000 + 0.5) / 10000 AS deviation
+    FROM nd WHERE den > 0
+    """,
+)
+def x_ewma_deviation(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("dt")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    return _ord.ewma_deviation(
+        daily, "dt", "v", alpha=_EWMA_ALPHA, k=_EWMA_K, decimals=4
+    )
+
+
+@_register(
+    "x_markov_transitions",
+    "first-order Markov transition matrix over per-user event-type "
+    "sequences ordered by (ts, event_id): which event follows which — "
+    "drop-off prediction / funnel design on the DwdDauApp-ordered "
+    "stream (DwdDauApp.scala:136-142 orders the same way to find "
+    "session entries); one shuffle on user, normalization over the "
+    "|S|^2 matrix frame (north-star)",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (SELECT event_type AS from_state, nxt AS to_state,
+                 count(*) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           floor(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS p
+    FROM c
+    """,
+)
+def x_markov_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return _ord.markov_transitions(
+        ev, "user_id", ["ts", "event_id"], "event_type", decimals=6
+    )
+
+
+_LINK_THRESHOLD = 4
+
+
+def _linkage_base(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bb"),
+        F.substring("c_name", -1, 1).alias("sfx"),
+    )
+
+
+def _linkage_features():
+    return [
+        ("seg", F.col("a_c_mktsegment") == F.col("b_c_mktsegment"), 4, 2),
+        (
+            "bal",
+            F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal")) < 100.0,
+            3,
+            1,
+        ),
+        ("sfx", F.col("a_sfx") == F.col("b_sfx"), 2, 1),
+    ]
+
+
+_LINK_PAIRS_SQL = f"""
+    c AS (SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb,
+                 c_mktsegment, c_acctbal, right(c_name, 1) AS sfx
+          FROM customer),
+    p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+            (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 4 ELSE -2 END)
+          + (CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0
+                  THEN 3 ELSE -1 END)
+          + (CASE WHEN a.sfx = b.sfx THEN 2 ELSE -1 END) AS score,
+            CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS agree_seg,
+            CAST(abs(a.c_acctbal - b.c_acctbal) < 100.0 AS INT) AS agree_bal,
+            CAST(a.sfx = b.sfx AS INT) AS agree_sfx
+          FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey AND a.bb = b.bb
+             AND a.c_custkey < b.c_custkey),
+    matches AS (SELECT * FROM p WHERE score >= {_LINK_THRESHOLD})
+"""
+
+
+@_register(
+    "x_record_linkage",
+    "Fellegi-Sunter record linkage over customers: blocked pairs "
+    "(nation x balance band — an EQUI-join, fanout governed by the "
+    "blocking choice, never a cross product) scored by summed integer "
+    "agreement/disagreement weights on segment, balance proximity and "
+    "name suffix; the structured-records complement of text dedup "
+    "(north-star)",
+    f"""
+    WITH {_LINK_PAIRS_SQL}
+    SELECT id_a, id_b, CAST(score AS INT) AS score,
+           agree_seg, agree_bal, agree_sfx
+    FROM matches
+    """,
+)
+def x_record_linkage(spark, sf_dir):
+    return _lk.linkage_pairs(
+        _linkage_base(spark, sf_dir),
+        "c_custkey",
+        ["c_nationkey", "bb"],
+        _linkage_features(),
+        threshold=_LINK_THRESHOLD,
+    )
+
+
+@_register(
+    "x_entity_resolution",
+    "end-to-end entity resolution: blocked Fellegi-Sunter matches -> "
+    "connected components (hash-min label propagation, localCheckpoint "
+    "lineage discipline) -> entity ids over ALL customers (singletons "
+    "map to themselves, min member is canonical); the structured-"
+    "records dedup a training-data pipeline runs beside text dedup "
+    "(north-star: pair path is equi-join only, no NLJ)",
+    f"""
+    WITH RECURSIVE {_LINK_PAIRS_SQL},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM matches
+              UNION ALL SELECT id_b, id_a FROM matches),
+    reach(node, lbl) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS c_custkey, CAST(min(lbl) AS BIGINT) AS entity_id,
+           CAST(min(lbl) = node AS INT) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def x_entity_resolution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    pairs = _lk.linkage_pairs(
+        _linkage_base(spark, sf_dir),
+        "c_custkey",
+        ["c_nationkey", "bb"],
+        _linkage_features(),
+        threshold=_LINK_THRESHOLD,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    labs = _cc(pairs, cust.select("c_custkey"))
+    return labs.select(
+        F.col("doc_id").alias("c_custkey"),
+        F.col("cluster_id").cast("long").alias("entity_id"),
+        "is_canonical",
+    )
+
+
+@_register(
+    "x_changelog_merge",
+    "keyed changelog -> final state: last op per order wins (max_by "
+    "over an order struct — ONE hash aggregate with map-side partial, "
+    "the shuffle carries one candidate per key per partition, never "
+    "the changelog; a row_number window would shuffle every change), "
+    "delete-ops vanish; the batch twin of the K5 streaming dim upsert "
+    "(OdsBaseDbApp.scala:144-163) used to audit/backfill the store "
+    "(north-star)",
+    """
+    WITH c AS (
+      SELECT l_orderkey, l_quantity, l_suppkey,
+             CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber DESC, op DESC,
+                                         l_quantity DESC, l_suppkey DESC)
+               AS rn
+      FROM lineitem)
+    SELECT l_orderkey, l_quantity, l_suppkey
+    FROM c WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def x_changelog_merge(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "l_quantity",
+        "l_suppkey",
+    )
+    # this testdata's (l_orderkey, l_linenumber) is NOT unique — extend
+    # the order key over the full payload so ties are interchangeable
+    return _cdc.merge_changelog(
+        li,
+        "l_orderkey",
+        ["l_linenumber", "op", "l_quantity", "l_suppkey"],
+        "op",
+        "D",
+        ["l_quantity", "l_suppkey"],
+    )
+
+
+@_register(
+    "x_snapshot_diff",
+    "keyed snapshot diff -> changefeed: full outer hash join of two "
+    "dim snapshots classifying I/D/U per key (unchanged keys drop "
+    "out) — recovers the CDC stream a binlog would have produced "
+    "(backfill when a source can't emit real CDC; audit that a "
+    "streaming K5 store and a batch rebuild agree) (north-star)",
+    """
+    WITH old AS (SELECT c_custkey, c_acctbal AS bal FROM customer
+                 WHERE c_custkey % 10 <> 3),
+    new AS (SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                        ELSE c_acctbal END AS bal
+            FROM customer WHERE c_custkey % 10 <> 6)
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D' ELSE 'U' END AS op,
+           o.bal AS old_bal, n.bal AS new_bal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL OR o.bal <> n.bal
+    """,
+)
+def x_snapshot_diff(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 10 != 3).select(
+        "c_custkey", F.col("c_acctbal").alias("bal")
+    )
+    new = cust.filter(F.col("c_custkey") % 10 != 6).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return _cdc.snapshot_diff(old, new, ["c_custkey"], ["bal"])
+
+
+_LDIV_L = 3
+
+
+@_register(
+    "x_l_diversity",
+    "l-diversity audit (Machanavajjhala ICDE'06), the k-anonymity "
+    "follow-up: a quasi-identifier class can be k-large yet leak the "
+    "sensitive attribute when every member shares it (homogeneity "
+    "attack) — requires >= l distinct segment values per "
+    "(nation, balance-band) class; same single-groupBy shape as "
+    "x_k_anonymity (north-star)",
+    f"""
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+           CAST(count(DISTINCT c_mktsegment) < {_LDIV_L} AS INT) AS at_risk
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def x_l_diversity(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return _ldiv(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        ],
+        "c_mktsegment",
+        l=_LDIV_L,
+    ).select(
+        "c_nationkey",
+        "bal_band",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_sensitive").cast("long").alias("n_sensitive"),
+        "at_risk",
+    )
+
+
+_MGS_BATCHES, _MGS_M, _MGS_K = 3, 16, 10
+_MG_STREAM_PATHS: dict = {}
+
+
+def _mg_stream_store(spark, sf_dir: str) -> str:
+    """Build (once per process) a 3-batch Misra-Gries summary store over
+    document tokens, sharded by doc_id % 3 — the batch replay of the
+    streaming_mg_topk writer (identical mg_write_batch code path the
+    foreachBatch sink runs per micro-batch)."""
+    key = (sf_dir, _MGS_BATCHES, _MGS_M)
+    if key not in _MG_STREAM_PATHS:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_mg_stream_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        ex = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("token"),
+        )
+        for b in range(_MGS_BATCHES):
+            _inc.mg_write_batch(
+                ex.filter(F.col("doc_id") % _MGS_BATCHES == b),
+                b,
+                path,
+                "token",
+                m=_MGS_M,
+            )
+        _MG_STREAM_PATHS[key] = path
+    return _MG_STREAM_PATHS[key]
+
+
+@_register(
+    "x_mg_topk_stream",
+    "streaming Misra-Gries heavy-hitter store, driver-exposed: three "
+    "micro-batch summaries (each batch's exact top-m counters + "
+    "truncation bound, written by the same mg_write_batch the "
+    "foreachBatch sink runs) merged by counter addition + "
+    "re-truncation (Agarwal et al. mergeable summaries) into top-k "
+    "with an upper-bound certificate; state is batches x (m+1) rows "
+    "regardless of key cardinality (north-star)",
+    f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOKS_SQL}) AS key FROM documents),
+    counts AS (SELECT doc_id % {_MGS_BATCHES} AS g, key, count(*) AS cnt
+               FROM ex GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY g
+                 ORDER BY cnt DESC, key) AS rn FROM counts),
+    kept AS (SELECT key, cnt FROM ranked WHERE rn <= {_MGS_M}),
+    et AS (SELECT coalesce(sum(cnt), 0) AS etot FROM ranked
+           WHERE rn = {_MGS_M + 1}),
+    merged AS (SELECT key, sum(cnt) AS cnt FROM kept GROUP BY key),
+    mr AS (SELECT key, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, key) AS rn
+           FROM merged),
+    tc AS (SELECT coalesce(sum(cnt), 0) AS t FROM mr
+           WHERE rn = {_MGS_M + 1})
+    SELECT CAST(rn AS BIGINT) AS rank, key, CAST(cnt AS BIGINT) AS est,
+           CAST(cnt + et.etot + tc.t AS BIGINT) AS upper_bound
+    FROM mr, et, tc WHERE rn <= {_MGS_K}
+    """,
+)
+def x_mg_topk_stream(spark, sf_dir):
+    store = _mg_stream_store(spark, sf_dir)
+    out = _inc.read_mg_topk(spark, store, k=_MGS_K, m=_MGS_M)
+    res = out.select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        "est",
+        "upper_bound",
+    )
+    out.unpersist()
+    return res
