@@ -363,3 +363,80 @@ def test_aggregate_join_back_reuses_shuffle(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, f"{name}: fact aggregation shuffled twice"
+
+
+# round-8 additions: ordered analytics, record linkage / entity
+# resolution, CDC twins, streaming MG merge.
+CASES_R8 = [
+    # blocked pair generation is an EQUI-join on the block key (the
+    # a<b predicate rides along); a theta/nested-loop pair path is the
+    # classic linkage scale killer
+    ("x_record_linkage", [], ["NestedLoop", "CartesianProduct"]),
+    # gaps-and-islands: windows + both groupBys, all on the key
+    ("x_interval_union", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    # per-cost reduction + domain window + broadcast equi-join back;
+    # the quadratic dominance anti-join is the oracle, never the plan
+    ("x_skyline", ["BroadcastHashJoin", "Window"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("x_ewma_deviation", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    ("x_markov_transitions", ["Window", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
+    # ONE max_by hash aggregate with a map-side partial; a row_number
+    # window would shuffle the whole changelog
+    ("x_changelog_merge", ["partial_max_by"],
+     ["Window", "NestedLoop", "CartesianProduct"]),
+    # full outer hash join on the key — never a nested loop
+    ("x_snapshot_diff", ["FullOuter"], ["NestedLoop", "CartesianProduct"]),
+    ("x_l_diversity", ["HashAggregate"],
+     ["Window", "NestedLoop", "CartesianProduct", "Join"]),
+    # merge of summary-sized frames; 1-row certificate frames join as
+    # broadcast NLJ by design, but a true cartesian is banned
+    ("x_mg_topk_stream", [], ["CartesianProduct"]),
+]
+
+
+@pytest.mark.parametrize("name,want,ban", CASES_R8, ids=[c[0] for c in CASES_R8])
+def test_plan_shape_r8(spark, sf_dir, name, want, ban):
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in want:
+        assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
+    for frag in ban:
+        assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
+
+
+def test_interval_union_single_shuffle(spark, sf_dir):
+    """Both windows and both groupBys run on the key partitioning: the
+    plan must contain exactly ONE shuffle (the hash partitioning on the
+    interval key) — HashPartitioning(key) satisfies the (key, island)
+    clustering, so no second exchange ever appears."""
+    df = _REG["x_interval_union"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_entity_resolution_pair_path_no_nlj(spark, sf_dir):
+    """The entity-resolution ENTRY returns checkpointed CC labels (its
+    own executed plan is a scan), so the scale contract is audited on
+    the pair path it feeds: blocked linkage must never plan a nested
+    loop or cartesian."""
+    from sparkstreaming_realtime_project_spark.operators.linkage import (
+        linkage_pairs,
+    )
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        _linkage_base,
+        _linkage_features,
+        _LINK_THRESHOLD,
+    )
+
+    pairs = linkage_pairs(
+        _linkage_base(spark, sf_dir),
+        "c_custkey",
+        ["c_nationkey", "bb"],
+        _linkage_features(),
+        threshold=_LINK_THRESHOLD,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
