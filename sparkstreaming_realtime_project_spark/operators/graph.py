@@ -139,6 +139,7 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph, by DEGREE-ORIENTED wedge join (Schank/Wagner;
@@ -159,6 +160,17 @@ def triangle_counts(
     integer keys; counts are exact integers, the coefficient
     2T/(d(d-1)) is emitted in the floor-round form both engines replay.
 
+    ``materialize`` (default True): the canonical edge set, the degree
+    table and the oriented edges each feed SEVERAL plan branches (deg ->
+    orientation + final join-back; ori -> both wedge sides + the closing
+    edge set); unpersisted, Catalyst recomputes the whole upstream
+    distinct+join chain per branch — measured 6x wall-clock on the
+    skewed-hub probe (scripts/skew_probe.py: 15 s -> 2.6 s at 90k
+    edges). With it, intermediates are persisted, the node-sized result
+    is materialized, and the intermediates are released before
+    returning (the connected_components discipline). Pass False only to
+    compose the LAZY plan into a larger one you persist yourself.
+
     Returns (node, degree, n_triangles, clustering_coeff) for every
     node of the edge set, zeros included — dropping triangle-free nodes
     would bias any downstream transitivity average.
@@ -171,12 +183,16 @@ def triangle_counts(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if materialize:
+        und = und.persist()
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+    if materialize:
+        deg = deg.persist()
     # orient by (degree, id): da/db are small per-node attributes joined
     # in; the (deg, id) pair is packed into one sortable struct compare
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
@@ -194,6 +210,8 @@ def triangle_counts(
             F.when(lt, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
         )
     )
+    if materialize:
+        ori = ori.persist()
     e1 = ori.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     e2 = ori.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     # wedge (u; x, y) with x before y in the same (degree, id) order the
@@ -221,7 +239,7 @@ def triangle_counts(
         )
         / F.lit(1e6),
     ).otherwise(F.lit(0.0))
-    return (
+    out = (
         deg.join(per_node, "node", "left")
         .fillna(0, subset=["n_triangles"])
         .select(
@@ -231,6 +249,13 @@ def triangle_counts(
             coeff.alias("clustering_coeff"),
         )
     )
+    if materialize:
+        out = out.persist()
+        out.count()  # node-sized; release the edge-sized intermediates
+        ori.unpersist()
+        deg.unpersist()
+        und.unpersist()
+    return out
 
 
 def jaccard_link_prediction(
@@ -238,6 +263,7 @@ def jaccard_link_prediction(
     src: str = "src",
     dst: str = "dst",
     min_common: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Neighbor-overlap link prediction (Liben-Nowell & Kleinberg,
     CIKM 2003): for every NON-adjacent node pair at distance 2, the
@@ -269,9 +295,13 @@ def jaccard_link_prediction(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if materialize:
+        und = und.persist()  # feeds sym AND the existing-edge anti-join
     sym = und.unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    if materialize:
+        sym = sym.persist()  # feeds the degree agg AND both wedge sides
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -296,9 +326,15 @@ def jaccard_link_prediction(
         F.col("common").cast("double") / union.cast("double") * F.lit(1e6)
         + F.lit(0.5)
     ) / F.lit(1e6)
-    return scored.select(
+    out = scored.select(
         F.col("x").alias("node_x"),
         F.col("y").alias("node_y"),
         F.col("common").cast("long").alias("common"),
         jacc.alias("jacc"),
     )
+    if materialize:
+        out = out.persist()
+        out.count()  # candidate-sized; release edge-sized intermediates
+        sym.unpersist()
+        und.unpersist()
+    return out

@@ -8166,3 +8166,86 @@ def x_mg_topk_stream(spark, sf_dir):
     )
     out.unpersist()
     return res
+
+
+_LP_MIN_COMMON, _LP_TOPK = 4, 5
+
+
+@_register(
+    "x_link_prediction",
+    "Jaccard-coefficient link prediction (Liben-Nowell/Kleinberg "
+    "CIKM'03) on the part co-occurrence graph: top-5 predicted "
+    "not-yet-co-purchased partners per part — wedge-join candidates "
+    "(pairs sharing >= 4 neighbors; anything else never materializes), "
+    "left-anti against existing edges, broadcast node-sized degree "
+    "join closes the union term, WindowGroupLimit top-k per node "
+    "(north-star)",
+    f"""
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ed AS (SELECT DISTINCT a.p AS ex, b.p AS ey
+           FROM e a JOIN e b ON a.o = b.o AND a.p < b.p),
+    sym AS (SELECT ex AS a, ey AS b FROM ed
+            UNION ALL SELECT ey, ex FROM ed),
+    deg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY 1),
+    w AS (SELECT e1.b AS x, e2.b AS y FROM sym e1
+          JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b),
+    common AS (SELECT x, y, count(*) AS common FROM w GROUP BY 1, 2
+               HAVING count(*) >= {_LP_MIN_COMMON}),
+    cand AS (SELECT c.x, c.y, c.common FROM common c
+             LEFT JOIN ed ON c.x = ed.ex AND c.y = ed.ey
+             WHERE ed.ex IS NULL),
+    scored AS (SELECT x, y, common,
+                 floor(CAST(common AS DOUBLE)
+                       / (dx.degree + dy.degree - common) * 1e6 + 0.5) / 1e6
+                   AS jacc
+               FROM cand JOIN deg dx ON dx.node = x
+                         JOIN deg dy ON dy.node = y),
+    dd AS (SELECT x AS node, y AS cand, common, jacc FROM scored
+           UNION ALL SELECT y, x, common, jacc FROM scored),
+    rk AS (SELECT node, cand, common, jacc,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY jacc DESC, common DESC, cand)
+                    AS rank
+           FROM dd)
+    SELECT node, CAST(rank AS BIGINT) AS rank, cand,
+           CAST(common AS BIGINT) AS common, jacc
+    FROM rk WHERE rank <= {_LP_TOPK}
+    """,
+)
+def x_link_prediction(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = e.alias("a"), e.alias("b")
+    edges = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    pred = _gr.jaccard_link_prediction(edges, min_common=_LP_MIN_COMMON)
+    sym = pred.select(
+        F.col("node_x").alias("node"),
+        F.col("node_y").alias("cand"),
+        "common",
+        "jacc",
+    ).unionByName(
+        pred.select(
+            F.col("node_y").alias("node"),
+            F.col("node_x").alias("cand"),
+            "common",
+            "jacc",
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("jacc").desc(), F.col("common").desc(), F.col("cand")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LP_TOPK)
+        .select(
+            "node",
+            F.col("rank").cast("long").alias("rank"),
+            "cand",
+            F.col("common").cast("long").alias("common"),
+            "jacc",
+        )
+    )
