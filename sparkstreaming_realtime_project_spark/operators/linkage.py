@@ -86,3 +86,110 @@ def linkage_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def linkage_em(
+    pairs: DataFrame,
+    flag_cols: list[str],
+    iters: int = 2,
+    p0: float = 0.125,
+    m0: float = 0.75,
+    u0: float = 0.25,
+    decimals: int = 6,
+) -> DataFrame:
+    """Fellegi-Sunter parameter estimation by EM over UNLABELED pairs
+    (Winkler 1988): learn, per comparison feature, the agreement
+    probabilities m = P(agree | match) and u = P(agree | non-match),
+    plus the match proportion — the statistically grounded replacement
+    for linkage_pairs' hand-set integer weights. Returns one row per
+    feature: (feature, m, u, w_agree, w_disagree) with the likelihood
+    ratios m/u and (1-m)/(1-u) (take logs downstream if additive
+    weights are wanted — emitted as ratios to keep the output free of
+    libm, see below).
+
+    Scale + determinism shape:
+
+    - the ONLY data-sized step is one hash aggregate from pairs to
+      agreement-PATTERN counts (2^k rows for k features); every EM
+      iteration runs on that model-sized frame as fixed-shape column
+      expressions — never a second pass over the pairs;
+    - E-step responsibilities are quantized to the 2^-12 grid
+      (floor(r * 4096 + 0.5) / 4096): grid multiples are EXACT doubles,
+      so the M-step sums of r * n are exact integers-over-4096 and
+      therefore ORDER-FREE — the cross-engine float-sum hazard
+      (partition-order +-1 ulp) is designed out rather than tolerated.
+      A 2^-12 responsibility grid perturbs the fixpoint far below the
+      1e-6 output rounding;
+    - initial parameters default to exact binary fractions, divisions
+      are single IEEE ops, and no transcendental function appears —
+      every arithmetic step is bit-identical on any IEEE-754 engine
+      evaluating the same expression shape (the oracle unrolls the same
+      ``iters`` iterations).
+    """
+    k = len(flag_cols)
+    # persist + materialize the pattern frame: every EM iteration takes
+    # one action over it, and without the cut each action re-runs the
+    # whole data-sized pair generation + aggregate
+    pat = pairs.groupBy(
+        *[F.col(c).cast("int").alias(f"g{j}") for j, c in enumerate(flag_cols)]
+    ).agg(F.count(F.lit(1)).cast("double").alias("n")).persist()
+    pat.count()
+    p, ms, us = float(p0), [float(m0)] * k, [float(u0)] * k
+    cur = pat
+    for _ in range(iters):
+        pm = F.lit(p)
+        pu = F.lit(1.0 - p)
+        for j in range(k):
+            g = F.col(f"g{j}") == 1
+            pm = pm * F.when(g, F.lit(ms[j])).otherwise(F.lit(1.0 - ms[j]))
+            pu = pu * F.when(g, F.lit(us[j])).otherwise(F.lit(1.0 - us[j]))
+        r = F.floor(pm / (pm + pu) * F.lit(4096.0) + F.lit(0.5)) / F.lit(
+            4096.0
+        )
+        agg = cur.select(
+            (F.col("n") * r).alias("rn"),
+            ((F.lit(1.0) - r) * F.col("n")).alias("sn"),
+            F.col("n"),
+            *[
+                (F.col("n") * r * F.col(f"g{j}")).alias(f"rg{j}")
+                for j in range(k)
+            ],
+            *[
+                ((F.lit(1.0) - r) * F.col("n") * F.col(f"g{j}")).alias(
+                    f"sg{j}"
+                )
+                for j in range(k)
+            ],
+        ).agg(
+            F.sum("rn").alias("rn"),
+            F.sum("sn").alias("sn"),
+            F.sum("n").alias("nn"),
+            *[F.sum(f"rg{j}").alias(f"rg{j}") for j in range(k)],
+            *[F.sum(f"sg{j}").alias(f"sg{j}") for j in range(k)],
+        )
+        row = agg.first()
+        p = row["rn"] / row["nn"]
+        ms = [row[f"rg{j}"] / row["rn"] for j in range(k)]
+        us = [row[f"sg{j}"] / row["sn"] for j in range(k)]
+    scale = float(10**decimals)
+
+    def _r(x: float) -> float:
+        import math
+
+        return math.floor(x * scale + 0.5) / scale
+
+    pat.unpersist()
+    spark = pairs.sparkSession
+    out = [
+        (
+            flag_cols[j],
+            _r(ms[j]),
+            _r(us[j]),
+            _r(ms[j] / us[j]),
+            _r((1.0 - ms[j]) / (1.0 - us[j])),
+        )
+        for j in range(k)
+    ]
+    return spark.createDataFrame(
+        out, "feature string, m double, u double, w_agree double, w_disagree double"
+    )

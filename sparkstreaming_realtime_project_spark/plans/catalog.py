@@ -8168,20 +8168,22 @@ def x_mg_topk_stream(spark, sf_dir):
     return res
 
 
-_LP_MIN_COMMON, _LP_TOPK = 4, 5
+_LP_MIN_COMMON, _LP_TOPK = 2, 5
+_LP_CUT = "1997-01-01"
 
 
 @_register(
     "x_link_prediction",
     "Jaccard-coefficient link prediction (Liben-Nowell/Kleinberg "
-    "CIKM'03) on the part co-occurrence graph: top-5 predicted "
-    "not-yet-co-purchased partners per part — wedge-join candidates "
-    "(pairs sharing >= 4 neighbors; anything else never materializes), "
+    "CIKM'03) on the part co-occurrence graph (first two shipping "
+    "years): top-5 predicted not-yet-co-purchased partners per part — "
+    "wedge-join candidates (pairs sharing >= 2 neighbors), "
     "left-anti against existing edges, broadcast node-sized degree "
     "join closes the union term, WindowGroupLimit top-k per node "
     "(north-star)",
     f"""
-    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'),
     ed AS (SELECT DISTINCT a.p AS ex, b.p AS ey
            FROM e a JOIN e b ON a.o = b.o AND a.p < b.p),
     sym AS (SELECT ex AS a, ey AS b FROM ed
@@ -8213,7 +8215,9 @@ _LP_MIN_COMMON, _LP_TOPK = 4, 5
     """,
 )
 def x_link_prediction(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < _LP_CUT
+    )
     e = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
@@ -8248,4 +8252,111 @@ def x_link_prediction(spark, sf_dir):
             F.col("common").cast("long").alias("common"),
             "jacc",
         )
+    )
+
+
+def _em_oracle_sql(iters: int = 2) -> str:
+    """Unrolled fixed-point EM oracle mirroring linkage_em's exact
+    expression shapes (left-assoc products, 2^-12 responsibility grid,
+    floor-form output rounding) over the customer blocked pairs."""
+    feats = [
+        ("seg", "CAST(a.c_mktsegment = b.c_mktsegment AS INT)"),
+        ("bal", "CAST(abs(a.c_acctbal - b.c_acctbal) < 100.0 AS INT)"),
+        ("sfx", "CAST(a.sfx = b.sfx AS INT)"),
+    ]
+    k = len(feats)
+    gcols = ", ".join(f"{expr} AS g{j}" for j, (_, expr) in enumerate(feats))
+    # parameter expressions per iteration: iteration 0 uses the binary-
+    # fraction constants; iteration i>0 references the s{i} aggregate
+    def params(i):
+        if i == 0:
+            return "0.125", ["0.75"] * k, ["0.25"] * k
+        return (
+            f"(s{i}.rn / s{i}.nn)",
+            [f"(s{i}.rg{j} / s{i}.rn)" for j in range(k)],
+            [f"(s{i}.sg{j} / s{i}.sn)" for j in range(k)],
+        )
+
+    ctes = []
+    for i in range(iters):
+        p, ms, us = params(i)
+        pm = p
+        pu = f"(1.0 - {p})"
+        for j in range(k):
+            pm += (
+                f" * (CASE WHEN g{j} = 1 THEN {ms[j]}"
+                f" ELSE (1.0 - {ms[j]}) END)"
+            )
+            pu += (
+                f" * (CASE WHEN g{j} = 1 THEN {us[j]}"
+                f" ELSE (1.0 - {us[j]}) END)"
+            )
+        src = "pat" if i == 0 else f"pat, s{i}"
+        ctes.append(
+            f"it{i + 1} AS (SELECT g0, g1, g2, n,\n"
+            f"  floor(({pm}) / (({pm}) + ({pu})) * 4096.0 + 0.5) / 4096.0"
+            f" AS r\n  FROM {src})"
+        )
+        sums = ", ".join(
+            [f"sum(n * r * g{j}) AS rg{j}" for j in range(k)]
+            + [f"sum((1.0 - r) * n * g{j}) AS sg{j}" for j in range(k)]
+        )
+        ctes.append(
+            f"s{i + 1} AS (SELECT sum(n * r) AS rn,"
+            f" sum((1.0 - r) * n) AS sn, sum(n) AS nn, {sums}"
+            f" FROM it{i + 1})"
+        )
+    pF, msF, usF = params(iters)
+    rows = []
+    for j, (name, _) in enumerate(feats):
+        rows.append(
+            f"SELECT '{name}' AS feature,\n"
+            f"  floor({msF[j]} * 1e6 + 0.5) / 1e6 AS m,\n"
+            f"  floor({usF[j]} * 1e6 + 0.5) / 1e6 AS u,\n"
+            f"  floor({msF[j]} / {usF[j]} * 1e6 + 0.5) / 1e6 AS w_agree,\n"
+            f"  floor((1.0 - {msF[j]}) / (1.0 - {usF[j]}) * 1e6 + 0.5) / 1e6"
+            f" AS w_disagree\nFROM s{iters}"
+        )
+    cte_block = ",\n    ".join(ctes)
+    union_block = " UNION ALL ".join(rows)
+    return f"""
+    WITH c AS (SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb,
+                 c_mktsegment, c_acctbal, right(c_name, 1) AS sfx
+          FROM customer),
+    pr AS (SELECT {gcols}
+           FROM c a JOIN c b
+           ON a.c_nationkey = b.c_nationkey AND a.bb = b.bb
+              AND a.c_custkey < b.c_custkey),
+    pat AS (SELECT g0, g1, g2, CAST(count(*) AS DOUBLE) AS n
+            FROM pr GROUP BY 1, 2, 3),
+    {cte_block}
+    {union_block}
+    """
+
+
+@_register(
+    "x_linkage_em",
+    "Fellegi-Sunter EM parameter estimation (Winkler'88) over the same "
+    "blocked customer pairs as x_record_linkage: learn per-feature "
+    "m = P(agree|match), u = P(agree|non-match) and likelihood-ratio "
+    "weights from UNLABELED pairs — one data-sized aggregate to "
+    "2^k agreement-pattern counts, then every EM iteration runs on the "
+    "model-sized pattern frame; responsibilities quantized to the "
+    "2^-12 grid make the M-step sums exact and order-free "
+    "(north-star: no second pass over pairs, no libm)",
+    _em_oracle_sql(iters=2),
+)
+def x_linkage_em(spark, sf_dir):
+    pairs = _lk.linkage_pairs(
+        _linkage_base(spark, sf_dir),
+        "c_custkey",
+        ["c_nationkey", "bb"],
+        _linkage_features(),
+        threshold=-100,
+    )
+    return _lk.linkage_em(
+        pairs, ["agree_seg", "agree_bal", "agree_sfx"], iters=2
+    ).withColumn(
+        "feature", F.regexp_replace("feature", "^agree_", "")
     )

@@ -340,3 +340,82 @@ def test_jaccard_link_prediction_degree_join_broadcasts(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
     plan = jaccard_link_prediction(edges)._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_linkage_em_learns_m_u_and_matches_numpy_replica(spark):
+    import math
+
+    # two obvious duplicate clusters (all features agree) in a sea of
+    # non-matches (features mostly disagree)
+    rows = []
+    rid = 0
+    for blk in range(6):
+        for i in range(4):
+            # cluster member: identical name/city within the block
+            rows.append((rid, f"b{blk}", "dup", "X"))
+            rid += 1
+        for i in range(6):
+            rows.append((rid, f"b{blk}", f"n{rid}", f"C{rid % 3}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "rid int, blk string, name string, city string")
+    from sparkstreaming_realtime_project_spark.operators.linkage import (
+        linkage_em,
+        linkage_pairs,
+    )
+
+    feats = [
+        ("name", F.col("a_name") == F.col("b_name"), 1, 1),
+        ("city", F.col("a_city") == F.col("b_city"), 1, 1),
+    ]
+    pairs = linkage_pairs(df, "rid", ["blk"], feats, threshold=-100)
+    out = {
+        r["feature"]: r
+        for r in linkage_em(pairs, ["agree_name", "agree_city"]).collect()
+    }
+    # matches agree on both features; the learned m must exceed u
+    assert out["agree_name"]["m"] > out["agree_name"]["u"]
+    assert out["agree_city"]["m"] > out["agree_city"]["u"]
+    assert out["agree_name"]["w_agree"] > 1.0
+
+    # exact numpy replica of the fixed-point EM (same grid, same op
+    # order) over the same pattern counts must agree to the last bit
+    pat = (
+        pairs.groupBy(
+            F.col("agree_name").cast("int").alias("g0"),
+            F.col("agree_city").cast("int").alias("g1"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .collect()
+    )
+    p, ms, us = 0.125, [0.75, 0.75], [0.25, 0.25]
+    for _ in range(2):
+        rn = sn = nn = 0.0
+        rg = [0.0, 0.0]
+        sg = [0.0, 0.0]
+        for row in pat:
+            pm, pu = p, 1.0 - p
+            for j in range(2):
+                g = row[f"g{j}"] == 1
+                pm = pm * (ms[j] if g else 1.0 - ms[j])
+                pu = pu * (us[j] if g else 1.0 - us[j])
+            r = math.floor(pm / (pm + pu) * 4096.0 + 0.5) / 4096.0
+            n = row["n"]
+            rn += n * r
+            sn += (1.0 - r) * n
+            nn += n
+            for j in range(2):
+                g = row[f"g{j}"]
+                rg[j] += n * r * g
+                sg[j] += (1.0 - r) * n * g
+        p = rn / nn
+        ms = [rg[j] / rn for j in range(2)]
+        us = [sg[j] / sn for j in range(2)]
+
+    def _r(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for j, name in enumerate(["agree_name", "agree_city"]):
+        assert out[name]["m"] == _r(ms[j])
+        assert out[name]["u"] == _r(us[j])
+        assert out[name]["w_agree"] == _r(ms[j] / us[j])
+        assert out[name]["w_disagree"] == _r((1.0 - ms[j]) / (1.0 - us[j]))
