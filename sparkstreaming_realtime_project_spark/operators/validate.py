@@ -235,3 +235,78 @@ def l_diversity_report(
             (F.col("n_sensitive") < l).cast("int").alias("at_risk"),
         )
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    t_num: int = 1,
+    t_den: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy ladder after k-anonymity (class size) and
+    l-diversity (distinct sensitive values): a class can be k-large AND
+    l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    deviates from the table's (skew attack: "90% of this class bought
+    X" vs 20% globally). For a categorical sensitive attribute under
+    the equal-distance ground metric, the Earth Mover's Distance
+    reduces to total variation: EMD = 1/2 * sum_v |p_class(v) -
+    p_global(v)|, summed over the GLOBAL value domain (values a class
+    misses contribute their full global mass).
+
+    Exactness by construction (the linkage_em discipline — design the
+    float hazard out): each term's numerator is the INTEGER
+    |cnt_v * N - cnt_gv * n| accumulated in DECIMAL(38,0) (exact,
+    order-free, overflow-free at any scale), divided once by 2*n*N at
+    the end; the threshold test multiplies through by the rational
+    t = t_num/t_den and compares INTEGERS, so at_risk never depends on
+    float rounding even when EMD sits exactly on t.
+
+    Shape: two keyed aggregates over the data (class sizes,
+    class x value counts), one value-domain-sized global distribution
+    broadcast, one class x |V| join — output is class-sized. Returns
+    (quasi..., n, emd, at_risk)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    base = df.select(
+        *cols, F.col(sensitive_col).alias("_s")
+    )
+    qnames = base.columns[:-1]
+    cls = base.groupBy(*qnames).agg(F.count(F.lit(1)).alias("_n"))
+    cv = base.groupBy(*qnames, "_s").agg(F.count(F.lit(1)).alias("_cnt"))
+    gv = base.groupBy("_s").agg(F.count(F.lit(1)).alias("_cnt_g"))
+    tot = base.agg(F.count(F.lit(1)).alias("_tot"))
+    dec = "decimal(38,0)"
+    full = (
+        cls.crossJoin(F.broadcast(gv))
+        .crossJoin(F.broadcast(tot))
+        .join(cv, [*qnames, "_s"], "left")
+    )
+    num_v = F.abs(
+        F.coalesce(F.col("_cnt"), F.lit(0)).cast(dec) * F.col("_tot").cast(dec)
+        - F.col("_cnt_g").cast(dec) * F.col("_n").cast(dec)
+    )
+    per_cls = full.groupBy(*qnames, "_n", "_tot").agg(
+        F.sum(num_v).alias("_num")
+    )
+    den = (
+        F.lit(2).cast(dec) * F.col("_n").cast(dec) * F.col("_tot").cast(dec)
+    )
+    scale = float(10**decimals)
+    emd = (
+        F.floor(
+            F.col("_num").cast("double") / den.cast("double") * F.lit(scale)
+            + F.lit(0.5)
+        )
+        / F.lit(scale)
+    )
+    at_risk = (
+        F.col("_num") * F.lit(t_den).cast(dec) > den * F.lit(t_num).cast(dec)
+    )
+    return per_cls.select(
+        *qnames,
+        F.col("_n").cast("long").alias("n"),
+        emd.alias("emd"),
+        at_risk.cast("int").alias("at_risk"),
+    )

@@ -8360,3 +8360,89 @@ def x_linkage_em(spark, sf_dir):
     ).withColumn(
         "feature", F.regexp_replace("feature", "^agree_", "")
     )
+
+
+@_register(
+    "x_t_closeness",
+    "t-closeness audit (Li ICDE'07) — the third privacy rung after "
+    "x_k_anonymity (class size) and x_l_diversity (distinct values): "
+    "total-variation EMD between each (nation, balance-band) class's "
+    "segment distribution and the global one, values the class misses "
+    "included; integer numerators accumulated in DECIMAL and an "
+    "integer threshold compare make both the distance and the at_risk "
+    "verdict exact at any scale (north-star)",
+    """
+    WITH base AS (SELECT c_nationkey,
+                    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                    c_mktsegment AS s
+             FROM customer),
+    cls AS (SELECT c_nationkey, bal_band, count(*) AS n
+            FROM base GROUP BY 1, 2),
+    cv AS (SELECT c_nationkey, bal_band, s, count(*) AS cnt
+           FROM base GROUP BY 1, 2, 3),
+    gv AS (SELECT s, count(*) AS cnt_g FROM base GROUP BY 1),
+    tot AS (SELECT count(*) AS nn FROM base),
+    fj AS (SELECT cls.c_nationkey, cls.bal_band, cls.n, gv.s, gv.cnt_g,
+                  tot.nn, coalesce(cv.cnt, 0) AS cnt
+           FROM cls CROSS JOIN gv CROSS JOIN tot
+           LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+                       AND cv.bal_band = cls.bal_band AND cv.s = gv.s),
+    pc AS (SELECT c_nationkey, bal_band, n, nn,
+                  sum(abs(CAST(cnt AS HUGEINT) * nn
+                          - CAST(cnt_g AS HUGEINT) * n)) AS num
+           FROM fj GROUP BY 1, 2, 3, 4)
+    SELECT c_nationkey, bal_band, CAST(n AS BIGINT) AS n,
+           floor(CAST(num AS DOUBLE)
+                 / CAST(CAST(2 AS HUGEINT) * n * nn AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS emd,
+           CAST(num * 5 > CAST(2 AS HUGEINT) * n * nn AS INT) AS at_risk
+    FROM pc
+    """,
+)
+def x_t_closeness(spark, sf_dir):
+    from ..operators.validate import t_closeness_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return t_closeness_report(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("long")
+            .alias("bal_band"),
+        ],
+        "c_mktsegment",
+        t_num=1,
+        t_den=5,
+    )
+
+
+@_register(
+    "x_cluster_split",
+    "leakage-safe train/val/test split: hash-range membership keyed by "
+    "the near-dup CLUSTER id (labels shared with x_dedup_cluster via "
+    "the process-level materialized parquet), so every member of a "
+    "duplicate cluster lands in the SAME split — the guard that stops "
+    "val/test contamination by near-copies of training docs, composing "
+    "the dedup labels with the split instead of re-deriving either "
+    "(north-star)",
+    f"""
+    WITH labels AS ({_CLUSTER_SQL}),
+    coord AS (SELECT l.doc_id, l.cluster_id,
+                     substr(md5('split:' || CAST(l.cluster_id AS VARCHAR)),
+                            1, 8) AS h
+              FROM labels l)
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN h < '{format(int(0.05 * 16**8), "08x")}' THEN 'val'
+                WHEN h < '{format(int(0.10 * 16**8), "08x")}' THEN 'test'
+                ELSE 'train' END AS split
+    FROM coord
+    """,
+)
+def x_cluster_split(spark, sf_dir):
+    labels = _cluster_labels(spark, sf_dir)
+    return _cx.train_val_test_split(
+        labels, "cluster_id", val_frac=0.05, test_frac=0.05
+    ).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "split"
+    )

@@ -419,3 +419,42 @@ def test_linkage_em_learns_m_u_and_matches_numpy_replica(spark):
         assert out[name]["u"] == _r(us[j])
         assert out[name]["w_agree"] == _r(ms[j] / us[j])
         assert out[name]["w_disagree"] == _r((1.0 - ms[j]) / (1.0 - us[j]))
+
+
+def test_t_closeness_hand_computed(spark):
+    from sparkstreaming_realtime_project_spark.operators.validate import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")],
+        "q string, s string",
+    )
+    rows = {
+        r["q"]: r
+        for r in t_closeness_report(df, ["q"], "s", t_num=1, t_den=10).collect()
+    }
+    # global: p(x)=4/6, p(y)=2/6
+    # A: (3/4, 1/4) -> EMD = 1/2*(1/12 + 1/12) = 1/12
+    assert rows["A"]["emd"] == 0.083333
+    assert rows["A"]["at_risk"] == 0  # 1/12 < 1/10, exactly via integers
+    # B: (1/2, 1/2) -> EMD = 1/6 > 1/10
+    assert rows["B"]["emd"] == 0.166667
+    assert rows["B"]["at_risk"] == 1
+    assert rows["A"]["n"] == 4 and rows["B"]["n"] == 2
+
+
+def test_cluster_split_no_cross_split_leakage(spark, sf_dir):
+    from pyspark.sql import functions as F2
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        x_cluster_split,
+    )
+
+    out = x_cluster_split(spark, sf_dir)
+    # every near-dup cluster must live entirely inside ONE split
+    per_cluster = out.groupBy("cluster_id").agg(
+        F2.countDistinct("split").alias("k")
+    )
+    assert per_cluster.filter(F2.col("k") > 1).count() == 0
+    # and all three splits exist over the corpus (clusters are many)
+    assert out.select("split").distinct().count() == 3
