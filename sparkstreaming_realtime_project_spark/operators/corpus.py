@@ -819,3 +819,54 @@ def ngram_novelty(
             F.floor(F.col("n_novel") / F.col("n_grams") * 1e4 + F.lit(0.5)) / 1e4
         ).alias("novelty"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> DataFrame:
+    """Per-shard integrity manifest: (shard, n_rows, fingerprint) — the
+    receipt a 100 TB export writes next to its shards so any later copy,
+    compaction, or re-read can prove "same rows, nothing lost, nothing
+    mutated" without comparing data. Shards follow shard_assign's
+    hash-mod scheme (same salt => the manifest describes exactly the
+    shards shard_assign laid out).
+
+    The fingerprint must be ORDER-FREE (shard files get rewritten in
+    any row order) and exact at any scale: each row contributes the
+    48-bit integer from the first 12 md5 hex chars of its canonical
+    content string (key and content columns joined with '|', NULLs as
+    ''), summed in DECIMAL(38,0) — exact and commutative, no float, no
+    int64 overflow (2^48 * rows stays inside 38 digits past 10^23
+    rows) — then reduced mod 2^31 - 1 to a compact check value. A
+    single changed byte, dropped row, or duplicated row flips the
+    fingerprint with the usual hash confidence.
+
+    One narrow projection + one hash aggregate on the shard key; output
+    is n_shards rows."""
+    content = F.concat_ws(
+        "|",
+        F.col(key_col).cast("string"),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols],
+    )
+    h = coord_md5(F.col(key_col), salt)
+    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    row48 = F.conv(F.substring(F.md5(content), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return (
+        df.select(
+            F.pmod(h32, F.lit(n_shards)).cast("int").alias("shard"),
+            row48.alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.pmod(F.sum("_h"), F.lit(2147483647).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("fingerprint"),
+        )
+    )

@@ -8446,3 +8446,44 @@ def x_cluster_split(spark, sf_dir):
     ).select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "split"
     )
+
+
+def _hex48_sql(h: str) -> str:
+    """48-bit integer from a 12-hex-char column expression (the
+    _hex32_sql digit math, widened to 12 digits)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) "
+        f"* {16 ** (11 - j)}"
+        for j in range(12)
+    )
+    return f"({terms})"
+
+
+_MANIFEST_SHARDS = 8
+
+
+@_register(
+    "x_shard_manifest",
+    "per-shard integrity manifest for the export: row count + "
+    "order-free exact content fingerprint (48-bit md5 row hashes "
+    "summed in DECIMAL — commutative, overflow-free — reduced mod "
+    "2^31-1), same hash-mod shards as x_shard_assign; the receipt that "
+    "lets any later copy/compaction/re-read prove 'same rows' without "
+    "comparing data (north-star: one projection + one 8-row aggregate)",
+    f"""
+    WITH r AS (
+      SELECT ({_hex32_sql("substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)")}
+              % {_MANIFEST_SHARDS}) AS shard,
+             {_hex48_sql("substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), coalesce(text, ''), coalesce(lang, ''), coalesce(source, ''))), 1, 12)")}
+               AS h
+      FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) % 2147483647 AS BIGINT) AS fingerprint
+    FROM r GROUP BY shard
+    """,
+)
+def x_shard_manifest(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _cx.shard_manifest(
+        docs, "doc_id", ["text", "lang", "source"], n_shards=_MANIFEST_SHARDS
+    )

@@ -458,3 +458,47 @@ def test_cluster_split_no_cross_split_leakage(spark, sf_dir):
     assert per_cluster.filter(F2.col("k") > 1).count() == 0
     # and all three splits exist over the corpus (clusters are many)
     assert out.select("split").distinct().count() == 3
+
+
+def test_shard_manifest_detects_mutation_and_is_order_free(spark):
+    from sparkstreaming_realtime_project_spark.operators.corpus import (
+        shard_manifest,
+    )
+
+    rows = [(i, f"text {i}", "en") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base = {
+        r["shard"]: (r["n_rows"], r["fingerprint"])
+        for r in shard_manifest(df, "doc_id", ["text", "lang"], 4).collect()
+    }
+    assert sum(n for n, _ in base.values()) == 200
+
+    # row order / partitioning never changes the manifest
+    shuffled = df.orderBy(F.col("text").desc()).repartition(7)
+    again = {
+        r["shard"]: (r["n_rows"], r["fingerprint"])
+        for r in shard_manifest(shuffled, "doc_id", ["text", "lang"], 4).collect()
+    }
+    assert again == base
+
+    # a single mutated byte flips exactly that shard's fingerprint
+    mutated = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("text 7!")).otherwise(F.col("text")),
+    )
+    mut = {
+        r["shard"]: (r["n_rows"], r["fingerprint"])
+        for r in shard_manifest(mutated, "doc_id", ["text", "lang"], 4).collect()
+    }
+    diff = [s for s in base if mut[s] != base[s]]
+    assert len(diff) == 1
+    assert mut[diff[0]][0] == base[diff[0]][0]  # same row count, new print
+
+    # a dropped row flips count AND fingerprint of its shard only
+    dropped = df.filter(F.col("doc_id") != 7)
+    drp = {
+        r["shard"]: (r["n_rows"], r["fingerprint"])
+        for r in shard_manifest(dropped, "doc_id", ["text", "lang"], 4).collect()
+    }
+    diff2 = [s for s in base if drp[s] != base[s]]
+    assert len(diff2) == 1 and drp[diff2[0]][0] == base[diff2[0]][0] - 1
