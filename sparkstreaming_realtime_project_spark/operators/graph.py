@@ -264,6 +264,7 @@ def jaccard_link_prediction(
     dst: str = "dst",
     min_common: int = 2,
     materialize: bool = True,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Neighbor-overlap link prediction (Liben-Nowell & Kleinberg,
     CIKM 2003): for every NON-adjacent node pair at distance 2, the
@@ -281,9 +282,13 @@ def jaccard_link_prediction(
     edges. ``min_common`` prunes the long tail of weak candidates
     BEFORE the degree join — at scale the single-common-neighbor pairs
     dominate the wedge volume and carry no signal. Hub fanout is the
-    usual wedge caveat: bound it upstream by df-capping/removing
-    celebrity nodes (the same governance every wedge-based op here
-    documents).
+    usual wedge caveat — a center u fans out deg(u)^2 and no
+    orientation trick applies (the pair IS the output) — so
+    ``max_center_degree`` enforces the governance in-operator: wedges
+    through higher-degree centers are skipped, bounding wedge volume by
+    n_centers * cap^2 at a documented recall cost (common counts can
+    undercount by skipped hubs; degrees in the Jaccard denominator stay
+    exact).
 
     Returns (node_x, node_y, common, jacc) with node_x < node_y, jacc
     in the floor-round form both engines replay."""
@@ -305,8 +310,21 @@ def jaccard_link_prediction(
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    e1 = sym.select(F.col("a").alias("u"), F.col("b").alias("x"))
-    e2 = sym.select(F.col("a").alias("u"), F.col("b").alias("y"))
+    # the wedge center u inherently fans out deg(u)^2 — unlike the
+    # triangle path there is no orientation trick (x, y ARE the output
+    # pair), so hub governance is an explicit degree cap on the CENTER:
+    # wedges through celebrity nodes are skipped (the LSH-bucket-cap
+    # recall trade, enforced here instead of assumed upstream). Scores
+    # of surviving pairs still use TRUE degrees; only their
+    # common-neighbor count can undercount by the skipped hubs.
+    centers = sym
+    if max_center_degree is not None:
+        ok_centers = deg.filter(
+            F.col("degree") <= max_center_degree
+        ).select(F.col("node").alias("a"))
+        centers = sym.join(F.broadcast(ok_centers), "a")
+    e1 = centers.select(F.col("a").alias("u"), F.col("b").alias("x"))
+    e2 = centers.select(F.col("a").alias("u"), F.col("b").alias("y"))
     wedges = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
     common = (
         wedges.groupBy("x", "y")

@@ -502,3 +502,28 @@ def test_shard_manifest_detects_mutation_and_is_order_free(spark):
     }
     diff2 = [s for s in base if drp[s] != base[s]]
     assert len(diff2) == 1 and drp[diff2[0]][0] == base[diff2[0]][0] - 1
+
+
+def test_jaccard_link_prediction_center_degree_cap(spark):
+    # star hub 0 -- {1..6} plus chain 1-2, 2-3: without a cap the hub
+    # generates C(6,2)=15 wedges; capped at degree 3 the hub is skipped
+    # as a center and only chain-centered wedges survive.
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(1, 2), (2, 3)],
+        "src int, dst int",
+    )
+    uncapped = {
+        (r["node_x"], r["node_y"]): r["common"]
+        for r in jaccard_link_prediction(edges, min_common=1).collect()
+    }
+    capped = {
+        (r["node_x"], r["node_y"]): r["common"]
+        for r in jaccard_link_prediction(
+            edges, min_common=1, max_center_degree=3
+        ).collect()
+    }
+    # hub-centered pairs like (4,5) vanish under the cap
+    assert (4, 5) in uncapped and (4, 5) not in capped
+    # chain-centered wedge (1,3) through center 2 survives; its common
+    # count drops from 2 (center 2 AND hub 0) to 1 (center 2 only)
+    assert uncapped[(1, 3)] == 2 and capped[(1, 3)] == 1
