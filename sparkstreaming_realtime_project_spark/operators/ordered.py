@@ -11,11 +11,13 @@ frontier filtering, and transition statistics — each expressed as
 DataFrame windows/aggregates so Catalyst keeps the single shuffle on
 the partition key and whole-stage codegen owns the arithmetic.
 
-Determinism contract (oracle-portable): island ids depend only on the
-(start, end)-sorted order — full ties are interchangeable, so counts
-and sums are order-free; EWMA uses an explicit left-associated
-fixed-weight chain (identical float op order on any engine); Markov
-probabilities are integer-count ratios rounded with the floor form.
+Determinism contract (oracle-portable): island windows run under a
+TOTAL order (synthesized row_number tiebreaker — full ties are
+value-identical, so rank assignment among them is irrelevant, but both
+window passes must agree on one order; see interval_union); EWMA uses
+an explicit left-associated fixed-weight chain (identical float op
+order on any engine); Markov probabilities are integer-count ratios
+rounded with the floor form.
 """
 
 from __future__ import annotations
@@ -262,4 +264,53 @@ def markov_transitions(
         "to_state",
         F.col("n").cast("long").alias("n"),
         p.alias("p"),
+    )
+
+
+def markov_surprise(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-key sequence surprise under the corpus's own first-order
+    Markov model: avg -ln P(next | current) over the key's observed
+    transitions — high scorers follow transition patterns the corpus
+    doesn't (bot traffic, broken instrumentation, scripted sessions);
+    the transition-level analog of unigram/KN text surprise, on the
+    same ordered event stream markov_transitions models.
+
+    Shape: the model IS markov_transitions' output (|S|^2 rows,
+    broadcast); per-key transition counts are one windowed lead + one
+    hash aggregate; scoring is a broadcast join + one keyed aggregate.
+    Model probabilities arrive floor-rounded (1e-6), so both engines ln
+    the identical double; the per-key sum shares the kn_bigram_logprob
+    determinism posture (few-hundred-term float sums under a 1e-4
+    floor round).
+
+    Returns (key, n_transitions, surprise)."""
+    model = markov_transitions(
+        df, key_col, order_cols, state_col, decimals=6
+    ).select("from_state", "to_state", "p")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    seq = df.withColumn("_nxt", F.lead(state_col).over(w)).filter(
+        F.col("_nxt").isNotNull()
+    )
+    ut = seq.groupBy(
+        F.col(key_col),
+        F.col(state_col).alias("from_state"),
+        F.col("_nxt").alias("to_state"),
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    scored = ut.join(F.broadcast(model), ["from_state", "to_state"])
+    scale = float(10**decimals)
+    surprise = F.floor(
+        F.sum(F.col("tf") * -F.log(F.col("p")))
+        / F.sum("tf")
+        * F.lit(scale)
+        + F.lit(0.5)
+    ) / F.lit(scale)
+    return scored.groupBy(key_col).agg(
+        F.sum("tf").cast("long").alias("n_transitions"),
+        surprise.alias("surprise"),
     )

@@ -8487,3 +8487,42 @@ def x_shard_manifest(spark, sf_dir):
     return _cx.shard_manifest(
         docs, "doc_id", ["text", "lang", "source"], n_shards=_MANIFEST_SHARDS
     )
+
+
+@_register(
+    "x_markov_surprise",
+    "per-user sequence surprise under the corpus's own first-order "
+    "Markov transition model (avg -ln P(next|current) over the user's "
+    "transitions): bot/scripted-session detection on the same ordered "
+    "event stream x_markov_transitions models — model is the |S|^2 "
+    "broadcast matrix, scoring is one windowed lead + two keyed "
+    "aggregates (north-star)",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (SELECT event_type AS from_state, nxt AS to_state,
+                 count(*) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    model AS (SELECT from_state, to_state,
+                     floor(CAST(n AS DOUBLE)
+                           / CAST(sum(n) OVER (PARTITION BY from_state)
+                                  AS DOUBLE)
+                           * 1000000 + 0.5) / 1000000 AS p
+              FROM c),
+    ut AS (SELECT user_id, event_type AS from_state, nxt AS to_state,
+                  count(*) AS tf
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT user_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+           floor(sum(tf * -ln(p)) / sum(tf) * 1e4 + 0.5) / 1e4 AS surprise
+    FROM ut JOIN model USING (from_state, to_state)
+    GROUP BY user_id
+    """,
+)
+def x_markov_surprise(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return _ord.markov_surprise(
+        ev, "user_id", ["ts", "event_id"], "event_type", decimals=4
+    )

@@ -41,16 +41,18 @@ def test_rows_only_runs(spark, sf_dir, spec):
 def test_registry_rotation_order():
     """The driver's CORRECTNESS window covers only the first 50 registry
     entries — registry() must order by priority: driver-RED (fixed,
-    awaiting re-verification) beats never-checked beats exposed-but-
-    unconfirmed (r4 window, artifact never landed) beats confirmed-green
+    awaiting re-verification) beats never-checked beats confirmed-green
     (stalest exposure first). Otherwise red fixes go unverified or
-    entries starve outside the window forever."""
+    entries starve outside the window forever. (The r4
+    exposed-unconfirmed tier drained to zero in round 7 — every
+    registered entry now has a confirmed green row.)"""
     from sparkstreaming_realtime_project_spark.plans.catalog import (
-        _DRIVER_RED_R6,
+        _DRIVER_RED_R7,
         _DRIVER_VERIFIED_R2,
         _DRIVER_VERIFIED_R3,
         _DRIVER_VERIFIED_R5,
         _DRIVER_VERIFIED_R6,
+        _DRIVER_VERIFIED_R7,
         _DRIVER_WINDOW_R4,
         registry,
     )
@@ -58,43 +60,46 @@ def test_registry_rotation_order():
     names = [s.name for s in registry()]
     green = (
         _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R5
-        | _DRIVER_VERIFIED_R6
+        | _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_WINDOW_R4
     )
-    # r6 greens supersede r4 exposure — only the unconfirmed remainder
-    # keeps priority-2 standing
-    exposed = _DRIVER_WINDOW_R4 - _DRIVER_VERIFIED_R6
 
     def tier(n):
-        if n in _DRIVER_RED_R6:
+        if n in _DRIVER_RED_R7:
             return 0  # red beats...
-        if n not in green and n not in exposed:
+        if n not in green:
             return 1  # ...never-checked beats...
-        if n in exposed:
-            return 2  # ...exposed-unconfirmed beats...
-        return 3  # ...confirmed green
+        return 2  # ...confirmed green
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), (
         "registry() rotation out of priority order: "
         f"{[n for n, t, ts in zip(names, tiers, sorted(tiers)) if t != ts][:5]}"
     )
-    # the 16-entry r4 exposure backlog must sit INSIDE the round-7 driver
-    # window (the verdict's top item: drain it to zero this round) —
-    # which also caps new never-checked registrations at 50 - 16 = 34
-    assert all(n in names[:50] for n in exposed), (
-        "r4 exposure backlog pushed out of the 50-slot window — too many "
-        "new registrations this round"
+    # confirmed-green back-fill is ordered stalest-exposure-first; a
+    # name's LATEST green row decides its cohort
+    latest = {}
+    for rank, cohort_set in enumerate(
+        [
+            _DRIVER_VERIFIED_R2,
+            _DRIVER_VERIFIED_R3,
+            _DRIVER_WINDOW_R4,
+            _DRIVER_VERIFIED_R5,
+            _DRIVER_VERIFIED_R6,
+            _DRIVER_VERIFIED_R7,
+        ]
+    ):
+        for n in cohort_set:
+            latest[n] = max(latest.get(n, -1), rank)
+    # r4 was exposure (not confirmation); its unconfirmed members all
+    # went green in r7, so rank them with their r7 standing
+    green_tail = [n for n in names if tier(n) == 2]
+    ranks = [latest[n] for n in green_tail]
+    # the r4-exposed cohort members re-greened in r6/r7 take the later
+    # rank via max(); ordering must be non-decreasing
+    assert ranks == sorted(ranks), (
+        f"stale-first back-fill violated near: "
+        f"{[n for n, r, rs in zip(green_tail, ranks, sorted(ranks)) if r != rs][:5]}"
     )
-    # confirmed-green back-fill is ordered stalest-exposure-first
-    green_tail = [n for n in names if tier(n) == 3]
-    cohort = {
-        **{n: 0 for n in _DRIVER_VERIFIED_R2},
-        **{n: 1 for n in _DRIVER_VERIFIED_R3},
-        **{n: 2 for n in _DRIVER_VERIFIED_R5},
-        **{n: 3 for n in _DRIVER_VERIFIED_R6},  # latest green wins
-    }
-    ranks = [cohort[n] for n in green_tail]
-    assert ranks == sorted(ranks)
 
 
 def _flat_duck_types(con, sql):

@@ -527,3 +527,34 @@ def test_jaccard_link_prediction_center_degree_cap(spark):
     # chain-centered wedge (1,3) through center 2 survives; its common
     # count drops from 2 (center 2 AND hub 0) to 1 (center 2 only)
     assert uncapped[(1, 3)] == 2 and capped[(1, 3)] == 1
+
+
+def test_markov_surprise_hand_computed(spark):
+    import math
+
+    from sparkstreaming_realtime_project_spark.operators.ordered import (
+        markov_surprise,
+    )
+
+    # corpus: u1 alternates A,B,A,B (A->B x2, B->A x1); u2 repeats
+    # A,A,A (A->A x2). From A: p(A->B) = p(A->A) = 0.5; B->A p = 1.0.
+    df = spark.createDataFrame(
+        [
+            (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "B"),
+            (2, 1, "A"), (2, 2, "A"), (2, 3, "A"),
+        ],
+        "uid int, ts int, ev string",
+    )
+    rows = {
+        r["uid"]: r
+        for r in markov_surprise(df, "uid", ["ts"], "ev").collect()
+    }
+    # u1: (2 * -ln(0.5) + 1 * -ln(1.0)) / 3
+    want1 = math.floor((2 * -math.log(0.5)) / 3 * 1e4 + 0.5) / 1e4
+    assert rows[1]["n_transitions"] == 3
+    assert rows[1]["surprise"] == want1
+    # u2: both transitions at p=0.5 -> -ln(0.5); all mass on the rarer
+    # path makes u2 the higher scorer
+    want2 = math.floor(-math.log(0.5) * 1e4 + 0.5) / 1e4
+    assert rows[2]["surprise"] == want2
+    assert rows[2]["surprise"] > rows[1]["surprise"]
