@@ -281,27 +281,39 @@ def markov_surprise(
     the transition-level analog of unigram/KN text surprise, on the
     same ordered event stream markov_transitions models.
 
-    Shape: the model IS markov_transitions' output (|S|^2 rows,
-    broadcast); per-key transition counts are one windowed lead + one
-    hash aggregate; scoring is a broadcast join + one keyed aggregate.
-    Model probabilities arrive floor-rounded (1e-6), so both engines ln
-    the identical double; the per-key sum shares the kn_bigram_logprob
-    determinism posture (few-hundred-term float sums under a 1e-4
-    floor round).
+    Shape: ONE windowed lead pass over the data — the global model is
+    DERIVED from the per-key transition counts (sum over keys of tf ==
+    the corpus transition count, so no second scan; the per-key frame
+    is persisted across its two consumers and released after). Model
+    probabilities are floor-rounded (1e-6) exactly like
+    markov_transitions', so both engines ln the identical double; the
+    per-key sum shares the kn_bigram_logprob determinism posture
+    (few-hundred-term float sums under a 1e-4 floor round).
 
     Returns (key, n_transitions, surprise)."""
-    model = markov_transitions(
-        df, key_col, order_cols, state_col, decimals=6
-    ).select("from_state", "to_state", "p")
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     seq = df.withColumn("_nxt", F.lead(state_col).over(w)).filter(
         F.col("_nxt").isNotNull()
     )
-    ut = seq.groupBy(
-        F.col(key_col),
-        F.col(state_col).alias("from_state"),
-        F.col("_nxt").alias("to_state"),
-    ).agg(F.count(F.lit(1)).alias("tf"))
+    ut = (
+        seq.groupBy(
+            F.col(key_col),
+            F.col(state_col).alias("from_state"),
+            F.col("_nxt").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    ut.count()  # materialize: feeds BOTH the model and the scoring join
+    counts = ut.groupBy("from_state", "to_state").agg(
+        F.sum("tf").alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("from_state"))
+    p = F.floor(
+        F.col("n").cast("double") / tot.cast("double") * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    model = counts.select("from_state", "to_state", p.alias("p"))
     scored = ut.join(F.broadcast(model), ["from_state", "to_state"])
     scale = float(10**decimals)
     surprise = F.floor(
@@ -310,7 +322,10 @@ def markov_surprise(
         * F.lit(scale)
         + F.lit(0.5)
     ) / F.lit(scale)
-    return scored.groupBy(key_col).agg(
+    out = scored.groupBy(key_col).agg(
         F.sum("tf").cast("long").alias("n_transitions"),
         surprise.alias("surprise"),
-    )
+    ).persist()
+    out.count()
+    ut.unpersist()
+    return out
