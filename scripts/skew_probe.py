@@ -95,13 +95,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: JIT/codegen for the whole operator chain on a toy graph,
     # so the first measured size isn't charged the JVM cold start
-    gr.triangle_counts(hub_chain_edges(spark, 2_000), "src", "dst").count()
+    gr.triangle_counts(hub_chain_edges(spark, 2_000), "src", "dst", materialize=True).count()
     rows = []
     for n in sizes:
         edges = hub_chain_edges(spark, n).persist()
         edges.count()
         t0 = time.perf_counter()
-        out = gr.triangle_counts(edges, "src", "dst")
+        out = gr.triangle_counts(edges, "src", "dst", materialize=True)
         total = out.agg(F.sum("n_triangles").cast("long")).first()[0]
         wall = round(time.perf_counter() - t0, 2)
         # every triangle contributes 1 to each of its 3 member nodes

@@ -139,7 +139,7 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph, by DEGREE-ORIENTED wedge join (Schank/Wagner;
@@ -160,16 +160,19 @@ def triangle_counts(
     integer keys; counts are exact integers, the coefficient
     2T/(d(d-1)) is emitted in the floor-round form both engines replay.
 
-    ``materialize`` (default True): the canonical edge set, the degree
-    table and the oriented edges each feed SEVERAL plan branches (deg ->
-    orientation + final join-back; ori -> both wedge sides + the closing
-    edge set); unpersisted, Catalyst recomputes the whole upstream
-    distinct+join chain per branch — measured 6x wall-clock on the
-    skewed-hub probe (scripts/skew_probe.py: 15 s -> 2.6 s at 90k
-    edges). With it, intermediates are persisted, the node-sized result
-    is materialized, and the intermediates are released before
-    returning (the connected_components discipline). Pass False only to
-    compose the LAZY plan into a larger one you persist yourself.
+    ``materialize`` (default False): the canonical edge set, degree
+    table and oriented edges each feed SEVERAL plan branches, so the
+    LAZY plan recomputes the upstream per branch — a real cost when
+    building ``edges`` is expensive (an uncached self-join: the
+    skewed-hub probe measured 6x, 15 s -> 2.6 s at 90k edges,
+    materialized). But materialization is NOT free: the persist +
+    count barriers break whole-stage pipelining of the wedge -> close
+    -> count chain, and on triangle-DENSE graphs that pipelining is
+    the dominant win (the disjoint-copy winnow-graph probe measured
+    the opposite 6x: 4 s lazy vs 24 s materialized at 1.3M edges /
+    6.5M triangles). Default lazy; opt in when your edge subtree is
+    expensive to recompute and triangle volume is moderate — or
+    persist ``edges`` yourself and keep the lazy plan.
 
     Returns (node, degree, n_triangles, clustering_coeff) for every
     node of the edge set, zeros included — dropping triangle-free nodes
@@ -263,7 +266,7 @@ def jaccard_link_prediction(
     src: str = "src",
     dst: str = "dst",
     min_common: int = 2,
-    materialize: bool = True,
+    materialize: bool = False,
     max_center_degree: int | None = None,
 ) -> DataFrame:
     """Neighbor-overlap link prediction (Liben-Nowell & Kleinberg,

@@ -1,5 +1,6 @@
 """Record linkage: blocked pair generation + Fellegi-Sunter-style
-agreement scoring.
+agreement scoring + EM parameter estimation (linkage_em) for learning
+the agreement weights from unlabeled pairs.
 
 Deduplication (operators/dedup.py) asks "are these two TEXTS the same
 content?"; record linkage asks "are these two STRUCTURED records the

@@ -7251,7 +7251,11 @@ def x_triangle_counts(spark, sf_dir):
     edges = a.join(
         b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
     ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    return _gr.triangle_counts(edges, "src", "dst")
+    # the lineitem self-join edge subtree is expensive and uncached —
+    # lazy recompute per branch measured 17-20 s vs ~6 s materialized
+    # at sf0.1 (the dense-graph pipelining loss is smaller than the
+    # recompute cost here; x_link_prediction is the opposite case)
+    return _gr.triangle_counts(edges, "src", "dst", materialize=True)
 
 
 @_register(
