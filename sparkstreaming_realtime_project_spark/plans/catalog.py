@@ -8530,3 +8530,77 @@ def x_markov_surprise(spark, sf_dir):
     return _ord.markov_surprise(
         ev, "user_id", ["ts", "event_id"], "event_type", decimals=4
     )
+
+
+_HLL_STREAM_BATCHES = 3
+_HLL_STREAM_PATHS: dict = {}
+
+
+def _hll_stream_store(spark, sf_dir: str) -> str:
+    """3-batch streaming HLL register store over events user_ids,
+    sharded by event_id % 3 — the batch replay of streaming_hll_distinct
+    (identical hll_registers writer the foreachBatch sink runs)."""
+    key = (sf_dir, _HLL_STREAM_BATCHES)
+    if key not in _HLL_STREAM_PATHS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_hll_stream_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events")
+        for b in range(_HLL_STREAM_BATCHES):
+            regs = _sk.hll_registers(
+                ev.filter(F.col("event_id") % _HLL_STREAM_BATCHES == b),
+                "user_id",
+            )
+            regs.write.mode("overwrite").parquet(
+                os.path.join(path, f"batch={b}")
+            )
+        _HLL_STREAM_PATHS[key] = path
+    return _HLL_STREAM_PATHS[key]
+
+
+@_register(
+    "x_hll_stream",
+    "streaming HyperLogLog distinct store, driver-exposed: three "
+    "micro-batch register tables (the same hll_registers writer the "
+    "streaming_hll_distinct foreachBatch sink runs, idempotent "
+    "batch=N dirs) merged by cell-wise max and finalized — "
+    "finalize(merge(shards)) == one-pass estimate EXACTLY (mergeable "
+    "sketch algebra), so the oracle is the single-pass batch SQL "
+    "unchanged; state is batches x 64 integer registers regardless of "
+    "key cardinality (north-star)",
+    f"""
+    WITH h AS (SELECT substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)
+                      AS h8 FROM events),
+    b AS (SELECT ({_hex32_sql('h8')} % 64) AS reg,
+                 ({_hex32_sql('h8')} // 64) AS w FROM h),
+    r AS (SELECT reg,
+                 max(CASE WHEN w = 0 THEN 27
+                          ELSE 27 - length(bin(w)) END) AS mx
+          FROM b GROUP BY reg),
+    spine AS (SELECT unnest(range(0, 64)) AS reg),
+    regs AS (SELECT coalesce(r.mx, 0) AS mx
+             FROM spine s LEFT JOIN r ON r.reg = s.reg),
+    agg AS (SELECT sum(pow(2.0, -mx)) AS z,
+                   sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM regs)
+    SELECT round(CASE WHEN (0.709 * 64 * 64 / z) <= 160.0 AND zeros > 0
+                      THEN 64.0 * ln(64.0 / zeros)
+                      ELSE 0.709 * 64 * 64 / z END, 4) AS hll_estimate,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS true_distinct
+    FROM agg
+    """,
+)
+def x_hll_stream(spark, sf_dir):
+    from ..streaming.incremental import read_hll_estimate
+
+    store = _hll_stream_store(spark, sf_dir)
+    est = read_hll_estimate(spark, store)
+    tru = _t(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("true_distinct")
+    )
+    return est.crossJoin(tru)
