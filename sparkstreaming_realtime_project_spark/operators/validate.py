@@ -310,3 +310,60 @@ def t_closeness_report(
         emd.alias("emd"),
         at_risk.cast("int").alias("at_risk"),
     )
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Benford first-significant-digit audit (Newcomb 1881 / Benford
+    1938; Nigrini's fraud-screening form): naturally occurring,
+    multiplicatively spread amounts put digit d first with probability
+    log10(1 + 1/d) — fabricated, capped, or unit-mangled columns don't.
+    The classic cheap screen over money columns before training on or
+    aggregating them.
+
+    Determinism by construction: the first digit comes from INTEGER
+    math — floor(value) is exact on both engines and integer-to-string
+    is canonical, so no log10(value) ever runs on DATA (an engine's
+    libm vs StrictMath 1-ulp disagreement near a power of ten would
+    flip a discrete digit); the Benford expectations are nine compiled
+    CONSTANTS. Rows with value < 1 are excluded (their first
+    significant digit needs the fractional expansion — out of scope for
+    the money-column screen, stated not hidden).
+
+    One hash aggregate; output is 9 rows: (digit, n, share,
+    expected_share, abs_dev)."""
+    import math
+
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+    )
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("_tot"))
+    scale = float(10**decimals)
+
+    def _r(col):
+        return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == str(d), F.lit(math.log10(1.0 + 1.0 / d))
+        ).otherwise(expected)
+    share = F.col("n").cast("double") / F.col("_tot").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            _r(share).alias("share"),
+            _r(expected).alias("expected_share"),
+            _r(F.abs(share - expected)).alias("abs_dev"),
+        )
+    )

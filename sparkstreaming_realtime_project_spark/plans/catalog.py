@@ -8604,3 +8604,38 @@ def x_hll_stream(spark, sf_dir):
         F.count_distinct("user_id").alias("true_distinct")
     )
     return est.crossJoin(tru)
+
+
+@_register(
+    "x_benford_audit",
+    "Benford first-significant-digit audit (Nigrini fraud screen) of "
+    "order totals: observed vs log10(1+1/d) expected shares per digit "
+    "— the digit comes from INTEGER floor+string math (no log on data, "
+    "so no cross-engine libm flip can move a discrete digit), "
+    "expectations are compiled constants; one hash aggregate, 9-row "
+    "output (north-star)",
+    """
+    WITH ben(digit, p) AS (VALUES
+      ('1', 0.3010299956639812), ('2', 0.17609125905568124),
+      ('3', 0.12493873660829992), ('4', 0.09691001300805642),
+      ('5', 0.07918124604762482), ('6', 0.06694678963061322),
+      ('7', 0.05799194697768673), ('8', 0.05115252244738129),
+      ('9', 0.04575749056067514)),
+    c AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS digit,
+                 count(*) AS n
+          FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           floor(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS share,
+           floor(ben.p * 1e6 + 0.5) / 1e6 AS expected_share,
+           floor(abs(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) - ben.p)
+                 * 1e6 + 0.5) / 1e6 AS abs_dev
+    FROM c CROSS JOIN t JOIN ben USING (digit)
+    """,
+)
+def x_benford_audit(spark, sf_dir):
+    from ..operators.validate import benford_report
+
+    return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")

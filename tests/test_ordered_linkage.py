@@ -558,3 +558,23 @@ def test_markov_surprise_hand_computed(spark):
     want2 = math.floor(-math.log(0.5) * 1e4 + 0.5) / 1e4
     assert rows[2]["surprise"] == want2
     assert rows[2]["surprise"] > rows[1]["surprise"]
+
+
+def test_benford_report_hand_computed(spark):
+    import math
+
+    from sparkstreaming_realtime_project_spark.operators.validate import (
+        benford_report,
+    )
+
+    # 6 values starting with 1, 3 with 2, 1 with 9; one sub-1 row excluded
+    vals = [1.5, 10.0, 123.0, 19.99, 1.0, 1999.0, 2.0, 25.0, 200.0, 9.9, 0.5]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r["digit"]: r for r in benford_report(df, "v").collect()}
+    assert set(rows) == {"1", "2", "9"}
+    assert rows["1"]["n"] == 6 and rows["2"]["n"] == 3 and rows["9"]["n"] == 1
+    assert rows["1"]["share"] == 0.6
+    p1 = math.log10(2.0)
+    assert rows["1"]["expected_share"] == math.floor(p1 * 1e6 + 0.5) / 1e6
+    want_dev = math.floor(abs(0.6 - p1) * 1e6 + 0.5) / 1e6
+    assert rows["1"]["abs_dev"] == want_dev
