@@ -8639,3 +8639,71 @@ def x_benford_audit(spark, sf_dir):
     from ..operators.validate import benford_report
 
     return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_CMS_STREAM_BATCHES = 3
+_CMS_STREAM_PATHS: dict = {}
+
+
+def _cms_stream_store(spark, sf_dir: str) -> str:
+    """3-batch streaming CMS store over events user_ids, sharded by
+    event_id % 3 — the batch replay of streaming_cms_counts (identical
+    cms_sketch writer the foreachBatch sink runs per micro-batch)."""
+    key = (sf_dir, _CMS_STREAM_BATCHES, _CMS_D, _CMS_W)
+    if key not in _CMS_STREAM_PATHS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_cms_stream_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events")
+        for b in range(_CMS_STREAM_BATCHES):
+            _sk.cms_sketch(
+                ev.filter(F.col("event_id") % _CMS_STREAM_BATCHES == b),
+                "user_id",
+                d=_CMS_D,
+                w=_CMS_W,
+            ).write.mode("overwrite").parquet(
+                os.path.join(path, f"batch={b}")
+            )
+        _CMS_STREAM_PATHS[key] = path
+    return _CMS_STREAM_PATHS[key]
+
+
+@_register(
+    "x_cms_stream",
+    "streaming count-min store, driver-exposed (completing the "
+    "driver-checked mergeable-store trio with x_mg_topk_stream and "
+    "x_hll_stream): three micro-batch d x w cell tables (the same "
+    "cms_sketch writer the streaming_cms_counts sink runs) merged by "
+    "cell-wise SUM and min-probed — merge-of-shards equals the "
+    "single-pass sketch exactly, so the oracle is the batch SQL "
+    "unchanged; state is batches x d x w cells regardless of key "
+    "cardinality (north-star)",
+    f"""
+    WITH rows AS (SELECT unnest(range(0, {_CMS_D})) AS row),
+    cells AS (SELECT r.row,
+                     {_cms_bucket_sql('r.row', 'e.user_id', _CMS_W)} AS bucket
+              FROM events e CROSS JOIN rows r),
+    sk AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (SELECT k.user_id, r.row,
+                      {_cms_bucket_sql('r.row', 'k.user_id', _CMS_W)} AS bucket
+               FROM keys k CROSS JOIN rows r),
+    est AS (SELECT user_id, min(cnt) AS est
+            FROM probes JOIN sk USING (row, bucket) GROUP BY user_id),
+    tru AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id)
+    SELECT user_id, est, true_cnt FROM est JOIN tru USING (user_id)
+    """,
+)
+def x_cms_stream(spark, sf_dir):
+    from ..streaming.incremental import read_cms_estimate
+
+    store = _cms_stream_store(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct()
+    est = read_cms_estimate(spark, store, keys, "user_id", d=_CMS_D, w=_CMS_W)
+    tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return est.join(tru, "user_id").select("user_id", "est", "true_cnt")
