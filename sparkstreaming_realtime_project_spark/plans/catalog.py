@@ -8707,3 +8707,61 @@ def x_cms_stream(spark, sf_dir):
     est = read_cms_estimate(spark, store, keys, "user_id", d=_CMS_D, w=_CMS_W)
     tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
     return est.join(tru, "user_id").select("user_id", "est", "true_cnt")
+
+
+_AGG_STREAM_BATCHES = 3
+_AGG_STREAM_PATHS: dict = {}
+
+
+def _agg_stream_store(spark, sf_dir: str) -> str:
+    """3-batch IVM-lite aggregate store over events, sharded by
+    event_id % 3 — the batch replay of streaming_agg_store (identical
+    agg_write_batch the foreachBatch sink runs per micro-batch)."""
+    from ..streaming.incremental import agg_write_batch
+
+    key = (sf_dir, _AGG_STREAM_BATCHES)
+    if key not in _AGG_STREAM_PATHS:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_agg_stream_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events")
+        for b in range(_AGG_STREAM_BATCHES):
+            agg_write_batch(
+                ev.filter(F.col("event_id") % _AGG_STREAM_BATCHES == b),
+                b,
+                path,
+                ["user_id", "event_type"],
+                "value",
+            )
+        _AGG_STREAM_PATHS[key] = path
+    return _AGG_STREAM_PATHS[key]
+
+
+@_register(
+    "x_agg_store_stream",
+    "streaming IVM-lite exact aggregate store, driver-exposed (the "
+    "EXACT-state member of the mergeable-store family beside the "
+    "HLL/CMS/MG sketches): three micro-batch per-key partial aggregates "
+    "(count / decimal sum / min / max — the same agg_write_batch the "
+    "streaming_agg_store sink runs) merged at read into totals equal BY "
+    "ALGEBRA to one groupBy over the full stream; decimal sums make the "
+    "merge partition-order-free (north-star: each batch aggregates only "
+    "itself, reads never rescan history)",
+    """
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+           min(value) AS mn, max(value) AS mx,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             AS avg
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x_agg_store_stream(spark, sf_dir):
+    from ..streaming.incremental import read_agg_totals
+
+    store = _agg_stream_store(spark, sf_dir)
+    return read_agg_totals(spark, store, ["user_id", "event_type"])

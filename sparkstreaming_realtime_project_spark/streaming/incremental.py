@@ -453,20 +453,33 @@ def streaming_agg_store(
     contract as the HLL register store above."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        part = batch_df.groupBy(*key_cols).agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sm"),
-            F.min(value_col).alias("mn"),
-            F.max(value_col).alias("mx"),
-        )
-        part.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch={batch_id}")
-        )
+        agg_write_batch(batch_df, batch_id, store_dir, key_cols, value_col)
 
     return (
         stream.writeStream.foreachBatch(write)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
+    )
+
+
+def agg_write_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    key_cols: list[str],
+    value_col: str,
+) -> None:
+    """One batch's partial-aggregate delta write — the foreachBatch body
+    of :func:`streaming_agg_store`, module-level so a batch replay
+    (catalog exposure, backfill) runs the identical code path."""
+    part = batch_df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sm"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+    part.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={batch_id}")
     )
 
 
