@@ -8765,3 +8765,66 @@ def x_agg_store_stream(spark, sf_dir):
 
     store = _agg_stream_store(spark, sf_dir)
     return read_agg_totals(spark, store, ["user_id", "event_type"])
+
+
+@_register(
+    "x_anomaly_mad",
+    "robust per-type outliers by MAD (Iglewicz-Hoaglin modified "
+    "z-score 0.6745*(x-med)/MAD, |M| > 3.5): the mean/stddev moments "
+    "behind x_anomaly_zscore are themselves dragged by the outliers "
+    "they hunt — median/MAD have 50% breakdown; two keyed exact-"
+    "percentile aggregates + broadcast joins back, threshold cut on "
+    "the ROUNDED score so the cut is engine-stable; exact percentile "
+    "keeps the oracle exact — at 100 TB swap approx_percentile "
+    "(t-digest, mergeable) per group, the documented knob "
+    "(north-star)",
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    mad AS (SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type),
+    s AS (SELECT med.event_type, med.med, mad.mad
+          FROM med JOIN mad ON med.event_type = mad.event_type)
+    SELECT event_id, e.event_type,
+           floor(0.6745 * (e.value - s.med) / s.mad * 1e4 + 0.5) / 1e4
+             AS mscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE s.mad > 0
+      AND abs(floor(0.6745 * (e.value - s.med) / s.mad * 1e4 + 0.5)
+              / 1e4) > 3.5
+    """,
+)
+def x_anomaly_mad(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
+                "mad"
+            )
+        )
+    )
+    s = med.join(mad, "event_type")
+    m = (
+        F.floor(
+            F.lit(0.6745)
+            * (F.col("value") - F.col("med"))
+            / F.col("mad")
+            * F.lit(1e4)
+            + F.lit(0.5)
+        )
+        / F.lit(1e4)
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("mscore", m)
+        .filter(F.abs(F.col("mscore")) > 3.5)
+        .select("event_id", "event_type", "mscore")
+    )
