@@ -1,0 +1,146 @@
+"""Distributed order-statistics primitives.
+
+A global ``Window.orderBy(...)`` with no partitionBy collapses to ONE
+task — the classic Spark scale trap for running totals / ECDFs over
+data-sized frames. ``prefix_sums`` here is the standard two-pass
+distributed prefix sum instead: range-partition by the order key,
+cumulative-sum WITHIN each partition (a partitioned window — parallel),
+then add each partition's offset (the cumulative total of all earlier
+partitions — a partitions-sized frame, broadcast back). The result is
+exactly the global running sum, with no single data-sized task
+anywhere.
+
+Built for the ECDF family: Kolmogorov-Smirnov drift (x_ks_drift),
+CDF matching, quantile normalization — anything needing "how much mass
+lies at or below this key" at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Append ``<c>_cum`` global running-sum columns (inclusive of the
+    current row) for each ``c`` in ``sum_cols``, ordered by
+    ``order_cols`` — WITHOUT a global single-task window.
+
+    ``order_cols`` must be a TOTAL order (unique key combinations):
+    with duplicate keys the per-row prefix depends on tie order.
+    (Aggregate to distinct keys first — the ECDF use case does exactly
+    that.) Range partitioning keeps equal keys in one partition and
+    partitions ordered, so within-partition cumsum + earlier-partition
+    offsets compose to the exact global prefix.
+
+    Shape: one range exchange of the data, one PARTITIONED window, one
+    partitions-sized aggregate + window (tiny), one broadcast join.
+    Deterministic regardless of where the sampled range boundaries
+    land."""
+    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = d.select(
+        "*", *[F.sum(c).over(w_in).alias(f"_run_{c}") for c in sum_cols]
+    )
+    totals = d.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_tot_{c}").over(w_off), F.lit(0)).alias(
+                f"_off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out_cols = [c for c in df.columns]
+    return (
+        within.join(F.broadcast(offs), "_pid")
+        .select(
+            *out_cols,
+            *[
+                (F.col(f"_run_{c}") + F.col(f"_off_{c}")).alias(f"{c}_cum")
+                for c in sum_cols
+            ],
+        )
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value_col`` distributions of two groups: D = max over v of
+    |F_a(v) - F_b(v)| — the binless drift test complementing the binned
+    PSI report (drift_report): PSI needs a bin design and saturates on
+    shape-preserving shifts; KS is parameter-free and sensitive to any
+    CDF separation.
+
+    Exact by integer math: per distinct value, per-side counts; global
+    running counts via the distributed prefix sum above (value domain
+    stays distributed — no single-task sort); the deviation at v is
+    |cum_a * n_b - cum_b * n_a| — an INTEGER, so the max and its argmax
+    location are exact on any engine, with one float division at the
+    end (floor-rounded). Returns ONE row: (d_stat, at_value, n_a, n_b);
+    at_value is the smallest value achieving the max.
+
+    Scale: one hash aggregate to the distinct-value domain, one range
+    exchange for the prefix, one top-1 TakeOrdered. Counts stay longs;
+    the cross product cum * n caps at n_a * n_b (use DECIMAL upstream
+    if both sides exceed ~3e9 rows)."""
+    sided = df.filter(F.col(side_col).isin([side_a, side_b])).select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(side_col) == side_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ca"),
+        F.when(F.col(side_col) == side_b, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("cb"),
+    )
+    per_v = sided.groupBy("v").agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+    )
+    cums = prefix_sums(per_v, ["v"], ["ca", "cb"])
+    tot = per_v.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    num = F.abs(
+        F.col("ca_cum") * F.col("n_b") - F.col("cb_cum") * F.col("n_a")
+    )
+    scale = float(10**decimals)
+    best = (
+        cums.crossJoin(F.broadcast(tot))
+        .select("v", "n_a", "n_b", num.alias("num"))
+        .orderBy(F.col("num").desc(), F.col("v"))
+        .limit(1)
+    )
+    return best.select(
+        (
+            F.floor(
+                F.col("num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                * F.lit(scale)
+                + F.lit(0.5)
+            )
+            / F.lit(scale)
+        ).alias("d_stat"),
+        F.col("v").alias("at_value"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )

@@ -8828,3 +8828,42 @@ def x_anomaly_mad(spark, sf_dir):
         .filter(F.abs(F.col("mscore")) > 3.5)
         .select("event_id", "event_type", "mscore")
     )
+
+
+@_register(
+    "x_ks_drift",
+    "exact two-sample Kolmogorov-Smirnov drift between click and view "
+    "value distributions: distinct-value per-side counts, GLOBAL "
+    "running counts via a distributed two-pass prefix sum (range "
+    "partition + partitioned window + partition-offset broadcast — "
+    "never a single-task global window), deviation |cumA*nB - cumB*nA| "
+    "stays INTEGER so max and argmax are exact; the binless complement "
+    "of the binned PSI drift report (north-star)",
+    """
+    WITH a AS (SELECT value AS v,
+                      count(*) FILTER (event_type = 'click') AS ca,
+                      count(*) FILTER (event_type = 'view') AS cb
+               FROM events WHERE event_type IN ('click', 'view')
+               GROUP BY value),
+    t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM a),
+    r AS (SELECT v,
+                 sum(ca) OVER (ORDER BY v) AS cum_a,
+                 sum(cb) OVER (ORDER BY v) AS cum_b
+          FROM a),
+    d AS (SELECT r.v, abs(r.cum_a * t.n_b - r.cum_b * t.n_a) AS num,
+                 t.n_a, t.n_b
+          FROM r, t),
+    best AS (SELECT * FROM d ORDER BY num DESC, v LIMIT 1)
+    SELECT floor(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS d_stat,
+           v AS at_value,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM best
+    """,
+)
+def x_ks_drift(spark, sf_dir):
+    from ..operators.distributed import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_two_sample(ev, "value", "event_type", "click", "view")

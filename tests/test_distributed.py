@@ -1,0 +1,83 @@
+"""Distributed prefix-sum primitive + exact two-sample KS."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkstreaming_realtime_project_spark.operators.distributed import (
+    ks_two_sample,
+    prefix_sums,
+)
+
+
+def test_prefix_sums_matches_global_window(spark):
+    df = spark.createDataFrame(
+        [(i * 7 % 101, 1, i % 5) for i in range(101)], "k int, one int, x int"
+    ).repartition(13)  # scramble the physical layout first
+    got = {
+        r["k"]: (r["one_cum"], r["x_cum"])
+        for r in prefix_sums(df, ["k"], ["one", "x"]).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: (r["oc"], r["xc"])
+        for r in df.select(
+            "k", F.sum("one").over(w).alias("oc"), F.sum("x").over(w).alias("xc")
+        ).collect()
+    }
+    assert got == want
+    assert got[max(got)] == (101, sum(i % 5 for i in range(101)))
+
+
+def test_prefix_sums_no_global_single_task_window(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(50)], "k int, one int")
+    plan = (
+        prefix_sums(df, ["k"], ["one"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the data-sized window must be partitioned by _pid (parallel); the
+    # only unpartitioned window runs over the partitions-sized totals
+    assert "rangepartitioning" in plan.lower()
+    assert "partitionBy=[_pid]" in plan.replace(" ", "") or "_pid" in plan
+
+
+def test_ks_two_sample_hand_computed(spark):
+    # a: {1,2,3,4}, b: {3,4,5,6} -> D = 1/2 at v=2 (F_a=0.5, F_b=0)
+    rows = [(float(v), "a") for v in [1, 2, 3, 4]] + [
+        (float(v), "b") for v in [3, 4, 5, 6]
+    ]
+    df = spark.createDataFrame(rows, "value double, side string")
+    out = ks_two_sample(df, "value", "side", "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["d_stat"] == 0.5
+    assert r["at_value"] == 2.0  # smallest argmax
+    assert r["n_a"] == 4 and r["n_b"] == 4
+
+
+def test_ks_identical_distributions_zero(spark):
+    rows = [(float(v), s) for v in range(10) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "value double, side string")
+    r = ks_two_sample(df, "value", "side", "a", "b").collect()[0]
+    assert r["d_stat"] == 0.0
+
+
+def test_ks_matches_scipy_style_reference(spark):
+    # deterministic pseudo-samples; compare against a direct Python ECDF
+    a = [math.sin(i) * 10 for i in range(1, 80)]
+    b = [math.sin(i * 1.3 + 0.5) * 12 + 1 for i in range(1, 60)]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "value double, side string")
+    r = ks_two_sample(df, "value", "side", "a", "b").collect()[0]
+    vals = sorted(set(a) | set(b))
+    best = 0.0
+    for v in vals:
+        fa = sum(1 for x in a if x <= v) / len(a)
+        fb = sum(1 for x in b if x <= v) / len(b)
+        best = max(best, abs(fa - fb))
+    assert r["d_stat"] == math.floor(best * 1e6 + 0.5) / 1e6
