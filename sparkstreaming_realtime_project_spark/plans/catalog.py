@@ -8867,3 +8867,48 @@ def x_ks_drift(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return ks_two_sample(ev, "value", "event_type", "click", "view")
+
+
+@_register(
+    "x_ecdf_normalize",
+    "ECDF percentile normalization of document length: every doc gets "
+    "its corpus-wide length percentile (the scale-free feature quality "
+    "mixers and length-balanced samplers consume) — distinct-value "
+    "counts, global running counts via the distributed prefix sum "
+    "(never a single-task window), one broadcast join back; pct = "
+    "cum/n is one exact-integer division (north-star)",
+    """
+    WITH a AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+    t AS (SELECT sum(c) AS n FROM a),
+    r AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM a)
+    SELECT d.doc_id, d.n_chars,
+           floor(CAST(r.cum AS DOUBLE) / CAST(t.n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS pct
+    FROM documents d JOIN r ON r.v = d.n_chars CROSS JOIN t
+    """,
+)
+def x_ecdf_normalize(spark, sf_dir):
+    from ..operators.distributed import prefix_sums
+
+    docs = _t(spark, sf_dir, "documents")
+    per_v = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cums = prefix_sums(per_v, ["v"], ["c"])
+    tot = per_v.agg(F.sum("c").alias("n"))
+    pct = (
+        F.floor(
+            F.col("c_cum").cast("double")
+            / F.col("n").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    ecdf = (
+        cums.crossJoin(F.broadcast(tot))
+        .select(F.col("v"), pct.alias("pct"))
+    )
+    return docs.join(
+        F.broadcast(ecdf), docs["n_chars"] == ecdf["v"]
+    ).select("doc_id", "n_chars", "pct")
