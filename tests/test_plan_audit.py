@@ -440,3 +440,40 @@ def test_entity_resolution_pair_path_no_nlj(spark, sf_dir):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+# round-8 late additions: stores, audits, prefix-sum family.
+CASES_R8B = [
+    ("x_benford_audit", ["HashAggregate"], ["CartesianProduct"]),
+    ("x_anomaly_mad", ["BroadcastHashJoin"], ["CartesianProduct"]),
+    # the whole point: the data-sized running count comes from a range
+    # partition + _pid-partitioned window, never a single-task global
+    # window over the value domain; top-1 is TakeOrdered
+    ("x_ks_drift", ["rangepartitioning", "TakeOrderedAndProject"],
+     ["CartesianProduct"]),
+    ("x_ecdf_normalize", ["rangepartitioning", "BroadcastHashJoin"],
+     ["CartesianProduct"]),
+    ("x_hll_stream", [], ["CartesianProduct"]),
+    ("x_cms_stream", [], ["CartesianProduct"]),
+    ("x_agg_store_stream", ["HashAggregate"],
+     ["CartesianProduct", "Window"]),
+    ("x_markov_surprise", ["Window", "BroadcastHashJoin"],
+     ["CartesianProduct"]),
+    ("x_linkage_em", [], ["CartesianProduct", "NestedLoop"]),
+    ("x_t_closeness", ["HashAggregate"], ["CartesianProduct"]),
+    ("x_shard_manifest", ["HashAggregate"],
+     ["CartesianProduct", "Window", "Join"]),
+    ("x_cluster_split", [], ["CartesianProduct", "NestedLoop"]),
+]
+
+
+@pytest.mark.parametrize(
+    "name,want,ban", CASES_R8B, ids=[c[0] for c in CASES_R8B]
+)
+def test_plan_shape_r8b(spark, sf_dir, name, want, ban):
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in want:
+        assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
+    for frag in ban:
+        assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
