@@ -8912,3 +8912,68 @@ def x_ecdf_normalize(spark, sf_dir):
     return docs.join(
         F.broadcast(ecdf), docs["n_chars"] == ecdf["v"]
     ).select("doc_id", "n_chars", "pct")
+
+
+_IVF_STREAM_BATCHES = 3
+_IVF_STREAM_PATHS: dict = {}
+
+
+def _ivf_stream_store(spark, sf_dir: str, cents) -> str:
+    """3-batch cell-partitioned IVF ingest store over embeddings,
+    sharded by vec_id % 3 — the batch replay of streaming_ivf_ingest
+    (identical assignment + partitionBy(cell) layout the foreachBatch
+    sink writes per micro-batch)."""
+    from ..operators.similarity import _attach, _cell_expr, _cents_col, as_double_vec
+
+    key = (sf_dir, _IVF_STREAM_BATCHES)
+    if key not in _IVF_STREAM_PATHS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_ivf_stream_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        emb = _t(spark, sf_dir, "embeddings")
+        for b in range(_IVF_STREAM_BATCHES):
+            batch = emb.filter(F.col("vec_id") % _IVF_STREAM_BATCHES == b)
+            assigned = _attach(
+                batch.select(
+                    F.col("vec_id").alias("id"),
+                    as_double_vec("embedding").alias("v"),
+                ),
+                _cents_col(spark, cents),
+            ).select("id", "v", _cell_expr(F.col("v")).alias("cell"))
+            assigned.write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(path, f"batch={b}")
+            )
+        _IVF_STREAM_PATHS[key] = path
+    return _IVF_STREAM_PATHS[key]
+
+
+@_register(
+    "x_ivf_stream",
+    "streaming IVF index store, driver-exposed: three micro-batch "
+    "cell-partitioned ingests (the same model-broadcast assignment + "
+    "partitionBy(cell) layout streaming_ivf_ingest writes — a probe "
+    "prunes to n_probe cell dirs per batch, never the corpus) queried "
+    "with the shared trained centroids; cell assignment is a pure "
+    "function of the model, so the store probe is IDENTICAL to batch "
+    "ivf_topk and the oracle is x_knn_ivf's unrolled-training SQL "
+    "unchanged (north-star)",
+    _ivf_sql(n_cent=8, iters=3, q_max=20, k=3, n_probe=2),
+)
+def x_ivf_stream(spark, sf_dir):
+    from ..streaming.incremental import query_ivf_store
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _trained("ivf", spark, sf_dir, n_centroids=8, iters=3)
+    store = _ivf_stream_store(spark, sf_dir, cents)
+    return query_ivf_store(
+        spark,
+        store,
+        emb.filter(F.col("vec_id") < 20),
+        cents,
+        k=3,
+        n_probe=2,
+    )
