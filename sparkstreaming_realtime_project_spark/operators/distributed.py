@@ -144,3 +144,51 @@ def ks_two_sample(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """EXACT type-1 quantiles (smallest v with rank(v) >= ceil(p * n))
+    of ``value_col``, computed distributed: distinct-value counts, the
+    global running count via :func:`prefix_sums` (no single-task sort),
+    then for each requested probability the minimal qualifying value —
+    one small aggregate per quantile over the already-cumulated domain.
+
+    The exactness counterpart of approx_percentile for the cases where
+    the number MUST be reproducible and engine-portable (SLA cutoffs,
+    contract thresholds, oracle checks): type-1 (lower) quantiles are
+    pure integer-rank selections — no interpolation, no float
+    arithmetic on data at all. ceil(p * n) is computed with INTEGER
+    division (``(n * p_num + 999999) div 1e6`` with p passed as an
+    exact fraction over 1e6), so even the target rank can't
+    float-drift.
+
+    Returns one row per probability: (p, target_rank, value)."""
+    per_v = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cums = prefix_sums(per_v, ["v"], ["c"]).persist()
+    n = cums.agg(F.max("c_cum").alias("n"))
+    out = None
+    for p in probs:
+        p_num = int(round(p * 1_000_000))
+        target = F.expr(
+            f"CAST((n * {p_num} + 999999) DIV 1000000 AS BIGINT)"
+        )
+        sel = (
+            cums.crossJoin(F.broadcast(n))
+            .filter(F.col("c_cum") >= target)
+            .agg(
+                F.lit(p_num / 1_000_000).alias("p"),
+                F.min(target).alias("target_rank"),
+                F.min("v").alias("value"),
+            )
+        )
+        out = sel if out is None else out.unionByName(sel)
+    out = out.persist()
+    out.count()
+    cums.unpersist()
+    return out

@@ -8977,3 +8977,35 @@ def x_ivf_stream(spark, sf_dir):
         k=3,
         n_probe=2,
     )
+
+
+@_register(
+    "x_exact_quantiles",
+    "exact distributed type-1 quantiles of order totals (p50/p90/p99/"
+    "p999): distinct-value counts + the distributed prefix sum (no "
+    "single-task sort anywhere) + minimal-qualifying-value selection — "
+    "integer-rank selection with integer ceil division, zero float "
+    "arithmetic on data; the reproducible-by-contract counterpart of "
+    "approx_percentile (north-star)",
+    """
+    WITH a AS (SELECT o_totalprice AS v, count(*) AS c FROM orders
+               GROUP BY 1),
+    t AS (SELECT sum(c) AS n FROM a),
+    r AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM a),
+    ps(p_num) AS (VALUES (500000), (900000), (990000), (999000))
+    SELECT CAST(p_num AS DOUBLE) / 1000000 AS p,
+           CAST((t.n * p_num + 999999) // 1000000 AS BIGINT)
+             AS target_rank,
+           min(r.v) AS value
+    FROM ps CROSS JOIN t JOIN r
+      ON r.cum >= (t.n * p_num + 999999) // 1000000
+    GROUP BY p_num, t.n
+    """,
+)
+def x_exact_quantiles(spark, sf_dir):
+    from ..operators.distributed import exact_quantiles
+
+    orders = _t(spark, sf_dir, "orders")
+    return exact_quantiles(
+        orders, "o_totalprice", [0.5, 0.9, 0.99, 0.999]
+    )

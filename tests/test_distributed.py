@@ -81,3 +81,35 @@ def test_ks_matches_scipy_style_reference(spark):
         fb = sum(1 for x in b if x <= v) / len(b)
         best = max(best, abs(fa - fb))
     assert r["d_stat"] == math.floor(best * 1e6 + 0.5) / 1e6
+
+
+def test_exact_quantiles_hand_computed(spark):
+    from sparkstreaming_realtime_project_spark.operators.distributed import (
+        exact_quantiles,
+    )
+
+    # values 1..100, one each: type-1 pth quantile = ceil(p * 100)
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "x double"
+    )
+    rows = {
+        r["p"]: r for r in exact_quantiles(df, "x", [0.5, 0.9, 0.999]).collect()
+    }
+    assert rows[0.5]["value"] == 50.0 and rows[0.5]["target_rank"] == 50
+    assert rows[0.9]["value"] == 90.0
+    # ceil(0.999 * 100) = 100 -> the max
+    assert rows[0.999]["value"] == 100.0 and rows[0.999]["target_rank"] == 100
+
+
+def test_exact_quantiles_with_heavy_ties(spark):
+    from sparkstreaming_realtime_project_spark.operators.distributed import (
+        exact_quantiles,
+    )
+
+    # 90 copies of 1.0 and 10 copies of 2.0: p90 lands on 1.0 exactly
+    df = spark.createDataFrame(
+        [(1.0,)] * 90 + [(2.0,)] * 10, "x double"
+    )
+    rows = {r["p"]: r for r in exact_quantiles(df, "x", [0.9, 0.91]).collect()}
+    assert rows[0.9]["value"] == 1.0  # rank 90 is still inside the ties
+    assert rows[0.91]["value"] == 2.0
