@@ -9009,3 +9009,60 @@ def x_exact_quantiles(spark, sf_dir):
     return exact_quantiles(
         orders, "o_totalprice", [0.5, 0.9, 0.99, 0.999]
     )
+
+
+@_register(
+    "x_gap_fill",
+    "calendar gap-fill + forward-fill: daily order counts per priority "
+    "joined against the full generated date spine (missing days appear "
+    "as rows, not silences), then last-observation-carried-forward via "
+    "a PARTITIONED ignore-nulls window — the standard time-series "
+    "densification every reporting/feature table needs; spine is "
+    "generated (dates x priorities), never scanned (north-star)",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS od, o_orderpriority AS pr
+               FROM orders),
+    daily AS (SELECT od, pr, count(*) AS n FROM d GROUP BY 1, 2),
+    bounds AS (SELECT min(od) AS lo, max(od) AS hi FROM d),
+    spine AS (SELECT unnest(generate_series(lo, hi,
+                                            INTERVAL 1 DAY))::DATE AS od
+              FROM bounds),
+    prs AS (SELECT DISTINCT pr FROM d),
+    grid AS (SELECT s.od, p.pr FROM spine s CROSS JOIN prs p),
+    j AS (SELECT g.od, g.pr, daily.n
+          FROM grid g LEFT JOIN daily
+            ON daily.od = g.od AND daily.pr = g.pr)
+    SELECT strftime(od, '%Y-%m-%d') AS dt, pr,
+           CAST(coalesce(last_value(n IGNORE NULLS)
+                           OVER (PARTITION BY pr ORDER BY od
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW), 0) AS BIGINT) AS n,
+           CAST(n IS NULL AS INT) AS filled
+    FROM j
+    """,
+)
+def x_gap_fill(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.select(
+        F.to_date("o_orderdate").alias("od"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    daily = d.groupBy("od", "pr").agg(F.count(F.lit(1)).alias("n"))
+    bounds = d.agg(F.min("od").alias("lo"), F.max("od").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("od")
+    )
+    prs = d.select("pr").distinct()
+    grid = spine.crossJoin(F.broadcast(prs))
+    j = grid.join(daily, ["od", "pr"], "left")
+    w = Window.partitionBy("pr").orderBy("od").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return j.select(
+        F.date_format("od", "yyyy-MM-dd").alias("dt"),
+        "pr",
+        F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("n"),
+        F.col("n").isNull().cast("int").alias("filled"),
+    )
