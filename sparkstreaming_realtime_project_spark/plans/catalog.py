@@ -9066,3 +9066,51 @@ def x_gap_fill(spark, sf_dir):
         .alias("n"),
         F.col("n").isNull().cast("int").alias("filled"),
     )
+
+
+@_register(
+    "x_attribution_last_touch",
+    "last-touch attribution: every purchase credits the user's LAST "
+    "preceding non-purchase event (masked ignore-nulls window over the "
+    "(ts, event_id)-ordered per-user stream — one shuffle on user); "
+    "purchases with no preceding touch credit 'none'; revenue summed "
+    "in DECIMAL (order-free) and cast out (north-star)",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, event_type, value
+               FROM events),
+    m AS (SELECT user_id, ts, event_id, event_type, value,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS touch
+          FROM e)
+    SELECT coalesce(touch, 'none') AS attributed_to,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM m WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def x_attribution_last_touch(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("attributed_to"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
