@@ -9114,3 +9114,80 @@ def x_attribution_last_touch(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@_register(
+    "x_rfm_segmentation",
+    "RFM customer segmentation: per customer recency (days since last "
+    "order vs corpus max date), frequency (orders), monetary (decimal "
+    "spend); quintile scores via ntile(5) under a TOTAL order (metric + "
+    "custkey tiebreak — ntile over ties is engine-arbitrary otherwise), "
+    "concatenated into the classic RFM cell (north-star: two keyed "
+    "aggregates + three customer-domain windows)",
+    """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                      o_totalprice FROM orders),
+    mx AS (SELECT max(od) AS mxd FROM o),
+    per_c AS (SELECT o_custkey,
+                     date_diff('day', max(od), (SELECT mxd FROM mx))
+                       AS recency_days,
+                     count(*) AS frequency,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE) AS monetary
+              FROM o GROUP BY o_custkey),
+    scored AS (SELECT *,
+                 ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_inv,
+                 ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_sc,
+                 ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_sc
+               FROM per_c)
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(6 - r_inv AS INT) AS r_score,
+           CAST(f_sc AS INT) AS f_score,
+           CAST(m_sc AS INT) AS m_score,
+           concat(CAST(6 - r_inv AS VARCHAR), CAST(f_sc AS VARCHAR),
+                  CAST(m_sc AS VARCHAR)) AS rfm
+    FROM scored
+    """,
+)
+def x_rfm_segmentation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        "o_totalprice",
+    )
+    mx = o.agg(F.max("od").alias("mxd"))
+    per_c = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mxd"), F.max("od")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    r_inv = F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
+    f_sc = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    m_sc = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+    scored = per_c.select(
+        "*",
+        r_inv.alias("r_inv"),
+        f_sc.alias("f_sc"),
+        m_sc.alias("m_sc"),
+    )
+    return scored.select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        (F.lit(6) - F.col("r_inv")).cast("int").alias("r_score"),
+        F.col("f_sc").cast("int").alias("f_score"),
+        F.col("m_sc").cast("int").alias("m_score"),
+        F.concat(
+            (F.lit(6) - F.col("r_inv")).cast("string"),
+            F.col("f_sc").cast("string"),
+            F.col("m_sc").cast("string"),
+        ).alias("rfm"),
+    )
