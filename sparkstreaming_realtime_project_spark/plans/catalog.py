@@ -9191,3 +9191,81 @@ def x_rfm_segmentation(spark, sf_dir):
             F.col("m_sc").cast("string"),
         ).alias("rfm"),
     )
+
+
+_LIFT_MIN_SUPPORT = 2
+
+
+@_register(
+    "x_basket_lift",
+    "market-basket association rules on part co-purchase: pair support "
+    "counts (equi-join on the order key — fanout bounded by lines per "
+    "order, never a cross product), per-part basket counts, exact "
+    "integer support/confidence/lift with floor-rounds; min-support "
+    "prune BEFORE the stats join (the Apriori downward-closure cut) "
+    "(north-star)",
+    f"""
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem),
+    nb AS (SELECT count(DISTINCT o) AS n_baskets FROM e),
+    pc AS (SELECT p, count(*) AS n_p FROM e GROUP BY p),
+    pp AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
+           FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= {_LIFT_MIN_SUPPORT})
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           floor(CAST(n_ab AS DOUBLE) / nb.n_baskets * 1e6 + 0.5) / 1e6
+             AS support,
+           floor(CAST(n_ab AS DOUBLE) / ca.n_p * 1e6 + 0.5) / 1e6
+             AS confidence_a_to_b,
+           floor(CAST(n_ab AS DOUBLE) * nb.n_baskets
+                 / (CAST(ca.n_p AS DOUBLE) * cb.n_p) * 1e4 + 0.5) / 1e4
+             AS lift
+    FROM pp JOIN pc ca ON ca.p = part_a JOIN pc cb ON cb.p = part_b
+    CROSS JOIN nb
+    """,
+)
+def x_basket_lift(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    nb = e.agg(F.count_distinct("o").alias("n_baskets"))
+    pc = e.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = e.alias("a"), e.alias("b")
+    pp = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
+    )
+    ca = pc.select(F.col("p").alias("part_a"), F.col("n_p").alias("na"))
+    cb = pc.select(F.col("p").alias("part_b"), F.col("n_p").alias("nbp"))
+    scale6, scale4 = F.lit(1e6), F.lit(1e4)
+
+    def _r(col, s):
+        return F.floor(col * s + F.lit(0.5)) / s
+
+    return (
+        pp.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            _r(
+                F.col("n_ab").cast("double") / F.col("n_baskets"), scale6
+            ).alias("support"),
+            _r(F.col("n_ab").cast("double") / F.col("na"), scale6).alias(
+                "confidence_a_to_b"
+            ),
+            _r(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("na").cast("double") * F.col("nbp")),
+                scale4,
+            ).alias("lift"),
+        )
+    )
