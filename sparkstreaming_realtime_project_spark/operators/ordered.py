@@ -329,3 +329,46 @@ def markov_surprise(
     out.count()
     ut.unpersist()
     return out
+
+
+def cusum_shift(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """One-sided CUSUM upward mean-shift detection over an ordered
+    integer series (Page 1954): S_t = max(0, S_{t-1} + (x_t - target -
+    slack)), alarm when S_t > threshold — the sequential change-point
+    monitor a pipeline runs over daily volumes (EWMA flags spikes;
+    CUSUM accumulates small persistent shifts EWMA smooths away).
+
+    The recursion is NOT window-expressible directly, but the classic
+    identity S_t = P_t - min(P_0..P_t) with P_t = prefix sum of
+    (x_t - target - slack) and P_0 = 0 turns it into two running
+    aggregates over the series — both plain windows, no recursion, no
+    UDF. With INTEGER value/target/slack every quantity is exact on
+    any engine (the alarm threshold compares integers).
+
+    A keyless series is DOMAIN-sized by assumption (daily/hourly
+    points — thousands of rows; the window is a single task over the
+    domain, the same serial-stage budget as ewma_deviation's).
+
+    Returns (order_col, value, cusum, alarm)."""
+    d = (F.col(value_col) - F.lit(target) - F.lit(slack)).alias("_d")
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = df.select(F.col(order_col), F.col(value_col).alias("value"), d)
+    pref = base.withColumn("_p", F.sum("_d").over(w))
+    # min over (0, P_1..P_t): P_0 = 0 folds in via least(running_min, 0)
+    run_min = F.least(F.min("_p").over(w), F.lit(0))
+    cusum = (F.col("_p") - run_min).alias("cusum")
+    return pref.select(
+        order_col,
+        "value",
+        cusum,
+        (F.col("_p") - run_min > F.lit(threshold)).cast("int").alias("alarm"),
+    )

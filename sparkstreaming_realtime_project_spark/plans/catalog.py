@@ -9269,3 +9269,53 @@ def x_basket_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+_CUSUM_TARGET, _CUSUM_SLACK, _CUSUM_H = 6, 1, 20
+
+
+@_register(
+    "x_cusum_shift",
+    "one-sided CUSUM mean-shift monitor (Page'54) over the daily order "
+    "count series: the max(0, S+d) recursion rewritten as prefix-sum "
+    "minus running-min (two plain windows over the ~2.4k-day DOMAIN "
+    "frame, no recursion, no UDF); integer target/slack/threshold keep "
+    "every quantity exact — the persistent-shift complement of the "
+    "spike-sensitive EWMA entry (north-star)",
+    f"""
+    WITH daily AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                     AS dt, count(*) AS v
+                   FROM orders GROUP BY 1),
+    p AS (SELECT dt, v,
+                 sum(v - {_CUSUM_TARGET} - {_CUSUM_SLACK})
+                   OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS pp
+          FROM daily),
+    m AS (SELECT dt, v, pp,
+                 least(min(pp) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW), 0) AS mn
+          FROM p)
+    SELECT dt, CAST(v AS BIGINT) AS value,
+           CAST(pp - mn AS BIGINT) AS cusum,
+           CAST(pp - mn > {_CUSUM_H} AS INT) AS alarm
+    FROM m
+    """,
+)
+def x_cusum_shift(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("dt")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    out = _ord.cusum_shift(
+        daily, "dt", "v", target=_CUSUM_TARGET, slack=_CUSUM_SLACK,
+        threshold=_CUSUM_H,
+    )
+    return out.select(
+        "dt",
+        F.col("value").cast("long").alias("value"),
+        F.col("cusum").cast("long").alias("cusum"),
+        "alarm",
+    )

@@ -578,3 +578,43 @@ def test_benford_report_hand_computed(spark):
     assert rows["1"]["expected_share"] == math.floor(p1 * 1e6 + 0.5) / 1e6
     want_dev = math.floor(abs(0.6 - p1) * 1e6 + 0.5) / 1e6
     assert rows["1"]["abs_dev"] == want_dev
+
+
+def test_cusum_shift_hand_computed(spark):
+    from sparkstreaming_realtime_project_spark.operators.ordered import (
+        cusum_shift,
+    )
+
+    # target+slack = 5: d = v - 5. Series 5,5,9,9,9,2:
+    # d: 0,0,4,4,4,-3 -> S: 0,0,4,8,12,9; alarm at S > 7
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 9), (4, 9), (5, 9), (6, 2)], "t int, v int"
+    )
+    rows = {
+        r["t"]: r
+        for r in cusum_shift(
+            df, "t", "v", target=4, slack=1, threshold=7
+        ).collect()
+    }
+    assert [rows[t]["cusum"] for t in range(1, 7)] == [0, 0, 4, 8, 12, 9]
+    assert [rows[t]["alarm"] for t in range(1, 7)] == [0, 0, 0, 1, 1, 1]
+
+
+def test_cusum_resets_after_deficit(spark):
+    from sparkstreaming_realtime_project_spark.operators.ordered import (
+        cusum_shift,
+    )
+
+    # deep deficit then recovery: max(0, ...) must clamp at zero, and
+    # the prefix-minus-running-min identity must reproduce that clamp
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 10), (4, 3)], "t int, v int"
+    )
+    rows = {
+        r["t"]: r["cusum"]
+        for r in cusum_shift(
+            df, "t", "v", target=3, slack=0, threshold=100
+        ).collect()
+    }
+    # d: -3,-3,7,0 -> S: 0,0,7,7 (NOT 1: the clamp forgot the deficit)
+    assert [rows[t] for t in range(1, 5)] == [0, 0, 7, 7]
