@@ -41,9 +41,24 @@ def prefix_sums(
     Shape: one range exchange of the data, one PARTITIONED window, one
     partitions-sized aggregate + window (tiny), one broadcast join.
     Deterministic regardless of where the sampled range boundaries
-    land."""
-    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    land.
+
+    The range-partitioned frame is PERSISTED before fanning out to its
+    two consumers (the within-partition window and the per-partition
+    totals). Without the cache the two branches only share one physical
+    exchange when Spark's exchange-reuse dedup fires; if it doesn't
+    (``spark.sql.exchange.reuse=false``, plan-canonicalization drift),
+    each branch re-samples its own range boundaries and the ``_pid``
+    labels disagree between branches — silently corrupting the offsets.
+    Persisting makes both branches read the SAME materialized partitions
+    by construction. The cache entry stays resident until LRU eviction
+    (per-block recompute after eviction reuses the already-fixed
+    partitioner, so labels stay consistent); callers looping over many
+    prefix_sums calls should checkpoint/unpersist at their level."""
+    d = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_in = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
@@ -103,7 +118,13 @@ def ks_two_sample(
     Scale: one hash aggregate to the distinct-value domain, one range
     exchange for the prefix, one top-1 TakeOrdered. Counts stay longs;
     the cross product cum * n caps at n_a * n_b (use DECIMAL upstream
-    if both sides exceed ~3e9 rows)."""
+    if both sides exceed ~3e9 rows).
+
+    Fails LOUDLY (runtime error) when either side has zero rows after
+    the side filter: 0/0 would otherwise yield a NaN d_stat that a
+    downstream ``d_stat > threshold`` alert silently never fires on.
+    The output is anchored on the always-1-row totals aggregate, so the
+    empty-input case raises instead of returning an empty frame."""
     sided = df.filter(F.col(side_col).isin([side_a, side_b])).select(
         F.col(value_col).alias("v"),
         F.when(F.col(side_col) == side_a, F.lit(1))
@@ -120,26 +141,47 @@ def ks_two_sample(
     tot = per_v.agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
-    num = F.abs(
-        F.col("ca_cum") * F.col("n_b") - F.col("cb_cum") * F.col("n_a")
-    )
     scale = float(10**decimals)
     best = (
-        cums.crossJoin(F.broadcast(tot))
-        .select("v", "n_a", "n_b", num.alias("num"))
+        cums.crossJoin(F.broadcast(tot.select(
+            F.col("n_a").alias("_na"), F.col("n_b").alias("_nb")
+        )))
+        .select(
+            "v",
+            F.abs(
+                F.col("ca_cum") * F.col("_nb") - F.col("cb_cum") * F.col("_na")
+            ).alias("num"),
+        )
         .orderBy(F.col("num").desc(), F.col("v"))
         .limit(1)
     )
-    return best.select(
-        (
-            F.floor(
-                F.col("num").cast("double")
-                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
-                * F.lit(scale)
-                + F.lit(0.5)
-            )
-            / F.lit(scale)
-        ).alias("d_stat"),
+    # anchor on the 1-row totals frame: present even on empty input, so
+    # the zero-side guard below always evaluates (and raises) instead of
+    # the whole result silently vanishing
+    out = tot.join(F.broadcast(best), F.lit(True), "left")
+    ok = (F.coalesce(F.col("n_a"), F.lit(0)) > 0) & (
+        F.coalesce(F.col("n_b"), F.lit(0)) > 0
+    )
+    d_stat = F.when(
+        ok,
+        F.floor(
+            F.col("num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            * F.lit(scale)
+            + F.lit(0.5)
+        )
+        / F.lit(scale),
+    ).otherwise(
+        F.assert_true(
+            ok,
+            F.lit(
+                "ks_two_sample: a side has zero rows after the side "
+                "filter — d_stat is undefined (0/0)"
+            ),
+        ).cast("double")
+    )
+    return out.select(
+        d_stat.alias("d_stat"),
         F.col("v").alias("at_value"),
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),

@@ -125,7 +125,15 @@ def linkage_em(
       are single IEEE ops, and no transcendental function appears —
       every arithmetic step is bit-identical on any IEEE-754 engine
       evaluating the same expression shape (the oracle unrolls the same
-      ``iters`` iterations).
+      ``iters`` iterations);
+    - NULL agreement flags follow the SAME missing-data convention as
+      linkage_pairs (missing = no information, weight 0): a null flag
+      contributes a factor of 1 to both the match and non-match
+      likelihoods in the E-step, and the feature's M-step ratios
+      m_j / u_j are taken over the NON-NULL rows only (per-feature
+      denominators) — folding missing into "disagree" would bias m and
+      u downward exactly on the features with many null comparisons.
+      A feature observed on ZERO rows keeps its current estimate.
     """
     k = len(flag_cols)
     # persist + materialize the pattern frame: every EM iteration takes
@@ -141,9 +149,17 @@ def linkage_em(
         pm = F.lit(p)
         pu = F.lit(1.0 - p)
         for j in range(k):
-            g = F.col(f"g{j}") == 1
-            pm = pm * F.when(g, F.lit(ms[j])).otherwise(F.lit(1.0 - ms[j]))
-            pu = pu * F.when(g, F.lit(us[j])).otherwise(F.lit(1.0 - us[j]))
+            gcol = F.col(f"g{j}")
+            pm = pm * (
+                F.when(gcol.isNull(), F.lit(1.0))
+                .when(gcol == 1, F.lit(ms[j]))
+                .otherwise(F.lit(1.0 - ms[j]))
+            )
+            pu = pu * (
+                F.when(gcol.isNull(), F.lit(1.0))
+                .when(gcol == 1, F.lit(us[j]))
+                .otherwise(F.lit(1.0 - us[j]))
+            )
         r = F.floor(pm / (pm + pu) * F.lit(4096.0) + F.lit(0.5)) / F.lit(
             4096.0
         )
@@ -161,17 +177,40 @@ def linkage_em(
                 )
                 for j in range(k)
             ],
+            # per-feature M-step denominators: responsibility mass over
+            # the rows where the feature was OBSERVED (non-null flag) —
+            # null-flag pairs carry no evidence about feature j
+            *[
+                F.when(F.col(f"g{j}").isNotNull(), F.col("n") * r).alias(
+                    f"rnj{j}"
+                )
+                for j in range(k)
+            ],
+            *[
+                F.when(
+                    F.col(f"g{j}").isNotNull(), (F.lit(1.0) - r) * F.col("n")
+                ).alias(f"snj{j}")
+                for j in range(k)
+            ],
         ).agg(
             F.sum("rn").alias("rn"),
             F.sum("sn").alias("sn"),
             F.sum("n").alias("nn"),
             *[F.sum(f"rg{j}").alias(f"rg{j}") for j in range(k)],
             *[F.sum(f"sg{j}").alias(f"sg{j}") for j in range(k)],
+            *[F.sum(f"rnj{j}").alias(f"rnj{j}") for j in range(k)],
+            *[F.sum(f"snj{j}").alias(f"snj{j}") for j in range(k)],
         )
         row = agg.first()
         p = row["rn"] / row["nn"]
-        ms = [row[f"rg{j}"] / row["rn"] for j in range(k)]
-        us = [row[f"sg{j}"] / row["sn"] for j in range(k)]
+        ms = [
+            row[f"rg{j}"] / row[f"rnj{j}"] if row[f"rnj{j}"] else ms[j]
+            for j in range(k)
+        ]
+        us = [
+            row[f"sg{j}"] / row[f"snj{j}"] if row[f"snj{j}"] else us[j]
+            for j in range(k)
+        ]
     scale = float(10**decimals)
 
     def _r(x: float) -> float:

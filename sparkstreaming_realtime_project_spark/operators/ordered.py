@@ -290,6 +290,13 @@ def markov_surprise(
     per-key sum shares the kn_bigram_logprob determinism posture
     (few-hundred-term float sums under a 1e-4 floor round).
 
+    Determinism contract: the rounded probability is CLAMPED to a floor
+    of 1e-6 before the log. A transition rarer than 0.5e-6 of its
+    from-state mass floor-rounds to p = 0.0, and engines disagree on
+    ln(0) (Spark: NULL — the term would silently DROP from the surprise
+    sum; DuckDB: -inf/error). The clamp caps any single term's surprise
+    at ln(1e6) ≈ 13.8 nats and keeps every engine on the same number.
+
     Returns (key, n_transitions, surprise)."""
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     seq = df.withColumn("_nxt", F.lead(state_col).over(w)).filter(
@@ -309,10 +316,14 @@ def markov_surprise(
         F.sum("tf").alias("n")
     )
     tot = F.sum("n").over(Window.partitionBy("from_state"))
-    p = F.floor(
-        F.col("n").cast("double") / tot.cast("double") * F.lit(1e6)
-        + F.lit(0.5)
-    ) / F.lit(1e6)
+    p = F.greatest(
+        F.floor(
+            F.col("n").cast("double") / tot.cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+        F.lit(1e-6),
+    )
     model = counts.select("from_state", "to_state", p.alias("p"))
     scored = ut.join(F.broadcast(model), ["from_state", "to_state"])
     scale = float(10**decimals)

@@ -333,17 +333,27 @@ def benford_report(
     significant digit needs the fractional expansion — out of scope for
     the money-column screen, stated not hidden).
 
-    One hash aggregate; output is 9 rows: (digit, n, share,
-    expected_share, abs_dev)."""
+    One hash aggregate; output is ALWAYS 9 rows: (digit, n, share,
+    expected_share, abs_dev) — observed counts are left-joined onto a
+    1..9 digit spine so a digit with ZERO occurrences still appears
+    with n=0 (and abs_dev = expected_share). An absent digit is the
+    strongest signal this screen exists to surface; dropping its row
+    would hide exactly the worst case."""
     import math
 
     digit = F.substring(
         F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
     )
-    counts = (
+    observed = (
         df.filter(F.col(value_col) >= 1)
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("string").alias("digit")
+    )
+    counts = spine.join(observed, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     tot = counts.agg(F.sum("n").alias("_tot"))
     scale = float(10**decimals)

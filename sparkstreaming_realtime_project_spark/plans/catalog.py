@@ -8275,10 +8275,12 @@ def _em_oracle_sql(iters: int = 2) -> str:
     def params(i):
         if i == 0:
             return "0.125", ["0.75"] * k, ["0.25"] * k
+        # per-feature M-step denominators (non-null-flag rows only) —
+        # mirrors linkage_em's missing-as-no-evidence convention
         return (
             f"(s{i}.rn / s{i}.nn)",
-            [f"(s{i}.rg{j} / s{i}.rn)" for j in range(k)],
-            [f"(s{i}.sg{j} / s{i}.sn)" for j in range(k)],
+            [f"(s{i}.rg{j} / s{i}.rnj{j})" for j in range(k)],
+            [f"(s{i}.sg{j} / s{i}.snj{j})" for j in range(k)],
         )
 
     ctes = []
@@ -8288,11 +8290,13 @@ def _em_oracle_sql(iters: int = 2) -> str:
         pu = f"(1.0 - {p})"
         for j in range(k):
             pm += (
-                f" * (CASE WHEN g{j} = 1 THEN {ms[j]}"
+                f" * (CASE WHEN g{j} IS NULL THEN 1.0"
+                f" WHEN g{j} = 1 THEN {ms[j]}"
                 f" ELSE (1.0 - {ms[j]}) END)"
             )
             pu += (
-                f" * (CASE WHEN g{j} = 1 THEN {us[j]}"
+                f" * (CASE WHEN g{j} IS NULL THEN 1.0"
+                f" WHEN g{j} = 1 THEN {us[j]}"
                 f" ELSE (1.0 - {us[j]}) END)"
             )
         src = "pat" if i == 0 else f"pat, s{i}"
@@ -8304,6 +8308,15 @@ def _em_oracle_sql(iters: int = 2) -> str:
         sums = ", ".join(
             [f"sum(n * r * g{j}) AS rg{j}" for j in range(k)]
             + [f"sum((1.0 - r) * n * g{j}) AS sg{j}" for j in range(k)]
+            + [
+                f"sum(CASE WHEN g{j} IS NOT NULL THEN n * r END) AS rnj{j}"
+                for j in range(k)
+            ]
+            + [
+                f"sum(CASE WHEN g{j} IS NOT NULL THEN (1.0 - r) * n END)"
+                f" AS snj{j}"
+                for j in range(k)
+            ]
         )
         ctes.append(
             f"s{i + 1} AS (SELECT sum(n * r) AS rn,"
@@ -8511,10 +8524,11 @@ def x_shard_manifest(spark, sf_dir):
                  count(*) AS n
           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
     model AS (SELECT from_state, to_state,
-                     floor(CAST(n AS DOUBLE)
-                           / CAST(sum(n) OVER (PARTITION BY from_state)
-                                  AS DOUBLE)
-                           * 1000000 + 0.5) / 1000000 AS p
+                     greatest(floor(CAST(n AS DOUBLE)
+                              / CAST(sum(n) OVER (PARTITION BY from_state)
+                                     AS DOUBLE)
+                              * 1000000 + 0.5) / 1000000,
+                              0.000001) AS p
               FROM c),
     ut AS (SELECT user_id, event_type AS from_state, nxt AS to_state,
                   count(*) AS tf
@@ -8612,8 +8626,9 @@ def x_hll_stream(spark, sf_dir):
     "order totals: observed vs log10(1+1/d) expected shares per digit "
     "— the digit comes from INTEGER floor+string math (no log on data, "
     "so no cross-engine libm flip can move a discrete digit), "
-    "expectations are compiled constants; one hash aggregate, 9-row "
-    "output (north-star)",
+    "expectations are compiled constants; one hash aggregate, ALWAYS "
+    "9 rows (zero-count digits kept via the 1..9 spine — an absent "
+    "digit is the strongest fraud signal) (north-star)",
     """
     WITH ben(digit, p) AS (VALUES
       ('1', 0.3010299956639812), ('2', 0.17609125905568124),
@@ -8621,18 +8636,20 @@ def x_hll_stream(spark, sf_dir):
       ('5', 0.07918124604762482), ('6', 0.06694678963061322),
       ('7', 0.05799194697768673), ('8', 0.05115252244738129),
       ('9', 0.04575749056067514)),
-    c AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-                             AS VARCHAR), 1, 1) AS digit,
-                 count(*) AS n
-          FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+    obs AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS digit,
+                   count(*) AS n
+            FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+    c AS (SELECT ben.digit, ben.p, coalesce(obs.n, 0) AS n
+          FROM ben LEFT JOIN obs USING (digit)),
     t AS (SELECT sum(n) AS tot FROM c)
     SELECT c.digit, CAST(c.n AS BIGINT) AS n,
            floor(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6 + 0.5)
              / 1e6 AS share,
-           floor(ben.p * 1e6 + 0.5) / 1e6 AS expected_share,
-           floor(abs(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) - ben.p)
+           floor(c.p * 1e6 + 0.5) / 1e6 AS expected_share,
+           floor(abs(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) - c.p)
                  * 1e6 + 0.5) / 1e6 AS abs_dev
-    FROM c CROSS JOIN t JOIN ben USING (digit)
+    FROM c CROSS JOIN t
     """,
 )
 def x_benford_audit(spark, sf_dir):

@@ -113,3 +113,51 @@ def test_exact_quantiles_with_heavy_ties(spark):
     rows = {r["p"]: r for r in exact_quantiles(df, "x", [0.9, 0.91]).collect()}
     assert rows[0.9]["value"] == 1.0  # rank 90 is still inside the ties
     assert rows[0.91]["value"] == 2.0
+
+
+def test_prefix_sums_consistent_without_exchange_reuse(spark):
+    """Round-9 regression (ADVICE): the range-partitioned frame fans out
+    to two consumers whose _pid labels must agree. With exchange reuse
+    disabled, only the internal persist keeps both branches on the same
+    physical partitioning — without it the branches can sample different
+    range boundaries and corrupt the cumulative sums silently."""
+    prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = spark.createDataFrame(
+            [((i * 37) % 1009, 1, i % 7) for i in range(1009)],
+            "k int, one int, x int",
+        ).repartition(17)
+        got = {
+            r["k"]: (r["one_cum"], r["x_cum"])
+            for r in prefix_sums(df, ["k"], ["one", "x"]).collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["k"]: (r["oc"], r["xc"])
+            for r in df.select(
+                "k",
+                F.sum("one").over(w).alias("oc"),
+                F.sum("x").over(w).alias("xc"),
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", prev)
+        spark.catalog.clearCache()
+
+
+def test_ks_two_sample_empty_side_raises(spark):
+    """Round-9 regression (ADVICE): a side with zero rows after the side
+    filter must fail LOUDLY, not return a NaN d_stat that a downstream
+    `d_stat > threshold` drift alert silently never fires on."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a")], "value double, side string"
+    )
+    with pytest.raises(Exception, match="zero rows"):
+        ks_two_sample(df, "value", "side", "a", "b").collect()
+    # both sides empty (no matching side values at all) also raises
+    with pytest.raises(Exception, match="zero rows"):
+        ks_two_sample(df, "value", "side", "x", "y").collect()

@@ -571,13 +571,18 @@ def test_benford_report_hand_computed(spark):
     vals = [1.5, 10.0, 123.0, 19.99, 1.0, 1999.0, 2.0, 25.0, 200.0, 9.9, 0.5]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     rows = {r["digit"]: r for r in benford_report(df, "v").collect()}
-    assert set(rows) == {"1", "2", "9"}
+    # ALWAYS 9 rows: absent digits (the strongest fraud signal) appear
+    # with n=0 and abs_dev == expected_share (round-9 ADVICE fix)
+    assert set(rows) == {str(d) for d in range(1, 10)}
     assert rows["1"]["n"] == 6 and rows["2"]["n"] == 3 and rows["9"]["n"] == 1
     assert rows["1"]["share"] == 0.6
     p1 = math.log10(2.0)
     assert rows["1"]["expected_share"] == math.floor(p1 * 1e6 + 0.5) / 1e6
     want_dev = math.floor(abs(0.6 - p1) * 1e6 + 0.5) / 1e6
     assert rows["1"]["abs_dev"] == want_dev
+    for d in ["3", "4", "5", "6", "7", "8"]:
+        assert rows[d]["n"] == 0 and rows[d]["share"] == 0.0
+        assert rows[d]["abs_dev"] == rows[d]["expected_share"]
 
 
 def test_cusum_shift_hand_computed(spark):
@@ -618,3 +623,66 @@ def test_cusum_resets_after_deficit(spark):
     }
     # d: -3,-3,7,0 -> S: 0,0,7,7 (NOT 1: the clamp forgot the deficit)
     assert [rows[t] for t in range(1, 5)] == [0, 0, 7, 7]
+
+
+def test_linkage_em_null_flags_are_missing_not_disagree(spark):
+    """Round-9 ADVICE fix: NULL agreement flags follow linkage_pairs'
+    missing-data convention — factor 1 in both E-step likelihoods and
+    excluded from the feature's M-step denominators. Verified against a
+    pure-Python replica of the same fixed point."""
+    import math
+
+    from sparkstreaming_realtime_project_spark.operators.linkage import (
+        linkage_em,
+    )
+
+    # hand-built pair frame: g0 always observed, g1 null on some pairs
+    rows = (
+        [(1, 1)] * 20 + [(1, None)] * 10 + [(0, 0)] * 60 + [(0, None)] * 10
+    )
+    pairs = spark.createDataFrame(rows, "agree_a int, agree_b int")
+    out = {
+        r["feature"]: r
+        for r in linkage_em(pairs, ["agree_a", "agree_b"], iters=2).collect()
+    }
+
+    pat = {}
+    for g0, g1 in rows:
+        pat[(g0, g1)] = pat.get((g0, g1), 0) + 1
+    p, ms, us = 0.125, [0.75, 0.75], [0.25, 0.25]
+    for _ in range(2):
+        rn = sn = nn = 0.0
+        rg, sg = [0.0, 0.0], [0.0, 0.0]
+        rnj, snj = [0.0, 0.0], [0.0, 0.0]
+        for (g0, g1), n in pat.items():
+            gs = (g0, g1)
+            pm, pu = p, 1.0 - p
+            for j in range(2):
+                if gs[j] is None:
+                    continue  # missing: factor 1 in both likelihoods
+                pm *= ms[j] if gs[j] == 1 else 1.0 - ms[j]
+                pu *= us[j] if gs[j] == 1 else 1.0 - us[j]
+            r = math.floor(pm / (pm + pu) * 4096.0 + 0.5) / 4096.0
+            rn += n * r
+            sn += (1.0 - r) * n
+            nn += n
+            for j in range(2):
+                if gs[j] is None:
+                    continue
+                rg[j] += n * r * gs[j]
+                sg[j] += (1.0 - r) * n * gs[j]
+                rnj[j] += n * r
+                snj[j] += (1.0 - r) * n
+        p = rn / nn
+        ms = [rg[j] / rnj[j] for j in range(2)]
+        us = [sg[j] / snj[j] for j in range(2)]
+
+    def _r(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for j, name in enumerate(["agree_a", "agree_b"]):
+        assert out[name]["m"] == _r(ms[j])
+        assert out[name]["u"] == _r(us[j])
+    # the partially-observed feature still learns m > u from its
+    # observed rows instead of being dragged down by the null mass
+    assert out["agree_b"]["m"] > out["agree_b"]["u"]
