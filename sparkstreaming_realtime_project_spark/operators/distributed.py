@@ -92,6 +92,58 @@ def prefix_sums(
     )
 
 
+def ntile_exact(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    out_col: str,
+) -> DataFrame:
+    """Append ``out_col`` = the exact ``ntile(k)`` bucket of each row
+    under the TOTAL order ``order_cols`` — WITHOUT the global
+    single-task sort ``F.ntile(k).over(Window.orderBy(...))`` plans
+    (ntile has no partial aggregation: a keyless window collapses the
+    whole frame into ONE task, the classic scale trap on data-keyed
+    domains like customers).
+
+    Semantics are bit-identical to SQL ntile under the same total
+    order, reproduced with pure INTEGER math from the global rank r
+    (the running count from :func:`prefix_sums`): with q = n div k and
+    m = n mod k (the first m tiles hold q+1 rows, the rest q),
+
+        bucket(r) = (r - 1) div (q + 1) + 1            if r <= m*(q+1)
+                  = m + (r - m*(q+1) - 1) div q + 1     otherwise
+
+    ``order_cols`` must be a total order (unique key combinations) —
+    the same precondition SQL ntile needs for deterministic output.
+
+    Shape: one range exchange + partitioned window (the prefix sum),
+    one 1-row count broadcast; no single data-sized task anywhere."""
+    ranked = prefix_sums(df.withColumn("_one", F.lit(1)), order_cols, ["_one"])
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    head_bucket = F.expr("(_one_cum - 1) DIV (_q + 1) + 1")
+    # greatest(_q, 1): the _q = 0 branch (n < k) is unreachable — every
+    # rank then satisfies the head predicate — but ANSI mode would still
+    # raise on the eagerly-typed DIV 0
+    tail_bucket = F.expr(
+        "_m + (_one_cum - _m * (_q + 1) - 1) DIV greatest(_q, 1) + 1"
+    )
+    return (
+        ranked.join(F.broadcast(n), F.lit(True), "left")
+        .withColumn("_q", F.expr(f"_n DIV {k}"))
+        .withColumn("_m", F.expr(f"_n % {k}"))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_one_cum") <= F.col("_m") * (F.col("_q") + 1),
+                head_bucket,
+            )
+            .otherwise(tail_bucket)
+            .cast("int"),
+        )
+        .drop("_one", "_one_cum", "_n", "_q", "_m")
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,

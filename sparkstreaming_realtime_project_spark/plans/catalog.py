@@ -9137,10 +9137,13 @@ def x_attribution_last_touch(spark, sf_dir):
     "x_rfm_segmentation",
     "RFM customer segmentation: per customer recency (days since last "
     "order vs corpus max date), frequency (orders), monetary (decimal "
-    "spend); quintile scores via ntile(5) under a TOTAL order (metric + "
-    "custkey tiebreak — ntile over ties is engine-arbitrary otherwise), "
-    "concatenated into the classic RFM cell (north-star: two keyed "
-    "aggregates + three customer-domain windows)",
+    "spend); quintile scores are EXACT ntile(5) semantics under a TOTAL "
+    "order (metric + custkey tiebreak) but computed with the "
+    "distributed integer-rank primitive (prefix_sums rank + the "
+    "q/m tile formula) — NEVER a keyless ntile window, whose single "
+    "task over the data-keyed customer domain is the classic scale "
+    "trap (north-star: two keyed aggregates + three range exchanges, "
+    "no single data-sized task)",
     """
     WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
                       o_totalprice FROM orders),
@@ -9185,15 +9188,15 @@ def x_rfm_segmentation(spark, sf_dir):
             .alias("monetary"),
         )
     )
-    r_inv = F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
-    f_sc = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
-    m_sc = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
-    scored = per_c.select(
-        "*",
-        r_inv.alias("r_inv"),
-        f_sc.alias("f_sc"),
-        m_sc.alias("m_sc"),
-    )
+    from ..operators.distributed import ntile_exact
+
+    scored = per_c
+    for metric, out in (
+        ("recency_days", "r_inv"),
+        ("frequency", "f_sc"),
+        ("monetary", "m_sc"),
+    ):
+        scored = ntile_exact(scored, [metric, "o_custkey"], 5, out)
     return scored.select(
         "o_custkey",
         F.col("recency_days").cast("long").alias("recency_days"),

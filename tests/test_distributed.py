@@ -161,3 +161,46 @@ def test_ks_two_sample_empty_side_raises(spark):
     # both sides empty (no matching side values at all) also raises
     with pytest.raises(Exception, match="zero rows"):
         ks_two_sample(df, "value", "side", "x", "y").collect()
+
+
+def test_ntile_exact_matches_sql_ntile(spark):
+    """ntile_exact must reproduce SQL ntile(k) bit-for-bit under the
+    same total order, for every n mod k case including n < k."""
+    for n, k in [(23, 5), (7, 5), (100, 4), (3, 5), (40, 5)]:
+        from sparkstreaming_realtime_project_spark.operators.distributed import (
+            ntile_exact,
+        )
+
+        df = spark.createDataFrame(
+            [((i * 13) % n, i) for i in range(n)], "v int, id int"
+        ).repartition(7)
+        got = {
+            r["id"]: r["b"]
+            for r in ntile_exact(df, ["v", "id"], k, "b").collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r["b"]
+            for r in df.select("id", F.ntile(k).over(w).alias("b")).collect()
+        }
+        assert got == want, f"n={n} k={k}"
+        spark.catalog.clearCache()
+
+
+def test_ntile_exact_no_keyless_window_over_data(spark):
+    """The executed plan must range-partition and must NOT contain the
+    ntile window function (whose keyless form is one task)."""
+    from sparkstreaming_realtime_project_spark.operators.distributed import (
+        ntile_exact,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(50)], "v int, id int")
+    plan = (
+        ntile_exact(df, ["v", "id"], 5, "b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan
+    assert "ntile" not in plan
+    spark.catalog.clearCache()

@@ -477,3 +477,89 @@ def test_plan_shape_r8b(spark, sf_dir, name, want, ban):
         assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
     for frag in ban:
         assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
+
+
+# round-9 additions: the six late-r8 entries that shipped without pins
+# (exactly where the RFM scale flaw hid) plus the streaming IVF store.
+CASES_R9 = [
+    # the round-8 scale-killer, fixed: quintiles come from the
+    # distributed integer-rank primitive (range exchange + partitioned
+    # window), NEVER from a keyless single-task ntile window over the
+    # data-keyed customer domain
+    ("x_rfm_segmentation", ["rangepartitioning"],
+     ["ntile", "CartesianProduct"]),
+    # exact quantiles ride the same prefix-sum primitive; the per-prob
+    # selections are 1-row broadcast crossJoins (BNLJ), never cartesian
+    ("x_exact_quantiles", ["rangepartitioning"], ["CartesianProduct"]),
+    # LOCF fill: one PARTITIONED window per priority; the spine x
+    # priorities grid is a broadcast NLJ of a domain-sized frame
+    ("x_gap_fill", ["Window"], ["CartesianProduct"]),
+    # one keyed window (user) + one hash aggregate; no joins at all
+    ("x_attribution_last_touch", ["Window", "HashAggregate"],
+     ["NestedLoop", "CartesianProduct", "Join"]),
+    # pair generation is the equi self-join on the order key with the
+    # Apriori min-support prune BEFORE the broadcast stats joins
+    ("x_basket_lift", ["HashAggregate", "BroadcastHashJoin"],
+     ["CartesianProduct"]),
+    # two keyless windows over the ~2.4k-day calendar DOMAIN (budget
+    # documented in ordered.py cusum_shift); no join anywhere
+    ("x_cusum_shift", ["Window"], ["CartesianProduct", "Join"]),
+    # streaming IVF probe: cell-bucketed candidate join, never cartesian
+    ("x_ivf_stream", [], ["CartesianProduct"]),
+]
+
+
+@pytest.mark.parametrize(
+    "name,want,ban", CASES_R9, ids=[c[0] for c in CASES_R9]
+)
+def test_plan_shape_r9(spark, sf_dir, name, want, ban):
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in want:
+        assert frag in plan, f"{name}: expected plan fragment missing: {frag}"
+    for frag in ban:
+        assert frag not in plan, f"{name}: banned plan fragment present: {frag}"
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- coverage
+# Every catalog entry gets at least the cartesian ban. Entries with an
+# explicit row above carry sharper contracts; everything else lands in
+# the generated default list BY CONSTRUCTION, so a new catalog entry can
+# never ship unaudited again (the round-8 lesson: the only scale flaw of
+# that round hid in exactly the six entries without pins).
+
+_ALL_EXPLICIT = (
+    {c[0] for c in CASES}
+    | {c[0] for c in CASES_R3}
+    | {c[0] for c in CASES_R4}
+    | {c[0] for c in CASES_R5}
+    | {c[0] for c in CASES_R8}
+    | {c[0] for c in CASES_R8B}
+    | {c[0] for c in CASES_R9}
+    # audited by dedicated non-parametrized tests above
+    | {"x_corpus_pipeline", "x_entity_resolution"}
+)
+
+_DEFAULT_AUDIT = sorted(set(_REG) - _ALL_EXPLICIT)
+
+
+def test_audit_rows_reference_real_entries():
+    """Explicit audit rows must name live registry entries (a renamed
+    catalog entry must take its audit row along)."""
+    stale = _ALL_EXPLICIT - set(_REG)
+    assert not stale, f"audit rows for unknown entries: {sorted(stale)}"
+
+
+@pytest.mark.parametrize("name", _DEFAULT_AUDIT)
+def test_plan_default_no_cartesian(spark, sf_dir, name):
+    """Default audit for entries without a sharper contract: the plan
+    must never contain a true cartesian product of data-sized frames
+    (1-row broadcast NLJ attachments are the declared pattern and stay
+    allowed)."""
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in plan"
+    )
+    spark.catalog.clearCache()
