@@ -506,6 +506,14 @@ CASES_R9 = [
     ("x_cusum_shift", ["Window"], ["CartesianProduct", "Join"]),
     # streaming IVF probe: cell-bucketed candidate join, never cartesian
     ("x_ivf_stream", [], ["CartesianProduct"]),
+    # round-9 keyless-window sweep pins: both top-k selections over
+    # data-sized scored frames must keep their bounded-serial rewrite —
+    # bm25's rank<=k filter becomes TakeOrderedAndProject BELOW the
+    # window (the window then runs over k rows), rrf keeps the partial
+    # WindowGroupLimit heads. Losing either re-opens a single-task sort
+    # over every matching document.
+    ("x_bm25_topk", ["TakeOrderedAndProject"], []),
+    ("x_hybrid_rrf", ["WindowGroupLimit"], []),
 ]
 
 
