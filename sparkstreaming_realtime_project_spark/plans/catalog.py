@@ -242,6 +242,36 @@ _DRIVER_VERIFIED_R7 = frozenset(
 _DRIVER_RED_R7 = frozenset()
 
 
+# Green in the round-8 driver window (CORRECTNESS_r08.json): 50 of 50,
+# zero reds — the 30 newly-registered r8 entries confirmed plus the
+# stalest r2/r3-cohort greens (f_*/q_*/w_*/u_*/o_* and the dedup
+# headline family) re-confirmed.
+_DRIVER_VERIFIED_R8 = frozenset(
+    {
+        "x_interval_union", "x_skyline", "x_ewma_deviation",
+        "x_markov_transitions", "x_record_linkage", "x_entity_resolution",
+        "x_changelog_merge", "x_snapshot_diff", "x_l_diversity",
+        "x_mg_topk_stream", "x_link_prediction", "x_linkage_em",
+        "x_t_closeness", "x_cluster_split", "x_shard_manifest",
+        "x_markov_surprise", "x_hll_stream", "x_benford_audit",
+        "x_cms_stream", "x_agg_store_stream", "x_anomaly_mad", "x_ks_drift",
+        "x_ecdf_normalize", "x_ivf_stream", "x_exact_quantiles",
+        "x_gap_fill", "x_attribution_last_touch", "x_rfm_segmentation",
+        "x_basket_lift", "x_cusum_shift", "a_rollup_totals", "a_percentiles",
+        "f_text_match_highlight", "f_age_from_birthday", "f_datetime_split",
+        "q_detail_page", "w_topk_per_group", "u_union_split",
+        "o_dedup_first_per_day", "o_window_tumbling", "o_window_sliding",
+        "u_intersect_except", "o_session_window", "x_dedup_exact",
+        "x_dedup_ngram_jaccard", "x_dedup_minhash_lsh",
+        "x_simhash_signature", "x_simhash_near_pairs", "x_dedup_embedding",
+        "x_dedup_embedding_bucketed",
+    }
+)
+
+# No reds in the round-8 driver window.
+_DRIVER_RED_R8 = frozenset()
+
+
 def registry() -> list[QuerySpec]:
     """Driver-window priority: RED beats never-checked beats green.
 
@@ -251,9 +281,9 @@ def registry() -> list[QuerySpec]:
        first, so every entry lands in the driver's 50-slot CORRECTNESS
        window within ceil(N/50) rounds);
     3. confirmed-green cohorts by exposure staleness — r2 (oldest green
-       row), r3, r5, r6, r7 (most recent). A name's LATEST green row
-       decides its cohort (r7 re-greens of r2/r3-cohort entries live in
-       the r7 cohort). The r4 exposure backlog drained in r7 — every
+       row), r3, r5, r6, r7, r8 (most recent). A name's LATEST green row
+       decides its cohort (r8 re-greens of r2/r3-cohort entries live in
+       the r8 cohort). The r4 exposure backlog drained in r7 — every
        registered entry now has a driver-confirmed green row.
 
     All entries stay green under the full local driver-replica
@@ -261,11 +291,12 @@ def registry() -> list[QuerySpec]:
     seen = (
         _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R2 | _DRIVER_WINDOW_R4
         | _DRIVER_VERIFIED_R5 | _DRIVER_RED_R5 | _DRIVER_VERIFIED_R6
-        | _DRIVER_VERIFIED_R7
+        | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
     )
-    r6n = _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7
-    r7n = _DRIVER_VERIFIED_R7
-    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R7]
+    r6n = _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
+    r7n = _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
+    r8n = _DRIVER_VERIFIED_R8
+    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R8]
     never = [q for q in _REGISTRY if q.name not in seen]
     r4 = [q for q in _REGISTRY
           if q.name in _DRIVER_WINDOW_R4 and q.name not in r6n]
@@ -277,8 +308,10 @@ def registry() -> list[QuerySpec]:
           if q.name in _DRIVER_VERIFIED_R5 and q.name not in r6n]
     r6 = [q for q in _REGISTRY
           if q.name in _DRIVER_VERIFIED_R6 and q.name not in r7n]
-    r7 = [q for q in _REGISTRY if q.name in r7n]
-    return red + never + r4 + r2 + r3 + r5 + r6 + r7
+    r7 = [q for q in _REGISTRY
+          if q.name in _DRIVER_VERIFIED_R7 and q.name not in r8n]
+    r8 = [q for q in _REGISTRY if q.name in r8n]
+    return red + never + r4 + r2 + r3 + r5 + r6 + r7 + r8
 
 
 def _t(spark, sf_dir, name):
@@ -7827,6 +7860,49 @@ def x_ewma_deviation(spark, sf_dir):
     )
     return _ord.ewma_deviation(
         daily, "dt", "v", alpha=_EWMA_ALPHA, k=_EWMA_K, decimals=4
+    )
+
+
+_EWMA_KEYED_LAGS_SQL = ", ".join(
+    f"lag(v, {i}) OVER (PARTITION BY pr ORDER BY dt) AS g{i}"
+    for i in range(1, _EWMA_K + 1)
+)
+
+
+@_register(
+    "x_ewma_keyed",
+    "KEYED bounded-memory EWMA anomaly check: the same 8-lag binary-"
+    "fraction chain as x_ewma_deviation, per order-priority daily "
+    "series — the at-scale form (one shuffle on the key, a partitioned "
+    "window; millions of independent series parallelize where the "
+    "keyless daily entry is a single domain-sized task) (north-star)",
+    f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS pr,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS dt,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM orders GROUP BY 1, 2),
+    l AS (SELECT pr, dt, v, {_EWMA_KEYED_LAGS_SQL} FROM daily),
+    nd AS (SELECT pr, dt, v, {_EWMA_NUM_SQL} AS num, {_EWMA_DEN_SQL} AS den
+           FROM l)
+    SELECT pr, dt, v AS value,
+           floor(num / den * 10000 + 0.5) / 10000 AS ewma,
+           floor((v - num / den) * 10000 + 0.5) / 10000 AS deviation
+    FROM nd WHERE den > 0
+    """,
+)
+def x_ewma_keyed(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("dt"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    return _ord.ewma_deviation(
+        daily, "dt", "v", key_col="pr", alpha=_EWMA_ALPHA, k=_EWMA_K,
+        decimals=4,
     )
 
 

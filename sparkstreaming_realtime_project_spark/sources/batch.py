@@ -16,6 +16,17 @@ from ..schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Resolved-relation cache, keyed by (applicationId, sf_dir, table): each
+# spark.read.parquet call runs a driver-side footer/schema job (~0.1-0.2 s
+# locally; a full file-listing round-trip against object storage at
+# cluster scale). The testdata tables are immutable, so resolving each
+# once per application is exactly what Spark's own catalog does for
+# registered tables (HiveMetastoreCatalog caches relations) — repeated
+# plan builds then reuse the resolved logical plan instead of re-listing
+# files. Keyed by applicationId so a restarted context never sees stale
+# handles.
+_RELATION_CACHE: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -46,6 +57,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microseconds — identical to DuckDB's TIMESTAMP_NS ->
         # epoch_us truncation.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         cols = [
@@ -72,6 +87,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 for c in df.columns
             ]
         )
+    _RELATION_CACHE[key] = df
     return df
 
 
