@@ -9252,6 +9252,14 @@ def x_rfm_segmentation(spark, sf_dir):
         F.to_date("o_orderdate").alias("od"),
         "o_totalprice",
     )
+    return _rfm_frame(o)
+
+
+def _rfm_frame(o):
+    """RFM scores from a projected (o_custkey, od, o_totalprice) orders
+    frame. Shared by the x_rfm_segmentation entry and
+    scripts/business_probe.py (which feeds it scaled customer
+    domains)."""
     mx = o.agg(F.max("od").alias("mxd"))
     per_c = (
         o.crossJoin(F.broadcast(mx))
@@ -9290,41 +9298,26 @@ def x_rfm_segmentation(spark, sf_dir):
 
 
 _LIFT_MIN_SUPPORT = 2
+# Pair fanout per basket is B*(B-1)/2: one pathological basket (a crawler
+# cart, a load-test order) with 1M lines would alone emit 5e11 pairs.
+# Baskets over the cap are EXCLUDED from all lift statistics (standard
+# market-basket practice — degenerate carts are noise, not signal), and
+# the cap bounds the worst single-basket fanout at ~5k pairs. TPC-H
+# orders carry <= 7 lines, so the cap is invisible at every test SF; the
+# oracle applies the identical cut.
+_LIFT_MAX_BASKET = 100
 
 
-@_register(
-    "x_basket_lift",
-    "market-basket association rules on part co-purchase: pair support "
-    "counts (equi-join on the order key — fanout bounded by lines per "
-    "order, never a cross product), per-part basket counts, exact "
-    "integer support/confidence/lift with floor-rounds; min-support "
-    "prune BEFORE the stats join (the Apriori downward-closure cut) "
-    "(north-star)",
-    f"""
-    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-               FROM lineitem),
-    nb AS (SELECT count(DISTINCT o) AS n_baskets FROM e),
-    pc AS (SELECT p, count(*) AS n_p FROM e GROUP BY p),
-    pp AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
-           FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
-           GROUP BY 1, 2 HAVING count(*) >= {_LIFT_MIN_SUPPORT})
-    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
-           floor(CAST(n_ab AS DOUBLE) / nb.n_baskets * 1e6 + 0.5) / 1e6
-             AS support,
-           floor(CAST(n_ab AS DOUBLE) / ca.n_p * 1e6 + 0.5) / 1e6
-             AS confidence_a_to_b,
-           floor(CAST(n_ab AS DOUBLE) * nb.n_baskets
-                 / (CAST(ca.n_p AS DOUBLE) * cb.n_p) * 1e4 + 0.5) / 1e4
-             AS lift
-    FROM pp JOIN pc ca ON ca.p = part_a JOIN pc cb ON cb.p = part_b
-    CROSS JOIN nb
-    """,
-)
-def x_basket_lift(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    e = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+def _basket_lift_frame(e, min_support: int, max_basket: int):
+    """Association-rule stats from a distinct (o, p) basket-membership
+    frame: basket-size cap -> pair equi-join on the basket key ->
+    Apriori min-support prune -> broadcast stats joins. Shared by the
+    x_basket_lift entry and scripts/business_probe.py (which feeds it
+    scaled + hub-skewed synthetic baskets)."""
+    bs = e.groupBy("o").agg(F.count(F.lit(1)).alias("_bs")).filter(
+        F.col("_bs") <= max_basket
+    ).select("o")
+    e = e.join(bs, "o")
     nb = e.agg(F.count_distinct("o").alias("n_baskets"))
     pc = e.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
     a, b = e.alias("a"), e.alias("b")
@@ -9334,7 +9327,7 @@ def x_basket_lift(spark, sf_dir):
             F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
+        .filter(F.col("n_ab") >= min_support)
     )
     ca = pc.select(F.col("p").alias("part_a"), F.col("n_p").alias("na"))
     cb = pc.select(F.col("p").alias("part_b"), F.col("n_p").alias("nbp"))
@@ -9365,6 +9358,45 @@ def x_basket_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@_register(
+    "x_basket_lift",
+    "market-basket association rules on part co-purchase: pair support "
+    "counts (equi-join on the order key — fanout bounded by lines per "
+    "order and a basket-size cap, never a cross product), per-part "
+    "basket counts, exact integer support/confidence/lift with "
+    "floor-rounds; min-support prune BEFORE the stats join (the Apriori "
+    "downward-closure cut) (north-star)",
+    f"""
+    WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    bs AS (SELECT o FROM e0 GROUP BY o
+           HAVING count(*) <= {_LIFT_MAX_BASKET}),
+    e AS (SELECT e0.o, e0.p FROM e0 JOIN bs USING (o)),
+    nb AS (SELECT count(DISTINCT o) AS n_baskets FROM e),
+    pc AS (SELECT p, count(*) AS n_p FROM e GROUP BY p),
+    pp AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
+           FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= {_LIFT_MIN_SUPPORT})
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           floor(CAST(n_ab AS DOUBLE) / nb.n_baskets * 1e6 + 0.5) / 1e6
+             AS support,
+           floor(CAST(n_ab AS DOUBLE) / ca.n_p * 1e6 + 0.5) / 1e6
+             AS confidence_a_to_b,
+           floor(CAST(n_ab AS DOUBLE) * nb.n_baskets
+                 / (CAST(ca.n_p AS DOUBLE) * cb.n_p) * 1e4 + 0.5) / 1e4
+             AS lift
+    FROM pp JOIN pc ca ON ca.p = part_a JOIN pc cb ON cb.p = part_b
+    CROSS JOIN nb
+    """,
+)
+def x_basket_lift(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    return _basket_lift_frame(e, _LIFT_MIN_SUPPORT, _LIFT_MAX_BASKET)
 
 
 _CUSUM_TARGET, _CUSUM_SLACK, _CUSUM_H = 6, 1, 20
