@@ -286,7 +286,9 @@ def ngram_jaccard_dedup_pairs(
     return pairs
 
 
-def minhash_signature(shingled: DataFrame, k: int = 16) -> DataFrame:
+def minhash_signature(
+    shingled: DataFrame, k: int = 16, hash_fn: str = "md5"
+) -> DataFrame:
     """k MinHash components h0..h{k-1}: component j is the min over
     shingles of the j%4-th 8-hex-digit (32-bit) chunk of
     md5('{j//4}:'||s) — ONE md5 per shingle serves FOUR components
@@ -312,7 +314,47 @@ def minhash_signature(shingled: DataFrame, k: int = 16) -> DataFrame:
     transform lambda as (element, index), so ``j`` would silently become
     the element-index Column and the seed literal would stringify to
     "Column<'y_N'>:" with a session-global counter — wrong and
-    nondeterministic signatures."""
+    nondeterministic signatures.
+
+    ``hash_fn``: "md5" (default) is the PORTABLE-ORACLE hash — a DuckDB
+    twin can replay the exact pipeline bit-for-bit, which is what the
+    correctness gate needs. "xxhash64" is the PRODUCTION fast path
+    (JVM xxhash64 is ~3x cheaper per call than md5): one seeded
+    xxhash64 per shingle serves TWO 32-bit components (the 64 bits
+    split as the md5 hex chunks do), components become longs, and the
+    band key is a direct xxhash64 of the component tuple. Recall is
+    statistically equivalent (both are uniform hash families; identical
+    docs collide under ANY hash, and the exact-Jaccard verify fixes
+    precision either way) but signatures are NOT cross-engine
+    replayable — ship xxhash64 where no oracle parity is needed."""
+
+    if hash_fn == "xxhash64":
+        n_seeds = (k + 1) // 2
+
+        def seeded64(s: int):
+            return lambda g: F.xxhash64(F.lit(s), g)
+
+        def chunk64(half: int):
+            if half == 0:
+                return lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF))
+            return lambda h: F.shiftrightunsigned(h, 32)
+
+        hashed = shingled.select(
+            "*",
+            *[
+                F.transform("shingles", seeded64(s)).alias(f"__mh{s}")
+                for s in range(n_seeds)
+            ],
+        )
+        return hashed.select(
+            *shingled.columns,
+            *[
+                F.array_min(
+                    F.transform(f"__mh{j // 2}", chunk64(j % 2))
+                ).alias(f"h{j}")
+                for j in range(k)
+            ],
+        )
 
     n_seeds = (k + 3) // 4
 
@@ -341,19 +383,27 @@ def minhash_signature(shingled: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
-def band_keys(signatures: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+def band_keys(
+    signatures: DataFrame, k: int = 16, bands: int = 4, hash_fn: str = "md5"
+) -> DataFrame:
     """(id, band, key) rows from a signature frame: band b's key is the
-    md5 of its r=k/bands concatenated minhash components. This is the
-    join-key table for ALL LSH candidate generation — batch self-join
-    (lsh_candidate_pairs) and incremental new-vs-store joins alike; at
-    rest (band, key) is the bucket/partition key of a signature store."""
+    md5 of its r=k/bands concatenated minhash components (or a direct
+    xxhash64 of the tuple on the fast path — see minhash_signature's
+    hash_fn contract). This is the join-key table for ALL LSH candidate
+    generation — batch self-join (lsh_candidate_pairs) and incremental
+    new-vs-store joins alike; at rest (band, key) is the
+    bucket/partition key of a signature store."""
     r = k // bands
+
+    def _key(b):
+        cols = [F.col(f"h{b * r + i}") for i in range(r)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*cols).cast("string")
+        return F.md5(F.concat(*cols))
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])).alias("key"),
-            )
+            F.struct(F.lit(b).alias("band"), _key(b).alias("key"))
             for b in range(bands)
         ]
     )
@@ -363,7 +413,11 @@ def band_keys(signatures: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, k: int = 16, bands: int = 4, max_bucket: int | None = None
+    signatures: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_key).
 
@@ -374,7 +428,7 @@ def lsh_candidate_pairs(
     to the same band keys (the classic LSH hot-bucket). A bucket that
     large is noise, not near-dup signal: true near-dup clusters are small,
     and any pair lost here still has bands-1 other chances to collide."""
-    banded = band_keys(signatures, k, bands)
+    banded = band_keys(signatures, k, bands, hash_fn=hash_fn)
     if max_bucket is not None:
         small = (
             banded.groupBy("band", "key")
@@ -405,10 +459,13 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band
     join (hot buckets capped at ``max_bucket``) -> exact-Jaccard verify on
-    candidates only.
+    candidates only. ``hash_fn="xxhash64"`` swaps the signature/band
+    hashing to the ~3x-cheaper JVM hash for production runs where no
+    DuckDB oracle needs to replay the pipeline (see minhash_signature).
 
     The SIGNATURE frame (shingles + h0..h{k-1}) is the one materialized
     cut: it feeds the band self-join (both sides), the bucket-size cap,
@@ -420,9 +477,11 @@ def minhash_dedup_pairs(
     session. The RETURNED frame is persisted — unpersist it when done."""
     shingled = with_shingles(df, text_col, id_col, n, materialize=False)
     # already spread by id inside with_shingles; persist the signature cut
-    sig = minhash_signature(shingled, k).persist()
+    sig = minhash_signature(shingled, k, hash_fn=hash_fn).persist()
     sig.count()  # eager
-    cands = lsh_candidate_pairs(sig, k, bands, max_bucket=max_bucket)
+    cands = lsh_candidate_pairs(
+        sig, k, bands, max_bucket=max_bucket, hash_fn=hash_fn
+    )
     pairs = jaccard_pairs(
         sig.select("id", "shingles"), threshold, candidates=cands
     ).persist()

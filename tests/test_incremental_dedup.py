@@ -719,3 +719,31 @@ def test_streaming_mg_topk_certificate_and_large_m_exactness(spark, tmp_path):
     }
     for t, c in sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]:
         assert wide[t] == (c, c), (t, wide[t], c)
+
+
+def test_minhash_xxhash64_fast_path_same_verified_pairs(spark):
+    """Round-9: the production hash_fn="xxhash64" path must find the
+    same VERIFIED pairs as the md5 oracle path on planted near-dups —
+    the exact-Jaccard verify fixes precision under any hash family, and
+    identical docs collide under any hash."""
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(4)] + [
+        (10 + i, f"totally unrelated text number {i} with its own words {i}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for hf in ("md5", "xxhash64"):
+        p = minhash_dedup_pairs(
+            df, "text", "doc_id", n=3, k=16, bands=4, threshold=0.8,
+            hash_fn=hf,
+        )
+        got[hf] = {(r["doc_a"], r["doc_b"]) for r in p.collect()}
+        p.unpersist()
+    want = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert got["md5"] == want
+    assert got["xxhash64"] == want
