@@ -747,3 +747,77 @@ def test_minhash_xxhash64_fast_path_same_verified_pairs(spark):
     want = {(a, b) for a in range(4) for b in range(4) if a < b}
     assert got["md5"] == want
     assert got["xxhash64"] == want
+
+
+def test_streaming_hll_crash_restart_from_checkpoint(spark, tmp_path):
+    """Round-9: kill/restart-from-checkpoint exactly-once check. A crash
+    BETWEEN the store write and the checkpoint commit is the worst case:
+    the batch dir exists but the engine doesn't know — on restart it
+    re-runs the same input as the SAME batch id, the idempotent
+    overwrite rewrites identical registers, and the merged estimate is
+    unchanged. Simulated by hand-writing the uncommitted batch dir with
+    the exact writer the sink runs, then restarting against the same
+    checkpoint with the batch's input now visible."""
+    from sparkstreaming_realtime_project_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_hll_estimate,
+        streaming_hll_distinct,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "hll")
+    ck = str(tmp_path / "ck")
+    batch_a = [_evt(u, "d1") for u in range(30)]
+    batch_b = [_evt(u, "d1") for u in range(15, 45)]
+
+    # run 1: only batch A visible; commits batch_id=0
+    fx._write_batches(in_dir, [batch_a])
+    stream = file_stream(
+        spark, in_dir, EVT_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    q = (
+        streaming_hll_distinct(stream, store, ck, "user_id", ["dt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    # "crash": batch B's store dir was written (same writer code) but
+    # the checkpoint never committed it
+    rows_b = [(u, "d1") for u in range(15, 45)]
+    phantom = hll_registers(
+        spark.createDataFrame(rows_b, ["user_id", "dt"]), "user_id", ["dt"]
+    )
+    import os
+
+    phantom.write.mode("overwrite").parquet(os.path.join(store, "batch=1"))
+    est_before = read_hll_estimate(spark, store, ["dt"]).collect()[0][
+        "hll_estimate"
+    ]
+
+    # restart from the SAME checkpoint with batch B's input now visible:
+    # the engine re-runs it as batch_id=1 and overwrites the phantom dir
+    fx._write_batches(in_dir, [batch_a, batch_b])
+    stream2 = file_stream(
+        spark, in_dir, EVT_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    q2 = (
+        streaming_hll_distinct(stream2, store, ck, "user_id", ["dt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    est_after = read_hll_estimate(spark, store, ["dt"]).collect()[0][
+        "hll_estimate"
+    ]
+    assert est_after == est_before  # the replayed overwrite changed nothing
+    # and the recovered estimate equals the one-shot batch twin exactly
+    union = spark.createDataFrame(
+        [(u, "d1") for u in range(45)], ["user_id", "dt"]
+    )
+    want = hll_estimate(union, "user_id").collect()[0]["hll_estimate"]
+    assert est_after == want
