@@ -377,3 +377,121 @@ def benford_report(
             _r(F.abs(share - expected)).alias("abs_dev"),
         )
     )
+
+
+def referential_integrity_report(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit over declared (name, child, child_key,
+    parent, parent_key) edges: one row per edge with (edge, n_child,
+    n_null_keys, n_orphan_rows, n_orphan_keys).
+
+    The dedicated anti-join form of the referential check (the
+    expectations_report docstring's left-join trick covers ad-hoc
+    predicates; this one reports orphan KEY cardinality too, which the
+    predicate form can't see). Per edge: one distinct projection of the
+    parent key, one LEFT ANTI hash join keyed on it (broadcast when the
+    parent is small — AQE decides), two aggregates. NULL child keys are
+    counted separately, not as orphans (SQL FK semantics: NULL
+    references nothing).
+
+    A healthy warehouse reports zeros; at 100 TB the orphan-rate trend
+    after every ingest is the earliest upstream-drop signal."""
+    outs = []
+    for name, child, ck, parent, pk in edges:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        base = child.select(F.col(ck).alias("__ck"))
+        orphans = base.filter(F.col("__ck").isNotNull()).join(
+            keys, F.col("__ck") == F.col("__pk"), "left_anti"
+        )
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.count(F.when(F.col("__ck").isNull(), 1)).alias("n_null_keys"),
+        )
+        ostats = orphans.agg(
+            F.count(F.lit(1)).alias("n_orphan_rows"),
+            F.count_distinct("__ck").alias("n_orphan_keys"),
+        )
+        outs.append(
+            stats.join(F.broadcast(ostats), F.lit(True), "left").select(
+                F.lit(name).alias("edge"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_null_keys").cast("long").alias("n_null_keys"),
+                F.col("n_orphan_rows").cast("long").alias("n_orphan_rows"),
+                F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def functional_dependency_report(
+    fds: list[tuple[str, DataFrame, list[str], str]],
+) -> DataFrame:
+    """Functional-dependency audit over declared (name, frame,
+    lhs_cols, rhs_col) rules: does LHS determine RHS? One row per rule:
+    (fd, n_keys, n_violating_keys, max_distinct_rhs).
+
+    A violated FD that the schema assumes (user -> country, order ->
+    status) is silent data corruption that joins then FAN OUT on; the
+    audit is one hash aggregate per rule (groupBy LHS, count_distinct
+    RHS) plus a rule-sized second aggregate — no joins, no windows."""
+    outs = []
+    for name, df, lhs, rhs in fds:
+        per_key = df.groupBy(*lhs).agg(
+            F.count_distinct(F.col(rhs)).alias("__nd")
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.count(F.when(F.col("__nd") > 1, 1))
+                .cast("long")
+                .alias("n_violating_keys"),
+                F.max("__nd").cast("long").alias("max_distinct_rhs"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def pk_candidate_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Primary-key candidate profile: for each candidate column, one
+    row (column, n_rows, n_distinct, n_null, is_unique) — is_unique
+    holds when every non-null value is distinct and no nulls exist.
+
+    ONE aggregate computes every candidate's stats in a single scan
+    (count_distinct per column shares the pass); the wide one-row
+    result transposes to per-column rows via an inline array of structs
+    — the same plan-local explode expectations_report uses, no second
+    shuffle."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count_distinct(F.col(c)).alias(f"__d_{c}") for c in cols],
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__z_{c}")
+            for c in cols
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+                F.col(f"__z_{c}").cast("long").alias("n_null"),
+                (
+                    (F.col(f"__d_{c}") == F.col("__n"))
+                    & (F.col(f"__z_{c}") == 0)
+                )
+                .cast("int")
+                .alias("is_unique"),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")

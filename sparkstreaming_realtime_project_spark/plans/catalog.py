@@ -9447,3 +9447,335 @@ def x_cusum_shift(spark, sf_dir):
         F.col("cusum").cast("long").alias("cusum"),
         "alarm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: data-quality audit family + experimentation analytics
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_fk_orphans",
+    "referential-integrity audit over the declared FK edges: per edge, "
+    "child rows, NULL keys (reference nothing — not orphans, SQL FK "
+    "semantics), orphan rows and orphan KEY cardinality via a LEFT ANTI "
+    "hash join on the distinct parent keys; the post-ingest health "
+    "check whose orphan-rate trend is the earliest upstream-drop signal "
+    "(north-star: one anti join + two aggregates per edge, no windows)",
+    """
+    SELECT 'lineitem->orders' AS edge,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+                AS BIGINT) AS n_null_keys,
+           CAST((SELECT count(*) FROM lineitem c
+                 WHERE c.l_orderkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM orders p
+                    WHERE p.o_orderkey = c.l_orderkey)) AS BIGINT)
+             AS n_orphan_rows,
+           CAST((SELECT count(DISTINCT c.l_orderkey) FROM lineitem c
+                 WHERE c.l_orderkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM orders p
+                    WHERE p.o_orderkey = c.l_orderkey)) AS BIGINT)
+             AS n_orphan_keys
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem WHERE l_partkey IS NULL)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem c
+                 WHERE c.l_partkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM part p
+                    WHERE p.p_partkey = c.l_partkey)) AS BIGINT),
+           CAST((SELECT count(DISTINCT c.l_partkey) FROM lineitem c
+                 WHERE c.l_partkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM part p
+                    WHERE p.p_partkey = c.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders c
+                 WHERE c.o_custkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM customer p
+                    WHERE p.c_custkey = c.o_custkey)) AS BIGINT),
+           CAST((SELECT count(DISTINCT c.o_custkey) FROM orders c
+                 WHERE c.o_custkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM customer p
+                    WHERE p.c_custkey = c.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer WHERE c_nationkey IS NULL)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM nation p
+                    WHERE p.n_nationkey = c.c_nationkey)) AS BIGINT),
+           CAST((SELECT count(DISTINCT c.c_nationkey) FROM customer c
+                 WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM nation p
+                    WHERE p.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+)
+def x_fk_orphans(spark, sf_dir):
+    from ..operators.validate import referential_integrity_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    pa = _t(spark, sf_dir, "part")
+    na = _t(spark, sf_dir, "nation")
+    return referential_integrity_report(
+        [
+            ("lineitem->orders", li, "l_orderkey", od, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", pa, "p_partkey"),
+            ("orders->customer", od, "o_custkey", cu, "c_custkey"),
+            ("customer->nation", cu, "c_nationkey", na, "n_nationkey"),
+        ]
+    )
+
+
+@_register(
+    "x_functional_deps",
+    "functional-dependency audit: does LHS determine RHS for each "
+    "declared rule (order key -> status; customer -> nation; nation -> "
+    "market segment, expected VIOLATED)? One hash aggregate per rule "
+    "(groupBy LHS, count_distinct RHS) + a rule-sized second aggregate "
+    "— a violated FD the schema assumes is silent corruption that "
+    "downstream joins fan out on (north-star: no joins, no windows)",
+    """
+    SELECT 'o_orderkey->o_orderstatus' AS fd,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(max(nd) AS BIGINT) AS max_distinct_rhs
+    FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'o_custkey->o_orderstatus',
+           CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT),
+           CAST(max(nd) AS BIGINT)
+    FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS nd
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'c_nationkey->c_mktsegment',
+           CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT),
+           CAST(max(nd) AS BIGINT)
+    FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+          FROM customer GROUP BY 1)
+    """,
+)
+def x_functional_deps(spark, sf_dir):
+    from ..operators.validate import functional_dependency_report
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    return functional_dependency_report(
+        [
+            ("o_orderkey->o_orderstatus", od, ["o_orderkey"], "o_orderstatus"),
+            ("o_custkey->o_orderstatus", od, ["o_custkey"], "o_orderstatus"),
+            ("c_nationkey->c_mktsegment", cu, ["c_nationkey"], "c_mktsegment"),
+        ]
+    )
+
+
+@_register(
+    "x_pk_profile",
+    "primary-key candidate profile of the orders table: per candidate "
+    "column (n_rows, n_distinct, n_null, is_unique) from ONE aggregate "
+    "sharing a single scan, transposed to rows by the plan-local "
+    "struct-array explode — the first question asked of any new 100 TB "
+    "ingest ('what can we key on?') (north-star)",
+    """
+    WITH a AS (SELECT count(*) AS n,
+                      count(DISTINCT o_orderkey) AS d1,
+                      count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS z1,
+                      count(DISTINCT o_custkey) AS d2,
+                      count(CASE WHEN o_custkey IS NULL THEN 1 END) AS z2,
+                      count(DISTINCT o_orderstatus) AS d3,
+                      count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS z3
+               FROM orders)
+    SELECT 'o_orderkey' AS column, CAST(n AS BIGINT) AS n_rows,
+           CAST(d1 AS BIGINT) AS n_distinct, CAST(z1 AS BIGINT) AS n_null,
+           CAST(d1 = n AND z1 = 0 AS INT) AS is_unique FROM a
+    UNION ALL
+    SELECT 'o_custkey', CAST(n AS BIGINT), CAST(d2 AS BIGINT),
+           CAST(z2 AS BIGINT), CAST(d2 = n AND z2 = 0 AS INT) FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(d3 AS BIGINT),
+           CAST(z3 AS BIGINT), CAST(d3 = n AND z3 = 0 AS INT) FROM a
+    """,
+)
+def x_pk_profile(spark, sf_dir):
+    from ..operators.validate import pk_candidate_profile
+
+    return pk_candidate_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+    )
+
+
+@_register(
+    "x_ab_proportion_test",
+    "two-proportion A/B test on HIGH-VALUE purchase conversion "
+    "(variant = user_id % 2, the deterministic hash-split an "
+    "experimentation pipeline uses; converter = any purchase with "
+    "value > 200 — a partial-conversion metric, since every user in "
+    "this corpus purchases SOMETHING): per-variant distinct users and "
+    "converters (one hash aggregate), pooled-variance z-score for the "
+    "conversion delta. Every input is an exact integer; the z "
+    "expression is one fixed-shape chain of IEEE ops (sqrt is "
+    "correctly rounded on every engine), floor-rounded at 1e-6; a "
+    "degenerate pooled rate (0 or 1 -> zero variance) yields NULL z "
+    "instead of an ANSI divide-by-zero (north-star)",
+    """
+    WITH u AS (SELECT user_id % 2 AS variant,
+                      count(DISTINCT user_id) AS n,
+                      count(DISTINCT CASE WHEN event_type = 'purchase'
+                                          AND value > 200
+                                          THEN user_id END) AS c
+               FROM events GROUP BY 1),
+    w AS (SELECT
+            max(CASE WHEN variant = 0 THEN n END) AS n0,
+            max(CASE WHEN variant = 0 THEN c END) AS c0,
+            max(CASE WHEN variant = 1 THEN n END) AS n1,
+            max(CASE WHEN variant = 1 THEN c END) AS c1
+          FROM u)
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treatment,
+           CAST(c1 AS BIGINT) AS conv_treatment,
+           floor(CAST(c0 AS DOUBLE) / n0 * 1e6 + 0.5) / 1e6 AS rate_control,
+           floor(CAST(c1 AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6 AS rate_treatment,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+             floor((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                   / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1))
+                   * 1e6 + 0.5) / 1e6
+           END AS z_score
+    FROM w
+    """,
+)
+def x_ab_proportion_test(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count_distinct("user_id").alias("n"),
+        F.count_distinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                F.col("user_id"),
+            )
+        ).alias("c"),
+    )
+    w = u.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    pp = (d("c0") + d("c1")) / (F.col("n0") + F.col("n1"))
+    z = F.when(
+        (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
+        _r6(
+            (d("c1") / F.col("n1") - d("c0") / F.col("n0"))
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            )
+        ),
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("c1").cast("long").alias("conv_treatment"),
+        _r6(d("c0") / F.col("n0")).alias("rate_control"),
+        _r6(d("c1") / F.col("n1")).alias("rate_treatment"),
+        z.alias("z_score"),
+    )
+
+
+@_register(
+    "x_funnel_ordered",
+    "strict-ORDER conversion funnel view -> click -> purchase: each "
+    "step must happen strictly AFTER the user's earliest completion of "
+    "the previous step (a_funnel_daily counts unordered co-occurrence; "
+    "this one respects causality). Three keyed aggregates chained by "
+    "equi-joins on user with the ts > prev-step predicate riding along "
+    "— never a theta join; exact integer counts, floor-rounded rates "
+    "(north-star)",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT DISTINCT e.user_id
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase'),
+    k AS (SELECT (SELECT count(*) FROM v) AS s1,
+                 (SELECT count(*) FROM c) AS s2,
+                 (SELECT count(*) FROM p) AS s3)
+    SELECT CAST(s1 AS BIGINT) AS n_view,
+           CAST(s2 AS BIGINT) AS n_view_click,
+           CAST(s3 AS BIGINT) AS n_full_funnel,
+           floor(CAST(s2 AS DOUBLE) / s1 * 1e6 + 0.5) / 1e6
+             AS click_through,
+           floor(CAST(s3 AS DOUBLE) / s1 * 1e6 + 0.5) / 1e6
+             AS full_conversion
+    FROM k
+    """,
+)
+def x_funnel_ordered(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+    s1 = v.agg(F.count(F.lit(1)).alias("s1"))
+    s2 = c.agg(F.count(F.lit(1)).alias("s2"))
+    s3 = p.agg(F.count(F.lit(1)).alias("s3"))
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        s1.join(F.broadcast(s2), F.lit(True), "left")
+        .join(F.broadcast(s3), F.lit(True), "left")
+        .select(
+            F.col("s1").cast("long").alias("n_view"),
+            F.col("s2").cast("long").alias("n_view_click"),
+            F.col("s3").cast("long").alias("n_full_funnel"),
+            _r6(F.col("s2").cast("double") / F.col("s1")).alias(
+                "click_through"
+            ),
+            _r6(F.col("s3").cast("double") / F.col("s1")).alias(
+                "full_conversion"
+            ),
+        )
+    )

@@ -1754,3 +1754,111 @@ def test_bpe_train_and_fold_parity(spark):
     }
     for i, d in enumerate(docs):
         assert got[i] == bpe.apply_merges_py(d, merges), (i, got[i])
+
+
+# ------------------------------------------------------- round-9 data quality
+
+
+def test_referential_integrity_hand_computed(spark):
+    from sparkstreaming_realtime_project_spark.operators.validate import (
+        referential_integrity_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, None)],
+        "id int, fk int",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+    r = referential_integrity_report(
+        [("child->parent", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert r["edge"] == "child->parent"
+    assert r["n_child"] == 6
+    assert r["n_null_keys"] == 1  # NULL references nothing: not an orphan
+    assert r["n_orphan_rows"] == 2  # the two fk=99 rows
+    assert r["n_orphan_keys"] == 1  # one distinct orphan key
+
+
+def test_functional_dependency_hand_computed(spark):
+    from sparkstreaming_realtime_project_spark.operators.validate import (
+        functional_dependency_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "US"), ("u1", "US"),          # consistent
+            ("u2", "US"), ("u2", "DE"), ("u2", "FR"),  # violated, 3 values
+            ("u3", "JP"),
+        ],
+        "user string, country string",
+    )
+    r = functional_dependency_report(
+        [("user->country", df, ["user"], "country")]
+    ).collect()[0]
+    assert r["n_keys"] == 3
+    assert r["n_violating_keys"] == 1
+    assert r["max_distinct_rhs"] == 3
+
+
+def test_pk_candidate_profile_hand_computed(spark):
+    from sparkstreaming_realtime_project_spark.operators.validate import (
+        pk_candidate_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", "x"), (3, "b", "y")],
+        "id int, dup string, holey string",
+    )
+    rows = {
+        r["column"]: r
+        for r in pk_candidate_profile(df, ["id", "dup", "holey"]).collect()
+    }
+    assert rows["id"]["is_unique"] == 1 and rows["id"]["n_distinct"] == 3
+    assert rows["dup"]["is_unique"] == 0 and rows["dup"]["n_distinct"] == 2
+    # unique among non-nulls but has a null -> NOT a PK candidate
+    assert rows["holey"]["is_unique"] == 0 and rows["holey"]["n_null"] == 1
+
+
+def test_funnel_ordered_respects_event_order(spark, sf_dir):
+    """A user who purchases BEFORE clicking must not count as a full
+    conversion — the strict-order predicate is the entry's whole point
+    vs unordered co-occurrence funnels."""
+    import datetime as dt
+
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        _REGISTRY,
+    )
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        # u1: proper order -> full funnel
+        (1, t("2024-01-01 10:00"), "view"),
+        (1, t("2024-01-01 10:05"), "click"),
+        (1, t("2024-01-01 10:10"), "purchase"),
+        # u2: purchase BEFORE click -> stops at view->click
+        (2, t("2024-01-01 10:00"), "view"),
+        (2, t("2024-01-01 10:02"), "purchase"),
+        (2, t("2024-01-01 10:05"), "click"),
+        # u3: view only
+        (3, t("2024-01-01 10:00"), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    v = df.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        df.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        df.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+    assert v.count() == 3 and c.count() == 2 and p.count() == 1
+    assert p.collect()[0]["user_id"] == 1
