@@ -9779,3 +9779,116 @@ def x_funnel_ordered(spark, sf_dir):
             ),
         )
     )
+
+
+@_register(
+    "x_abc_pareto",
+    "ABC / Pareto revenue classification of parts: per-part revenue in "
+    "exact DECIMAL, cumulative top-down share via the DISTRIBUTED "
+    "prefix sum (descending cumulative derived as total - asc_prefix + "
+    "self, so the same range-exchange primitive serves both "
+    "directions — never a keyless single-task window over the "
+    "data-keyed part domain), class boundaries decided by "
+    "INTEGER-EXACT decimal compares (cum*100 <= total*80), share "
+    "floor-rounded only for display (north-star)",
+    """
+    WITH r AS (SELECT l_partkey AS p,
+                      sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(18,6))) AS rev
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(rev) AS tot FROM r),
+    c AS (SELECT p, rev,
+                 sum(rev) OVER (ORDER BY rev, p) AS cum_asc FROM r)
+    SELECT c.p AS p_partkey, CAST(c.rev AS DOUBLE) AS revenue,
+           floor(CAST(t.tot - c.cum_asc + c.rev AS DOUBLE)
+                 / CAST(t.tot AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_share,
+           CASE WHEN (t.tot - c.cum_asc + c.rev) * 100 <= t.tot * 80
+                THEN 'A'
+                WHEN (t.tot - c.cum_asc + c.rev) * 100 <= t.tot * 95
+                THEN 'B'
+                ELSE 'C' END AS abc
+    FROM c CROSS JOIN t
+    """,
+)
+def x_abc_pareto(spark, sf_dir):
+    from ..operators.distributed import prefix_sums
+
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+        ).alias("rev")
+    )
+    cums = prefix_sums(r, ["rev", "p"], ["rev"])
+    tot = r.agg(F.sum("rev").alias("tot"))
+    j = cums.join(F.broadcast(tot), F.lit(True), "left")
+    cum_desc = F.col("tot") - F.col("rev_cum") + F.col("rev")
+    share = (
+        F.floor(
+            cum_desc.cast("double") / F.col("tot").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    abc = (
+        F.when(cum_desc * 100 <= F.col("tot") * 80, F.lit("A"))
+        .when(cum_desc * 100 <= F.col("tot") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return j.select(
+        F.col("p").alias("p_partkey"),
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        abc.alias("abc"),
+    )
+
+
+_PATH_LEN, _PATH_TOPK = 5, 20
+
+
+@_register(
+    "x_path_topk",
+    "top-k user journey paths: each user's first 5 events in "
+    "(ts, event_id) order concatenated into a path string, counted, "
+    "top 20 by (count, path). The rn <= 5 filter pushes a partial "
+    "WindowGroupLimit (per-partition heads shuffle, never every "
+    "event); the final top-20 is TakeOrdered; path assembly is "
+    "sort_array over a per-user 5-element array — bounded, not "
+    "data-sized (north-star)",
+    f"""
+    WITH r AS (SELECT user_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= {_PATH_LEN} GROUP BY 1),
+    c AS (SELECT path, count(*) AS n_users FROM p GROUP BY 1)
+    SELECT path, CAST(n_users AS BIGINT) AS n_users
+    FROM c ORDER BY n_users DESC, path LIMIT {_PATH_TOPK}
+    """,
+)
+def x_path_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -514,6 +514,14 @@ CASES_R9 = [
     # over every matching document.
     ("x_bm25_topk", ["TakeOrderedAndProject"], []),
     ("x_hybrid_rrf", ["WindowGroupLimit"], []),
+    # ABC/Pareto rides the same distributed prefix-sum primitive as the
+    # quantile family: range exchange, never a keyless window over the
+    # data-keyed part domain
+    ("x_abc_pareto", ["rangepartitioning"], ["CartesianProduct"]),
+    # first-5-events filter must push partial WindowGroupLimit heads;
+    # the final top-20 must be TakeOrdered, never a global sort
+    ("x_path_topk", ["WindowGroupLimit", "TakeOrderedAndProject"],
+     ["CartesianProduct"]),
 ]
 
 
