@@ -9892,3 +9892,143 @@ def x_path_topk(spark, sf_dir):
         .orderBy(F.col("n_users").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+@_register(
+    "x_changepoint_single",
+    "single change-point localization on the daily order-count series: "
+    "argmax over t of the EXACT INTEGER CUSUM-max statistic "
+    "|N*P_t - t*P_N| (P = prefix sums, t = day rank) — the binary-"
+    "segmentation split the monitoring CUSUM entry (x_cusum_shift) "
+    "alarms on but does not locate; integer products keep argmax and "
+    "value exact on any engine, the normalized score floor-rounds only "
+    "for display, top-1 is TakeOrdered. Keyless windows run over the "
+    "calendar DOMAIN (~2.4k rows/decade, the documented cusum budget) "
+    "(north-star)",
+    """
+    WITH daily AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                     AS dt, count(*) AS v
+                   FROM orders GROUP BY 1),
+    p AS (SELECT dt, v,
+                 sum(v) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS pt,
+                 row_number() OVER (ORDER BY dt) AS t
+          FROM daily),
+    g AS (SELECT count(*) AS nn, sum(v) AS tot FROM daily),
+    d AS (SELECT p.dt, p.t, abs(g.nn * p.pt - p.t * g.tot) AS d_stat,
+                 g.nn, g.tot
+          FROM p CROSS JOIN g)
+    SELECT dt AS split_dt, CAST(t AS BIGINT) AS day_rank,
+           CAST(d_stat AS BIGINT) AS d_stat,
+           floor(CAST(d_stat AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * CAST(tot AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS score
+    FROM d ORDER BY d_stat DESC, dt LIMIT 1
+    """,
+)
+def x_changepoint_single(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("dt")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)
+    p = daily.select(
+        "dt",
+        "v",
+        F.sum("v").over(w).alias("pt"),
+        F.row_number().over(Window.orderBy("dt")).alias("t"),
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("v").alias("tot")
+    )
+    d = p.join(F.broadcast(g), F.lit(True), "left").select(
+        "dt",
+        "t",
+        F.abs(F.col("nn") * F.col("pt") - F.col("t") * F.col("tot")).alias(
+            "d_stat"
+        ),
+        "nn",
+        "tot",
+    )
+    return (
+        d.orderBy(F.col("d_stat").desc(), "dt")
+        .limit(1)
+        .select(
+            F.col("dt").alias("split_dt"),
+            F.col("t").cast("long").alias("day_rank"),
+            F.col("d_stat").cast("long").alias("d_stat"),
+            (
+                F.floor(
+                    F.col("d_stat").cast("double")
+                    / (F.col("nn").cast("double") * F.col("tot").cast("double"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("score"),
+        )
+    )
+
+
+@_register(
+    "x_blocking_quality",
+    "blocking-quality report for the record-linkage block key "
+    "(nation, balance-band): candidate pairs sum(n_b*(n_b-1)/2), "
+    "reduction ratio vs the N*(N-1)/2 cross product, block count, "
+    "max block — the number that says whether blocking is doing its "
+    "job BEFORE paying for the pair join; all integer except the "
+    "floor-rounded ratio (north-star: one hash aggregate over block "
+    "sizes, no pair materialization at all)",
+    """
+    WITH b AS (SELECT c_nationkey,
+                      CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb,
+                      count(*) AS n_b
+               FROM customer GROUP BY 1, 2),
+    g AS (SELECT count(*) AS n_blocks, max(n_b) AS max_block,
+                 sum(n_b * (n_b - 1) // 2) AS cand_pairs,
+                 sum(n_b) AS n
+          FROM b)
+    SELECT CAST(n AS BIGINT) AS n_records,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(max_block AS BIGINT) AS max_block,
+           CAST(cand_pairs AS BIGINT) AS cand_pairs,
+           floor((1.0 - CAST(cand_pairs AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1) / 2)) * 1e6 + 0.5) / 1e6
+             AS reduction_ratio
+    FROM g
+    """,
+)
+def x_blocking_quality(spark, sf_dir):
+    base = _linkage_base(spark, sf_dir)
+    b = base.groupBy("c_nationkey", "bb").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    g = b.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("n_b").alias("max_block"),
+        # integer DIV: n_b*(n_b-1) is even, and BIGINT sums stay exact
+        # where double-division sums would drift past 2^53 pairs
+        F.sum(F.expr("n_b * (n_b - 1) DIV 2")).alias("cand_pairs"),
+        F.sum("n_b").alias("n"),
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_records"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("max_block").cast("long").alias("max_block"),
+        F.col("cand_pairs").cast("long").alias("cand_pairs"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.col("cand_pairs").cast("double")
+                    / (F.col("n").cast("double") * (F.col("n") - 1) / 2)
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("reduction_ratio"),
+    )
