@@ -10032,3 +10032,57 @@ def x_blocking_quality(spark, sf_dir):
             / F.lit(1e6)
         ).alias("reduction_ratio"),
     )
+
+
+_GQ_PROBS = [(1, 2), (9, 10)]  # exact fractions: p = num/den
+
+
+@_register(
+    "x_quantiles_by_group",
+    "per-GROUP exact type-1 quantiles (median + p90 of order totals per "
+    "priority): integer-rank selection inside each group via a "
+    "PARTITIONED window (keyed — millions of groups parallelize, "
+    "unlike the global exact_quantiles whose domain rides the "
+    "distributed prefix sum), target rank ceil(p*n) computed with "
+    "integer arithmetic from exact fractions so not even the rank can "
+    "float-drift (north-star)",
+    f"""
+    WITH r AS (SELECT o_orderpriority AS pr, o_totalprice AS v,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice, o_orderkey)
+                        AS rn,
+                      count(*) OVER (PARTITION BY o_orderpriority) AS n
+               FROM orders)
+    {" UNION ALL ".join(
+        "SELECT pr, " + repr(num / den) + " AS p, "
+        "CAST(rn AS BIGINT) AS target_rank, v AS value "
+        "FROM r WHERE rn = (n * " + str(num) + " + " + str(den - 1) + ") // "
+        + str(den)
+        for num, den in _GQ_PROBS
+    )}
+    """,
+)
+def x_quantiles_by_group(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    r = od.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    out = None
+    for num, den in _GQ_PROBS:
+        sel = r.filter(
+            F.col("rn") == F.expr(f"(n * {num} + {den - 1}) DIV {den}")
+        ).select(
+            "pr",
+            F.lit(num / den).alias("p"),
+            F.col("rn").cast("long").alias("target_rank"),
+            F.col("v").alias("value"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
