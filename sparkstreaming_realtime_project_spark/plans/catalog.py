@@ -10086,3 +10086,98 @@ def x_quantiles_by_group(spark, sf_dir):
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+_PSI_STREAM_BATCHES = 3
+
+
+def _psi_stream_oracle_sql() -> str:
+    """Per-micro-batch PSI oracle: for each shard b, the exact
+    x_drift_report SQL with the current side restricted to the shard —
+    mirroring streaming_drift_guard's fixed-reference convention (the
+    reference side is the full non-src0 corpus for EVERY batch)."""
+    bin_rows = (
+        "SELECT 'lang' AS feature, lang AS bin, {cur} AS cur "
+        "FROM documents WHERE {where} "
+        "UNION ALL "
+        "SELECT 'len_chars', "
+        "CAST(CAST(floor(n_chars / 200.0) AS BIGINT) AS VARCHAR), {cur} "
+        "FROM documents WHERE {where}"
+    )
+    ctes, selects = [], []
+    for b in range(_PSI_STREAM_BATCHES):
+        ref = bin_rows.format(cur="FALSE", where="source <> 'src0'")
+        cur = bin_rows.format(
+            cur="TRUE", where=f"source = 'src0' AND doc_id % 3 = {b}"
+        )
+        ctes.append(f"base{b} AS ({ref} UNION ALL {cur})")
+        ctes.append(
+            f"c{b} AS (SELECT feature, bin,"
+            " sum(CASE WHEN cur THEN 0 ELSE 1 END) AS n_ref_bin,"
+            " sum(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur_bin"
+            f" FROM base{b} GROUP BY feature, bin)"
+        )
+        ctes.append(
+            f"t{b} AS (SELECT feature, CAST(sum(n_ref_bin) AS BIGINT)"
+            " AS n_ref, CAST(sum(n_cur_bin) AS BIGINT) AS n_cur"
+            f" FROM c{b} GROUP BY feature)"
+        )
+        ctes.append(
+            f"terms{b} AS (SELECT c.feature, n_ref, n_cur,"
+            " CAST((CASE WHEN n_ref_bin = 0 THEN 1e-6"
+            " ELSE n_ref_bin * 1.0 / n_ref END"
+            " - CASE WHEN n_cur_bin = 0 THEN 1e-6"
+            " ELSE n_cur_bin * 1.0 / n_cur END)"
+            " * ln((CASE WHEN n_ref_bin = 0 THEN 1e-6"
+            " ELSE n_ref_bin * 1.0 / n_ref END)"
+            " / (CASE WHEN n_cur_bin = 0 THEN 1e-6"
+            " ELSE n_cur_bin * 1.0 / n_cur END))"
+            " AS DECIMAL(18,12)) AS t"
+            f" FROM c{b} c JOIN t{b} t ON t.feature = c.feature)"
+        )
+        selects.append(
+            f"SELECT {b} AS batch_id, feature,"
+            " round(CAST(sum(t) AS DOUBLE), 4) AS psi, n_ref, n_cur,"
+            " CAST(round(CAST(sum(t) AS DOUBLE), 4) > 0.25 AS INT)"
+            f" AS breach FROM terms{b} GROUP BY feature, n_ref, n_cur"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+@_register(
+    "x_psi_stream",
+    "streaming PSI drift guard, driver-exposed: three micro-batch "
+    "shards of the src0 'new' slice each scored against the FIXED "
+    "reference bin counts (computed once, carried as a bins-sized "
+    "driver list — model-as-data, the reference table never re-scans "
+    "per trigger) through the IDENTICAL foreachBatch body the sink "
+    "runs (drift_batch_report); the decimal-accumulated PSI fold makes "
+    "each batch's score exactly the one-shot SQL's (north-star)",
+    _psi_stream_oracle_sql(),
+)
+def x_psi_stream(spark, sf_dir):
+    from ..operators.validate import bin_entries
+    from ..streaming.incremental import drift_batch_report
+
+    docs = _t(spark, sf_dir, "documents")
+    entries = bin_entries(
+        {"len_chars": (F.col("n_chars"), 200.0)}, {"lang": F.col("lang")}
+    )
+    ref = docs.filter(F.col("source") != "src0")
+    ref_counts = [
+        (r["feature"], r["bin"], r["n"])
+        for r in ref.select(F.explode(F.array(*entries)).alias("fb"))
+        .groupBy(
+            F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    out = None
+    for b in range(_PSI_STREAM_BATCHES):
+        batch = docs.filter(
+            (F.col("source") == "src0") & (F.col("doc_id") % 3 == b)
+        )
+        rep = drift_batch_report(spark, ref_counts, entries, batch, b)
+        out = rep if out is None else out.unionByName(rep)
+    return out

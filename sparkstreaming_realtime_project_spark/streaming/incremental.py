@@ -633,33 +633,8 @@ def streaming_drift_guard(
     ]
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        ref = spark.createDataFrame(
-            ref_counts, "feature string, bin string, n_ref_bin long"
-        )
-        cur = (
-            batch_df.select(F.explode(F.array(*entries)).alias("fb"))
-            .groupBy(
-                F.col("fb.feature").alias("feature"),
-                F.col("fb.bin").alias("bin"),
-            )
-            .agg(F.count(F.lit(1)).alias("n_cur_bin"))
-        )
-        counts = (
-            ref.join(cur, ["feature", "bin"], "full_outer")
-            .select(
-                "feature",
-                "bin",
-                F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
-                F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
-            )
-        )
-        report = psi_from_counts(counts, eps).select(
-            F.lit(batch_id).alias("batch_id"),
-            "feature",
-            "psi",
-            "n_ref",
-            "n_cur",
-            (F.col("psi") > psi_threshold).cast("int").alias("breach"),
+        report = drift_batch_report(
+            spark, ref_counts, entries, batch_df, batch_id, eps, psi_threshold
         )
         report.write.mode("overwrite").parquet(
             os.path.join(out_root, f"batch={batch_id}")
@@ -669,6 +644,51 @@ def streaming_drift_guard(
         stream.writeStream.foreachBatch(write)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
+    )
+
+
+def drift_batch_report(
+    spark,
+    ref_counts: list,
+    entries: list,
+    batch_df: DataFrame,
+    batch_id: int,
+    eps: float = 1e-6,
+    psi_threshold: float = 0.25,
+) -> DataFrame:
+    """One micro-batch's PSI report vs the fixed reference bin counts —
+    the exact foreachBatch body of streaming_drift_guard, exposed so the
+    catalog's shard-replay exposure (x_psi_stream) runs the identical
+    code path the sink runs."""
+    from ..operators.validate import psi_from_counts
+
+    ref = spark.createDataFrame(
+        ref_counts, "feature string, bin string, n_ref_bin long"
+    )
+    cur = (
+        batch_df.select(F.explode(F.array(*entries)).alias("fb"))
+        .groupBy(
+            F.col("fb.feature").alias("feature"),
+            F.col("fb.bin").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cur_bin"))
+    )
+    counts = (
+        ref.join(cur, ["feature", "bin"], "full_outer")
+        .select(
+            "feature",
+            "bin",
+            F.coalesce("n_ref_bin", F.lit(0)).alias("n_ref_bin"),
+            F.coalesce("n_cur_bin", F.lit(0)).alias("n_cur_bin"),
+        )
+    )
+    return psi_from_counts(counts, eps).select(
+        F.lit(batch_id).alias("batch_id"),
+        "feature",
+        "psi",
+        "n_ref",
+        "n_cur",
+        (F.col("psi") > psi_threshold).cast("int").alias("breach"),
     )
 
 
