@@ -10181,3 +10181,144 @@ def x_psi_stream(spark, sf_dir):
         rep = drift_batch_report(spark, ref_counts, entries, batch, b)
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+_MH_STREAM_BATCHES = 3
+_MH_STREAM_PATHS: dict = {}
+
+
+def _minhash_stream_store(spark, sf_dir: str) -> str:
+    """3-batch sequential MinHash-LSH ingest store over documents,
+    sharded by doc_id % 3 — the batch replay of streaming_minhash_dedup
+    (the identical per-batch body: shingle -> sign -> band, read the
+    accepted store, dedup_batch_against_store, write decisions +
+    accepted signatures under batch={b})."""
+    from ..operators.dedup import band_keys, minhash_signature, with_shingles
+    from ..streaming.incremental import (
+        dedup_batch_against_store,
+        read_signature_store,
+    )
+
+    key = (sf_dir, _MH_STREAM_BATCHES)
+    if key not in _MH_STREAM_PATHS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="spark_mh_stream_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        store = os.path.join(root, "store")
+        decisions_dir = os.path.join(root, "decisions")
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        for b in range(_MH_STREAM_BATCHES):
+            batch = docs.filter(F.col("doc_id") % _MH_STREAM_BATCHES == b)
+            shingled = with_shingles(batch, "text", "doc_id", 3)
+            new_sigs = shingled.select("id", "shingles")
+            new_bands = band_keys(
+                minhash_signature(shingled, _MINHASH_K),
+                _MINHASH_K,
+                _MINHASH_BANDS,
+            )
+            store_sigs, store_bands = read_signature_store(
+                spark, store, new_sigs, new_bands
+            )
+            decisions = dedup_batch_against_store(
+                new_sigs, new_bands, store_sigs, store_bands,
+                threshold=0.8, max_bucket=_MAX_BUCKET,
+            ).persist()
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(decisions_dir, f"batch={b}")
+            )
+            accepted = decisions.filter(F.col("dup_of").isNull()).select(
+                F.col("doc_id").alias("id")
+            )
+            new_sigs.join(accepted, "id").write.mode("overwrite").parquet(
+                os.path.join(store, "sigs", f"batch={b}")
+            )
+            new_bands.join(accepted, "id").write.mode("overwrite").parquet(
+                os.path.join(store, "bands", f"batch={b}")
+            )
+            decisions.unpersist()
+        _MH_STREAM_PATHS[key] = decisions_dir
+    return _MH_STREAM_PATHS[key]
+
+
+def _minhash_stream_oracle_sql() -> str:
+    """Unrolled 3-batch sequential-ingest oracle: batch b's decisions
+    replay against the accepted set of batches < b, with the exact
+    candidate generators (capped store-band equi-join + in-batch band
+    self-join) and the exact round-4 Jaccard verify of
+    dedup_batch_against_store."""
+    jacc = (
+        "round(len(list_intersect(sa.s, sb.s)) * 1.0 / "
+        "(sa.ln + sb.ln - len(list_intersect(sa.s, sb.s))), 4)"
+    )
+    ctes = [
+        f"toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)",
+        f"sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks)",
+        "ex AS (SELECT doc_id, unnest(s) AS g FROM sh)",
+        f"mh AS (SELECT doc_id,\n         {_MH_COLS}\n       FROM ex GROUP BY doc_id)",
+        f"bands0 AS (\n  {_BAND_SQL})",
+        "sz AS (SELECT doc_id, s, len(s) AS ln FROM sh)",
+        "acc0 AS (SELECT doc_id FROM sh WHERE 1 = 0)",
+    ]
+    selects = []
+    for b in range(_MH_STREAM_BATCHES):
+        ctes += [
+            f"nb{b} AS (SELECT * FROM bands0 WHERE doc_id % 3 = {b})",
+            f"sb{b} AS (SELECT b0.* FROM bands0 b0 JOIN acc{b} USING (doc_id))",
+            f"small{b} AS (SELECT band, key FROM sb{b} GROUP BY 1, 2"
+            f" HAVING count(*) <= {_MAX_BUCKET})",
+            f"sbc{b} AS (SELECT sb{b}.* FROM sb{b} JOIN small{b}"
+            " USING (band, key))",
+            f"ce{b} AS (SELECT DISTINCT n.doc_id AS doc_a, s.doc_id AS doc_b"
+            f" FROM nb{b} n JOIN sbc{b} s"
+            " ON n.band = s.band AND n.key = s.key)",
+            f"ci{b} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+            f" FROM nb{b} a JOIN nb{b} b ON a.band = b.band"
+            " AND a.key = b.key AND a.doc_id > b.doc_id)",
+            f"cand{b} AS (SELECT * FROM ce{b} UNION SELECT * FROM ci{b})",
+            f"vv{b} AS (SELECT c.doc_a, c.doc_b, {jacc} AS jaccard"
+            f" FROM cand{b} c JOIN sz sa ON sa.doc_id = c.doc_a"
+            " JOIN sz sb ON sb.doc_id = c.doc_b"
+            f" WHERE {jacc} >= 0.8)",
+            f"d{b} AS (SELECT n.doc_id, m.dup_of, m.jaccard"
+            f" FROM (SELECT doc_id FROM sh WHERE doc_id % 3 = {b}) n"
+            " LEFT JOIN (SELECT doc_a AS doc_id, min(doc_b) AS dup_of,"
+            f" arg_min(jaccard, doc_b) AS jaccard FROM vv{b} GROUP BY 1) m"
+            " USING (doc_id))",
+            f"acc{b + 1} AS (SELECT doc_id FROM acc{b} UNION ALL"
+            f" SELECT doc_id FROM d{b} WHERE dup_of IS NULL)",
+        ]
+        selects.append(
+            f"SELECT {b} AS batch_id, doc_id,"
+            " CAST(dup_of AS BIGINT) AS dup_of, jaccard"
+            f" FROM d{b}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+@_register(
+    "x_minhash_stream",
+    "streaming sequential-ingest MinHash dedup, driver-exposed: three "
+    "micro-batch shards flow through the IDENTICAL per-batch body the "
+    "streaming_minhash_dedup sink runs (shingle/sign/band via the batch "
+    "building blocks, capped store-band equi-join + in-batch band "
+    "self-join candidates, exact round-4 Jaccard verify, accepted docs "
+    "append to the store) — the ORDER-dependent accept/flag semantics "
+    "('is this NEW doc a near-dup of anything accepted SO FAR') "
+    "replayed exactly by a 3-batch-unrolled SQL twin (north-star)",
+    _minhash_stream_oracle_sql(),
+)
+def x_minhash_stream(spark, sf_dir):
+    decisions_dir = _minhash_stream_store(spark, sf_dir)
+    d = spark.read.option("basePath", decisions_dir).parquet(
+        decisions_dir + "/batch=*"
+    )
+    return d.select(
+        F.col("batch").cast("int").alias("batch_id"),
+        "doc_id",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "jaccard",
+    )
