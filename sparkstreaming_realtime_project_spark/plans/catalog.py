@@ -10322,3 +10322,74 @@ def x_minhash_stream(spark, sf_dir):
         F.col("dup_of").cast("long").alias("dup_of"),
         "jaccard",
     )
+
+
+@_register(
+    "x_welch_ttest",
+    "Welch two-sample t-test on document length between the src0 slice "
+    "and the rest of the corpus — the mean-shift complement of the "
+    "binless KS and the binned PSI drift gates: moments come from "
+    "INTEGER sums (count / sum / sum-of-squares of an int column are "
+    "exact BIGINTs, so the partial-aggregation order can't move them), "
+    "the t statistic is one fixed-shape IEEE chain over those integers "
+    "(sqrt correctly rounded everywhere), floor-rounded at 1e-4 "
+    "(north-star: one hash aggregate, no window, no join)",
+    """
+    WITH m AS (SELECT
+        count(CASE WHEN source = 'src0' THEN 1 END) AS na,
+        sum(CASE WHEN source = 'src0' THEN n_chars END) AS sa,
+        sum(CASE WHEN source = 'src0'
+                 THEN CAST(n_chars AS BIGINT) * n_chars END) AS qa,
+        count(CASE WHEN source <> 'src0' THEN 1 END) AS nb,
+        sum(CASE WHEN source <> 'src0' THEN n_chars END) AS sb,
+        sum(CASE WHEN source <> 'src0'
+                 THEN CAST(n_chars AS BIGINT) * n_chars END) AS qb
+      FROM documents)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(CAST(sa AS DOUBLE) / na * 1e6 + 0.5) / 1e6 AS mean_a,
+           floor(CAST(sb AS DOUBLE) / nb * 1e6 + 0.5) / 1e6 AS mean_b,
+           floor((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                 / sqrt(((CAST(qa AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * sa / na) / (na - 1)) / na
+                        + ((CAST(qb AS DOUBLE)
+                            - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)) / nb)
+                 * 1e4 + 0.5) / 1e4 AS t_stat
+    FROM m
+    """,
+)
+def x_welch_ttest(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    is_a = F.col("source") == "src0"
+    m = docs.agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.sum(F.when(is_a, F.col("n_chars"))).alias("sa"),
+        F.sum(
+            F.when(is_a, F.col("n_chars").cast("long") * F.col("n_chars"))
+        ).alias("qa"),
+        F.count(F.when(~is_a, 1)).alias("nb"),
+        F.sum(F.when(~is_a, F.col("n_chars"))).alias("sb"),
+        F.sum(
+            F.when(~is_a, F.col("n_chars").cast("long") * F.col("n_chars"))
+        ).alias("qb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_a = (d("qa") - d("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    var_b = (d("qb") - d("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    t = (d("sa") / F.col("na") - d("sb") / F.col("nb")) / F.sqrt(
+        var_a / F.col("na") + var_b / F.col("nb")
+    )
+
+    def _r(col, s):
+        return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        _r(d("sa") / F.col("na"), 1e6).alias("mean_a"),
+        _r(d("sb") / F.col("nb"), 1e6).alias("mean_b"),
+        _r(t, 1e4).alias("t_stat"),
+    )
