@@ -10054,7 +10054,7 @@ _GQ_PROBS = [(1, 2), (9, 10)]  # exact fractions: p = num/den
                       count(*) OVER (PARTITION BY o_orderpriority) AS n
                FROM orders)
     {" UNION ALL ".join(
-        "SELECT pr, " + repr(num / den) + " AS p, "
+        "SELECT pr, CAST(" + repr(num / den) + " AS DOUBLE) AS p, "
         "CAST(rn AS BIGINT) AS target_rank, v AS value "
         "FROM r WHERE rn = (n * " + str(num) + " + " + str(den - 1) + ") // "
         + str(den)

@@ -47,12 +47,13 @@ def test_registry_rotation_order():
     exposed-unconfirmed tier drained to zero in round 7 — every
     registered entry now has a confirmed green row.)"""
     from sparkstreaming_realtime_project_spark.plans.catalog import (
-        _DRIVER_RED_R7,
+        _DRIVER_RED_R8,
         _DRIVER_VERIFIED_R2,
         _DRIVER_VERIFIED_R3,
         _DRIVER_VERIFIED_R5,
         _DRIVER_VERIFIED_R6,
         _DRIVER_VERIFIED_R7,
+        _DRIVER_VERIFIED_R8,
         _DRIVER_WINDOW_R4,
         registry,
     )
@@ -60,11 +61,12 @@ def test_registry_rotation_order():
     names = [s.name for s in registry()]
     green = (
         _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R5
-        | _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_WINDOW_R4
+        | _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
+        | _DRIVER_WINDOW_R4
     )
 
     def tier(n):
-        if n in _DRIVER_RED_R7:
+        if n in _DRIVER_RED_R8:
             return 0  # red beats...
         if n not in green:
             return 1  # ...never-checked beats...
@@ -86,6 +88,7 @@ def test_registry_rotation_order():
             _DRIVER_VERIFIED_R5,
             _DRIVER_VERIFIED_R6,
             _DRIVER_VERIFIED_R7,
+            _DRIVER_VERIFIED_R8,
         ]
     ):
         for n in cohort_set:
