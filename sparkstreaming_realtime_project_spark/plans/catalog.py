@@ -10393,3 +10393,45 @@ def x_welch_ttest(spark, sf_dir):
         _r(d("sb") / F.col("nb"), 1e6).alias("mean_b"),
         _r(t, 1e4).alias("t_stat"),
     )
+
+
+@_register(
+    "x_seasonality_weekday",
+    "weekday seasonality profile of order volume: per-weekday counts, "
+    "share, and the EXACT integer deviation from uniform (7*n_d - n — "
+    "the chi-square numerator's signed root, kept as a BIGINT so the "
+    "seasonality verdict never rides a float); the calendar-profile "
+    "complement of the gap-fill/EWMA/CUSUM time-series family "
+    "(north-star: one hash aggregate)",
+    """
+    WITH d AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) AS wd
+               FROM orders),
+    c AS (SELECT wd, count(*) AS n_d FROM d GROUP BY 1),
+    t AS (SELECT sum(n_d) AS n FROM c)
+    SELECT CAST(wd AS INT) AS weekday, CAST(n_d AS BIGINT) AS n_orders,
+           floor(CAST(n_d AS DOUBLE) / t.n * 1e6 + 0.5) / 1e6 AS share,
+           CAST(7 * n_d - t.n AS BIGINT) AS uniform_dev
+    FROM c CROSS JOIN t
+    """,
+)
+def x_seasonality_weekday(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    # Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6
+    c = od.groupBy(
+        (F.dayofweek(F.to_date("o_orderdate")) - 1).alias("wd")
+    ).agg(F.count(F.lit(1)).alias("n_d"))
+    t = c.agg(F.sum("n_d").alias("n"))
+    return c.join(F.broadcast(t), F.lit(True), "left").select(
+        F.col("wd").cast("int").alias("weekday"),
+        F.col("n_d").cast("long").alias("n_orders"),
+        (
+            F.floor(
+                F.col("n_d").cast("double") / F.col("n") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("share"),
+        (F.lit(7) * F.col("n_d") - F.col("n")).cast("long").alias(
+            "uniform_dev"
+        ),
+    )
