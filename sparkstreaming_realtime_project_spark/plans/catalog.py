@@ -10435,3 +10435,63 @@ def x_seasonality_weekday(spark, sf_dir):
             "uniform_dev"
         ),
     )
+
+
+@_register(
+    "x_cohort_ltv",
+    "cohort lifetime-value matrix: customers cohorted by first-order "
+    "month, per (cohort, months-since) active customers + DECIMAL "
+    "revenue + the running cumulative LTV (a KEYED window over the "
+    "months-since axis — calendar-bounded per cohort); the revenue "
+    "companion of a_retention_cohort's activity matrix (north-star: "
+    "two keyed aggregates + one equi-join + one keyed window)",
+    """
+    WITH o AS (SELECT o_custkey,
+                      date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                      CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+               FROM orders),
+    first AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+    j AS (SELECT o.o_custkey, f.cohort,
+                 datediff('month', f.cohort, o.m) AS mi, o.rev
+          FROM o JOIN first f USING (o_custkey)),
+    g AS (SELECT cohort, mi, count(DISTINCT o_custkey) AS active_customers,
+                 sum(rev) AS rev
+          FROM j GROUP BY 1, 2)
+    SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+           CAST(mi AS INT) AS months_since,
+           CAST(active_customers AS BIGINT) AS active_customers,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY mi
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE)
+             AS cum_revenue
+    FROM g
+    """,
+)
+def x_cohort_ltv(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.to_date("o_orderdate")).alias("m"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("rev"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    j = o.join(first, "o_custkey").select(
+        "o_custkey",
+        "cohort",
+        F.months_between("m", "cohort").cast("int").alias("mi"),
+        "rev",
+    )
+    g = j.groupBy("cohort", "mi").agg(
+        F.count_distinct("o_custkey").alias("active_customers"),
+        F.sum("rev").alias("rev"),
+    )
+    w = Window.partitionBy("cohort").orderBy("mi").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        F.col("mi").cast("int").alias("months_since"),
+        F.col("active_customers").cast("long").alias("active_customers"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
