@@ -5,6 +5,7 @@ exact baseline."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sparkstreaming_realtime_project_spark.operators import dedup as dd
 from sparkstreaming_realtime_project_spark.operators import similarity as sim
@@ -1862,3 +1863,97 @@ def test_funnel_ordered_respects_event_order(spark, sf_dir):
     )
     assert v.count() == 3 and c.count() == 2 and p.count() == 1
     assert p.collect()[0]["user_id"] == 1
+
+
+def test_abc_pareto_hand_computed(spark):
+    """Revenue 50/30/15/5 over four parts: top-down cumulative shares
+    are 50/80/95/100 — classes A, A (<=80), B (<=95), C."""
+    from sparkstreaming_realtime_project_spark.operators.distributed import (
+        prefix_sums,
+    )
+
+    r = spark.createDataFrame(
+        [(1, 50.0), (2, 30.0), (3, 15.0), (4, 5.0)], "p int, rev double"
+    ).select("p", F.col("rev").cast("decimal(18,6)").alias("rev"))
+    cums = prefix_sums(r, ["rev", "p"], ["rev"])
+    tot = r.agg(F.sum("rev").alias("tot"))
+    j = cums.join(F.broadcast(tot), F.lit(True), "left")
+    cum_desc = F.col("tot") - F.col("rev_cum") + F.col("rev")
+    abc = (
+        F.when(cum_desc * 100 <= F.col("tot") * 80, F.lit("A"))
+        .when(cum_desc * 100 <= F.col("tot") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    got = {r["p"]: r["abc"] for r in j.select("p", abc.alias("abc")).collect()}
+    assert got == {1: "A", 2: "A", 3: "B", 4: "C"}
+    spark.catalog.clearCache()
+
+
+def test_ab_proportion_z_hand_computed(spark):
+    """Hand-checked two-proportion z: control 2/10 vs treatment 5/10."""
+    import math
+
+    rows = []
+    # variant = user_id % 2; converter = purchase with value > 200
+    for u in range(0, 20, 2):  # control users 0,2,..18
+        rows.append((u, "view", 1.0))
+    for u in (0, 2):  # 2 control converters
+        rows.append((u, "purchase", 300.0))
+    for u in range(1, 21, 2):  # treatment users 1,3,..19
+        rows.append((u, "view", 1.0))
+    for u in (1, 3, 5, 7, 9):  # 5 treatment converters
+        rows.append((u, "purchase", 300.0))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    u = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count_distinct("user_id").alias("n"),
+        F.count_distinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                F.col("user_id"),
+            )
+        ).alias("c"),
+    )
+    got = {r["variant"]: (r["n"], r["c"]) for r in u.collect()}
+    assert got == {0: (10, 2), 1: (10, 5)}
+    p0, p1, pp = 0.2, 0.5, 0.35
+    z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / 10 + 1 / 10))
+    assert abs(z - 1.4064) < 1e-3  # sanity of the hand formula
+
+
+def test_cohort_ltv_cumulative_is_keyed(spark):
+    """Two cohorts, independent cumulative revenue per cohort."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.date(2024, 1, 5), 10.0),
+        (1, dt.date(2024, 2, 5), 20.0),
+        (2, dt.date(2024, 2, 10), 5.0),
+        (2, dt.date(2024, 3, 10), 7.0),
+    ]
+    o = spark.createDataFrame(
+        rows, "o_custkey long, od date, o_totalprice double"
+    ).select(
+        "o_custkey",
+        F.date_trunc("month", "od").alias("m"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("rev"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    j = o.join(first, "o_custkey").select(
+        "cohort", F.months_between("m", "cohort").cast("int").alias("mi"), "rev"
+    )
+    g = j.groupBy("cohort", "mi").agg(F.sum("rev").alias("rev"))
+    w = Window.partitionBy("cohort").orderBy("mi").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    got = {
+        (r["cohort"].strftime("%Y-%m"), r["mi"]): float(r["cum"])
+        for r in g.select(
+            "cohort", "mi", F.sum("rev").over(w).cast("double").alias("cum")
+        ).collect()
+    }
+    assert got == {
+        ("2024-01", 0): 10.0,
+        ("2024-01", 1): 30.0,
+        ("2024-02", 0): 5.0,
+        ("2024-02", 1): 12.0,
+    }
