@@ -1,0 +1,122 @@
+"""Sequential-ingest scaling probe for the streaming MinHash dedup
+store: per-batch wall-clock as the accepted store grows, on two corpus
+shapes.
+
+Usage: python scripts/ingest_probe.py [sf_dir] [n_batches]
+
+- DISJOINT batches (scale_probe's disjoint-vocab copies): every batch
+  is all-new content, the store grows linearly, and no batch collides
+  with the store — per-batch cost should stay ~flat (the new-vs-store
+  join probes only the new docs' band buckets, which stay empty).
+- IDENTICAL-COPY batches (each batch is the same base corpus with
+  shifted ids): every batch collides with batch 0's accepted docs —
+  the adversarial bucket-pressure case. Accepted docs stay ~constant
+  (everything past batch 0 is flagged dup), so the store does not grow
+  and the hot buckets are governed by max_bucket; per-batch cost should
+  stay ~flat here too, with every non-first doc flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_project_spark.operators.dedup import (
+    band_keys,
+    minhash_signature,
+    with_shingles,
+)
+from sparkstreaming_realtime_project_spark.session import get_spark
+from sparkstreaming_realtime_project_spark.streaming.incremental import (
+    dedup_batch_against_store,
+    read_signature_store,
+)
+from scripts.scale_probe import scaled_documents
+
+
+def ingest(spark, batches, label: str):
+    root = tempfile.mkdtemp(prefix="spark_ingest_probe_")
+    store = os.path.join(root, "store")
+    rows = []
+    try:
+        for b, batch in enumerate(batches):
+            t0 = time.perf_counter()
+            shingled = with_shingles(batch, "text", "doc_id", 3)
+            new_sigs = shingled.select("id", "shingles")
+            new_bands = band_keys(minhash_signature(shingled, 16), 16, 4)
+            store_sigs, store_bands = read_signature_store(
+                spark, store, new_sigs, new_bands
+            )
+            decisions = dedup_batch_against_store(
+                new_sigs, new_bands, store_sigs, store_bands,
+                threshold=0.8, max_bucket=50,
+            ).persist()
+            n_new = decisions.count()
+            n_dup = decisions.filter(F.col("dup_of").isNotNull()).count()
+            accepted = decisions.filter(F.col("dup_of").isNull()).select(
+                F.col("doc_id").alias("id")
+            )
+            new_sigs.join(accepted, "id").write.mode("overwrite").parquet(
+                os.path.join(store, "sigs", f"batch={b}")
+            )
+            new_bands.join(accepted, "id").write.mode("overwrite").parquet(
+                os.path.join(store, "bands", f"batch={b}")
+            )
+            decisions.unpersist()
+            spark.catalog.clearCache()
+            rows.append(
+                {
+                    "corpus": label,
+                    "batch": b,
+                    "n_docs": n_new,
+                    "n_flagged": n_dup,
+                    "wall_s": round(time.perf_counter() - t0, 2),
+                }
+            )
+            print(json.dumps(rows[-1]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark(app_name="ingest-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # disjoint: copy k's docs only (disjoint vocab per copy)
+    from sparkstreaming_realtime_project_spark.sources.batch import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = base.agg(F.max("doc_id")).first()[0] + 1
+    all_copies = scaled_documents(spark, sf_dir, n_batches).persist()
+    all_copies.count()
+    disjoint = [
+        all_copies.filter(
+            (F.col("doc_id") >= k * n) & (F.col("doc_id") < (k + 1) * n)
+        )
+        for k in range(n_batches)
+    ]
+    r1 = ingest(spark, disjoint, "disjoint")
+    all_copies.unpersist()
+
+    # identical copies: same text, shifted ids
+    ident = [
+        base.select((F.col("doc_id") + F.lit(k * n)).alias("doc_id"), "text")
+        for k in range(n_batches)
+    ]
+    r2 = ingest(spark, ident, "identical")
+    print(json.dumps({"ingest_scaling": r1 + r2}))
+
+
+if __name__ == "__main__":
+    main()
