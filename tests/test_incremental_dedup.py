@@ -821,3 +821,80 @@ def test_streaming_hll_crash_restart_from_checkpoint(spark, tmp_path):
     )
     want = hll_estimate(union, "user_id").collect()[0]["hll_estimate"]
     assert est_after == want
+
+
+def test_streaming_cms_crash_restart_no_double_count(spark, tmp_path):
+    """Round-9: the CMS restart case is SHARPER than HLL's — the merge
+    is cell-wise SUM, so a replay that APPENDED instead of OVERWROTE
+    would silently double-count (HLL's max would mask the bug). Crash
+    between the store write and the checkpoint commit: the batch dir
+    exists with full counts, the engine re-runs the same input as the
+    same batch id, and the overwrite must leave every estimate exactly
+    at the single-pass value."""
+    from sparkstreaming_realtime_project_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_cms_estimate,
+        streaming_cms_counts,
+    )
+
+    in_dir = str(tmp_path / "cin")
+    store = str(tmp_path / "cstore")
+    ck = str(tmp_path / "cck")
+    b1 = [json.dumps({"user_id": i % 7}) for i in range(50)]
+    b2 = [json.dumps({"user_id": i % 5}) for i in range(30)]
+
+    # run 1: only batch 1 visible; commits batch_id=0
+    fx._write_batches(in_dir, [b1])
+    stream = file_stream(
+        spark, in_dir, "user_id long", fmt="json", max_files_per_trigger=1
+    )
+    q = (
+        streaming_cms_counts(stream, store, ck, "user_id")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    # "crash": batch 2's sketch written (same writer code) but never
+    # committed to the checkpoint
+    import os
+
+    phantom_src = spark.createDataFrame(
+        [(i % 5,) for i in range(30)], "user_id long"
+    )
+    cms_sketch(phantom_src, "user_id").write.mode("overwrite").parquet(
+        os.path.join(store, "batch=1")
+    )
+
+    # restart from the SAME checkpoint with batch 2's input visible:
+    # re-run as batch_id=1, overwrite (NOT append) the phantom dir
+    fx._write_batches(in_dir, [b1, b2])
+    stream2 = file_stream(
+        spark, in_dir, "user_id long", fmt="json", max_files_per_trigger=1
+    )
+    q2 = (
+        streaming_cms_counts(stream2, store, ck, "user_id")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    union = spark.createDataFrame(
+        [(i % 7,) for i in range(50)] + [(i % 5,) for i in range(30)],
+        "user_id long",
+    )
+    keys = spark.createDataFrame([(k,) for k in range(8)], "user_id long")
+    got = {
+        r["user_id"]: r["est"]
+        for r in read_cms_estimate(spark, store, keys, "user_id").collect()
+    }
+    ref = {
+        r["user_id"]: r["est"]
+        for r in cms_estimate(
+            keys, cms_sketch(union, "user_id"), "user_id"
+        ).collect()
+    }
+    assert got == ref  # any double-count would overshoot the sum-merge
