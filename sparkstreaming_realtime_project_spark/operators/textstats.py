@@ -883,3 +883,108 @@ def kn_bigram_logprob(
         dbg.unpersist()
         c12.unpersist()
     return out
+
+
+def nb_token_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    n_buckets: int = 64,
+    salt: str = "nb",
+    decimals: int = 4,
+) -> DataFrame:
+    """Multinomial Naive Bayes quality classifier over hashed token
+    buckets — the SQL-replayable stand-in for the fastText/logistic
+    quality filters corpus pipelines train on weak labels (CCNet,
+    GPT-3's quality classifier): NB's sufficient statistics are pure
+    COUNTS, so training is one exploded aggregate and the learned model
+    replays exactly on any engine, where LR/fastText training is an
+    iterative float path no oracle can follow.
+
+    ``label_col``: int 1 = positive class (weak labels — a rule, a
+    sample of human labels — are the normal supervision here). Tokens
+    hash to ``n_buckets`` buckets (md5, engine-portable); per-bucket
+    weight is the smoothed log-likelihood ratio
+    ln((c1+1)(T0+K) / ((c0+1)(T1+K))) with the ratio floor-rounded to
+    the 1e-6 grid and clamped at 1e-6 before the log (the
+    markov_surprise clamp — ln(0) is engine-divergent); doc score =
+    rounded prior + sum of token weights, floor-rounded at
+    ``decimals`` (the kn_bigram few-hundred-term float-sum posture);
+    ``predicted`` compares the ROUNDED score to 0 so the verdict sits
+    on the same grid on every engine.
+
+    Shape: one exploded hash aggregate to the K x 2 count model, a
+    broadcast join back, one keyed aggregate per doc. Returns
+    (id, label, n_tokens, score, predicted)."""
+    from .dedup import tokens_expr
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.explode(tokens_expr(text_col)).alias("tok"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    tb = toks.select("id", "label", bucket.alias("b"))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    cls = base.agg(
+        F.sum("label").alias("ng"),
+        F.sum(F.lit(1) - F.col("label")).alias("nb"),
+    )
+    cnt = tb.groupBy("b").agg(
+        F.sum("label").alias("c1"),
+        F.sum(F.lit(1) - F.col("label")).alias("c0"),
+    )
+    tot = cnt.agg(F.sum("c1").alias("t1"), F.sum("c0").alias("t0"))
+    k = F.lit(n_buckets)
+    ratio = (
+        (F.col("c1") + F.lit(1.0))
+        * (F.col("t0") + k)
+        / ((F.col("c0") + F.lit(1.0)) * (F.col("t1") + k))
+    )
+
+    def _grid6(col):
+        return F.greatest(
+            F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6), F.lit(1e-6)
+        )
+
+    model = cnt.join(F.broadcast(tot), F.lit(True), "left").select(
+        "b", F.log(_grid6(ratio)).alias("w")
+    )
+    prior = cls.select(
+        F.log(
+            _grid6(F.col("ng").cast("double") / F.col("nb"))
+        ).alias("p0")
+    )
+    ds = (
+        tb.join(F.broadcast(model), "b")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("w").alias("sw"))
+    )
+    scale = float(10**decimals)
+    raw = F.col("p0") + F.coalesce(F.col("sw"), F.lit(0.0))
+    rounded = F.floor(raw * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    return (
+        base.join(ds, "id", "left")
+        .join(F.broadcast(prior), F.lit(True), "left")
+        .select(
+            "id",
+            "label",
+            F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            rounded.alias("score"),
+            (rounded > 0).cast("int").alias("predicted"),
+        )
+    )

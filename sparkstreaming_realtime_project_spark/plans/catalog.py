@@ -10495,3 +10495,62 @@ def x_cohort_ltv(spark, sf_dir):
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+_NB_BUCKETS = 64
+
+
+@_register(
+    "x_nb_quality",
+    "Naive-Bayes quality classifier over hashed token buckets, trained "
+    "on the weak label n_chars >= 300 — the SQL-replayable stand-in "
+    "for the fastText/LR quality filters corpus pipelines run (NB's "
+    "sufficient statistics are COUNTS, so the trained model replays "
+    "exactly where an LR's iterative float path cannot): one exploded "
+    "hash aggregate to the 64 x 2 count model, broadcast join back, "
+    "per-doc rounded log-odds score with the 1e-6 ratio grid + clamp "
+    "before every log and the rounded-score prediction verdict "
+    "(north-star)",
+    f"""
+    WITH d AS (SELECT doc_id, CAST(n_chars >= 300 AS INT) AS label,
+                      {_TOKS_SQL} AS t
+               FROM documents),
+    ex AS (SELECT doc_id, label, unnest(t) AS tok FROM d),
+    tb AS (SELECT doc_id, label,
+                  ({_hex32_sql("substr(md5('nb:' || tok), 1, 8)")}
+                   % {_NB_BUCKETS}) AS b
+           FROM ex),
+    cls AS (SELECT sum(label) AS ng, sum(1 - label) AS nb FROM d),
+    cnt AS (SELECT b, sum(label) AS c1, sum(1 - label) AS c0
+            FROM tb GROUP BY b),
+    tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0 FROM cnt),
+    model AS (SELECT b,
+                ln(greatest(floor((c1 + 1.0) * (t0 + {_NB_BUCKETS})
+                            / ((c0 + 1.0) * (t1 + {_NB_BUCKETS}))
+                            * 1e6 + 0.5) / 1e6, 1e-6)) AS w
+              FROM cnt CROSS JOIN tot),
+    prior AS (SELECT ln(greatest(floor(ng * 1.0 / nb * 1e6 + 0.5) / 1e6,
+                                 1e-6)) AS p0
+              FROM cls),
+    ds AS (SELECT tb.doc_id, count(*) AS n_toks, sum(w) AS sw
+           FROM tb JOIN model USING (b) GROUP BY 1)
+    SELECT d.doc_id AS id, d.label,
+           CAST(coalesce(ds.n_toks, 0) AS BIGINT) AS n_tokens,
+           floor((prior.p0 + coalesce(ds.sw, 0.0)) * 1e4 + 0.5) / 1e4
+             AS score,
+           CAST(floor((prior.p0 + coalesce(ds.sw, 0.0)) * 1e4 + 0.5) / 1e4
+                > 0 AS INT) AS predicted
+    FROM d LEFT JOIN ds USING (doc_id) CROSS JOIN prior
+    """,
+)
+def x_nb_quality(spark, sf_dir):
+    from ..operators.textstats import nb_token_classifier
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    return nb_token_classifier(
+        docs, "text", "doc_id", "label", n_buckets=_NB_BUCKETS
+    )

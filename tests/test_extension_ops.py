@@ -1957,3 +1957,26 @@ def test_cohort_ltv_cumulative_is_keyed(spark):
         ("2024-02", 0): 5.0,
         ("2024-02", 1): 12.0,
     }
+
+
+def test_nb_classifier_separable_corpus(spark):
+    """Perfectly separable weak-label corpus: the NB log-odds must
+    recover the labels (positive-token docs score > 0, negative < 0)."""
+    from sparkstreaming_realtime_project_spark.operators.textstats import (
+        nb_token_classifier,
+    )
+
+    rows = [(i, "good great fine nice", 1) for i in range(10)] + [
+        (100 + i, "bad awful poor sad", 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    out = {
+        r["id"]: r
+        for r in nb_token_classifier(
+            df, "text", "doc_id", "label", n_buckets=64
+        ).collect()
+    }
+    for i in range(10):
+        assert out[i]["predicted"] == 1 and out[i]["score"] > 0
+        assert out[100 + i]["predicted"] == 0 and out[100 + i]["score"] < 0
+    assert out[0]["n_tokens"] == 4
