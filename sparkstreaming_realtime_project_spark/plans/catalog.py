@@ -10500,21 +10500,14 @@ def x_cohort_ltv(spark, sf_dir):
 _NB_BUCKETS = 64
 
 
-@_register(
-    "x_nb_quality",
-    "Naive-Bayes quality classifier over hashed token buckets, trained "
-    "on the weak label n_chars >= 300 — the SQL-replayable stand-in "
-    "for the fastText/LR quality filters corpus pipelines run (NB's "
-    "sufficient statistics are COUNTS, so the trained model replays "
-    "exactly where an LR's iterative float path cannot): one exploded "
-    "hash aggregate to the 64 x 2 count model, broadcast join back, "
-    "per-doc rounded log-odds score with the 1e-6 ratio grid + clamp "
-    "before every log and the rounded-score prediction verdict "
-    "(north-star)",
-    f"""
-    WITH d AS (SELECT doc_id, CAST(n_chars >= 300 AS INT) AS label,
-                      {_TOKS_SQL} AS t
-               FROM documents),
+def _nb_sql_ctes() -> str:
+    """Shared CTE body of the NB classifier twin (training counts ->
+    model -> per-doc scores) — used by x_nb_quality and its evaluation
+    companion so both replay the identical model."""
+    return f"""
+    d AS (SELECT doc_id, CAST(n_chars >= 300 AS INT) AS label,
+                 {_TOKS_SQL} AS t
+          FROM documents),
     ex AS (SELECT doc_id, label, unnest(t) AS tok FROM d),
     tb AS (SELECT doc_id, label,
                   ({_hex32_sql("substr(md5('nb:' || tok), 1, 8)")}
@@ -10533,14 +10526,30 @@ _NB_BUCKETS = 64
                                  1e-6)) AS p0
               FROM cls),
     ds AS (SELECT tb.doc_id, count(*) AS n_toks, sum(w) AS sw
-           FROM tb JOIN model USING (b) GROUP BY 1)
-    SELECT d.doc_id AS id, d.label,
-           CAST(coalesce(ds.n_toks, 0) AS BIGINT) AS n_tokens,
-           floor((prior.p0 + coalesce(ds.sw, 0.0)) * 1e4 + 0.5) / 1e4
-             AS score,
-           CAST(floor((prior.p0 + coalesce(ds.sw, 0.0)) * 1e4 + 0.5) / 1e4
-                > 0 AS INT) AS predicted
-    FROM d LEFT JOIN ds USING (doc_id) CROSS JOIN prior
+           FROM tb JOIN model USING (b) GROUP BY 1),
+    scored AS (SELECT d.doc_id AS id, d.label,
+                 CAST(coalesce(ds.n_toks, 0) AS BIGINT) AS n_tokens,
+                 floor((prior.p0 + coalesce(ds.sw, 0.0)) * 1e4 + 0.5) / 1e4
+                   AS score,
+                 CAST(floor((prior.p0 + coalesce(ds.sw, 0.0)) * 1e4 + 0.5)
+                      / 1e4 > 0 AS INT) AS predicted
+               FROM d LEFT JOIN ds USING (doc_id) CROSS JOIN prior)"""
+
+
+@_register(
+    "x_nb_quality",
+    "Naive-Bayes quality classifier over hashed token buckets, trained "
+    "on the weak label n_chars >= 300 — the SQL-replayable stand-in "
+    "for the fastText/LR quality filters corpus pipelines run (NB's "
+    "sufficient statistics are COUNTS, so the trained model replays "
+    "exactly where an LR's iterative float path cannot): one exploded "
+    "hash aggregate to the 64 x 2 count model, broadcast join back, "
+    "per-doc rounded log-odds score with the 1e-6 ratio grid + clamp "
+    "before every log and the rounded-score prediction verdict "
+    "(north-star)",
+    f"""
+    WITH {_nb_sql_ctes()}
+    SELECT id, label, n_tokens, score, predicted FROM scored
     """,
 )
 def x_nb_quality(spark, sf_dir):
@@ -10553,4 +10562,84 @@ def x_nb_quality(spark, sf_dir):
     )
     return nb_token_classifier(
         docs, "text", "doc_id", "label", n_buckets=_NB_BUCKETS
+    )
+
+
+@_register(
+    "x_nb_quality_eval",
+    "classifier evaluation for x_nb_quality on its training corpus: "
+    "confusion counts (tp/fp/fn/tn — exact integers) and floor-rounded "
+    "accuracy/precision/recall/F1 from ONE aggregate over the scored "
+    "frame; the quality-gate report a pipeline reads before trusting "
+    "the filter (north-star)",
+    """
+    WITH {ctes}
+    , c AS (SELECT
+        sum(CASE WHEN label = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS tp,
+        sum(CASE WHEN label = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS fp,
+        sum(CASE WHEN label = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS fn,
+        sum(CASE WHEN label = 0 AND predicted = 0 THEN 1 ELSE 0 END) AS tn
+      FROM scored)
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           floor((tp + tn) * 1.0 / (tp + fp + fn + tn) * 1e6 + 0.5) / 1e6
+             AS accuracy,
+           floor(tp * 1.0 / (tp + fp) * 1e6 + 0.5) / 1e6 AS precision,
+           floor(tp * 1.0 / (tp + fn) * 1e6 + 0.5) / 1e6 AS recall,
+           floor(2.0 * tp / (2.0 * tp + fp + fn) * 1e6 + 0.5) / 1e6 AS f1
+    FROM c
+    """.replace("{ctes}", _nb_sql_ctes()),
+)
+def x_nb_quality_eval(spark, sf_dir):
+    from ..operators.textstats import nb_token_classifier
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    s = nb_token_classifier(
+        docs, "text", "doc_id", "label", n_buckets=_NB_BUCKETS
+    )
+    c = s.agg(
+        F.sum(
+            F.when((F.col("label") == 1) & (F.col("predicted") == 1), 1)
+            .otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when((F.col("label") == 0) & (F.col("predicted") == 1), 1)
+            .otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when((F.col("label") == 1) & (F.col("predicted") == 0), 1)
+            .otherwise(0)
+        ).alias("fn"),
+        F.sum(
+            F.when((F.col("label") == 0) & (F.col("predicted") == 0), 1)
+            .otherwise(0)
+        ).alias("tn"),
+    )
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    total = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    return c.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        _r6((F.col("tp") + F.col("tn")) * F.lit(1.0) / total).alias(
+            "accuracy"
+        ),
+        _r6(F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fp"))).alias(
+            "precision"
+        ),
+        _r6(F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fn"))).alias(
+            "recall"
+        ),
+        _r6(
+            F.lit(2.0) * F.col("tp")
+            / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
     )
