@@ -10643,3 +10643,55 @@ def x_nb_quality_eval(spark, sf_dir):
             / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn"))
         ).alias("f1"),
     )
+
+
+@_register(
+    "x_nb_calibration",
+    "calibration/reliability report for the NB quality score: integer "
+    "log-odds bins (floor(score) — no sigmoid, no transcendental on "
+    "the read path), per bin n docs, positives, empirical positive "
+    "rate, mean rounded score; a monotone rate-vs-bin profile is what "
+    "licenses thresholding the filter at a target purity (north-star: "
+    "one aggregate over the scored frame)",
+    """
+    WITH {ctes}
+    , binned AS (SELECT CAST(floor(score) AS BIGINT) AS score_bin,
+                        label, score
+                 FROM scored)
+    SELECT score_bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_positive,
+           floor(sum(label) * 1.0 / count(*) * 1e6 + 0.5) / 1e6
+             AS positive_rate,
+           floor(avg(score) * 1e4 + 0.5) / 1e4 AS mean_score
+    FROM binned GROUP BY score_bin
+    """.replace("{ctes}", _nb_sql_ctes()),
+)
+def x_nb_calibration(spark, sf_dir):
+    from ..operators.textstats import nb_token_classifier
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    s = nb_token_classifier(
+        docs, "text", "doc_id", "label", n_buckets=_NB_BUCKETS
+    )
+    return (
+        s.groupBy(F.floor("score").cast("long").alias("score_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_positive"),
+            (
+                F.floor(
+                    F.sum("label") * F.lit(1.0) / F.count(F.lit(1))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("positive_rate"),
+            (
+                F.floor(F.avg("score") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+            ).alias("mean_score"),
+        )
+    )
