@@ -898,3 +898,39 @@ def test_streaming_cms_crash_restart_no_double_count(spark, tmp_path):
         ).collect()
     }
     assert got == ref  # any double-count would overshoot the sum-merge
+
+
+def test_minhash_stream_decisions_consistent(spark):
+    """Structural invariants of the sequential-ingest exposure: every
+    doc decided exactly once; a flagged doc's canonical is either an
+    ACCEPTED doc from an earlier batch or a smaller-id batch sibling;
+    no accepted doc names a canonical."""
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        _REGISTRY,
+    )
+
+    spec = next(s for s in _REGISTRY if s.name == "x_minhash_stream")
+    rows = spec.spark(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    batch_of = {}
+    for r in rows:
+        assert r["doc_id"] not in by_doc, "doc decided twice"
+        by_doc[r["doc_id"]] = r
+        batch_of[r["doc_id"]] = r["batch_id"]
+        assert r["batch_id"] == r["doc_id"] % 3  # shard assignment
+    accepted = {d for d, r in by_doc.items() if r["dup_of"] is None}
+    for d, r in by_doc.items():
+        if r["dup_of"] is None:
+            continue
+        canon = r["dup_of"]
+        assert canon in by_doc, "canonical is a known doc"
+        if batch_of[canon] == r["batch_id"]:
+            assert canon < d, "in-batch canonical must be the smaller id"
+        else:
+            assert batch_of[canon] < r["batch_id"], (
+                "cross-batch canonical must come from an EARLIER batch"
+            )
+            assert canon in accepted, (
+                "cross-batch canonical must be an accepted (store) doc"
+            )
+        assert r["jaccard"] is not None and r["jaccard"] >= 0.8
