@@ -10695,3 +10695,115 @@ def x_nb_calibration(spark, sf_dir):
             ).alias("mean_score"),
         )
     )
+
+
+_NB_THRESHOLDS = [-2, -1, 0, 1, 2]
+
+
+@_register(
+    "x_nb_pr_curve",
+    "precision/recall sweep for the NB quality filter at five fixed "
+    "log-odds thresholds (the operating-point table a pipeline reads "
+    "to pick its purity/yield trade): per threshold tp/fp/fn as exact "
+    "integers from ONE aggregate over the scored frame (CASE per "
+    "threshold shares the scan), floor-rounded precision/recall/yield "
+    "(north-star)",
+    """
+    WITH {ctes}
+    SELECT t.thr, CAST(t.tp AS BIGINT) AS tp, CAST(t.fp AS BIGINT) AS fp,
+           CAST(t.fn AS BIGINT) AS fn,
+           floor(t.tp * 1.0 / nullif(t.tp + t.fp, 0) * 1e6 + 0.5) / 1e6
+             AS precision,
+           floor(t.tp * 1.0 / nullif(t.tp + t.fn, 0) * 1e6 + 0.5) / 1e6
+             AS recall,
+           floor((t.tp + t.fp) * 1.0 / t.n * 1e6 + 0.5) / 1e6 AS yield
+    FROM (
+      {rows}
+    ) t
+    """.replace("{ctes}", _nb_sql_ctes()).replace(
+        "{rows}",
+        " UNION ALL ".join(
+            f"SELECT {thr} AS thr,"
+            f" sum(CASE WHEN label = 1 AND score > {thr} THEN 1 ELSE 0 END)"
+            " AS tp,"
+            f" sum(CASE WHEN label = 0 AND score > {thr} THEN 1 ELSE 0 END)"
+            " AS fp,"
+            f" sum(CASE WHEN label = 1 AND score <= {thr} THEN 1 ELSE 0 END)"
+            " AS fn,"
+            " count(*) AS n FROM scored"
+            for thr in _NB_THRESHOLDS
+        ),
+    ),
+)
+def x_nb_pr_curve(spark, sf_dir):
+    from ..operators.textstats import nb_token_classifier
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    s = nb_token_classifier(
+        docs, "text", "doc_id", "label", n_buckets=_NB_BUCKETS
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("label") == 1) & (F.col("score") > thr), 1
+                ).otherwise(0)
+            ).alias(f"tp{i}")
+            for i, thr in enumerate(_NB_THRESHOLDS)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("label") == 0) & (F.col("score") > thr), 1
+                ).otherwise(0)
+            ).alias(f"fp{i}")
+            for i, thr in enumerate(_NB_THRESHOLDS)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("label") == 1) & (F.col("score") <= thr), 1
+                ).otherwise(0)
+            ).alias(f"fn{i}")
+            for i, thr in enumerate(_NB_THRESHOLDS)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(thr).alias("thr"),
+                F.col(f"tp{i}").alias("tp"),
+                F.col(f"fp{i}").alias("fp"),
+                F.col(f"fn{i}").alias("fn"),
+                F.col("n").alias("n"),
+            )
+            for i, thr in enumerate(_NB_THRESHOLDS)
+        ]
+    )
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    e = agg.select(F.explode(rows).alias("r")).select("r.*")
+    return e.select(
+        F.col("thr").cast("int").alias("thr"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            _r6(F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fp"))),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            _r6(F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fn"))),
+        ).alias("recall"),
+        _r6((F.col("tp") + F.col("fp")) * F.lit(1.0) / F.col("n")).alias(
+            "yield"
+        ),
+    )
