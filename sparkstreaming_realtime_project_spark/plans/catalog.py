@@ -10807,3 +10807,85 @@ def x_nb_pr_curve(spark, sf_dir):
             "yield"
         ),
     )
+
+
+@_register(
+    "x_winsorized_mean",
+    "winsorized robust mean of order totals: clamp at the EXACT "
+    "integer-rank p01/p99 (the distributed prefix-sum quantile "
+    "machinery — no single-task sort, no approx_percentile drift), "
+    "then a DECIMAL mean of the clamped column — the outlier-proof KPI "
+    "form of a money average (one value-domain aggregate + one ranged "
+    "prefix + one broadcast + one scan) (north-star)",
+    """
+    WITH per_v AS (SELECT o_totalprice AS v, count(*) AS c
+                   FROM orders GROUP BY 1),
+    r AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM per_v),
+    n AS (SELECT sum(c) AS n FROM per_v),
+    q AS (SELECT
+            min(CASE WHEN cum >= (n.n * 10000 + 999999) // 1000000
+                     THEN v END) AS q01,
+            min(CASE WHEN cum >= (n.n * 990000 + 999999) // 1000000
+                     THEN v END) AS q99
+          FROM r CROSS JOIN n)
+    SELECT CAST(n.n AS BIGINT) AS n, q.q01, q.q99,
+           floor(CAST(sum(CAST(least(greatest(o_totalprice, q.q01), q.q99)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+                 / n.n * 1e6 + 0.5) / 1e6 AS winsorized_mean,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / n.n * 1e6 + 0.5) / 1e6 AS raw_mean
+    FROM orders CROSS JOIN q CROSS JOIN n
+    GROUP BY n.n, q.q01, q.q99
+    """,
+)
+def x_winsorized_mean(spark, sf_dir):
+    from ..operators.distributed import prefix_sums
+
+    od = _t(spark, sf_dir, "orders")
+    per_v = od.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cums = prefix_sums(per_v, ["v"], ["c"])
+    n = per_v.agg(F.sum("c").alias("n"))
+    jq = cums.join(F.broadcast(n), F.lit(True), "left")
+    q = jq.agg(
+        F.min(
+            F.when(
+                F.col("c_cum")
+                >= F.expr("(n * 10000 + 999999) DIV 1000000"),
+                F.col("v"),
+            )
+        ).alias("q01"),
+        F.min(
+            F.when(
+                F.col("c_cum")
+                >= F.expr("(n * 990000 + 999999) DIV 1000000"),
+                F.col("v"),
+            )
+        ).alias("q99"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("q01")), F.col("q99")
+    )
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        od.join(F.broadcast(q), F.lit(True), "left")
+        .join(F.broadcast(n), F.lit(True), "left")
+        .groupBy("n", "q01", "q99")
+        .agg(
+            F.sum(clamped.cast("decimal(18,6)")).alias("ws"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rs"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "q01",
+            "q99",
+            _r6(F.col("ws").cast("double") / F.col("n")).alias(
+                "winsorized_mean"
+            ),
+            _r6(F.col("rs").cast("double") / F.col("n")).alias("raw_mean"),
+        )
+    )
