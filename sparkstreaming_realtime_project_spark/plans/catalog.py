@@ -10889,3 +10889,102 @@ def x_winsorized_mean(spark, sf_dir):
             _r6(F.col("rs").cast("double") / F.col("n")).alias("raw_mean"),
         )
     )
+
+
+_ATTR_TOUCHES = ["view", "click", "signup", "error"]
+
+
+@_register(
+    "x_attribution_linear",
+    "LINEAR multi-touch attribution: every purchase splits its revenue "
+    "equally across the user's PRECEDING touches (by type), purchases "
+    "with no preceding touch credit 'none' in full — the fractional "
+    "complement of x_attribution_last_touch. Each per-purchase credit "
+    "term is floor-rounded to the 1e-6 grid BEFORE the DECIMAL sum, so "
+    "the corpus-sized accumulation is exact and order-free (grid "
+    "multiples are exact decimals) instead of a partition-order float "
+    "sum (north-star: one keyed window pass + one aggregate)",
+    """
+    WITH m AS (SELECT user_id, ts, event_id, event_type, value,
+                 {counts}
+               FROM events),
+    p AS (SELECT *, ({ksum}) AS k FROM m WHERE event_type = 'purchase'),
+    credits AS (
+      SELECT 'none' AS attributed_to,
+             CAST(floor(value * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS credit
+      FROM p WHERE k = 0
+      {unions}
+    )
+    SELECT attributed_to, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(credit) AS DOUBLE) AS revenue
+    FROM credits GROUP BY 1
+    """.replace(
+        "{counts}",
+        ",\n                 ".join(
+            f"count(CASE WHEN event_type = '{t}' THEN 1 END)"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            f" AS c_{t}"
+            for t in _ATTR_TOUCHES
+        ),
+    ).replace(
+        "{ksum}", " + ".join(f"c_{t}" for t in _ATTR_TOUCHES)
+    ).replace(
+        "{unions}",
+        "".join(
+            f"""
+      UNION ALL
+      SELECT '{t}',
+             CAST(floor(value * c_{t} / k * 1e6 + 0.5) / 1e6
+                  AS DECIMAL(18,6))
+      FROM p WHERE k > 0 AND c_{t} > 0"""
+            for t in _ATTR_TOUCHES
+        ),
+    ),
+)
+def x_attribution_linear(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .over(w)
+            .alias(f"c_{t}")
+            for t in _ATTR_TOUCHES
+        ],
+    )
+    k = sum(F.col(f"c_{t}") for t in _ATTR_TOUCHES)
+    p = m.filter(F.col("event_type") == "purchase").withColumn("k", k)
+
+    def _grid(col):
+        return (
+            F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)")
+
+    none = p.filter(F.col("k") == 0).select(
+        F.lit("none").alias("attributed_to"),
+        _grid(F.col("value")).alias("credit"),
+    )
+    out = none
+    for t in _ATTR_TOUCHES:
+        out = out.unionByName(
+            p.filter((F.col("k") > 0) & (F.col(f"c_{t}") > 0)).select(
+                F.lit(t).alias("attributed_to"),
+                _grid(
+                    F.col("value") * F.col(f"c_{t}") / F.col("k")
+                ).alias("credit"),
+            )
+        )
+    return out.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("credit").cast("double").alias("revenue"),
+    )
