@@ -10988,3 +10988,78 @@ def x_attribution_linear(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.sum("credit").cast("double").alias("revenue"),
     )
+
+
+_ACF_LAGS = [1, 2, 3, 4, 5, 6, 7]
+
+
+@_register(
+    "x_autocorrelation",
+    "autocorrelation of the daily order-count series at lags 1..7 "
+    "(weekly-seasonality detector, the correlation companion of "
+    "x_seasonality_weekday): per lag, Pearson r over the (v_t, v_t+k) "
+    "pairs with every moment an exact INTEGER sum (daily counts are "
+    "ints — n, Σx, Σy, Σxy, Σx², Σy² cannot drift with partition "
+    "order), one fixed IEEE chain + floor(1e-6) per lag; the lag "
+    "windows run over the calendar DOMAIN (the documented cusum "
+    "budget) (north-star)",
+    """
+    WITH daily AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                     AS dt, count(*) AS v
+                   FROM orders GROUP BY 1),
+    l AS (SELECT dt, v, {lags} FROM daily)
+    {selects}
+    """.replace(
+        "{lags}",
+        ", ".join(
+            f"lead(v, {k}) OVER (ORDER BY dt) AS y{k}" for k in _ACF_LAGS
+        ),
+    ).replace(
+        "{selects}",
+        " UNION ALL ".join(
+            f"""SELECT {k} AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       floor((count(*) * sum(v * y{k}) - sum(v) * sum(y{k}))
+             / sqrt((count(*) * sum(v * v) - sum(v) * sum(v)) * 1.0
+                    * (count(*) * sum(y{k} * y{k}) - sum(y{k}) * sum(y{k})))
+             * 1e6 + 0.5) / 1e6 AS r
+    FROM l WHERE y{k} IS NOT NULL"""
+            for k in _ACF_LAGS
+        ),
+    ),
+)
+def x_autocorrelation(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("dt")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.orderBy("dt")
+    lagged = daily.select(
+        "dt", "v", *[F.lead("v", k).over(w).alias(f"y{k}") for k in _ACF_LAGS]
+    )
+    out = None
+    for k in _ACF_LAGS:
+        g = lagged.filter(F.col(f"y{k}").isNotNull()).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sx"),
+            F.sum(f"y{k}").alias("sy"),
+            F.sum(F.col("v") * F.col(f"y{k}")).alias("sxy"),
+            F.sum(F.col("v") * F.col("v")).alias("sxx"),
+            F.sum(F.col(f"y{k}") * F.col(f"y{k}")).alias("syy"),
+        )
+        r = (
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        ) / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.lit(1.0)
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+        sel = g.select(
+            F.lit(k).alias("lag"),
+            F.col("n").cast("long").alias("n_pairs"),
+            (F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("r"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
