@@ -100,6 +100,17 @@ def main(argv: list[str] | None = None) -> None:
     )
     common(p)
 
+    # batch catalog runner: any registered analytic query by name over a
+    # testdata-shaped directory — the ad-hoc surface complementing the
+    # four streaming apps (run `query --list` for the full inventory)
+    p = sub.add_parser("query", help="run a catalog query by name")
+    p.add_argument("name", nargs="?", help="catalog entry name")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", help="parquet output dir (default: show)")
+    p.add_argument("--limit", type=int, default=20, help="rows to show")
+    p.add_argument("--list", action="store_true", help="list entries")
+    p.add_argument("--explain", action="store_true", help="print the plan")
+
     # the reference's publisher is a separate Spring Boot app beside the
     # Spark jobs (PublisherApplication.java); same topology here — a
     # sidecar serving the sink tables the pipelines write
@@ -110,6 +121,29 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--port", type=int, default=8070)
 
     args = ap.parse_args(argv)
+
+    if args.app == "query":
+        from .plans import catalog
+
+        specs = {s.name: s for s in catalog.registry()}
+        if args.list or not args.name:
+            for n in sorted(specs):
+                print(n)
+            return
+        if args.name not in specs:
+            sys.exit(f"unknown query {args.name!r} (try --list)")
+        spark = get_spark(app_name=f"query-{args.name}")
+        spark.sparkContext.setLogLevel("WARN")
+        df = specs[args.name].spark(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+        return
+
     spark = get_spark(app_name=f"app-{args.app}")
 
     def dim(path):
