@@ -450,3 +450,35 @@ def test_winnow_guarantee_property(spark, texts, n, w):
             }
             if runs_i & runs_j:
                 assert fps[i] & fps[j], (i, j, n, w, texts[i], texts[j])
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    k=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=1, max_value=10**6),
+)
+@settings(**SETTINGS)
+def test_ntile_exact_equals_python_ntile(spark, n, k, seed):
+    """ntile_exact must reproduce SQL ntile semantics (first n%k tiles
+    get ceil(n/k) rows) for arbitrary n, k — checked against a direct
+    Python reference over a scrambled unique key order."""
+    from sparkstreaming_realtime_project_spark.operators.distributed import (
+        ntile_exact,
+    )
+
+    rows = [((i * seed) % (3 * n), i) for i in range(n)]
+    df = spark.createDataFrame(rows, "v long, id long").repartition(5)
+    got = {
+        r["id"]: r["b"] for r in ntile_exact(df, ["v", "id"], k, "b").collect()
+    }
+    order = sorted(rows)  # (v, id) total order
+    q, m = divmod(n, k)
+    want = {}
+    for r0, (_, i) in enumerate(order):
+        r = r0 + 1
+        if r <= m * (q + 1):
+            want[i] = (r - 1) // (q + 1) + 1
+        else:
+            want[i] = m + (r - m * (q + 1) - 1) // max(q, 1) + 1
+    assert got == want
+    spark.catalog.clearCache()
