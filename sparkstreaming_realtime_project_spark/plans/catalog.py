@@ -11063,3 +11063,51 @@ def x_autocorrelation(spark, sf_dir):
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+_MRL_DIMS = 32  # truncated prefix width (full vectors are 64-d)
+
+
+@_register(
+    "x_matryoshka_recall",
+    "truncated-dimension retrieval recall (the Matryoshka-embedding "
+    "serving trick: search on the first 32 of 64 dims at half the "
+    "FLOPs/bytes, re-rank later if needed): recall@3 of prefix-dim "
+    "exact KNN vs full-dim exact KNN for 20 queries — the measurement "
+    "that licenses the dimension cut, alongside the LSH/IVF/PQ recall "
+    "graders (north-star)",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         (embedding::DOUBLE[])[1:{_MRL_DIMS}] AS vp
+                  FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, vp AS qvp
+          FROM base WHERE vec_id < 20),
+    truth AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, b2.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_cos_sql('qv', 'b2.v')} DESC, b2.vec_id) AS rank
+      FROM q JOIN base b2 ON b2.vec_id <> q.query_id) WHERE rank <= 3),
+    approx AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, b2.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_cos_sql('qvp', 'b2.vp')} DESC, b2.vec_id) AS rank
+      FROM q JOIN base b2 ON b2.vec_id <> q.query_id) WHERE rank <= 3),
+    bt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),
+    hits AS (SELECT query_id, count(*) AS n_hits
+             FROM truth JOIN approx USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT query_id, n_truth, coalesce(n_hits, 0) AS n_hits,
+           round(coalesce(n_hits, 0) * 1.0 / n_truth, 4) AS recall
+    FROM bt LEFT JOIN hits USING (query_id)
+    """,
+)
+def x_matryoshka_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    queries_t = trunc.filter(F.col("vec_id") < 20)
+    truth = _sim.knn_bruteforce(emb, queries, k=3)
+    approx = _sim.knn_bruteforce(trunc, queries_t, k=3)
+    return _sim.ann_recall(truth, approx)
