@@ -518,6 +518,13 @@ CASES_R9 = [
     # quantile family: range exchange, never a keyless window over the
     # data-keyed part domain
     ("x_abc_pareto", ["rangepartitioning"], ["CartesianProduct"]),
+    # winsorized mean's clamp bounds come from the same primitive
+    ("x_winsorized_mean", ["rangepartitioning"], ["CartesianProduct"]),
+    # linear attribution: one keyed window pass + unions + aggregate —
+    # NO join of any kind may appear (a join would mean the per-type
+    # credits stopped sharing the single window scan)
+    ("x_attribution_linear", ["Window", "Union", "HashAggregate"],
+     ["Join", "CartesianProduct"]),
     # first-5-events filter must push partial WindowGroupLimit heads;
     # the final top-20 must be TakeOrdered, never a global sort
     ("x_path_topk", ["WindowGroupLimit", "TakeOrderedAndProject"],
