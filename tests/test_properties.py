@@ -482,3 +482,39 @@ def test_ntile_exact_equals_python_ntile(spark, n, k, seed):
             want[i] = m + (r - m * (q + 1) - 1) // max(q, 1) + 1
     assert got == want
     spark.catalog.clearCache()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    seed=st.integers(min_value=1, max_value=10**6),
+    neg=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_prefix_sums_equals_python_cumsum(spark, n, seed, neg):
+    """prefix_sums must equal a direct Python cumulative sum over the
+    sorted unique keys — including NEGATIVE values (the per-partition
+    totals must come from true sums, not running-max shortcuts)."""
+    from sparkstreaming_realtime_project_spark.operators.distributed import (
+        prefix_sums,
+    )
+
+    rows = [
+        ((i * seed) % (5 * n), (i % 9) - (4 if neg else 0))
+        for i in range(n)
+    ]
+    # unique keys required: collapse duplicates by summing their values
+    agg = {}
+    for k, x in rows:
+        agg[k] = agg.get(k, 0) + x
+    df = spark.createDataFrame(
+        list(agg.items()), "k long, x long"
+    ).repartition(7)
+    got = {
+        r["k"]: r["x_cum"] for r in prefix_sums(df, ["k"], ["x"]).collect()
+    }
+    want, run = {}, 0
+    for k in sorted(agg):
+        run += agg[k]
+        want[k] = run
+    assert got == want
+    spark.catalog.clearCache()
