@@ -11111,3 +11111,57 @@ def x_matryoshka_recall(spark, sf_dir):
     truth = _sim.knn_bruteforce(emb, queries, k=3)
     approx = _sim.knn_bruteforce(trunc, queries_t, k=3)
     return _sim.ann_recall(truth, approx)
+
+
+@_register(
+    "x_gini_concentration",
+    "Gini coefficient of revenue concentration across customers: ranks "
+    "come from the distributed prefix-sum running count (total order "
+    "(revenue, custkey) — never a single-task global sort), Σ(rank·x) "
+    "accumulates rank·DECIMAL exactly, and the closed form "
+    "(2Σ(i·x) − (n+1)Σx) / (nΣx) is one fixed IEEE chain floor-rounded "
+    "at 1e-6 — the one-number inequality summary behind the ABC/Pareto "
+    "class table (north-star)",
+    """
+    WITH r AS (SELECT o_custkey AS c,
+                      sum(CAST(o_totalprice AS DECIMAL(18,6))) AS x
+               FROM orders GROUP BY 1),
+    rk AS (SELECT c, x, row_number() OVER (ORDER BY x, c) AS i FROM r),
+    g AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM rk)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS DOUBLE) AS total_revenue,
+           floor((2.0 * CAST(six AS DOUBLE)
+                  - (n + 1.0) * CAST(sx AS DOUBLE))
+                 / (n * CAST(sx AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini
+    FROM g
+    """,
+)
+def x_gini_concentration(spark, sf_dir):
+    from ..operators.distributed import prefix_sums
+
+    od = _t(spark, sf_dir, "orders")
+    r = od.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("x")
+    )
+    ranked = prefix_sums(r.withColumn("_one", F.lit(1)), ["x", "c"], ["_one"])
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("_one_cum") * F.col("x")).alias("six"),
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("double").alias("total_revenue"),
+        (
+            F.floor(
+                (
+                    F.lit(2.0) * F.col("six").cast("double")
+                    - (F.col("n") + F.lit(1.0)) * F.col("sx").cast("double")
+                )
+                / (F.col("n") * F.col("sx").cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("gini"),
+    )
