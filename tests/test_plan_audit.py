@@ -520,6 +520,7 @@ CASES_R9 = [
     ("x_abc_pareto", ["rangepartitioning"], ["CartesianProduct"]),
     # winsorized mean's clamp bounds come from the same primitive
     ("x_winsorized_mean", ["rangepartitioning"], ["CartesianProduct"]),
+    ("x_gini_concentration", ["rangepartitioning"], ["CartesianProduct"]),
     # linear attribution: one keyed window pass + unions + aggregate —
     # NO join of any kind may appear (a join would mean the per-type
     # credits stopped sharing the single window scan)
