@@ -1980,3 +1980,30 @@ def test_nb_classifier_separable_corpus(spark):
         assert out[i]["predicted"] == 1 and out[i]["score"] > 0
         assert out[100 + i]["predicted"] == 0 and out[100 + i]["score"] < 0
     assert out[0]["n_tokens"] == 4
+
+
+def test_gini_hand_computed(spark):
+    """x=[1,1,2,4]: gini = (2*25 - 5*8)/(4*8) = 0.3125; and perfect
+    equality gives 0."""
+    from sparkstreaming_realtime_project_spark.operators.distributed import (
+        prefix_sums,
+    )
+
+    def gini(vals):
+        r = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "c long, x double"
+        ).select("c", F.col("x").cast("decimal(18,6)").alias("x"))
+        ranked = prefix_sums(
+            r.withColumn("_one", F.lit(1)), ["x", "c"], ["_one"]
+        )
+        g = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("_one_cum") * F.col("x")).alias("six"),
+        ).collect()[0]
+        n, sx, six = g["n"], float(g["sx"]), float(g["six"])
+        spark.catalog.clearCache()
+        return (2.0 * six - (n + 1.0) * sx) / (n * sx)
+
+    assert abs(gini([1, 1, 2, 4]) - 0.3125) < 1e-9
+    assert abs(gini([5, 5, 5, 5])) < 1e-9
