@@ -934,3 +934,101 @@ def test_minhash_stream_decisions_consistent(spark):
                 "cross-batch canonical must be an accepted (store) doc"
             )
         assert r["jaccard"] is not None and r["jaccard"] >= 0.8
+
+
+def test_streaming_ivf_crash_restart_partitioned_layout(spark, tmp_path):
+    """Round-9: the IVF store's layout is batch=N/cell=C partitioned
+    dirs — the third restart pattern after HLL (max-merge) and CMS
+    (sum-merge). Crash between the partitioned store write and the
+    checkpoint commit: on restart the engine re-runs the same input as
+    the same batch id and the partitionBy overwrite of batch=N must
+    leave probe answers exactly at the batch-twin values (no duplicate
+    postings, no lost cells)."""
+    from sparkstreaming_realtime_project_spark.operators import similarity as sim
+    from sparkstreaming_realtime_project_spark.sources.streams import file_stream
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        query_ivf_store,
+        streaming_ivf_ingest,
+    )
+
+    def vec(i):
+        return [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    allv = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.ivf_centroids(allv, n_centroids=3, iters=2)
+    in_dir = str(tmp_path / "vin")
+    store = str(tmp_path / "vstore")
+    ck = str(tmp_path / "vck")
+
+    # run 1: only batch A committed
+    fx._write_batches(
+        in_dir,
+        [[json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(20)]],
+    )
+    stream = file_stream(
+        spark, in_dir, "vec_id long, embedding array<double>",
+        fmt="json", max_files_per_trigger=1,
+    )
+    q = (
+        streaming_ivf_ingest(stream, cents, store, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    # "crash": batch B's partitioned dir landed but was never committed —
+    # write it CORRUPTED (only half the vectors) to prove the replay
+    # truly overwrites rather than merges
+    import os
+
+    half = allv.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+    from sparkstreaming_realtime_project_spark.operators.similarity import (
+        _attach,
+        _cell_expr,
+        _cents_col,
+        as_double_vec,
+    )
+
+    assigned = _attach(
+        half.select(
+            F.col("vec_id").alias("id"),
+            as_double_vec("embedding").alias("v"),
+        ),
+        _cents_col(spark, cents),
+    ).select("id", "v", _cell_expr(F.col("v")).alias("cell"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(store, "batch=1")
+    )
+
+    # restart from the SAME checkpoint with batch B visible
+    fx._write_batches(
+        in_dir,
+        [
+            [json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(20)],
+            [json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(20, 40)],
+        ],
+    )
+    stream2 = file_stream(
+        spark, in_dir, "vec_id long, embedding array<double>",
+        fmt="json", max_files_per_trigger=1,
+    )
+    q2 = (
+        streaming_ivf_ingest(stream2, cents, store, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    queries = allv.filter(F.col("vec_id") < 5)
+    got = {
+        tuple(r)
+        for r in query_ivf_store(
+            spark, store, queries, cents, k=3, n_probe=2
+        ).collect()
+    }
+    ref = {
+        tuple(r)
+        for r in sim.ivf_topk(allv, queries, cents, k=3, n_probe=2).collect()
+    }
+    assert got == ref and got
