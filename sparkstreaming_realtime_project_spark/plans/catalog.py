@@ -11165,3 +11165,49 @@ def x_gini_concentration(spark, sf_dir):
             / F.lit(1e6)
         ).alias("gini"),
     )
+
+
+@_register(
+    "x_new_vs_returning",
+    "daily growth accounting: active users split into NEW (first-ever "
+    "day) vs RETURNING — the companion of a_dau_cumulative's running "
+    "total and a_retention_cohort's matrix; two keyed aggregates + one "
+    "equi-join on user, shares floor-rounded (north-star)",
+    """
+    WITH a AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS dt
+               FROM events),
+    f AS (SELECT user_id, min(dt) AS first_dt FROM a GROUP BY 1),
+    j AS (SELECT a.dt, a.user_id,
+                 CAST(a.dt = f.first_dt AS INT) AS is_new
+          FROM a JOIN f USING (user_id))
+    SELECT dt, CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(is_new) AS BIGINT) AS new_users,
+           CAST(count(*) - sum(is_new) AS BIGINT) AS returning_users,
+           floor(sum(is_new) * 1.0 / count(*) * 1e6 + 0.5) / 1e6
+             AS new_share
+    FROM j GROUP BY dt
+    """,
+)
+def x_new_vs_returning(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    ).distinct()
+    f = a.groupBy("user_id").agg(F.min("dt").alias("first_dt"))
+    j = a.join(f, "user_id").select(
+        "dt", (F.col("dt") == F.col("first_dt")).cast("int").alias("is_new")
+    )
+    return j.groupBy("dt").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+        F.sum("is_new").cast("long").alias("new_users"),
+        (F.count(F.lit(1)) - F.sum("is_new")).cast("long").alias(
+            "returning_users"
+        ),
+        (
+            F.floor(
+                F.sum("is_new") * F.lit(1.0) / F.count(F.lit(1)) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("new_share"),
+    )
