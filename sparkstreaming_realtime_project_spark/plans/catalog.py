@@ -11211,3 +11211,80 @@ def x_new_vs_returning(spark, sf_dir):
             / F.lit(1e6)
         ).alias("new_share"),
     )
+
+
+@_register(
+    "x_stickiness",
+    "DAU / WAU(7) / MAU(28) stickiness ratios per day: rolling DISTINCT "
+    "users cannot partial-aggregate over a sliding window, so each "
+    "(user, active-day) row EXPLODES into the 7/28 future days it "
+    "covers and a plain count_distinct per covered day does the rest — "
+    "bounded x7/x28 fanout of the deduplicated activity frame instead "
+    "of a per-day self-join; ratios floor-rounded (north-star)",
+    """
+    WITH a AS (SELECT DISTINCT user_id, CAST(strftime(ts, '%Y-%m-%d')
+                      AS DATE) AS dt
+               FROM events),
+    mx AS (SELECT max(dt) AS mxd FROM a),
+    w AS (SELECT user_id, unnest(generate_series(dt, dt + INTERVAL 6 DAY,
+                                 INTERVAL 1 DAY))::DATE AS d
+          FROM a),
+    m AS (SELECT user_id, unnest(generate_series(dt, dt + INTERVAL 27 DAY,
+                                 INTERVAL 1 DAY))::DATE AS d
+          FROM a),
+    dau AS (SELECT dt AS d, count(DISTINCT user_id) AS dau FROM a GROUP BY 1),
+    wau AS (SELECT d, count(DISTINCT user_id) AS wau FROM w, mx
+            WHERE d <= mx.mxd GROUP BY d),
+    mau AS (SELECT d, count(DISTINCT user_id) AS mau FROM m, mx
+            WHERE d <= mx.mxd GROUP BY d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS dt,
+           CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           floor(dau * 1.0 / wau * 1e6 + 0.5) / 1e6 AS dau_wau,
+           floor(wau * 1.0 / mau * 1e6 + 0.5) / 1e6 AS wau_mau
+    FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+    """,
+)
+def x_stickiness(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.to_date(F.date_format("ts", "yyyy-MM-dd")).alias("dt")
+    ).distinct()
+    mx = a.agg(F.max("dt").alias("mxd"))
+
+    def cover(days):
+        return (
+            a.select(
+                "user_id",
+                F.explode(
+                    F.sequence(
+                        F.col("dt"), F.date_add(F.col("dt"), days - 1)
+                    )
+                ).alias("d"),
+            )
+            .join(F.broadcast(mx), F.lit(True), "left")
+            .filter(F.col("d") <= F.col("mxd"))
+            .groupBy("d")
+            .agg(F.count_distinct("user_id").alias(f"au{days}"))
+        )
+
+    dau = a.groupBy(F.col("dt").alias("d")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau, mau = cover(7), cover(28)
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        dau.join(wau, "d")
+        .join(mau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("dt"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("au7").cast("long").alias("wau"),
+            F.col("au28").cast("long").alias("mau"),
+            _r6(F.col("dau") * F.lit(1.0) / F.col("au7")).alias("dau_wau"),
+            _r6(F.col("au7") * F.lit(1.0) / F.col("au28")).alias("wau_mau"),
+        )
+    )
