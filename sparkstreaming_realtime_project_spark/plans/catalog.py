@@ -11288,3 +11288,97 @@ def x_stickiness(spark, sf_dir):
             _r6(F.col("au7") * F.lit(1.0) / F.col("au28")).alias("wau_mau"),
         )
     )
+
+
+# z constants for 95% confidence (two-sided) and 80% power — compiled
+# literals, not libm inverse-normal calls
+_PWR_Z_ALPHA, _PWR_Z_BETA = 1.959963984540054, 0.8416212335729143
+
+
+@_register(
+    "x_ab_power_analysis",
+    "sample-size / power design companion of x_ab_proportion_test: "
+    "from the observed per-variant conversion rates, the per-arm N "
+    "needed to detect the OBSERVED delta at 95% confidence / 80% power "
+    "(z constants are compiled literals — no inverse-normal libm), and "
+    "the achieved z for the current N; every input an exact integer, "
+    "one fixed IEEE chain, floor-rounded (north-star)",
+    """
+    WITH u AS (SELECT user_id % 2 AS variant,
+                      count(DISTINCT user_id) AS n,
+                      count(DISTINCT CASE WHEN event_type = 'purchase'
+                                          AND value > 200
+                                          THEN user_id END) AS c
+               FROM events GROUP BY 1),
+    w AS (SELECT
+            max(CASE WHEN variant = 0 THEN n END) AS n0,
+            max(CASE WHEN variant = 0 THEN c END) AS c0,
+            max(CASE WHEN variant = 1 THEN n END) AS n1,
+            max(CASE WHEN variant = 1 THEN c END) AS c1
+          FROM u),
+    r AS (SELECT n0, c0, n1, c1,
+                 CAST(c0 AS DOUBLE) / n0 AS p0,
+                 CAST(c1 AS DOUBLE) / n1 AS p1
+          FROM w)
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
+           floor(p0 * 1e6 + 0.5) / 1e6 AS rate_control,
+           floor(p1 * 1e6 + 0.5) / 1e6 AS rate_treatment,
+           floor(abs(p1 - p0) * 1e6 + 0.5) / 1e6 AS observed_delta,
+           CASE WHEN p1 <> p0 THEN
+             CAST(ceil((1.959963984540054 + 0.8416212335729143)
+                       * (1.959963984540054 + 0.8416212335729143)
+                       * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+                       / ((p1 - p0) * (p1 - p0))) AS BIGINT)
+           END AS n_per_arm_required,
+           CAST(least(CAST(n0 AS DOUBLE), CAST(n1 AS DOUBLE))
+                >= (1.959963984540054 + 0.8416212335729143)
+                   * (1.959963984540054 + 0.8416212335729143)
+                   * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+                   / nullif((p1 - p0) * (p1 - p0), 0.0) AS INT)
+             AS adequately_powered
+    FROM r
+    """,
+)
+def x_ab_power_analysis(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count_distinct("user_id").alias("n"),
+        F.count_distinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                F.col("user_id"),
+            )
+        ).alias("c"),
+    )
+    w = u.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p0 = d("c0") / F.col("n0")
+    p1 = d("c1") / F.col("n1")
+    zz = F.lit((_PWR_Z_ALPHA + _PWR_Z_BETA) ** 2)
+    var = p0 * (F.lit(1.0) - p0) + p1 * (F.lit(1.0) - p1)
+    need = zz * var / ((p1 - p0) * (p1 - p0))
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        _r6(p0).alias("rate_control"),
+        _r6(p1).alias("rate_treatment"),
+        _r6(F.abs(p1 - p0)).alias("observed_delta"),
+        F.when(p1 != p0, F.ceil(need).cast("long")).alias(
+            "n_per_arm_required"
+        ),
+        (
+            F.least(d("n0"), d("n1"))
+            >= zz * var / F.nullif((p1 - p0) * (p1 - p0), F.lit(0.0))
+        )
+        .cast("int")
+        .alias("adequately_powered"),
+    )
