@@ -11382,3 +11382,87 @@ def x_ab_power_analysis(spark, sf_dir):
         .cast("int")
         .alias("adequately_powered"),
     )
+
+
+_CHURN_DAYS = 90
+
+
+@_register(
+    "x_churn_risk",
+    "churn-at-risk snapshot: customers whose LAST order is more than "
+    "90 days before the corpus max date, bucketed by recency band "
+    "(0-30 / 31-90 / 91-180 / 180+), with counts and decimal revenue "
+    "at risk per band — the retention-ops companion of RFM's recency "
+    "score (north-star: one keyed aggregate + broadcast max-date)",
+    f"""
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                      CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+               FROM orders),
+    mx AS (SELECT max(od) AS mxd FROM o),
+    c AS (SELECT o_custkey,
+                 date_diff('day', max(od), (SELECT mxd FROM mx)) AS gap,
+                 sum(rev) AS revenue
+          FROM o GROUP BY 1),
+    b AS (SELECT CASE WHEN gap <= 30 THEN '0-30'
+                      WHEN gap <= {_CHURN_DAYS} THEN '31-90'
+                      WHEN gap <= 180 THEN '91-180'
+                      ELSE '180+' END AS recency_band,
+                 CAST(gap > {_CHURN_DAYS} AS INT) AS at_risk,
+                 revenue
+          FROM c),
+    t AS (SELECT count(*) AS n FROM b)
+    SELECT recency_band, at_risk, CAST(count(*) AS BIGINT) AS n_customers,
+           floor(count(*) * 1.0 / t.n * 1e6 + 0.5) / 1e6 AS share,
+           CAST(sum(revenue) AS DOUBLE) AS lifetime_revenue
+    FROM b CROSS JOIN t GROUP BY recency_band, at_risk, t.n
+    """,
+)
+def x_churn_risk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("rev"),
+    )
+    mx = o.agg(F.max("od").alias("mxd"))
+    c = (
+        o.join(F.broadcast(mx), F.lit(True), "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mxd"), F.max("od")).alias("gap"),
+            F.sum("rev").alias("revenue"),
+        )
+    )
+    band = (
+        F.when(F.col("gap") <= 30, F.lit("0-30"))
+        .when(F.col("gap") <= _CHURN_DAYS, F.lit("31-90"))
+        .when(F.col("gap") <= 180, F.lit("91-180"))
+        .otherwise(F.lit("180+"))
+    )
+    b = c.select(
+        band.alias("recency_band"),
+        (F.col("gap") > _CHURN_DAYS).cast("int").alias("at_risk"),
+        "revenue",
+    )
+    t = b.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.join(F.broadcast(t), F.lit(True), "left")
+        .groupBy("recency_band", "at_risk", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("revenue").cast("double").alias("lifetime_revenue"),
+        )
+        .select(
+            "recency_band",
+            "at_risk",
+            "n_customers",
+            (
+                F.floor(
+                    F.col("n_customers") * F.lit(1.0) / F.col("n")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("share"),
+            "lifetime_revenue",
+        )
+    )
