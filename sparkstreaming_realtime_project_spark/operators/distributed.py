@@ -21,6 +21,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Every frame prefix_sums persists, so long-lived sessions (a driver
+# looping hundreds of catalog entries without clearCache) can release
+# them wholesale: callers that can't unpersist per-handle call
+# release_persisted() after their consuming action. bench.py and
+# scripts/check_oracle.py already clear the whole cache per entry; this
+# is the targeted release for sessions that shouldn't nuke unrelated
+# cached relations.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> int:
+    """Unpersist every frame prefix_sums has cached this process and
+    return how many were released. Safe to call at any time — a
+    consumer that re-reads a released result recomputes it (each
+    branch's labels were already materialized into the result)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def prefix_sums(
     df: DataFrame,
@@ -60,6 +85,7 @@ def prefix_sums(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    _PERSISTED.append(d)
     w_in = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -962,10 +962,27 @@ def nb_token_classifier(
     model = cnt.join(F.broadcast(tot), F.lit(True), "left").select(
         "b", F.log(_grid6(ratio)).alias("w")
     )
+    # fail-loud on a single-class weak label (ng=0 or nb=0): Spark's
+    # null division + null-skipping greatest() would otherwise yield a
+    # silent prior of ln(1e-6) while a SQL twin's ng/nb diverges — a
+    # degenerate corpus must raise, not score wrong (the ks_two_sample
+    # posture).
+    cls_ok = (F.col("ng") > 0) & (F.col("nb") > 0)
     prior = cls.select(
-        F.log(
-            _grid6(F.col("ng").cast("double") / F.col("nb"))
-        ).alias("p0")
+        F.when(
+            cls_ok,
+            F.log(_grid6(F.col("ng").cast("double") / F.col("nb"))),
+        )
+        .otherwise(
+            F.assert_true(
+                cls_ok,
+                F.lit(
+                    "nb_token_classifier: weak label is single-class "
+                    "(ng or nb is 0) — the class prior is undefined"
+                ),
+            ).cast("double")
+        )
+        .alias("p0")
     )
     ds = (
         tb.join(F.broadcast(model), "b")

@@ -272,6 +272,36 @@ _DRIVER_VERIFIED_R8 = frozenset(
 _DRIVER_RED_R8 = frozenset()
 
 
+# Green in the round-9 driver window (CORRECTNESS_r09.json): 50 of 50,
+# zero reds — the 29 newly-registered r9 entries confirmed plus the
+# r2/r3-cohort knn + multimodal families and the q5/q6/q18 TPC-H
+# shapes re-confirmed on current testdata.
+_DRIVER_VERIFIED_R9 = frozenset(
+    {
+        "a_cube_totals", "q18_large_orders", "q5_local_supplier_volume",
+        "q6_revenue_delta", "u_unpivot_measures", "x_ab_power_analysis",
+        "x_ab_proportion_test", "x_abc_pareto", "x_attribution_linear",
+        "x_autocorrelation", "x_blocking_quality", "x_changepoint_single",
+        "x_churn_risk", "x_cohort_ltv", "x_dedup_cluster", "x_ewma_keyed",
+        "x_fingerprint", "x_fk_orphans", "x_functional_deps",
+        "x_funnel_ordered", "x_gini_concentration", "x_hard_negatives",
+        "x_hll_merged_by_type", "x_knn_bruteforce", "x_knn_bucketed",
+        "x_knn_ivf", "x_knn_multiprobe", "x_lang_guess",
+        "x_length_model_by_lang", "x_matryoshka_recall", "x_minhash_stream",
+        "x_multimodal_decode", "x_multimodal_frame_sample",
+        "x_multimodal_meta", "x_multimodal_resize", "x_nb_calibration",
+        "x_nb_pr_curve", "x_nb_quality", "x_nb_quality_eval",
+        "x_new_vs_returning", "x_path_topk", "x_pk_profile", "x_psi_stream",
+        "x_quantiles_by_group", "x_seasonality_weekday", "x_stickiness",
+        "x_text_stats", "x_weighted_sample", "x_welch_ttest",
+        "x_winsorized_mean",
+    }
+)
+
+# No reds in the round-9 driver window.
+_DRIVER_RED_R9 = frozenset()
+
+
 def registry() -> list[QuerySpec]:
     """Driver-window priority: RED beats never-checked beats green.
 
@@ -281,9 +311,9 @@ def registry() -> list[QuerySpec]:
        first, so every entry lands in the driver's 50-slot CORRECTNESS
        window within ceil(N/50) rounds);
     3. confirmed-green cohorts by exposure staleness — r2 (oldest green
-       row), r3, r5, r6, r7, r8 (most recent). A name's LATEST green row
-       decides its cohort (r8 re-greens of r2/r3-cohort entries live in
-       the r8 cohort). The r4 exposure backlog drained in r7 — every
+       row), r3, r5, r6, r7, r8, r9 (most recent). A name's LATEST green
+       row decides its cohort (r9 re-greens of r2/r3-cohort entries live
+       in the r9 cohort). The r4 exposure backlog drained in r7 — every
        registered entry now has a driver-confirmed green row.
 
     All entries stay green under the full local driver-replica
@@ -291,12 +321,16 @@ def registry() -> list[QuerySpec]:
     seen = (
         _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R2 | _DRIVER_WINDOW_R4
         | _DRIVER_VERIFIED_R5 | _DRIVER_RED_R5 | _DRIVER_VERIFIED_R6
-        | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
+        | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
     )
-    r6n = _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
-    r7n = _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
-    r8n = _DRIVER_VERIFIED_R8
-    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R8]
+    r6n = (
+        _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
+        | _DRIVER_VERIFIED_R9
+    )
+    r7n = _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
+    r8n = _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
+    r9n = _DRIVER_VERIFIED_R9
+    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R9]
     never = [q for q in _REGISTRY if q.name not in seen]
     r4 = [q for q in _REGISTRY
           if q.name in _DRIVER_WINDOW_R4 and q.name not in r6n]
@@ -310,8 +344,10 @@ def registry() -> list[QuerySpec]:
           if q.name in _DRIVER_VERIFIED_R6 and q.name not in r7n]
     r7 = [q for q in _REGISTRY
           if q.name in _DRIVER_VERIFIED_R7 and q.name not in r8n]
-    r8 = [q for q in _REGISTRY if q.name in r8n]
-    return red + never + r4 + r2 + r3 + r5 + r6 + r7 + r8
+    r8 = [q for q in _REGISTRY
+          if q.name in _DRIVER_VERIFIED_R8 and q.name not in r9n]
+    r9 = [q for q in _REGISTRY if q.name in r9n]
+    return red + never + r4 + r2 + r3 + r5 + r6 + r7 + r8 + r9
 
 
 def _t(spark, sf_dir, name):
@@ -8352,11 +8388,25 @@ def _em_oracle_sql(iters: int = 2) -> str:
         if i == 0:
             return "0.125", ["0.75"] * k, ["0.25"] * k
         # per-feature M-step denominators (non-null-flag rows only) —
-        # mirrors linkage_em's missing-as-no-evidence convention
+        # mirrors linkage_em's missing-as-no-evidence convention,
+        # INCLUDING its keep-current-estimate fallback when a feature's
+        # denominator is 0/NULL (all flags null, or responsibility mass
+        # rounds to 0): the CASE recurses to the previous iteration's
+        # expression so Spark and the oracle stay bit-identical even on
+        # a degenerate feature.
+        _, pm, pu = params(i - 1)
         return (
             f"(s{i}.rn / s{i}.nn)",
-            [f"(s{i}.rg{j} / s{i}.rnj{j})" for j in range(k)],
-            [f"(s{i}.sg{j} / s{i}.snj{j})" for j in range(k)],
+            [
+                f"(CASE WHEN s{i}.rnj{j} > 0 THEN s{i}.rg{j} / s{i}.rnj{j}"
+                f" ELSE {pm[j]} END)"
+                for j in range(k)
+            ],
+            [
+                f"(CASE WHEN s{i}.snj{j} > 0 THEN s{i}.sg{j} / s{i}.snj{j}"
+                f" ELSE {pu[j]} END)"
+                for j in range(k)
+            ],
         )
 
     ctes = []
@@ -8375,7 +8425,11 @@ def _em_oracle_sql(iters: int = 2) -> str:
                 f" WHEN g{j} = 1 THEN {us[j]}"
                 f" ELSE (1.0 - {us[j]}) END)"
             )
-        src = "pat" if i == 0 else f"pat, s{i}"
+        # all prior 1-row s-tables join in (cross join of singletons):
+        # the keep-current fallback can reference any earlier iteration
+        src = "pat" if i == 0 else "pat, " + ", ".join(
+            f"s{t}" for t in range(1, i + 1)
+        )
         ctes.append(
             f"it{i + 1} AS (SELECT g0, g1, g2, n,\n"
             f"  floor(({pm}) / (({pm}) + ({pu})) * 4096.0 + 0.5) / 4096.0"
@@ -8408,7 +8462,8 @@ def _em_oracle_sql(iters: int = 2) -> str:
             f"  floor({usF[j]} * 1e6 + 0.5) / 1e6 AS u,\n"
             f"  floor({msF[j]} / {usF[j]} * 1e6 + 0.5) / 1e6 AS w_agree,\n"
             f"  floor((1.0 - {msF[j]}) / (1.0 - {usF[j]}) * 1e6 + 0.5) / 1e6"
-            f" AS w_disagree\nFROM s{iters}"
+            f" AS w_disagree\nFROM "
+            + ", ".join(f"s{t}" for t in range(1, iters + 1))
         )
     cte_block = ",\n    ".join(ctes)
     union_block = " UNION ALL ".join(rows)
@@ -10199,7 +10254,10 @@ def _minhash_stream_store(spark, sf_dir: str) -> str:
         read_signature_store,
     )
 
-    key = (sf_dir, _MH_STREAM_BATCHES)
+    # applicationId in the key (like sources/batch.py's relation cache):
+    # a new SparkSession — different confs, regenerated testdata — must
+    # rebuild the store rather than serve stale decisions parquet.
+    key = (spark.sparkContext.applicationId, sf_dir, _MH_STREAM_BATCHES)
     if key not in _MH_STREAM_PATHS:
         import atexit
         import os

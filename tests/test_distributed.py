@@ -204,3 +204,25 @@ def test_ntile_exact_no_keyless_window_over_data(spark):
     assert "rangepartitioning" in plan
     assert "ntile" not in plan
     spark.catalog.clearCache()
+
+
+def test_release_persisted_frees_prefix_sum_caches(spark):
+    """Every prefix_sums call persists its range-partitioned frame;
+    release_persisted() must free them all (long-session hygiene) and
+    a consumer re-collecting after release still gets correct sums."""
+    from sparkstreaming_realtime_project_spark.operators.distributed import (
+        release_persisted,
+    )
+
+    release_persisted()  # drain anything earlier tests left behind
+    df = spark.createDataFrame([(i, 1) for i in range(40)], "k int, one int")
+    out = prefix_sums(df, ["k"], ["one"])
+    before = {r["k"]: r["one_cum"] for r in out.collect()}
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0
+    assert release_persisted() >= 1
+    assert jsc.getPersistentRDDs().size() == 0
+    assert release_persisted() == 0  # idempotent
+    # recompute after release is still exact (labels already baked in)
+    assert {r["k"]: r["one_cum"] for r in out.collect()} == before
+    release_persisted()

@@ -2007,3 +2007,21 @@ def test_gini_hand_computed(spark):
 
     assert abs(gini([1, 1, 2, 4]) - 0.3125) < 1e-9
     assert abs(gini([5, 5, 5, 5])) < 1e-9
+
+
+def test_nb_classifier_single_class_label_fails_loud(spark):
+    """A degenerate weak label (all one class) must raise — the prior
+    ln(ng/nb) is undefined and silently scoring ln(1e-6) would hand a
+    wrong model to every downstream doc (ks_two_sample posture)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from sparkstreaming_realtime_project_spark.operators.textstats import (
+        nb_token_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "all positive text", 1) for i in range(6)],
+        "doc_id long, text string, label int",
+    )
+    with pytest.raises(SparkRuntimeException, match="single-class"):
+        nb_token_classifier(df, "text", "doc_id", "label").collect()
