@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import highlight, text_match
+from ..functions.text import highlight, match_and_highlight_sql, text_match
 from ..sources.batch import load_table
 
 # Fixed parameters (events span 2024-01; lineitem dates are TPC-H classic).
@@ -1044,6 +1044,56 @@ def f_text_match_highlight(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.filter(text_match(F.col("text"), ITEM_QUERY)).select(
         "doc_id", highlight(F.col("text"), ITEM_QUERY).alias("sku_name")
+    )
+
+
+# F9/F10 on CJK: the reference's REAL dashboard queries are Chinese item
+# names (PublisherController.java:26-33 sends 小米 etc.) against an
+# ES-standard-analyzed sku_name (PublisherMapperImpl.java:143) that
+# tokenizes CJK one character per token — so 小米手机 must match
+# 小米11手机. The testdata documents are Latin, so the sku corpus is
+# DERIVED deterministically from doc_id on BOTH engines (brand+model+
+# kind), exercising the analyzer itself end-to-end.
+_CJK_BRANDS = ["小米", "华为", "苹果", "三星"]
+_CJK_KINDS = ["手机", "平板", "耳机"]
+CJK_QUERY = "小米手机"
+
+_CJK_SKU_SQL = (
+    "['小米','华为','苹果','三星'][CAST(doc_id % 4 AS INT) + 1]"
+    " || CAST(doc_id % 90 + 10 AS VARCHAR)"
+    " || ['手机','平板','耳机'][CAST(doc_id % 3 AS INT) + 1]"
+)
+_CJK_MATCH_SQL, _CJK_HL_SQL = match_and_highlight_sql("sku_name", CJK_QUERY)
+
+
+@_register(
+    "f_text_match_cjk",
+    "F9/F10 with ES standard-analyzer CJK semantics: per-character CJK "
+    "tokens, AND-match, run-merged highlight — query 小米手机 hits "
+    "小米11手机 (PublisherMapperImpl.java:143,199-218; "
+    "PublisherController.java:26-33)",
+    f"""
+    WITH sku AS (SELECT doc_id, {_CJK_SKU_SQL} AS sku_name FROM documents)
+    SELECT doc_id, {_CJK_HL_SQL} AS sku_name
+    FROM sku WHERE {_CJK_MATCH_SQL}
+    """,
+)
+def f_text_match_cjk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    brand = F.element_at(
+        F.array(*[F.lit(b) for b in _CJK_BRANDS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _CJK_KINDS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    model = (F.col("doc_id") % 90 + 10).cast("string")
+    sku = docs.select(
+        "doc_id", F.concat(brand, model, kind).alias("sku_name")
+    )
+    return sku.filter(text_match(F.col("sku_name"), CJK_QUERY)).select(
+        "doc_id", highlight(F.col("sku_name"), CJK_QUERY).alias("sku_name")
     )
 
 

@@ -14,7 +14,9 @@ from sparkstreaming_realtime_project_spark.functions.text import text_match
 from sparkstreaming_realtime_project_spark.operators import dedup as dd
 
 # small alphabet -> forced token collisions between docs and queries
-WORD = st.sampled_from(["spark", "join", "data", "the", "ab", "x1", "Δδ", "小米"])
+WORD = st.sampled_from(
+    ["spark", "join", "data", "the", "ab", "x1", "Δδ", "小米", "小米11手机", "手机"]
+)
 TEXT = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
 
 SETTINGS = dict(max_examples=8, deadline=None)
@@ -22,6 +24,30 @@ SETTINGS = dict(max_examples=8, deadline=None)
 
 def _py_tokens(s: str) -> list[str]:
     return [t for t in re.split(r"\s+", s.lower()) if t]
+
+
+def _py_analyze(s: str) -> list[str]:
+    """Independent CJK-aware reference: per-character tokens for Han/
+    kana (char-by-char walk, no regex — deliberately a different
+    mechanism than the engine's regexp_replace space-padding)."""
+    out: list[str] = []
+    for tok in s.lower().split():
+        buf = ""
+        for ch in tok:
+            if (
+                "\u4e00" <= ch <= "\u9fff"
+                or "\u3400" <= ch <= "\u4dbf"
+                or "\u3040" <= ch <= "\u30ff"
+            ):
+                if buf:
+                    out.append(buf)
+                    buf = ""
+                out.append(ch)
+            else:
+                buf += ch
+        if buf:
+            out.append(buf)
+    return out
 
 
 def _py_shingles(s: str, n: int) -> list[str]:
@@ -45,9 +71,9 @@ def test_text_match_equals_python_reference(spark, texts, query):
         r["id"]: r["m"]
         for r in df.select("id", text_match(F.col("text"), query).alias("m")).collect()
     }
-    qtoks = set(_py_tokens(query))
+    qtoks = set(_py_analyze(query))
     for i, t in enumerate(texts):
-        expected = qtoks <= set(_py_tokens(t))
+        expected = qtoks <= set(_py_analyze(t))
         assert got[i] == expected, (t, query)
 
 

@@ -236,3 +236,29 @@ def test_http_reflects_live_streaming_sink(spark, tmp_path):
         assert sum(out2["dauYd"].values()) == 2  # day-1 untouched
     finally:
         server.shutdown()
+
+
+def test_cjk_query_matches_unspaced_sku(wide_table, spark):
+    """ES's standard analyzer tokenizes CJK one character per token
+    (PublisherMapperImpl.java:143), so dashboard query 小米手机 must hit
+    sku 小米11手机 even with NO whitespace — the round-9 divergence. The
+    highlight wraps each maximal run of matched characters."""
+    rows = [
+        (1, "2024-01-02", "小米11手机", "F", 25, 100.0, "2024-01-02 10:00:00"),
+        (2, "2024-01-02", "华为手机", "M", 35, 50.0, "2024-01-02 11:00:00"),
+        (3, "2024-01-02", "小米平板", "F", 18, 70.0, "2024-01-02 12:00:00"),
+        (4, "2024-01-02", "xiaomi 手机", "M", 40, 20.0, "2024-01-02 13:00:00"),
+    ]
+    wide = spark.createDataFrame(rows, wide_table.schema)
+    out = detail_by_item_json(wide, "2024-01-02", "小米手机")
+    # AND semantics: all four query chars must appear — only sku 1
+    assert out["total"] == 1
+    assert out["detail"][0]["detail_id"] == 1
+    assert out["detail"][0]["sku_name"] == "<em>小米</em>11<em>手机</em>"
+    # mixed Latin+CJK query: latin token whole-word, CJK per character
+    out2 = detail_by_item_json(wide, "2024-01-02", "xiaomi 手机")
+    assert out2["total"] == 1
+    assert out2["detail"][0]["sku_name"] == "<em>xiaomi</em> <em>手机</em>"
+    # stats route under the same analyzer
+    stats = stats_by_item_json(wide, "小米手机", "2024-01-02", "gender")
+    assert stats == [{"name": "女", "value": 100.0}]
