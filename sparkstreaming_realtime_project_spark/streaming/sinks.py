@@ -61,11 +61,72 @@ def idempotent_partitioned_writer(
     return write
 
 
+_MANIFEST = "_MANIFEST"
+
+
+def _read_manifest(out_dir: str) -> dict | None:
+    """The committed table state, or None for a never-compacted sink.
+    One small JSON file: {"gen": N, "through_batch": M} — generation
+    dir ``gen=N`` holds the compacted rows of every batch id <= M."""
+    import json
+
+    path = os.path.join(out_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(out_dir: str, manifest: dict) -> None:
+    """The ONE atomic step of the compaction protocol: write the new
+    manifest beside the old one, fsync, then ``os.replace`` onto the
+    live name — POSIX rename-within-a-directory is atomic, so a reader
+    resolves either the old generation or the new one, never a torn
+    mix. (On a cluster this is the table format's commit — Delta's
+    _delta_log entry, Iceberg's metadata swap; reference contract:
+    per-doc atomic upsert, MyEsUtils.scala:69-79.)"""
+    import json
+
+    tmp = os.path.join(out_dir, f"{_MANIFEST}.tmp.{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+
+
+def _batch_ids(out_dir: str) -> list[int]:
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("batch=")
+    )
+
+
 def read_sink(spark, out_dir: str) -> DataFrame:
-    """Read everything committed to an idempotent sink directory."""
-    return spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "batch=*")
-    ).drop("batch")
+    """Read the committed state of a sink directory: the manifest's
+    live generation (if the sink has ever been compacted) plus every
+    batch dir NEWER than the generation's high-water batch. Uncommitted
+    generation dirs, superseded generations and already-compacted batch
+    dirs awaiting cleanup are all invisible — the manifest alone
+    decides what is part of the table."""
+    man = _read_manifest(out_dir)
+    if man is None:
+        return spark.read.option("basePath", out_dir).parquet(
+            os.path.join(out_dir, "batch=*")
+        ).drop("batch")
+    gen = spark.read.parquet(os.path.join(out_dir, f"gen={man['gen']}"))
+    live = [b for b in _batch_ids(out_dir) if b > man["through_batch"]]
+    if not live:
+        return gen
+    batches = (
+        spark.read.option("basePath", out_dir)
+        .parquet(*[os.path.join(out_dir, f"batch={b}") for b in live])
+        .drop("batch")
+    )
+    return gen.unionByName(batches)
 
 
 def compact_sink(
@@ -75,38 +136,66 @@ def compact_sink(
     partition_col: str | None = "dt",
     order_col: str | None = None,
 ) -> None:
-    """Compact a batch-dir sink into one clean partitioned table (the
-    OPTIMIZE/compaction step a MERGE-capable table format runs natively).
+    """Compact a batch-dir sink into one clean partitioned generation
+    (the OPTIMIZE/compaction step a MERGE-capable table format runs
+    natively), committed by a SINGLE atomic manifest rename.
 
     Cross-batch winner per key = greatest (order_col, batch) when
     order_col is given, else greatest batch (later batch wins — the ES
-    doc-id overwrite semantics). Writes to ``<out_dir>.compact`` then
-    swaps directories. The swap is two renames, NOT atomic: a crash
-    between them leaves only ``<out_dir>.old`` (recoverable by hand, and
-    the stale-dir sweep below makes the next run raise loudly rather
-    than silently rename onto leftovers). A table format with a real
-    commit protocol (Delta/Iceberg) is the production answer; this is
-    the local-filesystem approximation."""
+    doc-id overwrite semantics, MyEsUtils.scala:69-79). Protocol:
+
+    1. read current state (previous generation + batches above its
+       high-water mark, exactly what read_sink serves);
+    2. write winners into a NEW ``gen=<g+1>`` dir (crash here leaves an
+       uncommitted dir no reader resolves — a later run overwrites it);
+    3. atomically replace ``_MANIFEST`` (:func:`_commit_manifest`) —
+       THE commit point: before it readers see the old state, after it
+       the new, never a torn table;
+    4. best-effort cleanup of the superseded generation and compacted
+       batch dirs — a crash here leaves garbage the manifest already
+       excludes, swept by the next run.
+
+    Batches landing DURING compaction (ids above the captured
+    high-water mark) are untouched and stay visible before and after
+    the commit."""
     import shutil
 
-    tmp = out_dir.rstrip("/") + ".compact"
-    old = out_dir.rstrip("/") + ".old"
-    # stale leftovers from a prior crashed run: a .compact dir is an
-    # uncommitted write (safe to discard); a .old alongside a live
-    # out_dir is a completed swap that failed cleanup (safe to discard).
-    # .old WITHOUT a live out_dir means the previous swap died between
-    # renames — surface it instead of guessing.
-    if os.path.exists(old) and not os.path.exists(out_dir):
-        raise RuntimeError(
-            f"compact_sink: found {old} but no {out_dir}; a previous swap "
-            f"crashed mid-rename — restore by renaming {old} back"
-        )
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
-    df = spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "batch=*")
+    def _sweep(live: dict) -> None:
+        # reclaim anything the committed manifest already excludes:
+        # compacted batch dirs and superseded/uncommitted generations.
+        # Pure garbage collection — crash-safe to skip or repeat.
+        for b in _batch_ids(out_dir):
+            if b <= live["through_batch"]:
+                shutil.rmtree(
+                    os.path.join(out_dir, f"batch={b}"), ignore_errors=True
+                )
+        for d in os.listdir(out_dir):
+            if d.startswith("gen=") and d != f"gen={live['gen']}":
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+    man = _read_manifest(out_dir)
+    prev_gen = -1 if man is None else man["gen"]
+    through = -1 if man is None else man["through_batch"]
+    ids = [b for b in _batch_ids(out_dir) if b > through]
+    if not ids:
+        # empty sink, or already one clean committed generation — still
+        # sweep leftovers a crashed earlier cleanup may have stranded
+        if man is not None:
+            _sweep(man)
+        return
+    high = max(ids)
+    df = (
+        spark.read.option("basePath", out_dir)
+        .parquet(*[os.path.join(out_dir, f"batch={b}") for b in ids])
     )
+    if man is not None:
+        # the previous generation's rows lose ties to ANY batch row:
+        # they were batch rows once, and re-compaction must not flip a
+        # winner that a later batch already overwrote
+        prev = spark.read.parquet(
+            os.path.join(out_dir, f"gen={prev_gen}")
+        ).withColumn("batch", F.lit(-1))
+        df = prev.unionByName(df)
     order = [F.col("batch").desc()]
     if order_col is not None:
         order.insert(0, F.col(order_col).desc())
@@ -116,13 +205,16 @@ def compact_sink(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "batch")
     )
+    new_gen = prev_gen + 1
+    gen_dir = os.path.join(out_dir, f"gen={new_gen}")
     writer = winners.write.mode("overwrite")
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
-    writer.parquet(os.path.join(tmp, "batch=0"))
-    os.rename(out_dir, old)
-    os.rename(tmp, out_dir)
-    shutil.rmtree(old)
+    writer.parquet(gen_dir)
+    committed = {"gen": new_gen, "through_batch": high}
+    _commit_manifest(out_dir, committed)
+    # -- committed; everything below is reclaim, crash-safe to skip --
+    _sweep(committed)
 
 
 def split_writer(outputs: dict[str, "DataFrameFn"], out_root: str):

@@ -639,14 +639,14 @@ def test_restart_from_checkpoint_no_duplicates(spark, tmp_path):
     )
     assert dupes == []
 
-    # K3 compaction: collapse the batch dirs into one clean table —
-    # same rows, same keys, single batch directory
+    # K3 compaction: collapse the batch dirs into one clean committed
+    # generation — same rows, same keys, manifest + gen dir only
     before = {(r["mid"], str(r["dt"])) for r in sink.select("mid", "dt").collect()}
     compact_sink(spark, out, ["mid", "dt"], partition_col="dt")
     after_df = read_sink(spark, out)
     after = {(r["mid"], str(r["dt"])) for r in after_df.select("mid", "dt").collect()}
     assert after == before
-    assert os.listdir(out) == ["batch=0"]
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "gen=0"]
 
 
 def test_quota_per_key_caps_across_batches(spark, tmp_path):
@@ -1132,3 +1132,75 @@ def test_tws_gate_is_truthful():
     except ModuleNotFoundError:
         have_protobuf = False
     assert tws_available() == have_protobuf
+
+
+def test_compact_manifest_commit_is_atomic(spark, tmp_path, monkeypatch):
+    """Crash-injection around the compaction commit point: a reader must
+    never see a torn table — the OLD state before the single atomic
+    manifest rename, the NEW state after it, no matter where the
+    compactor dies (the contract of the reference's per-doc atomic ES
+    upsert, MyEsUtils.scala:69-79). Also: leftovers from a crashed
+    cleanup are invisible and swept by the next run, and batches landing
+    after a compaction stay visible."""
+    import shutil as _shutil
+
+    from sparkstreaming_realtime_project_spark.streaming import sinks
+
+    out = str(tmp_path / "sink")
+
+    def land(batch_id, rows):
+        spark.createDataFrame(rows, "k string, v string, dt string").write.mode(
+            "overwrite"
+        ).partitionBy("dt").parquet(os.path.join(out, f"batch={batch_id}"))
+
+    def state():
+        return {
+            (r["k"], r["v"])
+            for r in read_sink(spark, out).select("k", "v").collect()
+        }
+
+    land(0, [("k1", "v1", "2024-01-01"), ("k2", "v1", "2024-01-01")])
+    land(1, [("k1", "v2", "2024-01-01")])
+    orig = {("k1", "v1"), ("k2", "v1"), ("k1", "v2")}
+    assert state() == orig
+
+    # crash BEFORE the commit point: the gen dir is written but the
+    # manifest rename never happens -> readers still see the old state
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(sinks, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_sink(spark, out, ["k"], partition_col="dt")
+    assert os.path.isdir(os.path.join(out, "gen=0"))  # torn write exists
+    assert state() == orig  # ...but is invisible
+    monkeypatch.undo()
+
+    # recovery run: same gen id is rewritten, commit lands, batch dirs go
+    compact_sink(spark, out, ["k"], partition_col="dt")
+    assert state() == {("k1", "v2"), ("k2", "v1")}  # later batch won
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "gen=0"]
+
+    # crash AFTER the commit point, during cleanup: the new state is
+    # already live; superseded dirs remain on disk but are excluded
+    land(2, [("k2", "v2", "2024-01-01")])
+    monkeypatch.setattr(_shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_sink(spark, out, ["k"], partition_col="dt")
+    monkeypatch.undo()
+    leftovers = sorted(os.listdir(out))
+    assert "gen=0" in leftovers and "batch=2" in leftovers  # stranded
+    assert state() == {("k1", "v2"), ("k2", "v2")}  # manifest decides
+
+    # next run (nothing new to compact) sweeps the stranded dirs
+    compact_sink(spark, out, ["k"], partition_col="dt")
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "gen=1"]
+    assert state() == {("k1", "v2"), ("k2", "v2")}
+
+    # post-compaction arrivals are visible alongside the generation
+    land(3, [("k3", "v1", "2024-01-02")])
+    assert state() == {("k1", "v2"), ("k2", "v2"), ("k3", "v1")}
+    # and a re-compaction folds them in, keeping prior winners
+    compact_sink(spark, out, ["k"], partition_col="dt")
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "gen=2"]
+    assert state() == {("k1", "v2"), ("k2", "v2"), ("k3", "v1")}
