@@ -573,6 +573,54 @@ def j_order_wide(spark, sf_dir):
 
 
 @_register(
+    "j_order_wide_outer",
+    "J4 LEFT_OUTER mode, batch twin of order_wide_pipeline(join_type="
+    "'left_outer') (tests/test_streaming_pipelines.py watermark-expiry "
+    "outer test): detail rows survive a missing info side with null-"
+    "padded order columns — the shape the streaming join emits when an "
+    "info row never arrives inside the 24 h state bound "
+    "(DwdOrderApp.scala:209,247). Missing infos are carved "
+    "deterministically (o_orderkey % 7 = 0) so both engines see the "
+    "same orphan set.",
+    """
+    SELECT l_orderkey AS order_id, l_linenumber AS detail_id,
+           o_custkey AS user_id, o_orderstatus AS order_status,
+           round(o_totalprice, 2) AS total_amount,
+           l_partkey AS sku_id, round(l_quantity, 2) AS sku_num,
+           round(l_extendedprice, 2) AS split_total_amount,
+           strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+           CASE WHEN o_orderkey IS NULL THEN NULL
+                ELSE strftime(o_orderdate, '%H') END AS create_hour
+    FROM lineitem
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 7 <> 0) o
+      ON l_orderkey = o_orderkey
+    """,
+)
+def j_order_wide_outer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    li = _dd.spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    o2 = o.withColumn("__dts", F.col("o_orderdate").cast("string"))
+    info_missing = o2.o_orderkey.isNull()
+    return li.join(o2, li.l_orderkey == o2.o_orderkey, "left").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("detail_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.round("o_totalprice", 2).alias("total_amount"),
+        F.col("l_partkey").alias("sku_id"),
+        F.round("l_quantity", 2).alias("sku_num"),
+        F.round("l_extendedprice", 2).alias("split_total_amount"),
+        F.substring("__dts", 1, 10).alias("create_date"),
+        # null-padded info must stay NULL — the "00" fallback is only
+        # for a PRESENT info row whose date has no time part
+        F.when(info_missing, F.lit(None).cast("string"))
+        .when(F.length("__dts") >= 13, F.substring("__dts", 12, 2))
+        .otherwise(F.lit("00"))
+        .alias("create_hour"),
+    )
+
+
+@_register(
     "j_order_wide_decimal",
     "money-type decision record (SURVEY §1.2): the reference carries "
     "amounts as Double (OrderWide.scala bean fields) — this twin of "
