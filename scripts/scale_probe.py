@@ -100,6 +100,44 @@ def scaled_embeddings(spark, sf_dir: str, copies: int):
     return out
 
 
+def scaled_events(spark, sf_dir: str, copies: int):
+    """K-fold user-population growth: copy k re-tags user_id into a
+    disjoint id range, keeping each user's day pattern and the calendar
+    domain fixed — K x the users, K x the (user, active-day) rows, the
+    SAME number of days. Exactly how an activity table grows."""
+    base = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    n = base.agg(F.max("user_id")).first()[0] + 1
+    parts = [
+        base.select(
+            (F.col("user_id") + F.lit(k * n)).alias("user_id"), "ts"
+        )
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_orders(spark, sf_dir: str, copies: int):
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    n = base.agg(F.max("o_custkey")).first()[0] + 1
+    parts = [
+        base.select(
+            (F.col("o_custkey") + F.lit(k * n)).alias("o_custkey"),
+            "o_orderdate",
+            "o_totalprice",
+        )
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -172,6 +210,77 @@ def main() -> None:
         row["knn_bucketed_s"] = timed(run_knn)
         docs.unpersist()
         emb.unpersist()
+
+        # round-9 analytics family: stickiness explode-cover distinct
+        # windows (x28 fanout + count_distinct shuffle — the only
+        # data-sized explode in the family), new-vs-returning's
+        # user-keyed join-back, churn's keyed aggregates
+        ev = scaled_events(spark, sf_dir, k).persist()
+        row["n_events"] = ev.count()
+
+        def run_stickiness():
+            a = ev.select(
+                "user_id",
+                F.to_date(F.date_format("ts", "yyyy-MM-dd")).alias("dt"),
+            ).distinct()
+            mx = a.agg(F.max("dt").alias("mxd"))
+            m = (
+                a.select(
+                    "user_id",
+                    F.explode(
+                        F.sequence(F.col("dt"), F.date_add(F.col("dt"), 27))
+                    ).alias("d"),
+                )
+                .join(F.broadcast(mx), F.lit(True), "left")
+                .filter(F.col("d") <= F.col("mxd"))
+                .groupBy("d")
+                .agg(F.count_distinct("user_id").alias("mau"))
+            )
+            row["stickiness_days"] = m.count()
+
+        def run_new_ret():
+            a = ev.select(
+                "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+            ).distinct()
+            f = a.groupBy("user_id").agg(F.min("dt").alias("first_dt"))
+            j = a.join(f, "user_id").select(
+                "dt",
+                (F.col("dt") == F.col("first_dt")).cast("int").alias(
+                    "is_new"
+                ),
+            )
+            row["newret_days"] = (
+                j.groupBy("dt").agg(F.sum("is_new")).count()
+            )
+
+        row["stickiness_s"] = timed(run_stickiness)
+        row["new_vs_returning_s"] = timed(run_new_ret)
+        ev.unpersist()
+
+        ords = scaled_orders(spark, sf_dir, k).persist()
+        row["n_orders"] = ords.count()
+
+        def run_churn():
+            o = ords.select(
+                "o_custkey",
+                F.to_date("o_orderdate").alias("od"),
+                F.col("o_totalprice").cast("decimal(18,6)").alias("rev"),
+            )
+            mx = o.agg(F.max("od").alias("mxd"))
+            c = (
+                o.join(F.broadcast(mx), F.lit(True), "left")
+                .groupBy("o_custkey")
+                .agg(
+                    F.datediff(F.first("mxd"), F.max("od")).alias("gap"),
+                    F.sum("rev").alias("revenue"),
+                )
+            )
+            row["churn_bands"] = (
+                c.groupBy((F.col("gap") > 90).cast("int")).count().count()
+            )
+
+        row["churn_s"] = timed(run_churn)
+        ords.unpersist()
         spark.catalog.clearCache()
         report.append(row)
         print(json.dumps(row))
