@@ -1005,3 +1005,41 @@ def nb_token_classifier(
             (rounded > 0).cast("int").alias("predicted"),
         )
     )
+
+
+def stutter_trim(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Collapse ADJACENT duplicate tokens ("the the", generation
+    stutter, OCR doubling) and report how much was removed — a standard
+    pre-training text-cleaning pass (repetition is the strongest
+    low-quality signal the Gopher rules key on; this is the repair
+    form of repetition_stats' measurement).
+
+    Array-native: split -> zip with the 1-shifted copy -> null out
+    repeats -> filter -> re-join. No explode, no shuffle — a pure
+    projection whose cost is linear in tokens, trivially 100 TB-safe.
+    The DuckDB twin replays the same adjacency rule via
+    explode + lag + ordered string_agg (catalog x_stutter_trim).
+
+    Returns (id, n_tokens, n_stutter, text_trimmed)."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    prev = F.concat(
+        F.array(F.lit("")),
+        F.slice(
+            F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))
+        ),
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("_toks"),
+            prev,
+            lambda t, p: F.when(t == p, F.lit(None)).otherwise(t),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return base.select(
+        "id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_stutter"),
+        F.array_join(kept, " ").alias("text_trimmed"),
+    )

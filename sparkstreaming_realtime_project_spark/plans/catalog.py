@@ -11622,3 +11622,152 @@ def x_churn_risk(spark, sf_dir):
             "lifetime_revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: URL-keyed corpus governance + text repair + filtered ANN
+# ---------------------------------------------------------------------------
+
+from ..operators import urls as _ur  # noqa: E402
+
+_URL_SQL = _ur.synth_url_sql("doc_id")
+_CANON_SQL = _ur.canonical_url_sql("url")
+
+
+@_register(
+    "x_url_canonical_dedup",
+    "exact URL dedup on the CANONICAL identity — lowercase, fragment-"
+    "free, utm-tracking-free, scheme/www/trailing-slash-insensitive, "
+    "non-tracking params preserved — the stage web corpora run BEFORE "
+    "content dedup (same page refetched via tracking variants). URLs "
+    "derived deterministically from doc_id on both engines; one hash "
+    "shuffle on the canonical key (north-star)",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    c AS (SELECT doc_id, url, {_CANON_SQL} AS canonical_url FROM u),
+    k AS (SELECT *, min(doc_id) OVER (PARTITION BY canonical_url)
+                    AS keeper FROM c)
+    SELECT doc_id, canonical_url,
+           CASE WHEN doc_id = keeper THEN NULL ELSE keeper END AS dup_of,
+           CAST(doc_id <> keeper AS INT) AS is_dup
+    FROM k
+    """,
+)
+def x_url_canonical_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    c = docs.select(
+        "doc_id", _ur.synth_url(F.col("doc_id")).alias("url")
+    ).select(
+        "doc_id", _ur.canonical_url(F.col("url")).alias("canonical_url")
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("canonical_url"))
+    return c.select(
+        "doc_id",
+        "canonical_url",
+        keeper.alias("_keeper"),
+    ).select(
+        "doc_id",
+        "canonical_url",
+        F.when(F.col("doc_id") != F.col("_keeper"), F.col("_keeper")).alias(
+            "dup_of"
+        ),
+        (F.col("doc_id") != F.col("_keeper")).cast("int").alias("is_dup"),
+    )
+
+
+_DOMAIN_CAP = 100
+
+
+@_register(
+    "x_domain_caps",
+    "per-registered-domain document cap (RefinedWeb/C4-style corpus "
+    "governance: no mega-site dominates the mix): canonical URL -> "
+    "registered domain, per-domain UNBIASED survivor pick by salted "
+    "hash order, cap at 100 — one hash shuffle on domain, bounded "
+    "per-group window (north-star)",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    c AS (SELECT doc_id, {_CANON_SQL} AS cu FROM u),
+    d AS (SELECT doc_id, {_ur.registered_domain_sql('cu')} AS domain FROM c),
+    r AS (SELECT doc_id, domain,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM d)
+    SELECT doc_id, domain, CAST(rk <= {_DOMAIN_CAP} AS INT) AS kept FROM r
+    """,
+)
+def x_domain_caps(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select(
+        "doc_id",
+        _ur.registered_domain(
+            _ur.canonical_url(_ur.synth_url(F.col("doc_id")))
+        ).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return d.select(
+        "doc_id",
+        "domain",
+        (F.row_number().over(w) <= _DOMAIN_CAP).cast("int").alias("kept"),
+    )
+
+
+@_register(
+    "x_stutter_trim",
+    "adjacent-duplicate-token collapse ('the the', generation stutter, "
+    "OCR doubling) with removal accounting — the repair form of "
+    "repetition_stats' measurement; array-native zip-with-shifted-self, "
+    "no explode, no shuffle (north-star); the oracle replays the "
+    "adjacency rule via explode + lag + ordered string_agg",
+    """
+    WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents),
+    k AS (SELECT doc_id, t, i,
+                 lag(t) OVER (PARTITION BY doc_id ORDER BY i) AS p FROM ex)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stutter,
+           string_agg(t, ' ' ORDER BY i) FILTER (WHERE p IS NULL OR t <> p)
+             AS text_trimmed
+    FROM k GROUP BY doc_id
+    """,
+)
+def x_stutter_trim(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _ts.stutter_trim(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@_register(
+    "x_knn_filtered",
+    "predicate-filtered exact top-k similarity search (the vector-DB "
+    "'filtered search' contract): candidates PRE-filtered by metadata "
+    "(label = 1 AND even id) before any distance work — filter rides "
+    "the candidate scan, broadcast queries, per-query bounded window; "
+    "pre-filter keeps k guaranteed where post-filtering an ANN "
+    "shortlist can starve (north-star)",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'e.v')} AS sim
+      FROM q JOIN e ON e.label = 1 AND e.vec_id % 2 = 0
+                   AND e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def x_knn_filtered(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = emb.filter((F.col("label") == 1) & (F.col("vec_id") % 2 == 0))
+    return _sim.knn_bruteforce(cands, emb.filter(F.col("vec_id") < 5), k=5)

@@ -2025,3 +2025,61 @@ def test_nb_classifier_single_class_label_fails_loud(spark):
     )
     with pytest.raises(SparkRuntimeException, match="single-class"):
         nb_token_classifier(df, "text", "doc_id", "label").collect()
+
+
+def test_url_canonicalization_rules(spark):
+    """Hand-built URL variants: scheme/case/www/utm/fragment/trailing-
+    slash all collapse to one identity; a non-tracking param stays."""
+    from sparkstreaming_realtime_project_spark.operators.urls import (
+        canonical_url,
+    )
+
+    rows = [
+        (1, "https://www.Example.COM/p/7/?utm_source=feed#s2"),
+        (2, "http://example.com/p/7"),
+        (3, "https://EXAMPLE.com/p/7#frag"),
+        (4, "https://example.com/p/7?page=2"),  # real param: distinct
+        (5, "https://blog.example.com/p/7"),    # different host: distinct
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[1] == got[2] == got[3] == "example.com/p/7"
+    assert got[4] == "example.com/p/7?page=2"
+    assert got[5] == "blog.example.com/p/7"
+
+
+def test_stutter_trim_hand_computed(spark):
+    from sparkstreaming_realtime_project_spark.operators.textstats import (
+        stutter_trim,
+    )
+
+    rows = [(1, "a a b b b c"), (2, "x y x"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in stutter_trim(df, "text", "doc_id").collect()}
+    assert got[1]["text_trimmed"] == "a b c" and got[1]["n_stutter"] == 3
+    assert got[1]["n_tokens"] == 6
+    # NON-adjacent repeats stay — this is stutter repair, not dedup
+    assert got[2]["text_trimmed"] == "x y x" and got[2]["n_stutter"] == 0
+    assert got[3]["text_trimmed"] == "solo" and got[3]["n_stutter"] == 0
+
+
+def test_knn_filtered_respects_predicate(spark, sf_dir):
+    """Every returned neighbor satisfies the metadata pre-filter and
+    each query gets its full k (pre-filter cannot starve)."""
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        x_knn_filtered,
+    )
+    from sparkstreaming_realtime_project_spark.sources.batch import load_table
+
+    out = x_knn_filtered(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert len(out) == 25  # 5 queries x k=5
+    for r in out:
+        assert emb[r["neighbor_id"]] == 1
+        assert r["neighbor_id"] % 2 == 0
