@@ -93,6 +93,30 @@ def _commit_manifest(out_dir: str, manifest: dict) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    # immutable per-generation copy AFTER the live commit (additive
+    # metadata for time travel; written after so a crash can never
+    # leave a version file naming an uncommitted generation — a lost
+    # copy for the LIVE generation falls back to the live manifest)
+    ver = os.path.join(out_dir, f"{_MANIFEST}.v{manifest['gen']}")
+    with open(ver + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(ver + ".tmp", ver)
+
+
+def _committed_generations(out_dir: str) -> list[int]:
+    """Generation ids with a committed snapshot still cataloged:
+    versioned manifests plus the live manifest's generation."""
+    gens = set()
+    if os.path.isdir(out_dir):
+        for d in os.listdir(out_dir):
+            if d.startswith(f"{_MANIFEST}.v") and not d.endswith(".tmp"):
+                gens.add(int(d[len(_MANIFEST) + 2:]))
+    man = _read_manifest(out_dir)
+    if man is not None:
+        gens.add(man["gen"])
+    return sorted(gens)
 
 
 def _batch_ids(out_dir: str) -> list[int]:
@@ -105,13 +129,29 @@ def _batch_ids(out_dir: str) -> list[int]:
     )
 
 
-def read_sink(spark, out_dir: str) -> DataFrame:
+def read_sink(spark, out_dir: str, at_gen: int | None = None) -> DataFrame:
     """Read the committed state of a sink directory: the manifest's
     live generation (if the sink has ever been compacted) plus every
     batch dir NEWER than the generation's high-water batch. Uncommitted
     generation dirs, superseded generations and already-compacted batch
     dirs awaiting cleanup are all invisible — the manifest alone
-    decides what is part of the table."""
+    decides what is part of the table.
+
+    ``at_gen``: TIME TRAVEL — read exactly the snapshot generation N
+    committed (no later batches; the table format's VERSION AS OF).
+    Available while the generation is inside compact_sink's
+    ``retain_generations`` window; a vacuumed generation raises with
+    the list of still-readable ones."""
+    if at_gen is not None:
+        avail = _committed_generations(out_dir)
+        gen_dir = os.path.join(out_dir, f"gen={at_gen}")
+        if at_gen not in avail or not os.path.isdir(gen_dir):
+            raise RuntimeError(
+                f"read_sink: generation {at_gen} is not readable (vacuumed "
+                f"or never committed); retained generations: "
+                f"{[g for g in avail if os.path.isdir(os.path.join(out_dir, f'gen={g}'))]}"
+            )
+        return spark.read.parquet(gen_dir)
     man = _read_manifest(out_dir)
     if man is None:
         return spark.read.option("basePath", out_dir).parquet(
@@ -135,6 +175,7 @@ def compact_sink(
     key_cols: list[str],
     partition_col: str | None = "dt",
     order_col: str | None = None,
+    retain_generations: int = 1,
 ) -> None:
     """Compact a batch-dir sink into one clean partitioned generation
     (the OPTIMIZE/compaction step a MERGE-capable table format runs
@@ -157,21 +198,36 @@ def compact_sink(
 
     Batches landing DURING compaction (ids above the captured
     high-water mark) are untouched and stay visible before and after
-    the commit."""
+    the commit.
+
+    ``retain_generations``: how many committed snapshots stay readable
+    for time travel (``read_sink(at_gen=...)``) — the VACUUM retention
+    knob. Default 1 keeps only the live generation; older snapshots'
+    dirs and versioned manifests are reclaimed by the sweep."""
     import shutil
 
     def _sweep(live: dict) -> None:
         # reclaim anything the committed manifest already excludes:
-        # compacted batch dirs and superseded/uncommitted generations.
-        # Pure garbage collection — crash-safe to skip or repeat.
+        # compacted batch dirs, uncommitted generations, and committed
+        # generations older than the retention window (vacuum). Pure
+        # garbage collection — crash-safe to skip or repeat.
         for b in _batch_ids(out_dir):
             if b <= live["through_batch"]:
                 shutil.rmtree(
                     os.path.join(out_dir, f"batch={b}"), ignore_errors=True
                 )
+        committed = _committed_generations(out_dir)
+        keep = set(committed[-max(retain_generations, 1):])
+        keep.add(live["gen"])
         for d in os.listdir(out_dir):
-            if d.startswith("gen=") and d != f"gen={live['gen']}":
+            if d.startswith("gen=") and int(d.split("=", 1)[1]) not in keep:
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            elif (
+                d.startswith(f"{_MANIFEST}.v")
+                and not d.endswith(".tmp")
+                and int(d[len(_MANIFEST) + 2:]) not in keep
+            ):
+                os.remove(os.path.join(out_dir, d))
 
     man = _read_manifest(out_dir)
     prev_gen = -1 if man is None else man["gen"]

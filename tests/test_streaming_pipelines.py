@@ -646,7 +646,7 @@ def test_restart_from_checkpoint_no_duplicates(spark, tmp_path):
     after_df = read_sink(spark, out)
     after = {(r["mid"], str(r["dt"])) for r in after_df.select("mid", "dt").collect()}
     assert after == before
-    assert sorted(os.listdir(out)) == ["_MANIFEST", "gen=0"]
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "_MANIFEST.v0", "gen=0"]
 
 
 def test_quota_per_key_caps_across_batches(spark, tmp_path):
@@ -1179,7 +1179,7 @@ def test_compact_manifest_commit_is_atomic(spark, tmp_path, monkeypatch):
     # recovery run: same gen id is rewritten, commit lands, batch dirs go
     compact_sink(spark, out, ["k"], partition_col="dt")
     assert state() == {("k1", "v2"), ("k2", "v1")}  # later batch won
-    assert sorted(os.listdir(out)) == ["_MANIFEST", "gen=0"]
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "_MANIFEST.v0", "gen=0"]
 
     # crash AFTER the commit point, during cleanup: the new state is
     # already live; superseded dirs remain on disk but are excluded
@@ -1194,7 +1194,7 @@ def test_compact_manifest_commit_is_atomic(spark, tmp_path, monkeypatch):
 
     # next run (nothing new to compact) sweeps the stranded dirs
     compact_sink(spark, out, ["k"], partition_col="dt")
-    assert sorted(os.listdir(out)) == ["_MANIFEST", "gen=1"]
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "_MANIFEST.v1", "gen=1"]
     assert state() == {("k1", "v2"), ("k2", "v2")}
 
     # post-compaction arrivals are visible alongside the generation
@@ -1202,5 +1202,39 @@ def test_compact_manifest_commit_is_atomic(spark, tmp_path, monkeypatch):
     assert state() == {("k1", "v2"), ("k2", "v2"), ("k3", "v1")}
     # and a re-compaction folds them in, keeping prior winners
     compact_sink(spark, out, ["k"], partition_col="dt")
-    assert sorted(os.listdir(out)) == ["_MANIFEST", "gen=2"]
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "_MANIFEST.v2", "gen=2"]
     assert state() == {("k1", "v2"), ("k2", "v2"), ("k3", "v1")}
+
+
+def test_compact_time_travel_and_vacuum(spark, tmp_path):
+    """read_sink(at_gen=N) serves the exact snapshot generation N
+    committed (VERSION AS OF); retain_generations bounds how far back,
+    and a vacuumed generation raises naming the readable ones."""
+    out = str(tmp_path / "sink")
+
+    def land(batch_id, rows):
+        spark.createDataFrame(rows, "k string, v string, dt string").write.mode(
+            "overwrite"
+        ).partitionBy("dt").parquet(os.path.join(out, f"batch={batch_id}"))
+
+    def snap(df):
+        return {(r["k"], r["v"]) for r in df.select("k", "v").collect()}
+
+    land(0, [("k1", "v1", "2024-01-01")])
+    compact_sink(spark, out, ["k"], partition_col="dt", retain_generations=2)
+    land(1, [("k1", "v2", "2024-01-01"), ("k2", "v1", "2024-01-01")])
+    compact_sink(spark, out, ["k"], partition_col="dt", retain_generations=2)
+    # both snapshots readable inside the retention window
+    assert snap(read_sink(spark, out, at_gen=0)) == {("k1", "v1")}
+    assert snap(read_sink(spark, out, at_gen=1)) == {("k1", "v2"), ("k2", "v1")}
+    assert snap(read_sink(spark, out)) == {("k1", "v2"), ("k2", "v1")}
+
+    land(2, [("k3", "v1", "2024-01-02")])
+    compact_sink(spark, out, ["k"], partition_col="dt", retain_generations=2)
+    # gen 0 vacuumed out of the 2-generation window
+    with pytest.raises(RuntimeError, match=r"retained generations: \[1, 2\]"):
+        read_sink(spark, out, at_gen=0)
+    assert snap(read_sink(spark, out, at_gen=1)) == {("k1", "v2"), ("k2", "v1")}
+    assert snap(read_sink(spark, out, at_gen=2)) == {
+        ("k1", "v2"), ("k2", "v1"), ("k3", "v1"),
+    }
