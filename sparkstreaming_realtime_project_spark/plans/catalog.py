@@ -11771,3 +11771,57 @@ def x_knn_filtered(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cands = emb.filter((F.col("label") == 1) & (F.col("vec_id") % 2 == 0))
     return _sim.knn_bruteforce(cands, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@_register(
+    "x_knn_filtered_recall",
+    "quantifies x_knn_filtered's pre-vs-post-filter claim: recall@5 of "
+    "POST-filtering a sign-LSH bucketed shortlist (rank<=10, then apply "
+    "the metadata predicate) against the PRE-filter exact truth — "
+    "queries whose bucket holds few predicate-satisfying vectors "
+    "starve, which is why filtered search must push the predicate "
+    "into candidate generation at scale (north-star measurement)",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                  FROM embeddings),
+    e AS (SELECT vec_id, v, label, {_BUCKET_SQL} AS bucket FROM base),
+    flt AS (SELECT * FROM base WHERE label = 1 AND vec_id % 2 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
+          WHERE vec_id < 20),
+    truth AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, flt.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_cos_sql('qv', 'flt.v')} DESC, flt.vec_id) AS rank
+      FROM q JOIN flt ON flt.vec_id <> q.query_id) WHERE rank <= 5),
+    short AS (SELECT query_id, neighbor_id, label FROM (
+      SELECT query_id, e.vec_id AS neighbor_id, e.label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_cos_sql('qv', 'e.v')} DESC, e.vec_id) AS rank
+      FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.query_id)
+      WHERE rank <= 10),
+    postf AS (SELECT DISTINCT query_id, neighbor_id FROM short
+              WHERE label = 1 AND neighbor_id % 2 = 0),
+    bt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),
+    hits AS (SELECT query_id, count(*) AS n_hits
+             FROM truth JOIN postf USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT query_id, n_truth, coalesce(n_hits, 0) AS n_hits,
+           round(coalesce(n_hits, 0) * 1.0 / n_truth, 4) AS recall
+    FROM bt LEFT JOIN hits USING (query_id)
+    """,
+)
+def x_knn_filtered_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = (F.col("label") == 1) & (F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = _sim.knn_bruteforce(emb.filter(pred), queries, k=5)
+    shortlist = _sim.knn_bucketed(emb, queries, k=10)
+    postf = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .filter((F.col("label") == 1) & (F.col("neighbor_id") % 2 == 0))
+        .select("query_id", "neighbor_id")
+    )
+    return _sim.ann_recall(truth, postf)
