@@ -547,6 +547,36 @@ def test_plan_shape_r9(spark, sf_dir, name, want, ban):
 
 
 # ---------------------------------------------------------------- coverage
+CASES_R10 = [
+    # pure projections: ZERO shuffles — the analyzer/trim run at scan
+    # speed (the x_pii_scrub contract)
+    ("x_stutter_trim", [], ["Exchange"]),
+    ("f_text_match_cjk", [], ["Exchange"]),
+    # exactly ONE hash shuffle on the dedup/governance key + its window
+    ("x_url_canonical_dedup", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    ("x_domain_caps", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    # the metadata predicate must reach the candidate parquet scan —
+    # filtered search pays for only the matching vectors
+    ("x_knn_filtered", ["EqualTo(label,1)"], ["CartesianProduct"]),
+    # outer wide join broadcasts the filtered info side
+    ("j_order_wide_outer", ["BroadcastHashJoin"],
+     ["NestedLoop", "CartesianProduct"]),
+]
+
+
+@pytest.mark.parametrize(
+    "name,want,ban", CASES_R10, ids=[c[0] for c in CASES_R10]
+)
+def test_plan_contract_r10(spark, sf_dir, name, want, ban):
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in want:
+        assert frag in plan, f"{name}: missing {frag!r}"
+    for frag in ban:
+        assert frag not in plan, f"{name}: banned {frag!r} present"
+    spark.catalog.clearCache()
+
+
 # Every catalog entry gets at least the cartesian ban. Entries with an
 # explicit row above carry sharper contracts; everything else lands in
 # the generated default list BY CONSTRUCTION, so a new catalog entry can
@@ -561,6 +591,7 @@ _ALL_EXPLICIT = (
     | {c[0] for c in CASES_R8}
     | {c[0] for c in CASES_R8B}
     | {c[0] for c in CASES_R9}
+    | {c[0] for c in CASES_R10}
     # audited by dedicated non-parametrized tests above
     | {"x_corpus_pipeline", "x_entity_resolution"}
 )
