@@ -11825,3 +11825,50 @@ def x_knn_filtered_recall(spark, sf_dir):
         .select("query_id", "neighbor_id")
     )
     return _sim.ann_recall(truth, postf)
+
+
+@_register(
+    "x_ivm_group_agg",
+    "incremental view maintenance of a per-nation (count, sum) "
+    "materialization under a keyed changefeed WITH RETRACTIONS: deltas "
+    "from snapshot_diff apply to the OLD snapshot's aggregate — a row "
+    "whose group key MIGRATES retracts from its old nation and inserts "
+    "into its new one (the case naive +/- misses). The ORACLE IS THE "
+    "FULL RECOMPUTE over the new snapshot, so the checked contract is "
+    "maintained == recomputed bit-for-bit (decimal-exact); at 100 TB "
+    "the maintained path touches |changefeed| rows, not the corpus "
+    "(north-star)",
+    """
+    WITH new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS bal,
+             CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer WHERE c_custkey % 10 <> 6)
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM new GROUP BY 1
+    """,
+)
+def x_ivm_group_agg(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 10 != 3).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        "c_nationkey",
+    )
+    new = cust.filter(F.col("c_custkey") % 10 != 6).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(
+            F.col("c_custkey") % 11 == 0, (F.col("c_nationkey") + 1) % 25
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+    )
+    return _cdc.maintain_sum_count(
+        old, new, ["c_custkey"], "c_nationkey", "bal"
+    )

@@ -2083,3 +2083,39 @@ def test_knn_filtered_respects_predicate(spark, sf_dir):
     for r in out:
         assert emb[r["neighbor_id"]] == 1
         assert r["neighbor_id"] % 2 == 0
+
+
+def test_ivm_maintain_sum_count_all_delta_cases(spark):
+    """Hand-built changefeed covering every IVM delta rule: insert,
+    delete, in-place update, and the hard one — group-key MIGRATION
+    (retract from old group + insert into new). Maintained aggregate
+    must equal a direct recompute over the new snapshot."""
+    from sparkstreaming_realtime_project_spark.operators.cdc import (
+        maintain_sum_count,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, 10.0, "g1"),  # unchanged
+            (2, 20.0, "g1"),  # value update in place
+            (3, 30.0, "g1"),  # migrates g1 -> g2
+            (4, 40.0, "g2"),  # deleted
+        ],
+        "k long, v double, g string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "g1"),
+            (2, 25.0, "g1"),
+            (3, 30.0, "g2"),
+            (5, 50.0, "g3"),  # inserted into a brand-new group
+        ],
+        "k long, v double, g string",
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in maintain_sum_count(old, new, ["k"], "g", "v").collect()
+    }
+    # recompute by hand over `new`: g1 = {10, 25}, g2 = {30}, g3 = {50};
+    # old g2 member 4 deleted, so g2 must NOT retain its 40
+    assert got == {"g1": (2, 35.0), "g2": (1, 30.0), "g3": (1, 50.0)}
