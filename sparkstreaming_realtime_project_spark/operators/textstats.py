@@ -78,32 +78,41 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def lang_guess(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Marker-stopword language ID (n-gram heuristic family). Scores each
-    language's marker hits over the token list; argmax with fixed
-    priority. Pure expressions -> same cost as a projection. Tokens and
-    scores are staged into columns so the tokenizer and each marker scan
-    run once per row."""
+    language's marker hits over the token list; Chinese scores by Han
+    character count (CJK has no stopword whitespace tokens to match —
+    the same per-character reality the F9 analyzer handles); argmax with
+    fixed priority en > de > fr > es > zh. Pure expressions -> same cost
+    as a projection. Tokens and scores are staged into columns so the
+    tokenizer and each marker scan run once per row."""
     src = spread(
         df.select(F.col(id_col), F.col(text_col).alias("__text")), id_col
     )
-    toks = src.select(F.col(id_col), tokens_expr("__text").alias("t"))
+    toks = src.select(
+        F.col(id_col), "__text", tokens_expr("__text").alias("t")
+    )
     scored = toks.select(
         F.col(id_col),
         *[
             _count_in(F.col("t"), words).alias(f"score_{lang}")
             for lang, words in LANG_MARKERS.items()
         ],
+        F.length(
+            F.regexp_replace("__text", "[^一-鿿]", "")
+        ).alias("score_zh"),
     )
-    s_en, s_de, s_fr, s_es = (
+    s_en, s_de, s_fr, s_es, s_zh = (
         F.col("score_en"),
         F.col("score_de"),
         F.col("score_fr"),
         F.col("score_es"),
+        F.col("score_zh"),
     )
     guess = (
         F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es) & (s_en > 0), "en")
         .when((s_de >= s_fr) & (s_de >= s_es) & (s_de > 0), "de")
         .when((s_fr >= s_es) & (s_fr > 0), "fr")
         .when(s_es > 0, "es")
+        .when(s_zh > 0, "zh")
         .otherwise("unk")
     )
     return scored.select(
@@ -112,6 +121,7 @@ def lang_guess(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "score_de",
         "score_fr",
         "score_es",
+        "score_zh",
         guess.alias("lang_guess"),
     )
 

@@ -1969,19 +1969,24 @@ _LANG_SCORES_SQL = ",\n           ".join(
 
 @_register(
     "x_lang_guess",
-    "language-ID heuristic via marker stopwords (north-star)",
+    "language-ID heuristic via marker stopwords; Chinese via Han "
+    "character count (CJK has no whitespace stopword tokens — the F9 "
+    "analyzer reality), fixed priority en>de>fr>es>zh (north-star)",
     f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
     s AS (SELECT doc_id,
-           {_LANG_SCORES_SQL}
+           {_LANG_SCORES_SQL},
+           length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '',
+                                 'g')) AS score_zh
           FROM toks)
-    SELECT doc_id, score_en, score_de, score_fr, score_es,
+    SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
            CASE WHEN score_en >= score_de AND score_en >= score_fr
                      AND score_en >= score_es AND score_en > 0 THEN 'en'
                 WHEN score_de >= score_fr AND score_de >= score_es
                      AND score_de > 0 THEN 'de'
                 WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
                 WHEN score_es > 0 THEN 'es'
+                WHEN score_zh > 0 THEN 'zh'
                 ELSE 'unk' END AS lang_guess
     FROM s
     """,

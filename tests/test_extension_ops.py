@@ -2119,3 +2119,25 @@ def test_ivm_maintain_sum_count_all_delta_cases(spark):
     # recompute by hand over `new`: g1 = {10, 25}, g2 = {30}, g3 = {50};
     # old g2 member 4 deleted, so g2 must NOT retain its 40
     assert got == {"g1": (2, 35.0), "g2": (1, 30.0), "g3": (1, 50.0)}
+
+
+def test_lang_guess_detects_chinese(spark):
+    """A Han-character doc has no whitespace stopword tokens to match —
+    the zh score counts characters; European markers keep priority on
+    mixed text per the fixed en>de>fr>es>zh order."""
+    from sparkstreaming_realtime_project_spark.operators.textstats import (
+        lang_guess,
+    )
+
+    rows = [
+        (1, "小米手机是很好的产品"),
+        (2, "the quick brown fox of the hill"),
+        (3, "the 小米 phone of choice"),  # mixed: en priority wins
+        (4, "zzz qqq"),                   # nothing matches
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lang_guess(df, "text", "doc_id").collect()}
+    assert got[1]["lang_guess"] == "zh" and got[1]["score_zh"] == 10
+    assert got[2]["lang_guess"] == "en"
+    assert got[3]["lang_guess"] == "en" and got[3]["score_zh"] == 2
+    assert got[4]["lang_guess"] == "unk"
