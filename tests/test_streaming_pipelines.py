@@ -1238,3 +1238,66 @@ def test_compact_time_travel_and_vacuum(spark, tmp_path):
     assert snap(read_sink(spark, out, at_gen=2)) == {
         ("k1", "v2"), ("k2", "v1"), ("k3", "v1"),
     }
+
+
+def test_crawl_frontier_dedup_on_canonical_url(spark, tmp_path):
+    """Crawl-frontier semantics from existing pieces: canonicalize the
+    URL (operators/urls.py) and first-seen-dedup on the canonical key
+    across micro-batches — a tracking-variant refetch of an
+    already-crawled page in a LATER batch is dropped, a genuinely new
+    path or a real-param variant is admitted."""
+    import json as _json
+
+    from sparkstreaming_realtime_project_spark.operators.urls import (
+        canonical_url,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.stateful import (
+        first_seen_per_key,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    b0 = [
+        {"url": "https://www.Example.COM/a?utm_source=feed", "ts": 1000},
+        {"url": "http://example.com/b", "ts": 2000},
+    ]
+    b1 = [
+        {"url": "http://example.com/a#frag", "ts": 3000},   # refetch of /a
+        {"url": "https://example.com/b?page=2", "ts": 4000},  # real param: new
+        {"url": "https://example.com/c/", "ts": 5000},        # new path
+    ]
+    for i, rows in enumerate((b0, b1)):
+        (in_dir / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    raw = text_stream(spark, str(in_dir), max_files_per_trigger=1)
+    frontier = (
+        raw.select(
+            F.get_json_object("value", "$.url").alias("url"),
+            F.timestamp_millis(
+                F.get_json_object("value", "$.ts").cast("long")
+            ).alias("event_ts"),
+        )
+        .withColumn("canon", canonical_url(F.col("url")))
+        .withWatermark("event_ts", "1 hour")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    admitted = first_seen_per_key(frontier, ["canon"], "event_ts")
+    q = (
+        admitted.writeStream.foreachBatch(
+            lambda b, i: b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r["canon"] for r in read_sink(spark, out).collect()}
+    assert got == {
+        "example.com/a",          # batch-0 fetch won; batch-1 refetch dropped
+        "example.com/b",
+        "example.com/b?page=2",   # non-tracking param is a distinct page
+        "example.com/c",          # trailing slash canonicalized, admitted
+    }
