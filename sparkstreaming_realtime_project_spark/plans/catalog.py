@@ -11877,3 +11877,177 @@ def x_ivm_group_agg(spark, sf_dir):
     return _cdc.maintain_sum_count(
         old, new, ["c_custkey"], "c_nationkey", "bal"
     )
+
+
+_TS_FOLDS, _TS_EMBARGO = 5, 2
+
+
+@_register(
+    "x_time_split_embargo",
+    "purged K-fold time-series split (backtesting without leakage): "
+    "days rank into K contiguous folds by exact integer math; for each "
+    "fold, days within the embargo of its boundaries are EXCLUDED from "
+    "train (adjacent-day correlation is the leak temporal splits "
+    "exist to stop). Per-fold accounting over an event x K fanout — "
+    "bounded by K, the day map broadcasts (north-star)",
+    f"""
+    WITH d AS (SELECT DISTINCT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS dt
+               FROM events),
+    n AS (SELECT count(*) AS nd FROM d),
+    dr AS (SELECT dt, row_number() OVER (ORDER BY dt) AS rk FROM d),
+    fmap AS (SELECT dt, rk,
+                    CAST(floor((rk - 1) * {_TS_FOLDS}.0 / nd) AS INT) + 1
+                      AS fold
+             FROM dr, n),
+    fb AS (SELECT fold, min(rk) AS lo, max(rk) AS hi FROM fmap GROUP BY 1),
+    ev AS (SELECT f.rk FROM events e
+           JOIN fmap f ON CAST(strftime(e.ts, '%Y-%m-%d') AS DATE) = f.dt),
+    cls AS (SELECT fb.fold,
+                   CASE WHEN ev.rk BETWEEN fb.lo AND fb.hi THEN 'test'
+                        WHEN ev.rk BETWEEN fb.lo - {_TS_EMBARGO}
+                                       AND fb.hi + {_TS_EMBARGO}
+                          THEN 'embargo'
+                        ELSE 'train' END AS cls
+            FROM ev CROSS JOIN fb)
+    SELECT fold,
+           CAST(sum(CASE WHEN cls = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+             AS test_rows,
+           CAST(sum(CASE WHEN cls = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+             AS embargo_rows,
+           CAST(sum(CASE WHEN cls = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+             AS train_rows
+    FROM cls GROUP BY fold
+    """,
+)
+def x_time_split_embargo(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date(F.date_format("ts", "yyyy-MM-dd")).alias("dt")
+    )
+    d = ev.distinct()
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    # domain-sized keyless window: the distinct-day frame is calendar-
+    # bounded (~30 rows here, thousands at most), never data-sized
+    dr = d.select(
+        "dt", F.row_number().over(Window.orderBy("dt")).alias("rk")
+    )
+    fmap = dr.join(F.broadcast(n), F.lit(True), "left").select(
+        "dt",
+        "rk",
+        (
+            F.floor((F.col("rk") - 1) * _TS_FOLDS / F.col("nd")).cast("int")
+            + 1
+        ).alias("fold"),
+    )
+    fb = fmap.groupBy("fold").agg(
+        F.min("rk").alias("lo"), F.max("rk").alias("hi")
+    )
+    evr = ev.join(F.broadcast(fmap), "dt").select("rk")
+    cls = (
+        F.when(
+            F.col("rk").between(F.col("lo"), F.col("hi")), F.lit("test")
+        )
+        .when(
+            F.col("rk").between(
+                F.col("lo") - _TS_EMBARGO, F.col("hi") + _TS_EMBARGO
+            ),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return (
+        evr.crossJoin(F.broadcast(fb))
+        .select("fold", cls.alias("cls"))
+        .groupBy("fold")
+        .agg(
+            F.sum((F.col("cls") == "test").cast("int")).cast("long").alias(
+                "test_rows"
+            ),
+            F.sum((F.col("cls") == "embargo").cast("int"))
+            .cast("long")
+            .alias("embargo_rows"),
+            F.sum((F.col("cls") == "train").cast("int")).cast("long").alias(
+                "train_rows"
+            ),
+        )
+    )
+
+
+@_register(
+    "x_labeler_agreement",
+    "inter-labeler agreement (Cohen's kappa) between two deterministic "
+    "weak labelers over documents — the sanity gate before training a "
+    "quality classifier on weak labels (low kappa means the rules "
+    "disagree and the 'ground truth' is noise): one shared-scan "
+    "aggregate to the 2x2 confusion, kappa from exact counts "
+    "(north-star)",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t, text FROM documents),
+    lab AS (SELECT doc_id,
+                   CAST(len(t) >= 30 AS INT) AS a,
+                   CAST(len(list_filter(t, x ->
+                        list_contains({_STOPSET_SQL}, x))) * 1.0
+                        / len(t) <= 0.2 AS INT) AS b
+            FROM t),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a * b) AS BIGINT) AS n11,
+                 CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                 CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+                 CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+          FROM lab)
+    SELECT n, n11, n10, n01, n00,
+           floor((n11 + n00) * 1.0 / n * 1e6 + 0.5) / 1e6 AS po,
+           floor(((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n)
+                 * 1e6 + 0.5) / 1e6 AS pe,
+           floor(((n11 + n00) * 1.0 / n
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n))
+                 / (1.0 - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n))
+                 * 1e6 + 0.5) / 1e6 AS kappa
+    FROM c
+    """,
+)
+def x_labeler_agreement(spark, sf_dir):
+    from ..operators.dedup import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    stopset = F.array(*[F.lit(w) for w in _ts.STOPWORDS])
+    lab = toks.select(
+        (F.size("t") >= 30).cast("int").alias("a"),
+        (
+            F.size(F.filter("t", lambda x: F.array_contains(stopset, x)))
+            * F.lit(1.0)
+            / F.size("t")
+            <= 0.2
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    po = (F.col("n11") + F.col("n00")) * F.lit(1.0) / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) * F.lit(1.0) / (F.col("n") * F.col("n"))
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        _r6(po).alias("po"),
+        _r6(pe).alias("pe"),
+        _r6((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

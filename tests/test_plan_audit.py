@@ -561,6 +561,11 @@ CASES_R10 = [
     # outer wide join broadcasts the filtered info side
     ("j_order_wide_outer", ["BroadcastHashJoin"],
      ["NestedLoop", "CartesianProduct"]),
+    # IVM: base-aggregate + delta-aggregate merge on the group key —
+    # keyed joins only, never a cartesian
+    ("x_ivm_group_agg", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("x_knn_filtered_recall", [], ["CartesianProduct"]),
 ]
 
 
