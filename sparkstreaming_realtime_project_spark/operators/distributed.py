@@ -270,6 +270,7 @@ def exact_quantiles(
     df: DataFrame,
     value_col: str,
     probs: list[float],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT type-1 quantiles (smallest v with rank(v) >= ceil(p * n))
     of ``value_col``, computed distributed: distinct-value counts, the
@@ -286,10 +287,19 @@ def exact_quantiles(
     exact fraction over 1e6), so even the target rank can't
     float-drift.
 
+    ``weight_col``: WEIGHTED quantiles — each row counts weight times
+    (integer weights, so ranks stay exact): the smallest v whose
+    cumulative weight reaches ceil(p * total_weight). The corpus-
+    planning form ("docs of <= X chars hold p of all TOKENS"); same
+    machinery, the per-value count becomes a weight sum.
+
     Returns one row per probability: (p, target_rank, value)."""
-    per_v = df.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+    cnt = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("bigint"))
     )
+    per_v = df.groupBy(F.col(value_col).alias("v")).agg(cnt.alias("c"))
     cums = prefix_sums(per_v, ["v"], ["c"]).persist()
     n = cums.agg(F.max("c_cum").alias("n"))
     out = None

@@ -12051,3 +12051,99 @@ def x_labeler_agreement(spark, sf_dir):
         _r6(pe).alias("pe"),
         _r6((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+@_register(
+    "x_weighted_quantiles",
+    "token-WEIGHTED exact quantiles of document length: the smallest "
+    "n_chars whose docs cumulatively hold ceil(p * total_tokens) of "
+    "the corpus' tokens — the corpus-planning number ('docs <= X chars "
+    "hold p of all tokens') a row-count quantile gets wrong on "
+    "length-skewed corpora. Same distributed integer-rank machinery as "
+    "x_exact_quantiles with per-value weight sums (north-star)",
+    f"""
+    WITH w AS (SELECT n_chars AS v, CAST(len({_TOKS_SQL}) AS BIGINT) AS c
+               FROM documents),
+    a AS (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM w GROUP BY 1),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM a),
+    r AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM a),
+    ps(p_num) AS (VALUES (500000), (900000), (990000))
+    SELECT CAST(p_num AS DOUBLE) / 1000000 AS p,
+           CAST((t.n * p_num + 999999) // 1000000 AS BIGINT)
+             AS target_rank,
+           min(r.v) AS value
+    FROM ps CROSS JOIN t JOIN r
+      ON r.cum >= (t.n * p_num + 999999) // 1000000
+    GROUP BY p_num, t.n
+    """,
+)
+def x_weighted_quantiles(spark, sf_dir):
+    from ..operators.dedup import tokens_expr
+    from ..operators.distributed import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "n_chars", F.size(tokens_expr("text")).alias("w")
+    )
+    return exact_quantiles(docs, "n_chars", [0.5, 0.9, 0.99], weight_col="w")
+
+
+@_register(
+    "x_pseudonymize",
+    "deterministic keyed pseudonymization WITH its correctness proof: "
+    "customer/order keys map through one salted hash, and the entry "
+    "emits the referential-integrity audit — pseudonymous join "
+    "cardinality equals the original's and pseudonyms are "
+    "collision-free — so the anonymized export provably supports the "
+    "same analytics (the privacy op is only as good as this audit); "
+    "pure projections + the same keyed joins the real pipeline runs "
+    "(north-star)",
+    """
+    WITH c AS (SELECT c_custkey,
+                      md5('pid:' || CAST(c_custkey AS VARCHAR)) AS pid
+               FROM customer),
+    o AS (SELECT o_custkey,
+                 md5('pid:' || CAST(o_custkey AS VARCHAR)) AS pid
+          FROM orders),
+    orig AS (SELECT CAST(count(*) AS BIGINT) AS n
+             FROM orders JOIN customer ON o_custkey = c_custkey),
+    pse AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o JOIN c USING (pid)),
+    ks AS (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+                  CAST(count(DISTINCT pid) AS BIGINT) AS n_pids
+           FROM c)
+    SELECT ks.n_keys, ks.n_pids,
+           CAST(ks.n_keys = ks.n_pids AS INT) AS collision_free,
+           orig.n AS joined_original, pse.n AS joined_pseudonymous,
+           CAST(orig.n = pse.n AS INT) AS join_preserved
+    FROM ks, orig, pse
+    """,
+)
+def x_pseudonymize(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pid = lambda col: F.md5(F.concat(F.lit("pid:"), F.col(col).cast("string")))  # noqa: E731
+    c = cust.select("c_custkey", pid("c_custkey").alias("pid"))
+    o = orders.select("o_custkey", pid("o_custkey").alias("pid"))
+    orig = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pse = o.join(c, "pid").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ks = c.agg(
+        F.count_distinct("c_custkey").cast("long").alias("n_keys"),
+        F.count_distinct("pid").cast("long").alias("n_pids"),
+    )
+    return (
+        ks.crossJoin(F.broadcast(orig.withColumnRenamed("n", "_orig")))
+        .crossJoin(F.broadcast(pse.withColumnRenamed("n", "_pse")))
+        .select(
+            "n_keys",
+            "n_pids",
+            (F.col("n_keys") == F.col("n_pids")).cast("int").alias(
+                "collision_free"
+            ),
+            F.col("_orig").alias("joined_original"),
+            F.col("_pse").alias("joined_pseudonymous"),
+            (F.col("_orig") == F.col("_pse")).cast("int").alias(
+                "join_preserved"
+            ),
+        )
+    )
