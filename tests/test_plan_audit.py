@@ -566,6 +566,16 @@ CASES_R10 = [
     ("x_ivm_group_agg", ["HashAggregate"],
      ["NestedLoop", "CartesianProduct"]),
     ("x_knn_filtered_recall", [], ["CartesianProduct"]),
+    # fold-boundary fanout is a K-row broadcast NLJ (declared, bounded
+    # by K); a true cartesian stays banned
+    ("x_time_split_embargo", ["HashAggregate"], ["CartesianProduct"]),
+    # one shared-scan aggregate to the 2x2 confusion: no join at all
+    ("x_labeler_agreement", ["HashAggregate"],
+     ["Join", "NestedLoop", "CartesianProduct"]),
+    # weighted quantiles ride the same rangepartitioning prefix-sum
+    # primitive as the exact ones — never a single-task global sort
+    ("x_weighted_quantiles", ["rangepartitioning"], ["CartesianProduct"]),
+    ("x_pseudonymize", [], ["CartesianProduct"]),
 ]
 
 
