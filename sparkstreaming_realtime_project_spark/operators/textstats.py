@@ -1024,26 +1024,27 @@ def stutter_trim(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     low-quality signal the Gopher rules key on; this is the repair
     form of repetition_stats' measurement).
 
-    Array-native: split -> zip with the 1-shifted copy -> null out
-    repeats -> filter -> re-join. No explode, no shuffle — a pure
-    projection whose cost is linear in tokens, trivially 100 TB-safe.
-    The DuckDB twin replays the same adjacency rule via
-    explode + lag + ordered string_agg (catalog x_stutter_trim).
+    Array-native: split -> index-aware transform nulls out any token
+    equal to its predecessor -> filter -> re-join. No explode, no
+    shuffle — a pure projection whose cost is linear in tokens,
+    trivially 100 TB-safe. The DuckDB twin replays the same adjacency
+    rule via explode + lag + ordered string_agg (catalog
+    x_stutter_trim).
+
+    The first token is kept BY INDEX (i = 0), never by comparing
+    against a sentinel value: a hypothesis sweep caught the ''-sentinel
+    version dropping a legitimate empty first token (empty text, double
+    spaces) that the lag-based oracle kept.
 
     Returns (id, n_tokens, n_stutter, text_trimmed)."""
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
-    prev = F.concat(
-        F.array(F.lit("")),
-        F.slice(
-            F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))
-        ),
-    )
     kept = F.filter(
-        F.zip_with(
+        F.transform(
             F.col("_toks"),
-            prev,
-            lambda t, p: F.when(t == p, F.lit(None)).otherwise(t),
+            lambda t, i: F.when(
+                (i == F.lit(0)) | (t != F.get(F.col("_toks"), i - 1)), t
+            ),
         ),
         lambda x: x.isNotNull(),
     )

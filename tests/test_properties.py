@@ -544,3 +544,26 @@ def test_prefix_sums_equals_python_cumsum(spark, n, seed, neg):
         want[k] = run
     assert got == want
     spark.catalog.clearCache()
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_stutter_trim_equals_python_reference(spark, texts):
+    from sparkstreaming_realtime_project_spark.operators.textstats import (
+        stutter_trim,
+    )
+
+    def py_trim(s: str):
+        toks = s.split(" ")
+        kept = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
+        return len(toks), len(toks) - len(kept), " ".join(kept)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["n_stutter"], r["text_trimmed"])
+        for r in stutter_trim(df, "text", "id").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_trim(t), (t,)
