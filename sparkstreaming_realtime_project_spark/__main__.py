@@ -98,6 +98,12 @@ def main(argv: list[str] | None = None) -> None:
         help="detail-preserving join: emit null-padded details whose "
         "info never arrives within the grace window",
     )
+    p.add_argument(
+        "--full-outer",
+        action="store_true",
+        help="both-side-preserving join: additionally emit null-padded "
+        "infos whose details never arrive (reconciliation view)",
+    )
     common(p)
 
     # batch catalog runner: any registered analytic query by name over a
@@ -195,7 +201,11 @@ def main(argv: list[str] | None = None) -> None:
             args.checkpoint,
             dim_user=dim(args.dim_user),
             dim_province=dim(args.dim_province),
-            join_type="left_outer" if args.left_outer else "inner",
+            join_type=(
+                "full_outer"
+                if args.full_outer
+                else "left_outer" if args.left_outer else "inner"
+            ),
         )
     _start(writer, args.follow, timeout=args.timeout)
 

@@ -12147,3 +12147,44 @@ def x_pseudonymize(spark, sf_dir):
             ),
         )
     )
+
+
+@_register(
+    "j_order_wide_full",
+    "J4 FULL_OUTER mode, batch twin of order_wide_pipeline(join_type="
+    "'full_outer'): detail rows missing info AND info rows missing "
+    "details both survive null-padded, order_id coalescing from "
+    "whichever side exists — the reconciliation view (which orders "
+    "have no line items landed, which line items have no order). "
+    "Deterministic carves: infos of o_orderkey % 7 = 0 missing, "
+    "details of l_orderkey % 5 = 0 missing.",
+    """
+    WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 5 <> 0),
+    o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT coalesce(l_orderkey, o_orderkey) AS order_id,
+           l_linenumber AS detail_id,
+           o_custkey AS user_id, o_orderstatus AS order_status,
+           round(o_totalprice, 2) AS total_amount,
+           l_partkey AS sku_id, round(l_quantity, 2) AS sku_num,
+           round(l_extendedprice, 2) AS split_total_amount,
+           strftime(o_orderdate, '%Y-%m-%d') AS create_date
+    FROM li FULL OUTER JOIN o ON l_orderkey = o_orderkey
+    """,
+)
+def j_order_wide_full(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 != 0)
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("l_orderkey"), F.col("o_orderkey")).alias(
+            "order_id"
+        ),
+        F.col("l_linenumber").alias("detail_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.round("o_totalprice", 2).alias("total_amount"),
+        F.col("l_partkey").alias("sku_id"),
+        F.round("l_quantity", 2).alias("sku_num"),
+        F.round("l_extendedprice", 2).alias("split_total_amount"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("create_date"),
+    )

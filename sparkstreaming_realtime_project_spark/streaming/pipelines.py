@@ -203,9 +203,15 @@ def order_wide_pipeline(
     Streaming's outer stream-stream semantics) instead of silently
     dropped — the reference has no analog (an unmatched Redis detail
     just expires, DwdOrderApp.scala:247); this is the stream twin of the
-    per-batch full outer (J3). Inner-mode output is unchanged:
-    create_date falls back to the detail's own create_time only when the
-    info side is null, which never happens under inner."""
+    per-batch full outer (J3). ``join_type="full_outer"`` additionally
+    emits an info whose details never arrive (order placed, no line
+    items landed — the reconciliation signal): order_id coalesces from
+    whichever side is present and the sink upsert keys on
+    (order_id, detail_id) so info-only rows — whose detail_id is null —
+    stay one-per-order instead of colliding on the null key. Inner-mode
+    output is unchanged: create_date falls back to the detail's own
+    create_time only when the info side is null, which never happens
+    under inner."""
     if dim_user is not None:
         info_stream = enrich_user(info_stream, dim_user, "user_id", as_of=as_of)
     if dim_province is not None:
@@ -252,13 +258,21 @@ def order_wide_pipeline(
         "info_ts",
         *dim_cols,
     )
-    joined = d.join(
-        i,
-        (d.order_id == i.order_id)
-        & (d.detail_ts >= i.info_ts - F.expr("INTERVAL 24 HOURS"))
-        & (d.detail_ts <= i.info_ts + F.expr("INTERVAL 24 HOURS")),
-        join_type,
-    ).drop(i.order_id)
+    joined = (
+        d.join(
+            i,
+            (d.order_id == i.order_id)
+            & (d.detail_ts >= i.info_ts - F.expr("INTERVAL 24 HOURS"))
+            & (d.detail_ts <= i.info_ts + F.expr("INTERVAL 24 HOURS")),
+            join_type,
+        )
+        # order_id must survive WHICHEVER side is present (full_outer's
+        # info-only rows have a null detail side); drop both ambiguous
+        # originals and keep the coalesced one under the contract name
+        .withColumn("__order_id", F.coalesce(d.order_id, i.order_id))
+        .drop("order_id")
+        .withColumnRenamed("__order_id", "order_id")
+    )
     wide = (
         joined.withColumn(
             "create_time", F.coalesce("create_time", "__detail_create_time")
@@ -267,9 +281,12 @@ def order_wide_pipeline(
         .withColumn("create_hour", F.date_format(F.to_timestamp("create_time"), "HH"))
         .drop("detail_ts", "info_ts", "__detail_create_time")
     )
+    upsert_keys = (
+        ["order_id", "detail_id"] if join_type == "full_outer" else ["detail_id"]
+    )
     return (
         wide.writeStream.foreachBatch(
-            idempotent_partitioned_writer(out_dir, ["detail_id"], "create_date")
+            idempotent_partitioned_writer(out_dir, upsert_keys, "create_date")
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("append")

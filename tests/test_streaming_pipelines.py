@@ -1301,3 +1301,51 @@ def test_crawl_frontier_dedup_on_canonical_url(spark, tmp_path):
         "example.com/b?page=2",   # non-tracking param is a distinct page
         "example.com/c",          # trailing slash canonicalized, admitted
     }
+
+
+def test_order_wide_full_outer_emits_both_unmatched_sides(spark, tmp_path):
+    """join_type="full_outer": besides the matched and detail-only rows
+    left_outer emits, an INFO whose details never arrive surfaces
+    null-padded on the detail side once both watermarks pass — the
+    order-placed-but-no-line-items reconciliation signal. order_id
+    coalesces from whichever side exists and info-only rows keep their
+    own order_id (not null)."""
+    t0 = "2024-01-01 10:00:00"
+    t_far = "2024-01-05 10:00:00"  # 96 h later: both watermarks sail past
+    info_dir, detail_dir = str(tmp_path / "info"), str(tmp_path / "detail")
+    fx._write_batches(info_dir, [
+        [fx.info_row(2, t0), fx.info_row(6, t0)],  # 6's detail never lands
+        [fx.info_row(3, t_far)],
+        [fx.info_row(4, t_far)],
+        [fx.info_row(5, t_far)],
+    ])
+    fx._write_batches(detail_dir, [
+        [fx.detail_row(99, 1, t0), fx.detail_row(90, 2, t0)],  # 1's info never
+        [fx.detail_row(91, 3, t_far)],
+        [fx.detail_row(92, 4, t_far)],
+        [fx.detail_row(93, 5, t_far)],
+    ])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    writer = order_wide_pipeline(
+        file_stream(spark, info_dir, ORDER_INFO_SCHEMA, max_files_per_trigger=1),
+        file_stream(spark, detail_dir, ORDER_DETAIL_SCHEMA, max_files_per_trigger=1),
+        out,
+        ckpt,
+        join_type="full_outer",
+    )
+    run_to_completion(writer, timeout=180)
+    rows = read_sink(spark, out).collect()
+    by_detail = {r["detail_id"]: r for r in rows}
+    # matched row: identical to inner mode
+    assert by_detail[90]["order_status"] is not None
+    assert by_detail[90]["order_id"] == 2
+    # detail-only: info side null-padded, detail's own create_date
+    assert by_detail[99]["order_status"] is None
+    assert by_detail[99]["order_id"] == 1
+    # info-only: detail side null-padded, order_id from the INFO side,
+    # create_date from the info's own create_time
+    info_only = [r for r in rows if r["detail_id"] is None]
+    assert [r["order_id"] for r in info_only] == [6]
+    assert info_only[0]["sku_id"] is None
+    assert info_only[0]["order_status"] is not None
+    assert str(info_only[0]["create_date"]) == "2024-01-01"
