@@ -12188,3 +12188,66 @@ def j_order_wide_full(spark, sf_dir):
         F.round("l_extendedprice", 2).alias("split_total_amount"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("create_date"),
     )
+
+
+# exponential time-decay weights, quantized to the 1e-6 grid and
+# embedded as EXACT decimal literals on both engines: pow() is a libm
+# call whose last bits differ across engines, a 30-branch CASE of
+# pre-computed literals is bit-identical by construction (the corpus
+# spans 30 days; older events decay to weight 0).
+_DECAY_HALF = 0.9
+_DECAY_W = [
+    int(_DECAY_HALF**k * 1_000_000) / 1_000_000 for k in range(30)
+]
+_DECAY_CASE_SQL = (
+    "CASE age "
+    + " ".join(
+        f"WHEN {k} THEN CAST({w:.6f} AS DECIMAL(12,6))"
+        for k, w in enumerate(_DECAY_W)
+    )
+    + " ELSE CAST(0 AS DECIMAL(12,6)) END"
+)
+
+
+@_register(
+    "x_decayed_engagement",
+    "recency-weighted user engagement: each event counts 0.9^age_days "
+    "(age vs the corpus max date), weights pre-computed to exact "
+    "1e-6-grid decimal literals — no libm pow in the plan, decimal "
+    "sums exact and order-free on any engine. The feature-engineering "
+    "form of recency scoring (RFM's R as a continuous decay); one "
+    "broadcast max-date + one keyed aggregate (north-star)",
+    f"""
+    WITH mx AS (SELECT max(CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS mxd
+                FROM events),
+    a AS (SELECT user_id,
+                 date_diff('day', CAST(strftime(ts, '%Y-%m-%d') AS DATE),
+                           (SELECT mxd FROM mx)) AS age
+          FROM events),
+    w AS (SELECT user_id, {_DECAY_CASE_SQL} AS w FROM a)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w) AS DOUBLE) AS decayed_score
+    FROM w GROUP BY user_id
+    """,
+)
+def x_decayed_engagement(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_format("ts", "yyyy-MM-dd")).alias("d")
+    )
+    mx = ev.agg(F.max("d").alias("mxd"))
+    age = F.datediff(F.col("mxd"), F.col("d"))
+    # the CASE as a single chained when (age 0..29, else 0)
+    chain = F.lit(0).cast("decimal(12,6)")
+    for k in reversed(range(30)):
+        chain = F.when(
+            age == k, F.lit(_DECAY_W[k]).cast("decimal(12,6)")
+        ).otherwise(chain)
+    return (
+        ev.join(F.broadcast(mx), F.lit(True), "left")
+        .select("user_id", chain.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("w").cast("double").alias("decayed_score"),
+        )
+    )
