@@ -12251,3 +12251,62 @@ def x_decayed_engagement(spark, sf_dir):
             F.sum("w").cast("double").alias("decayed_score"),
         )
     )
+
+
+@_register(
+    "x_significant_terms",
+    "ES significant-terms aggregation (the serving stack's "
+    "foreground-vs-background term lift, JLH score): terms "
+    "overrepresented in the lang='de' document subset vs the whole "
+    "corpus — (fg% - bg%) * (fg% / bg%) over exact integer counts, "
+    "floor-rounded; two token aggregates + one equi-join on term, "
+    "top-20 bounded (north-star)",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS term
+                  FROM documents),
+    fg AS (SELECT term, count(*) AS f FROM toks WHERE lang = 'de'
+           GROUP BY term),
+    bg AS (SELECT term, count(*) AS b FROM toks GROUP BY term),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS ft,
+                   (SELECT CAST(sum(b) AS BIGINT) FROM bg) AS bt
+            FROM fg),
+    s AS (SELECT fg.term, CAST(f AS BIGINT) AS fg_count,
+                 CAST(b AS BIGINT) AS bg_count,
+                 floor((f * 1.0 / ft - b * 1.0 / bt)
+                       * ((f * 1.0 / ft) / (b * 1.0 / bt)) * 1e6 + 0.5)
+                   / 1e6 AS jlh
+          FROM fg JOIN bg USING (term) CROSS JOIN tot)
+    SELECT term, fg_count, bg_count, jlh FROM s
+    ORDER BY jlh DESC, term LIMIT 20
+    """,
+)
+def x_significant_terms(spark, sf_dir):
+    from ..operators.dedup import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(tokens_expr("text")).alias("term")
+    )
+    fg = docs.filter(F.col("lang") == "de").groupBy("term").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    bg = docs.groupBy("term").agg(F.count(F.lit(1)).alias("b"))
+    ft = fg.agg(F.sum("f").alias("ft"))
+    bt = bg.agg(F.sum("b").alias("bt"))
+    tot = ft.crossJoin(F.broadcast(bt))
+    fgp = F.col("f") * F.lit(1.0) / F.col("ft")
+    bgp = F.col("b") * F.lit(1.0) / F.col("bt")
+    jlh = F.floor((fgp - bgp) * (fgp / bgp) * F.lit(1e6) + F.lit(0.5)) / F.lit(
+        1e6
+    )
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.col("f").cast("long").alias("fg_count"),
+            F.col("b").cast("long").alias("bg_count"),
+            jlh.alias("jlh"),
+        )
+        .orderBy(F.col("jlh").desc(), "term")
+        .limit(20)
+    )
