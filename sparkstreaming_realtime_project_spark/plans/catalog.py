@@ -916,6 +916,40 @@ def a_dau_hourly(spark, sf_dir):
 
 
 @_register(
+    "a_dau_hourly_zerofill",
+    "A2 hourly histogram with ES date_histogram extended_bounds "
+    "semantics: ALL 24 hour buckets present, empty ones zero-filled — "
+    "what the dashboard's hour axis actually renders (ES omits empty "
+    "buckets unless extended_bounds forces them; the reference's JS "
+    "would otherwise skip silent hours). One 24-row literal frame "
+    "LEFT-joining the aggregate — domain-sized, broadcast (north-star)",
+    f"""
+    WITH hrs AS (SELECT lpad(CAST(range AS VARCHAR), 2, '0') AS hr
+                 FROM range(24)),
+    agg AS (SELECT strftime(ts, '%H') AS hr,
+                   count(DISTINCT user_id) AS ct
+            FROM events WHERE strftime(ts, '%Y-%m-%d') = '{TD}'
+            GROUP BY 1)
+    SELECT hrs.hr, CAST(coalesce(agg.ct, 0) AS BIGINT) AS ct
+    FROM hrs LEFT JOIN agg USING (hr)
+    """,
+)
+def a_dau_hourly_zerofill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.date_format("ts", "yyyy-MM-dd") == TD)
+        .groupBy(F.date_format("ts", "HH").alias("hr"))
+        .agg(F.countDistinct("user_id").alias("ct"))
+    )
+    hrs = spark.range(24).select(
+        F.lpad(F.col("id").cast("string"), 2, "0").alias("hr")
+    )
+    return hrs.join(agg, "hr", "left").select(
+        "hr", F.coalesce("ct", F.lit(0)).cast("long").alias("ct")
+    )
+
+
+@_register(
     "a_dau_compare",
     "A3 today-vs-yesterday (PublisherMapperImpl.java:107-125) + F8 date_sub",
     f"""
