@@ -81,27 +81,48 @@ def text_match(col: Column, query: str) -> Column:
     return reduce(lambda a, b: a & b, [F.array_contains(toks, t) for t in tokens])
 
 
-def _highlight_pattern(tokens: list[str]) -> str:
-    """One capture-group alternation over the analyzed query tokens:
-    Latin tokens anchor on \\b (whole-word, as before); CJK tokens are
-    single characters matched as a bare character class — \\b can't
+_ASCII_WORD = re.compile(r"[a-z0-9_]+")
+
+
+def _highlight_pattern(tokens: list[str], flavor: str = "java") -> str:
+    """One capture-group alternation over the analyzed query tokens.
+    ASCII-word tokens anchor on \\b (whole-word, as before); CJK tokens
+    are single characters matched as a bare character class — \\b can't
     fire between two adjacent CJK chars (neither is an ASCII word
     char), and ES highlights every analyzed-term occurrence anyway.
-    Both Java and RE2 treat \\b as the ASCII-\\w boundary, so the same
-    pattern behaves identically on both engines."""
-    lat = sorted(
-        {t for t in tokens if not _is_cjk_token(t)}, key=len, reverse=True
+    Tokens containing NON-ASCII word characters (Greek, Cyrillic,
+    accented Latin) also go bare: both Java and RE2 implement \\b as
+    the ASCII-\\w boundary, so \\bδδ\\b can never fire at a string edge
+    — a property sweep caught matched Greek queries highlighting
+    nothing. The same pattern behaves identically on both engines."""
+    rest = {t for t in tokens if not _is_cjk_token(t)}
+    ascii_toks = sorted(
+        (t for t in rest if _ASCII_WORD.fullmatch(t)), key=len, reverse=True
+    )
+    other = sorted(
+        (t for t in rest if not _ASCII_WORD.fullmatch(t)),
+        key=len,
+        reverse=True,
     )
     cjk = sorted({t for t in tokens if _is_cjk_token(t)})
     parts = []
-    if lat:
-        parts.append(r"\b(?:%s)\b" % "|".join(re.escape(t) for t in lat))
+    if ascii_toks:
+        parts.append(
+            r"\b(?:%s)\b" % "|".join(re.escape(t) for t in ascii_toks)
+        )
+    if other:
+        parts.append("|".join(re.escape(t) for t in other))
     if cjk:
         # `+` wraps a maximal RUN of matched CJK chars in one tag
         # (小米11手机 under 小米手机 -> <em>小米</em>11<em>手机</em>),
         # the merged-adjacent-terms shape ES fragments render as.
         parts.append("[%s]+" % "".join(re.escape(c) for c in cjk))
-    return rf"(?i)({'|'.join(parts)})"
+    # Unicode-insensitive case folding needs DIFFERENT flags per
+    # engine: Java's (?i) folds ASCII only (Δδ vs δδ misses) and wants
+    # (?iu); RE2's (?i) is Unicode-aware already and REJECTS the u
+    # flag. Same semantics, two spellings.
+    flags = "(?iu)" if flavor == "java" else "(?i)"
+    return rf"{flags}({'|'.join(parts)})"
 
 
 def highlight(col: Column, query: str, tag: str = "em") -> Column:
@@ -145,7 +166,8 @@ def match_and_highlight_sql(text_expr: str, query: str) -> tuple[str, str]:
         f"list_contains({toks_sql}, '{t}')" for t in tokens
     ) or "TRUE"
     hl = (
-        f"regexp_replace({text_expr}, '{_highlight_pattern(tokens)}',"
+        f"regexp_replace({text_expr}, "
+        f"'{_highlight_pattern(tokens, flavor='re2')}',"
         " '<em>\\1</em>', 'g')"
     )
     return where, hl

@@ -31,7 +31,9 @@ _CANON_STEPS = [
     (r"\?utm_[^#]*$", ""),    # drop tracking-only query (utm_*)
     (r"^https?://", ""),      # scheme-insensitive identity
     (r"^www\.", ""),          # host alias
-    (r"/$", ""),              # trailing-slash alias
+    (r"/+$", ""),             # trailing-slash alias (any run of them —
+                              # a single-slash strip isn't idempotent
+                              # on '//', caught by the property sweep)
 ]
 
 

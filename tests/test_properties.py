@@ -567,3 +567,78 @@ def test_stutter_trim_equals_python_reference(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == py_trim(t), (t,)
+
+
+URLISH = st.builds(
+    lambda scheme, www, host, path, slash, q, frag: (
+        scheme + www + host + "/" + path + slash + q + frag
+    ),
+    scheme=st.sampled_from(["http://", "https://", ""]),
+    www=st.sampled_from(["www.", ""]),
+    host=st.sampled_from(["Example.COM", "example.com", "a-b.org"]),
+    path=st.from_regex(r"[a-z0-9/]{0,8}", fullmatch=True),
+    slash=st.sampled_from(["/", ""]),
+    q=st.sampled_from(["", "?utm_source=x", "?page=2", "?utm_campaign=a"]),
+    frag=st.sampled_from(["", "#s1", "#x"]),
+)
+
+
+@given(urls=st.lists(URLISH, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_canonical_url_idempotent_and_variant_insensitive(spark, urls):
+    """canonical(canonical(u)) == canonical(u) (a canonical form must be
+    a fixed point), and the canonical form never retains scheme, www,
+    fragment or utm query."""
+    from sparkstreaming_realtime_project_spark.operators.urls import (
+        canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id int, url string"
+    )
+    out = {
+        r["id"]: (r["c1"], r["c2"])
+        for r in df.select(
+            "id",
+            canonical_url(F.col("url")).alias("c1"),
+            canonical_url(canonical_url(F.col("url"))).alias("c2"),
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        c1, c2 = out[i]
+        assert c1 == c2, (u, c1, c2)
+        assert not c1.startswith(("http://", "https://", "www."))
+        assert "#" not in c1 and "utm_" not in c1
+        assert not c1.endswith("/")
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=15), query=TEXT)
+@settings(**SETTINGS)
+def test_match_implies_highlight_marks(spark, texts, query):
+    """Coherence of F9/F10: every row text_match accepts gets at least
+    one <em> tag from highlight with the same query (each accepted row
+    contains every analyzed query token, so the highlighter must hit),
+    and highlight never changes a row's tag-stripped content."""
+    import re as _re
+
+    from sparkstreaming_realtime_project_spark.functions.text import (
+        analyze_query,
+        highlight,
+        text_match,
+    )
+
+    if not analyze_query(query):
+        return  # empty query matches everything and highlights nothing
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    rows = df.select(
+        "id",
+        "text",
+        text_match(F.col("text"), query).alias("m"),
+        highlight(F.col("text"), query).alias("h"),
+    ).collect()
+    for r in rows:
+        if r["m"]:
+            assert "<em>" in r["h"], (r["text"], query)
+        assert _re.sub(r"</?em>", "", r["h"]) == r["text"]
