@@ -12344,3 +12344,146 @@ def x_significant_terms(spark, sf_dir):
         .orderBy(F.col("jlh").desc(), "term")
         .limit(20)
     )
+
+
+@_register(
+    "x_session_bounce",
+    "session-quality metrics over 30-min-gap sessions (the GA-style "
+    "companion of o_session_window): sessions, bounce rate (single-"
+    "event sessions), avg events and avg duration seconds per session "
+    "— one session aggregate then one domain-free rollup; duration in "
+    "exact integer MICROseconds (sub-second truncation diverges across "
+    "engines) (north-star)",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged),
+    s AS (SELECT user_id, session_no, count(*) AS n_events,
+                 epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+          FROM numbered GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           floor(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 1e6 + 0.5) / 1e6 AS bounce_rate,
+           floor(sum(n_events) * 1.0 / count(*) * 1e6 + 0.5) / 1e6
+             AS avg_events,
+           floor(sum(dur_us) * 1.0 / count(*) + 0.5) / 1e6
+             AS avg_duration_s
+    FROM s
+    """,
+)
+def x_session_bounce(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("dur_us"),
+        )
+    )
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    n = F.count(F.lit(1))
+    bounces = F.sum((F.col("n_events") == 1).cast("int"))
+    return s.agg(
+        n.cast("long").alias("n_sessions"),
+        bounces.cast("long").alias("n_bounces"),
+        _r6(bounces * F.lit(1.0) / n).alias("bounce_rate"),
+        _r6(F.sum("n_events") * F.lit(1.0) / n).alias("avg_events"),
+        (
+            F.floor(F.sum("dur_us") * F.lit(1.0) / n + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("avg_duration_s"),
+    )
+
+
+_FUNNEL_WINDOW_H = 24
+
+
+@_register(
+    "x_funnel_windowed",
+    "conversion funnel with a MAX CONVERSION WINDOW: each step must "
+    "follow the previous step's earliest completion within 24 h — "
+    "x_funnel_ordered counts a purchase weeks after the click as "
+    "converted, this one expires the attribution (the standard "
+    "marketing-funnel definition); same keyed-aggregate + equi-join "
+    "shape with the window predicate riding along (north-star)",
+    f"""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+            AND e.ts > v.t1
+            AND e.ts <= v.t1 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT DISTINCT e.user_id
+          FROM events e JOIN c ON c.user_id = e.user_id
+            AND e.ts > c.t2
+            AND e.ts <= c.t2 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+          WHERE e.event_type = 'purchase'),
+    k AS (SELECT (SELECT count(*) FROM v) AS s1,
+                 (SELECT count(*) FROM c) AS s2,
+                 (SELECT count(*) FROM p) AS s3)
+    SELECT CAST(s1 AS BIGINT) AS n_view,
+           CAST(s2 AS BIGINT) AS n_view_click_24h,
+           CAST(s3 AS BIGINT) AS n_full_funnel_24h,
+           floor(CAST(s2 AS DOUBLE) / s1 * 1e6 + 0.5) / 1e6
+             AS click_through,
+           floor(CAST(s3 AS DOUBLE) / s1 * 1e6 + 0.5) / 1e6
+             AS full_conversion
+    FROM k
+    """,
+)
+def x_funnel_windowed(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .select("user_id")
+        .distinct()
+    )
+    s1 = v.agg(F.count(F.lit(1)).alias("s1"))
+    s2 = c.agg(F.count(F.lit(1)).alias("s2"))
+    s3 = p.agg(F.count(F.lit(1)).alias("s3"))
+    k = s1.crossJoin(F.broadcast(s2)).crossJoin(F.broadcast(s3))
+
+    def _r6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return k.select(
+        F.col("s1").cast("long").alias("n_view"),
+        F.col("s2").cast("long").alias("n_view_click_24h"),
+        F.col("s3").cast("long").alias("n_full_funnel_24h"),
+        _r6(F.col("s2").cast("double") / F.col("s1")).alias("click_through"),
+        _r6(F.col("s3").cast("double") / F.col("s1")).alias(
+            "full_conversion"
+        ),
+    )
