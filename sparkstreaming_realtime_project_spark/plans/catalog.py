@@ -12487,3 +12487,65 @@ def x_funnel_windowed(spark, sf_dir):
             "full_conversion"
         ),
     )
+
+
+_SNIP_BEFORE, _SNIP_LEN = 40, 100
+_SNIP_POS_SQL = " , ".join(
+    f"nullif(strpos(lower(text), '{t}'), 0)" for t in ITEM_QUERY.split()
+)
+_SNIP_FRAG_SQL = (
+    f"substring(text, CAST(greatest(1, least({_SNIP_POS_SQL})"
+    f" - {_SNIP_BEFORE}) AS INT), {_SNIP_LEN})"
+)
+_SNIP_HL_SQL = match_and_highlight_sql(_SNIP_FRAG_SQL, ITEM_QUERY)[1]
+
+
+@_register(
+    "q_detail_snippet",
+    "ES-highlighter FRAGMENT semantics for the detail route: instead of "
+    "tagging the whole field, return a bounded snippet around the "
+    "earliest query-token hit with the tags inside it, plus truncation "
+    "flags — what a search result list renders "
+    "(PublisherMapperImpl.java:199-218 requests fragment highlights; "
+    "the rebuild's detail page returned whole-field tags until now). "
+    "Pure string expressions over the matched rows (north-star)",
+    f"""
+    WITH m AS (SELECT doc_id, text FROM documents WHERE {_DOC_MATCH_SQL}),
+    p AS (SELECT doc_id, text,
+                 least({_SNIP_POS_SQL}) AS pos FROM m)
+    SELECT doc_id, CAST(pos AS BIGINT) AS first_hit_pos,
+           {_SNIP_HL_SQL} AS snippet,
+           CAST(pos - {_SNIP_BEFORE} > 1 AS INT) AS truncated_head,
+           CAST(greatest(1, pos - {_SNIP_BEFORE}) + {_SNIP_LEN}
+                <= length(text) AS INT) AS truncated_tail
+    FROM p
+    """,
+)
+def q_detail_snippet(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = ITEM_QUERY.split()
+    pos = F.least(
+        *[
+            F.nullif(F.instr(F.lower("text"), t), F.lit(0))
+            for t in toks
+        ]
+    )
+    m = docs.filter(text_match(F.col("text"), ITEM_QUERY)).select(
+        "doc_id", "text", pos.alias("pos")
+    )
+    start = F.greatest(F.lit(1), F.col("pos") - _SNIP_BEFORE).cast("int")
+    frag = F.substring(F.col("text"), start, _SNIP_LEN)
+    return m.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("first_hit_pos"),
+        highlight(frag, ITEM_QUERY).alias("snippet"),
+        (F.col("pos") - _SNIP_BEFORE > 1).cast("int").alias(
+            "truncated_head"
+        ),
+        (
+            F.greatest(F.lit(1), F.col("pos") - _SNIP_BEFORE) + _SNIP_LEN
+            <= F.length("text")
+        )
+        .cast("int")
+        .alias("truncated_tail"),
+    )
