@@ -12549,3 +12549,73 @@ def q_detail_snippet(spark, sf_dir):
         .cast("int")
         .alias("truncated_tail"),
     )
+
+
+@_register(
+    "x_seasonal_anomaly",
+    "weekday-ADJUSTED daily-volume anomalies: a Saturday is judged "
+    "against Saturdays (x_seasonality_weekday shows the profile; a "
+    "plain daily z-score would flag every weekend) — per-weekday "
+    "moments from EXACT integer sums (sum, sum-of-squares as BIGINT; "
+    "the only floats are one fixed-order division chain and an IEEE "
+    "correctly-rounded sqrt), |z| > 2 flags; one daily aggregate + one "
+    "7-row broadcast join-back (north-star)",
+    """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                          dayofweek(CAST(o_orderdate AS DATE)) AS wd,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM orders GROUP BY 1, 2),
+    wk AS (SELECT wd, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(n) AS BIGINT) AS s1,
+                  CAST(sum(n * n) AS BIGINT) AS s2
+           FROM daily GROUP BY 1),
+    z AS (SELECT dt, daily.wd, n,
+                 CAST(s1 AS DOUBLE) / cnt AS mean,
+                 (n - CAST(s1 AS DOUBLE) / cnt)
+                   / sqrt((CAST(s2 AS DOUBLE) * cnt - CAST(s1 AS DOUBLE) * s1)
+                          / (CAST(cnt AS DOUBLE) * cnt)) AS zs
+          FROM daily JOIN wk ON daily.wd = wk.wd WHERE cnt > 1
+            AND s2 * cnt > s1 * s1)
+    SELECT strftime(dt, '%Y-%m-%d') AS dt, CAST(wd AS INT) AS weekday,
+           n AS n_orders,
+           floor(mean * 1e4 + 0.5) / 1e4 AS weekday_mean,
+           floor(zs * 1e4 + 0.5) / 1e4 AS z
+    FROM z WHERE abs(zs) > 2
+    """,
+)
+def x_seasonal_anomaly(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date("o_orderdate").alias("dt"),
+        (F.dayofweek(F.to_date("o_orderdate")) - 1).alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wk = daily.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = (
+        F.col("s2").cast("double") * F.col("cnt")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("cnt").cast("double") * F.col("cnt"))
+    zs = (F.col("n") - mean) / F.sqrt(var)
+
+    def _r4(col):
+        return F.floor(col * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    return (
+        daily.join(F.broadcast(wk), "wd")
+        .filter(
+            (F.col("cnt") > 1)
+            & (F.col("s2") * F.col("cnt") > F.col("s1") * F.col("s1"))
+        )
+        .filter(F.abs(zs) > 2)
+        .select(
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            F.col("wd").cast("int").alias("weekday"),
+            F.col("n").alias("n_orders"),
+            _r4(mean).alias("weekday_mean"),
+            _r4(zs).alias("z"),
+        )
+    )
