@@ -22,15 +22,47 @@ from ..schemas import LOG_ENVELOPE_SCHEMA
 _COMMON_COLS = ["ar", "uid", "os", "ch", "is_new", "md", "mid", "vc", "ba"]
 
 
-def parse_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_log(
+    raw: DataFrame, value_col: str = "value", keep_raw: bool = False
+) -> DataFrame:
     """P1: schema-on-read JSON shred (OdsBaseLogApp.scala:69-78).
 
     Corrupt records land with all-null sections instead of the reference's
-    executor-killing exception.
-    """
+    executor-killing exception. ``keep_raw`` carries the original line
+    along as ``_raw`` so a dead-letter output (:func:`corrupt_log`) can
+    preserve it byte-for-byte — the diagnosable-DLQ upgrade over both
+    the reference (executor NPE) and silent dropping."""
+    if keep_raw:
+        return raw.select(
+            F.col(value_col).alias("_raw"),
+            F.from_json(F.col(value_col), LOG_ENVELOPE_SCHEMA).alias("log"),
+        ).select("_raw", "log.*")
     return raw.select(
         F.from_json(F.col(value_col), LOG_ENVELOPE_SCHEMA).alias("log")
     ).select("log.*")
+
+
+def corrupt_log(parsed: DataFrame) -> DataFrame:
+    """Dead-letter output: every record NO routed output will carry —
+    the line failed to parse at all, or parsed without a device id
+    (common.mid), which every downstream branch keys on. Emits the raw
+    line verbatim plus a diagnosis, so ingest loss is observable and
+    replayable instead of silent (the reference would NPE in the
+    executor on these, OdsBaseLogApp.scala:69-78). Requires
+    ``parse_log(..., keep_raw=True)``."""
+    all_null = (
+        F.col("common").isNull()
+        & F.col("page").isNull()
+        & F.col("start").isNull()
+        & F.col("err").isNull()
+        & F.col("ts").isNull()
+    )
+    reason = F.when(all_null, F.lit("malformed_json")).otherwise(
+        F.lit("missing_device_id")
+    )
+    return parsed.filter(F.col("common.mid").isNull()).select(
+        F.col("_raw").alias("raw_value"), reason.alias("reason")
+    )
 
 
 def _common(df: DataFrame) -> list:

@@ -87,16 +87,24 @@ def dau_pipeline(
 
 def log_split_pipeline(raw_stream: DataFrame, out_root: str, checkpoint: str):
     """OdsBaseLogApp (OdsBaseLogApp.scala:30-213): one source, five routed
-    outputs from a single cached batch (§3.2)."""
-    # foreachBatch receives the RAW batch; parse once, fan out five ways.
+    outputs from a single cached batch (§3.2), plus a SIXTH dead-letter
+    output: records no routed branch will carry (unparseable lines,
+    device-id-less envelopes) land in ``corrupt/`` with the raw line
+    and a diagnosis — ingest loss is observable and replayable, where
+    the reference NPEs in the executor and a naive rebuild drops
+    silently."""
+    from ..operators.log_split import corrupt_log
+
+    # foreachBatch receives the RAW batch; parse once, fan out six ways.
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        p = parse_log(batch_df).persist()
+        p = parse_log(batch_df, keep_raw=True).persist()
         try:
-            split_writer(
-                {name: (lambda b, n=name: split_all(b)[n]) for name in
-                 ("error", "page", "display", "action", "start")},
-                out_root,
-            )(p, batch_id)
+            outputs = {
+                name: (lambda b, n=name: split_all(b)[n])
+                for name in ("error", "page", "display", "action", "start")
+            }
+            outputs["corrupt"] = corrupt_log
+            split_writer(outputs, out_root)(p, batch_id)
         finally:
             p.unpersist()
 

@@ -112,7 +112,8 @@ def write_log_fixture(root: str) -> str:
         log_row("m6", D2_09 + 1000, uid="6", ar="11", start=True, err=True),
         # corrupt records: the reference's fastjson walk would kill the
         # executor; the rebuild's schema-on-read shreds them to all-null
-        # sections (SURVEY §5 edge tests) and they route NOWHERE.
+        # sections (SURVEY §5 edge tests), routes them to NO branch, and
+        # preserves the raw line in the dead-letter output.
         "{this is not json at all",
         json.dumps({"ts": D2_09 + 2000}),  # valid JSON, no sections
     ]

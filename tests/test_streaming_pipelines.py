@@ -147,7 +147,7 @@ def split_out(spark, tmp_path_factory):
     run_to_completion(writer)
     return {
         name: read_sink(spark, os.path.join(out, name)).cache()
-        for name in ("error", "page", "display", "action", "start")
+        for name in ("error", "page", "display", "action", "start", "corrupt")
     }
 
 
@@ -181,15 +181,26 @@ def test_split_action_ts_override(split_out):
     assert a["ts"] == a["action_ts"] == fx.D1_10 + 100
 
 
-def test_split_corrupt_records_route_nowhere(split_out):
-    """P1 robustness: a non-JSON line and a section-less envelope are
-    shredded to all-null sections and appear in NO output (the reference
-    would NPE/throw in the executor, OdsBaseLogApp.scala:69-78)."""
-    total = sum(split_out[n].count() for n in split_out)
+def test_split_corrupt_records_route_to_dead_letter(split_out):
+    """P1 robustness: a non-JSON line and a device-id-less envelope
+    appear in NO routed output (the reference would NPE/throw in the
+    executor, OdsBaseLogApp.scala:69-78) — and BOTH land in the
+    dead-letter output with the raw line preserved verbatim and a
+    diagnosis, so ingest loss is observable and replayable."""
+    total = sum(
+        split_out[n].count()
+        for n in ("error", "page", "display", "action", "start")
+    )
     # 2 error + 7 page + 3 display + 1 action + 1 start — nothing extra
     assert total == 14
     for name in ("page", "display", "action", "start", "error"):
         assert split_out[name].filter(F.col("mid").isNull()).count() == 0
+    dlq = {
+        r["reason"]: r["raw_value"] for r in split_out["corrupt"].collect()
+    }
+    assert set(dlq) == {"malformed_json", "missing_device_id"}
+    assert dlq["malformed_json"] == "{this is not json at all"
+    assert json.loads(dlq["missing_device_id"]) == {"ts": fx.D2_09 + 2000}
 
 
 # --- OdsBaseDbApp equivalent ----------------------------------------------
