@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from ..functions.dates import derive_dt_hr
 from ..operators.cdc import decode_op, parse_cdc, route_dims, route_facts
+from ..schemas import CDC_ENVELOPE_SCHEMA
 from ..operators.enrich import enrich_province, enrich_user
 from ..operators.log_split import parse_log, split_all
 from .sinks import idempotent_partitioned_writer, split_writer
@@ -136,6 +137,23 @@ def cdc_route_pipeline(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         facts_now = fact_tables() if callable(fact_tables) else fact_tables
         dims_now = dim_tables() if callable(dim_tables) else dim_tables
+        # dead-letter FIRST, from the raw batch: envelopes that decode to
+        # no routable (table, op) would otherwise vanish at the routing
+        # filters — same observable-ingest-loss contract as the log
+        # split's corrupt/ output
+        parsed_raw = batch_df.select(
+            F.col("value").alias("_raw"),
+            F.from_json(F.col("value"), CDC_ENVELOPE_SCHEMA).alias("m"),
+        ).select("_raw", "m.*")
+        reason = F.when(
+            F.col("table").isNull() & F.col("type").isNull(),
+            F.lit("malformed_json"),
+        ).otherwise(F.lit("unroutable_envelope"))
+        parsed_raw.filter(
+            F.col("table").isNull() | F.col("type").isNull()
+        ).select(F.col("_raw").alias("raw_value"), reason.alias("reason")).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/corrupt/batch={batch_id}")
         decoded = decode_op(parse_cdc(batch_df)).persist()
         try:
             # Single pass per side: partitionBy writes every topic/table

@@ -1360,3 +1360,15 @@ def test_order_wide_full_outer_emits_both_unmatched_sides(spark, tmp_path):
     assert info_only[0]["sku_id"] is None
     assert info_only[0]["order_status"] is not None
     assert str(info_only[0]["create_date"]) == "2024-01-01"
+
+
+def test_cdc_corrupt_line_routes_to_dead_letter(spark, cdc_out):
+    """The broken Maxwell payload vanished at the routing filters before
+    round 10; it must land in corrupt/ with the raw line verbatim and a
+    malformed_json diagnosis (the log-split DLQ contract, applied to
+    the CDC pipeline)."""
+    dlq = spark.read.option(
+        "basePath", os.path.join(cdc_out, "corrupt")
+    ).parquet(os.path.join(cdc_out, "corrupt", "batch=*"))
+    rows = {(r["reason"], r["raw_value"]) for r in dlq.collect()}
+    assert rows == {("malformed_json", "{broken maxwell payload")}
