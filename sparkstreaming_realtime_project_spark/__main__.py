@@ -117,6 +117,24 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--list", action="store_true", help="list entries")
     p.add_argument("--explain", action="store_true", help="print the plan")
 
+    # sink maintenance: fold a pipeline's batch dirs into one committed
+    # generation (the OPTIMIZE a table format runs natively); the commit
+    # is a single atomic manifest rename, snapshots retained for time
+    # travel per --retain
+    p = sub.add_parser("compact", help="compact a sink dir (manifest commit)")
+    p.add_argument("--dir", required=True, help="sink directory")
+    p.add_argument(
+        "--keys", required=True, help="comma-separated upsert key columns"
+    )
+    p.add_argument("--partition-col", default="dt")
+    p.add_argument(
+        "--order-col", help="cross-batch winner order column (default: batch)"
+    )
+    p.add_argument(
+        "--retain", type=int, default=1,
+        help="committed generations kept readable for time travel",
+    )
+
     # the reference's publisher is a separate Spring Boot app beside the
     # Spark jobs (PublisherApplication.java); same topology here — a
     # sidecar serving the sink tables the pipelines write
@@ -154,6 +172,20 @@ def main(argv: list[str] | None = None) -> None:
 
     def dim(path):
         return spark.read.parquet(path) if path else None
+
+    if args.app == "compact":
+        from .streaming.sinks import compact_sink, read_sink
+
+        compact_sink(
+            spark,
+            args.dir,
+            [k.strip() for k in args.keys.split(",") if k.strip()],
+            partition_col=args.partition_col,
+            order_col=args.order_col,
+            retain_generations=args.retain,
+        )
+        print(f"compacted: {read_sink(spark, args.dir).count()} rows live")
+        raise SystemExit(0)
 
     if args.app == "publisher":
         from .http_api import publisher_server

@@ -166,7 +166,11 @@ def read_sink(spark, out_dir: str, at_gen: int | None = None) -> DataFrame:
         .parquet(*[os.path.join(out_dir, f"batch={b}") for b in live])
         .drop("batch")
     )
-    return gen.unionByName(batches)
+    # allowMissingColumns: a batch landed after a schema ADDED a column
+    # must still read alongside an older generation (and vice versa) —
+    # the missing side null-fills, the standard additive-evolution
+    # contract of a parquet table
+    return gen.unionByName(batches, allowMissingColumns=True)
 
 
 def compact_sink(
@@ -251,7 +255,7 @@ def compact_sink(
         prev = spark.read.parquet(
             os.path.join(out_dir, f"gen={prev_gen}")
         ).withColumn("batch", F.lit(-1))
-        df = prev.unionByName(df)
+        df = prev.unionByName(df, allowMissingColumns=True)
     order = [F.col("batch").desc()]
     if order_col is not None:
         order.insert(0, F.col(order_col).desc())

@@ -1372,3 +1372,42 @@ def test_cdc_corrupt_line_routes_to_dead_letter(spark, cdc_out):
     ).parquet(os.path.join(cdc_out, "corrupt", "batch=*"))
     rows = {(r["reason"], r["raw_value"]) for r in dlq.collect()}
     assert rows == {("malformed_json", "{broken maxwell payload")}
+
+
+def test_sink_reads_across_additive_schema_evolution(spark, tmp_path):
+    """A column added in later batches must not break reads or
+    compaction against an older generation: the missing side null-fills
+    (additive parquet-table evolution)."""
+    out = str(tmp_path / "sink")
+    spark.createDataFrame(
+        [("k1", "v1", "2024-01-01")], "k string, v string, dt string"
+    ).write.partitionBy("dt").parquet(os.path.join(out, "batch=0"))
+    compact_sink(spark, out, ["k"], partition_col="dt")
+    # later batches carry a NEW column
+    spark.createDataFrame(
+        [("k2", "v1", "tagged", "2024-01-02")],
+        "k string, v string, extra string, dt string",
+    ).write.partitionBy("dt").parquet(os.path.join(out, "batch=1"))
+    rows = {r["k"]: r for r in read_sink(spark, out).collect()}
+    assert rows["k1"]["extra"] is None and rows["k2"]["extra"] == "tagged"
+    # re-compaction folds the evolved batch in, keeping the new column
+    compact_sink(spark, out, ["k"], partition_col="dt")
+    rows = {r["k"]: r for r in read_sink(spark, out).collect()}
+    assert set(rows) == {"k1", "k2"} and rows["k2"]["extra"] == "tagged"
+
+
+def test_compact_cli_subcommand(spark, tmp_path):
+    """Launcher smoke for `compact`: folds batch dirs into a committed
+    generation via the manifest protocol and reports the live count."""
+    from sparkstreaming_realtime_project_spark.__main__ import main
+
+    out = str(tmp_path / "sink")
+    spark.createDataFrame(
+        [("k1", "2024-01-01"), ("k2", "2024-01-01"), ("k1", "2024-01-01")],
+        "k string, dt string",
+    ).write.partitionBy("dt").parquet(os.path.join(out, "batch=0"))
+    with pytest.raises(SystemExit) as exc:
+        main(["compact", "--dir", out, "--keys", "k"])
+    assert exc.value.code == 0
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "_MANIFEST.v0", "gen=0"]
+    assert read_sink(spark, out).count() == 2  # k1 deduped
