@@ -12,8 +12,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = [
+    "pagerank",
+    "triangle_counts",
+    "label_propagation",
+    "bfs_hops",
+]
 
 
 def pagerank(
@@ -358,4 +364,121 @@ def jaccard_link_prediction(
         out.count()  # candidate-sized; release edge-sized intermediates
         sym.unpersist()
         und.unpersist()
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic label propagation (community detection): every node
+    starts labeled with itself; each round a node adopts the most
+    frequent label among its in-neighbors PLUS its own current label
+    (the self-vote), ties broken by the smallest label. Returns
+    (node, community) after ``iters`` rounds.
+
+    The self-vote is load-bearing, not a tweak: on a bipartite graph
+    (e.g. the symmetrized part-supplier co-supply graph) pure
+    neighbor-voting LPA oscillates — parts adopt supplier labels while
+    suppliers adopt part labels, and the two sides swap forever. One
+    self-vote breaks the flip-flop (the standard LPA-with-self-loop
+    fix) and, with the (count DESC, label ASC) tiebreak, makes every
+    round a pure function of the previous labeling — bit-identical
+    across engines with no floats anywhere.
+
+    Execution shape (the 100 TB argument): per round ONE equi-join of
+    the node-sized label table against the edge list on the source key,
+    ONE (node, label) groupBy, and ONE node-partitioned window to pick
+    the mode — the same join/agg topology as distributed PageRank, no
+    pair blow-up, shuffles bounded by edges + nodes. Label state is
+    eagerly localCheckpoint'ed per round so the per-round plan stays
+    O(1) in ``iters`` (the connected_components lesson).
+
+    Reference parity note: the reference engine has no graph operators;
+    this extends the repo's graph family (pagerank, triangles, link
+    prediction) with the community primitive a dedup/linkage pipeline
+    uses to group near-duplicate clusters into families.
+
+    The RETURNED frame is persisted — unpersist when done.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iters):
+        votes = labels.join(e, labels.node == e.src).select(
+            F.col("dst").alias("node"), "lbl"
+        ).unionAll(labels.select("node", "lbl"))
+        counts = votes.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    out = labels.select("node", F.col("lbl").alias("community")).persist()
+    out.count()
+    e.unpersist()
+    return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source unweighted BFS: (node, hops) = the minimum hop count
+    from ANY source node, for every node within ``max_hops``. Sources
+    themselves report hops=0; unreached nodes are absent.
+
+    Execution shape (the 100 TB argument): classic frontier expansion —
+    per level ONE equi-join of the frontier against the edge list plus
+    ONE anti-join against the visited set, so a node is expanded exactly
+    once however many paths reach it (the pruning that keeps level cost
+    bounded by |reachable nodes| instead of |paths|, which grows
+    combinatorially on dense graphs). Frontier and visited state are
+    eagerly localCheckpoint'ed per level — O(1) plan depth in
+    ``max_hops``. No driver-side collect; the loop is a fixed hop bound,
+    not a convergence test.
+
+    The DuckDB oracle twin intentionally uses the UNPRUNED algebraic
+    form (level_i = neighbors of level_{i-1}; hops = min level per
+    node): equivalent results, quadratic-ish cost — the oracle is the
+    baseline, the anti-join pruned path is the engine.
+
+    The RETURNED frame is persisted — unpersist when done.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    visited = sources.select(
+        F.col(node).alias("node"), F.lit(0).alias("hops")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node").localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(
+            nxt.select("node", F.lit(h).alias("hops"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    out = visited.persist()
+    out.count()
+    e.unpersist()
     return out

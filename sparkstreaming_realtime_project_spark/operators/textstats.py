@@ -1054,3 +1054,55 @@ def stutter_trim(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (F.size("_toks") - F.size(kept)).cast("long").alias("n_stutter"),
         F.array_join(kept, " ").alias("text_trimmed"),
     )
+
+
+def readability(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Flesch reading-ease readability scoring, document level:
+
+        flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syl/words)
+
+    with the corpus-scale approximations that keep it a pure regexp
+    aggregate: words = count of ``[A-Za-z]+`` runs, sentences = count of
+    ``[.!?]+`` runs clamped to >= 1, syllables = count of ``[aeiouy]+``
+    vowel groups in the lowercased text (the standard vowel-run
+    estimator, applied corpus-wide instead of per-word so NO per-word
+    loop or UDF is needed — three regexp_count passes over the scan,
+    whole-stage-codegen'd). Returns (id, n_words, n_sentences,
+    n_vowel_groups, flesch, band); docs with zero words score NULL.
+
+    band buckets the score the way a corpus-quality gate consumes it
+    (easy >= 70, standard >= 50, difficult >= 30, else very_difficult) —
+    CASE on the ALREADY-ROUNDED score so the bucket edge can never
+    disagree cross-engine.
+
+    Determinism: all three counts are exact integers; the formula is
+    double mult/div (IEEE-deterministic); round last.
+    """
+    words = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+"))
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syl = F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / words.cast("double")),
+        4,
+    )
+    band = (
+        F.when(F.col("flesch").isNull(), F.lit(None).cast("string"))
+        .when(F.col("flesch") >= 70, F.lit("easy"))
+        .when(F.col("flesch") >= 50, F.lit("standard"))
+        .when(F.col("flesch") >= 30, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            words.cast("long").alias("n_words"),
+            sents.cast("long").alias("n_sentences"),
+            syl.cast("long").alias("n_vowel_groups"),
+            F.when(words > 0, flesch).alias("flesch"),
+        )
+        .withColumn("band", band)
+    )

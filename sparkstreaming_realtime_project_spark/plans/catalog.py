@@ -12619,3 +12619,471 @@ def x_seasonal_anomaly(spark, sf_dir):
             _r4(zs).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (cont.): feature-engineering family (operators/mlprep.py),
+# graph completion (label propagation, multi-source BFS), readability,
+# point-in-time feature-store join, sample-based approximate aggregation.
+# ---------------------------------------------------------------------------
+from ..operators import mlprep as _ml
+
+
+@_register(
+    "x_target_encode_oof",
+    "K-fold OUT-OF-FOLD mean-target encoding with additive smoothing "
+    "(the leakage-safe categorical encoder every tabular trainer "
+    "needs): one (key,fold) groupBy is the only data-sized shuffle; "
+    "per-key totals via a key-partitioned window on the tiny aggregate, "
+    "fold priors via a folds-sized broadcast join-back; DECIMAL sums "
+    "pin cross-engine parity (north-star)",
+    """
+    WITH f AS (SELECT c_nationkey AS key,
+                      CAST(o_orderkey % 5 AS INT) AS fold,
+                      CAST(o_totalprice AS DECIMAL(18,6)) AS t
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    a AS (SELECT key, fold, SUM(t) AS s, COUNT(*) AS c FROM f GROUP BY 1, 2),
+    k AS (SELECT key, SUM(s) AS ks, SUM(c) AS kc FROM a GROUP BY 1),
+    pf AS (SELECT fold, SUM(s) AS fs, SUM(c) AS fc FROM a GROUP BY 1),
+    g AS (SELECT SUM(fs) AS gs, SUM(fc) AS gc FROM pf),
+    pr AS (SELECT fold,
+                  CAST(gs - fs AS DOUBLE) / CAST(gc - fc AS DOUBLE) AS prior
+           FROM pf, g)
+    SELECT a.key AS key, a.fold AS fold,
+           CAST(kc - c AS BIGINT) AS n_oof,
+           round((CAST(ks - s AS DOUBLE) + 20.0 * prior)
+                 / (CAST(kc - c AS DOUBLE) + 20.0), 6) AS enc
+    FROM a JOIN k USING (key) JOIN pr USING (fold)
+    """,
+)
+def x_target_encode_oof(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    fact = od.join(
+        F.broadcast(cust), od.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_nationkey").alias("key"),
+        (F.col("o_orderkey") % 5).cast("int").alias("fold"),
+        F.col("o_totalprice").alias("t"),
+    )
+    return _ml.target_encode_oof(fact, "key", "fold", "t", smoothing=20.0)
+
+
+@_register(
+    "x_woe_iv",
+    "Weight-of-Evidence / Information-Value feature screen per part "
+    "brand against the returned-line outcome (the credit-scoring bin "
+    "diagnostic): ONE groupBy(feature) + a 1-row scalar totals "
+    "broadcast; Laplace 0.5 keeps empty cells finite; woe is rounded "
+    "BEFORE iv so libm ln drift can't leak into a second output "
+    "(north-star)",
+    """
+    WITH f AS (SELECT p_brand AS bin,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS b
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+    a AS (SELECT bin, COUNT(*) AS n, SUM(b) AS nb FROM f GROUP BY 1),
+    t AS (SELECT SUM(n) AS tn, SUM(nb) AS tb FROM a),
+    w AS (SELECT bin, n, nb, tn, tb,
+                 round(ln(((CAST(n - nb AS DOUBLE) + 0.5) * CAST(tb AS DOUBLE))
+                          / ((CAST(nb AS DOUBLE) + 0.5)
+                             * CAST(tn - tb AS DOUBLE))), 6) AS woe
+          FROM a, t)
+    SELECT bin, CAST(n AS BIGINT) AS n, CAST(nb AS BIGINT) AS n_bad, woe,
+           round((CAST(n - nb AS DOUBLE) / CAST(tn - tb AS DOUBLE)
+                  - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) * woe, 6) AS iv
+    FROM w
+    """,
+)
+def x_woe_iv(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    fact = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    return _ml.woe_iv(fact, "p_brand", F.col("l_returnflag") == "R")
+
+
+@_register(
+    "x_trend_ols",
+    "per-key OLS trend from sufficient statistics: daily revenue per "
+    "nation -> (slope, intercept, r2) for every nation in ONE "
+    "map-side-combinable aggregate (regression as a sum — no MLlib, no "
+    "per-key collect); integer x-sums and DECIMAL y-sums keep the "
+    "closed forms bit-identical cross-engine (north-star)",
+    """
+    WITH d AS (SELECT c_nationkey AS key,
+                      datediff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS x,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                           AS DECIMAL(18,6)) AS y
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1, 2),
+    st AS (SELECT key, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                  -- (19,6) casts force hugeint multiply in DuckDB (the
+                  -- int64 (18,6) square overflows); Spark's (18,6)^2 ->
+                  -- (37,12) is already exact, values identical
+                  SUM(CAST(y AS DECIMAL(19,6))
+                      * CAST(y AS DECIMAL(19,6))) AS syy
+           FROM d GROUP BY 1),
+    c AS (SELECT key, n,
+                 CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          FROM st),
+    r AS (SELECT key, n,
+                 (nd * sxyd - sxd * syd)
+                   / NULLIF(nd * sxxd - sxd * sxd, 0.0) AS slope,
+                 (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                   / NULLIF((nd * sxxd - sxd * sxd)
+                            * (nd * syyd - syd * syd), 0.0) AS r2,
+                 syd, sxd, nd
+          FROM c)
+    SELECT key, CAST(n AS BIGINT) AS n, round(slope, 6) AS slope,
+           round((syd - slope * sxd) / nd, 6) AS intercept,
+           round(r2, 6) AS r2
+    FROM r
+    """,
+)
+def x_trend_ols(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    daily = (
+        od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("key"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+    )
+    return _ml.ols_trend(daily, "key", "x", "y")
+
+
+@_register(
+    "x_aqp_estimate",
+    "approximate SUM by deterministic md5 hash-sampling (p=1/64) with a "
+    "Horvitz-Thompson estimate, normal CI, and the exact total as its "
+    "own audit on the same row — the AQP pattern that reads 1/64th of "
+    "the data when the dashboard tolerates the error band; DECIMAL "
+    "sums + IEEE-deterministic mult/div/sqrt need no rounding slack "
+    "(north-star)",
+    """
+    WITH s AS (SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+                      substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                 || CAST(l_linenumber AS VARCHAR)),
+                             1, 2) < '04' AS smp
+               FROM lineitem),
+    a AS (SELECT COUNT(*) AS n_total,
+                 SUM(CASE WHEN smp THEN 1 ELSE 0 END) AS n_sample,
+                 SUM(v) AS exact_s,
+                 SUM(CASE WHEN smp THEN v END) AS sv,
+                 -- (19,6) casts force hugeint multiply in DuckDB (the
+                 -- int64 (18,6) square overflows); Spark's exact
+                 -- (37,12) square has identical values
+                 SUM(CASE WHEN smp THEN CAST(v AS DECIMAL(19,6))
+                          * CAST(v AS DECIMAL(19,6)) END) AS sv2
+          FROM s),
+    c AS (SELECT n_total, n_sample,
+                 CAST(exact_s AS DOUBLE) AS ex,
+                 CAST(sv AS DOUBLE) / 0.015625 AS est,
+                 sqrt(CAST(sv2 AS DOUBLE) * (1.0 - 0.015625)
+                      / (0.015625 * 0.015625)) AS se
+          FROM a)
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           round(ex, 2) AS exact_total,
+           round(est, 2) AS est_total,
+           round((est - ex) / ex * 100.0, 4) AS rel_err_pct,
+           round(est - 1.96 * se, 2) AS ci_lo,
+           round(est + 1.96 * se, 2) AS ci_hi,
+           (est - 1.96 * se <= ex AND ex <= est + 1.96 * se) AS covered
+    FROM c
+    """,
+)
+def x_aqp_estimate(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return _ml.aqp_sum_estimate(
+        li,
+        F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber")),
+        "l_extendedprice",
+    )
+
+
+def _lpa_sql(iters: int) -> str:
+    """Unrolled deterministic label propagation (self-vote + (count
+    DESC, label ASC) mode tiebreak) over the symmetrized part-supplier
+    co-supply graph — mirrors operators/graph.py label_propagation
+    round for round; no floats anywhere so parity is exact."""
+    parts = [
+        "e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)",
+        "edges AS (SELECT 'p:' || CAST(p AS VARCHAR) AS src,"
+        " 's:' || CAST(s AS VARCHAR) AS dst FROM e0"
+        " UNION ALL SELECT 's:' || CAST(s AS VARCHAR),"
+        " 'p:' || CAST(p AS VARCHAR) FROM e0)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"v{i} AS (SELECT e.dst AS node, l.lbl"
+            f" FROM l{i - 1} l JOIN edges e ON e.src = l.node"
+            f" UNION ALL SELECT node, lbl FROM l{i - 1})"
+        )
+        parts.append(
+            f"c{i} AS (SELECT node, lbl, COUNT(*) AS c FROM v{i}"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT node, lbl FROM"
+            f" (SELECT node, lbl, row_number() OVER"
+            f" (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn"
+            f" FROM c{i}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, lbl AS community FROM l{iters}"
+    )
+
+
+@_register(
+    "x_label_propagation",
+    "deterministic label propagation (community detection) on the "
+    "symmetrized co-supply graph: per round ONE node-sized join against "
+    "the edge list + ONE (node,label) groupBy + ONE node-partitioned "
+    "mode window; the self-vote breaks bipartite oscillation and the "
+    "(count DESC, label ASC) tiebreak makes every round a pure function "
+    "— integer-only, exact cross-engine parity (north-star; oracle = "
+    "unrolled rounds)",
+    _lpa_sql(iters=3),
+)
+def x_label_propagation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    p = F.concat(F.lit("p:"), F.col("p").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("s").cast("string"))
+    edges = e0.select(p.alias("src"), s.alias("dst")).unionAll(
+        e0.select(s.alias("src"), p.alias("dst"))
+    )
+    # Returned persisted (caller/bench clears cache) — see x_pagerank.
+    return _gr.label_propagation(edges, iters=3)
+
+
+def _bfs_sql(max_hops: int) -> str:
+    """Unrolled multi-source BFS oracle in the UNPRUNED algebraic form
+    (level_i = neighbors of level_{i-1}; hops = MIN level per node) —
+    result-equivalent to the engine's anti-join-pruned frontier BFS,
+    deliberately naive: the oracle is the baseline, not the plan."""
+    parts = [
+        "e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)",
+        "edges AS (SELECT 'p:' || CAST(p AS VARCHAR) AS src,"
+        " 's:' || CAST(s AS VARCHAR) AS dst FROM e0"
+        " UNION ALL SELECT 's:' || CAST(s AS VARCHAR),"
+        " 'p:' || CAST(p AS VARCHAR) FROM e0)",
+        "r0 AS (SELECT DISTINCT 's:' || CAST(s_suppkey AS VARCHAR) AS node"
+        " FROM supplier WHERE s_nationkey = 0)",
+    ]
+    levels = ["SELECT node, 0 AS hop FROM r0"]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"r{i} AS (SELECT DISTINCT e.dst AS node"
+            f" FROM r{i - 1} r JOIN edges e ON e.src = r.node)"
+        )
+        levels.append(f"SELECT node, {i} AS hop FROM r{i}")
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT node, CAST(MIN(hop) AS INT) AS hops FROM ("
+        + " UNION ALL ".join(levels)
+        + ") GROUP BY node"
+    )
+
+
+@_register(
+    "x_bfs_hops",
+    "multi-source unweighted BFS (shortest hop count from any nation-0 "
+    "supplier, bounded at 4): frontier expansion with anti-join pruning "
+    "so every node is expanded ONCE regardless of path multiplicity — "
+    "per level one frontier-edge equi-join + one visited anti-join, "
+    "state localCheckpoint'ed (north-star; oracle = unpruned min-level "
+    "form, result-equivalent)",
+    _bfs_sql(max_hops=4),
+)
+def x_bfs_hops(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    e0 = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    p = F.concat(F.lit("p:"), F.col("p").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("s").cast("string"))
+    edges = e0.select(p.alias("src"), s.alias("dst")).unionAll(
+        e0.select(s.alias("src"), p.alias("dst"))
+    )
+    sources = sup.filter(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("node")
+    ).distinct()
+    # Returned persisted (caller/bench clears cache) — see x_pagerank.
+    return _gr.bfs_hops(edges, sources, max_hops=4)
+
+
+@_register(
+    "x_readability",
+    "Flesch reading-ease scoring per document as three regexp_count "
+    "passes (words / sentence runs / vowel groups — the corpus-wide "
+    "vowel-run syllable estimator, so NO per-word loop or UDF), banded "
+    "on the already-rounded score so bucket edges can't disagree "
+    "cross-engine (north-star)",
+    """
+    WITH s AS (SELECT doc_id AS id,
+                      len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+                      greatest(len(regexp_extract_all(text, '[.!?]+')),
+                               1) AS snt,
+                      len(regexp_extract_all(lower(text),
+                                             '[aeiouy]+')) AS syl
+               FROM documents),
+    f AS (SELECT id, w, snt, syl,
+                 CASE WHEN w > 0 THEN
+                   round(206.835
+                         - 1.015 * (CAST(w AS DOUBLE) / CAST(snt AS DOUBLE))
+                         - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)),
+                         4)
+                 END AS flesch
+          FROM s)
+    SELECT id, CAST(w AS BIGINT) AS n_words,
+           CAST(snt AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_vowel_groups, flesch,
+           CASE WHEN flesch IS NULL THEN NULL
+                WHEN flesch >= 70 THEN 'easy'
+                WHEN flesch >= 50 THEN 'standard'
+                WHEN flesch >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM f
+    """,
+)
+def x_readability(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _ts.readability(docs, "text", "doc_id")
+
+
+_PIT_MONTH = ("1995-03-01", "1995-04-01")
+
+
+@_register(
+    "x_feature_pit",
+    "point-in-time-correct feature-store join: every order in a "
+    "serving window gets its customer's PRIOR order count/revenue and "
+    "PRIOR shipped-line return rate — two STRICT as-of joins against "
+    "cumulative daily snapshot tables (tag+union+one window per key, "
+    "never a range-join pair blow-up), the leakage-safe construction "
+    "offline training and online serving must share (north-star; "
+    "oracle = correlated point-in-time subqueries, the quadratic "
+    "baseline)",
+    f"""
+    WITH l AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+                      CAST(o_orderdate AS DATE) AS d
+               FROM orders
+               WHERE CAST(o_orderdate AS DATE) >= DATE '{_PIT_MONTH[0]}'
+                 AND CAST(o_orderdate AS DATE) < DATE '{_PIT_MONTH[1]}')
+    SELECT ok AS o_orderkey, ck AS o_custkey,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o2
+             WHERE o2.o_custkey = l.ck
+               AND CAST(o2.o_orderdate AS DATE) < l.d) AS prior_orders,
+           round(CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+                       FROM orders o2
+                       WHERE o2.o_custkey = l.ck
+                         AND CAST(o2.o_orderdate AS DATE) < l.d) AS DOUBLE),
+                 2) AS prior_rev,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM lineitem li JOIN orders o3 ON li.l_orderkey = o3.o_orderkey
+             WHERE o3.o_custkey = l.ck
+               AND CAST(li.l_shipdate AS DATE) < l.d) AS prior_lines,
+           (SELECT CASE WHEN COUNT(*) > 0 THEN
+                     floor(CAST(SUM(CASE WHEN li.l_returnflag = 'R'
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   END
+              FROM lineitem li JOIN orders o3 ON li.l_orderkey = o3.o_orderkey
+             WHERE o3.o_custkey = l.ck
+               AND CAST(li.l_shipdate AS DATE) < l.d) AS prior_return_rate
+    FROM l
+    """,
+)
+def x_feature_pit(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    # Feature table 1: cumulative order count / revenue per customer as
+    # of the END of each active day (snapshot grain = (custkey, day)).
+    daily_o = od.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("snap_d"),
+    ).agg(
+        F.count(F.lit(1)).alias("dc"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("ds"),
+    )
+    w = Window.partitionBy("ck").orderBy("snap_d")
+    snap_o = daily_o.select(
+        "ck",
+        "snap_d",
+        F.sum("dc").over(w).alias("cum_cnt"),
+        F.sum("ds").over(w).alias("cum_rev"),
+    )
+
+    # Feature table 2: cumulative shipped lines / returned lines per
+    # customer by ship day.
+    lo = li.join(
+        od.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey")
+    )
+    daily_l = lo.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.to_date("l_shipdate").alias("snap_d"),
+    ).agg(
+        F.count(F.lit(1)).alias("dl"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("dr"),
+    )
+    snap_l = daily_l.select(
+        "ck",
+        "snap_d",
+        F.sum("dl").over(w).alias("cum_lines"),
+        F.sum("dr").over(w).alias("cum_ret"),
+    )
+
+    left = od.filter(
+        (F.to_date("o_orderdate") >= F.lit(_PIT_MONTH[0]).cast("date"))
+        & (F.to_date("o_orderdate") < F.lit(_PIT_MONTH[1]).cast("date"))
+    ).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+
+    f1 = _jn.asof_join(
+        left, snap_o, on=["ck"], left_ts="d", right_ts="snap_d",
+        value_cols=["cum_cnt", "cum_rev"], strict=True,
+    )
+    f2 = _jn.asof_join(
+        f1, snap_l, on=["ck"], left_ts="d", right_ts="snap_d",
+        value_cols=["cum_lines", "cum_ret"], strict=True,
+    )
+    rate = F.floor(
+        F.col("cum_ret").cast("double") / F.col("cum_lines").cast("double")
+        * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return f2.select(
+        "o_orderkey",
+        F.col("ck").alias("o_custkey"),
+        F.coalesce(F.col("cum_cnt"), F.lit(0)).cast("long").alias(
+            "prior_orders"
+        ),
+        F.round(F.col("cum_rev").cast("double"), 2).alias("prior_rev"),
+        F.coalesce(F.col("cum_lines"), F.lit(0)).cast("long").alias(
+            "prior_lines"
+        ),
+        F.when(F.col("cum_lines") > 0, rate).alias("prior_return_rate"),
+    )

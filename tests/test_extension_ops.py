@@ -2141,3 +2141,151 @@ def test_lang_guess_detects_chinese(spark):
     assert got[2]["lang_guess"] == "en"
     assert got[3]["lang_guess"] == "en" and got[3]["score_zh"] == 2
     assert got[4]["lang_guess"] == "unk"
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (cont.): mlprep family, graph completion, readability.
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_oof_hand_computed(spark):
+    """A row's own fold must never contribute to its own encoding, and a
+    key entirely inside one fold degrades to the smoothed prior."""
+    from sparkstreaming_realtime_project_spark.operators.mlprep import (
+        target_encode_oof,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 0, 10.0), ("A", 1, 20.0), ("B", 0, 30.0)],
+        "key string, fold int, t double",
+    )
+    got = {
+        (r.key, r.fold): (r.n_oof, r.enc)
+        for r in target_encode_oof(df, "key", "fold", "t", smoothing=2.0)
+        .collect()
+    }
+    # priors: fold0 -> (60-40)/(3-2)=20; fold1 -> (60-20)/(3-1)=20
+    assert got[("A", 0)] == (1, 20.0)  # (20 + 2*20) / (1 + 2)
+    assert got[("A", 1)] == (1, round((10 + 2 * 20) / 3, 6))
+    assert got[("B", 0)] == (0, 20.0)  # no OOF rows -> pure prior
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from sparkstreaming_realtime_project_spark.operators.mlprep import woe_iv
+
+    df = spark.createDataFrame(
+        [("X", 0), ("X", 0), ("X", 1), ("Y", 1), ("Y", 1)],
+        "bin string, bad int",
+    )
+    got = {
+        r.bin: r for r in woe_iv(df, "bin", F.col("bad") == 1).collect()
+    }
+    woe_x = round(math.log(((2 + 0.5) * 3) / ((1 + 0.5) * 2)), 6)
+    woe_y = round(math.log(((0 + 0.5) * 3) / ((2 + 0.5) * 2)), 6)
+    assert (got["X"].n, got["X"].n_bad, got["X"].woe) == (3, 1, woe_x)
+    assert (got["Y"].n, got["Y"].n_bad, got["Y"].woe) == (2, 2, woe_y)
+    assert got["X"].iv == round((2 / 2 - 1 / 3) * woe_x, 6)
+    assert got["Y"].iv == round((0 / 2 - 2 / 3) * woe_y, 6)
+
+
+def test_ols_trend_exact_line_and_degenerate(spark):
+    from sparkstreaming_realtime_project_spark.operators.mlprep import ols_trend
+
+    df = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 1, 3.0), ("k", 2, 5.0),
+         ("j", 1, 5.0), ("j", 1, 7.0)],
+        "key string, x int, y double",
+    )
+    got = {r.key: r for r in ols_trend(df, "key", "x", "y").collect()}
+    assert (got["k"].slope, got["k"].intercept, got["k"].r2) == (2.0, 1.0, 1.0)
+    # no x-variance: slope/intercept/r2 are NULL, not a crash or a 0/0
+    assert got["j"].slope is None
+    assert got["j"].intercept is None
+    assert got["j"].r2 is None
+
+
+def test_aqp_estimate_internal_consistency(spark):
+    from sparkstreaming_realtime_project_spark.operators.mlprep import (
+        aqp_sum_estimate,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    r = aqp_sum_estimate(df, F.col("id"), "v").collect()[0]
+    assert r.n_total == 5000
+    assert 0 < r.n_sample < r.n_total
+    assert r.exact_total == round(sum(i % 97 for i in range(5000)), 2)
+    assert r.ci_lo <= r.est_total <= r.ci_hi
+    assert r.covered == (r.ci_lo <= r.exact_total <= r.ci_hi)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles collapse to their lexicographically
+    smallest member; the self-vote keeps the result stable (a pure
+    neighbor vote oscillates on bipartite subgraphs)."""
+    from sparkstreaming_realtime_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("d", "e"), ("e", "f"), ("d", "f")]
+    und = tri1 + tri2
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    out = label_propagation(edges, iters=3)
+    got = {r.node: r.community for r in out.collect()}
+    out.unpersist()
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "d", "e": "d", "f": "d"}
+
+
+def test_bfs_hops_path_graph(spark):
+    from sparkstreaming_realtime_project_spark.operators.graph import bfs_hops
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    out = bfs_hops(edges, sources, max_hops=3)
+    got = {r.node: r.hops for r in out.collect()}
+    out.unpersist()
+    # e is 4 hops out -> beyond the bound, absent not mislabeled
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_hops_min_over_multiple_paths(spark):
+    """A node reachable both directly and via a longer path reports the
+    SHORTEST hop count (the anti-join prunes, the min survives)."""
+    from sparkstreaming_realtime_project_spark.operators.graph import bfs_hops
+
+    und = [("s", "x"), ("s", "a"), ("a", "b"), ("b", "x")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("s",)], "node string")
+    out = bfs_hops(edges, sources, max_hops=4)
+    got = {r.node: r.hops for r in out.collect()}
+    out.unpersist()
+    assert got["x"] == 1  # not 3 via s-a-b-x
+
+
+def test_readability_hand_computed(spark):
+    from sparkstreaming_realtime_project_spark.operators.textstats import (
+        readability,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "")], "doc_id long, text string"
+    )
+    got = {r.id: r for r in readability(df, "text", "doc_id").collect()}
+    r = got[1]
+    assert (r.n_words, r.n_sentences, r.n_vowel_groups) == (5, 2, 5)
+    assert r.flesch == round(206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 4)
+    assert r.band == "easy"
+    # zero-word doc: NULL score, NULL band — not a crash, not -inf
+    assert got[2].flesch is None and got[2].band is None

@@ -598,6 +598,48 @@ def test_plan_contract_r10(spark, sf_dir, name, want, ban):
 # never ship unaudited again (the round-8 lesson: the only scale flaw of
 # that round hid in exactly the six entries without pins).
 
+# -------------------------------------------------- round-10 (cont.)
+CASES_R10B = [
+    # OOF target encoding: the ONLY data-sized shuffle is the
+    # (key,fold) groupBy; per-key totals ride a window on the tiny
+    # aggregate, priors come back broadcast — no sort-merge join of
+    # anything data-sized
+    ("x_target_encode_oof",
+     ["Window", "HashAggregate", "BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    # WOE/IV: one groupBy + a 1-row scalar broadcast (declared NLJ);
+    # never a keyed sort-merge join
+    ("x_woe_iv", ["HashAggregate"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    # OLS from sufficient statistics: dims broadcast, regression is
+    # map-side-combinable aggregation
+    ("x_trend_ols", ["BroadcastHashJoin", "HashAggregate"],
+     ["SortMergeJoin", "NestedLoop", "CartesianProduct"]),
+    # AQP estimator: ONE shared-scan aggregate, estimate + exact audit
+    # together — no join of any kind
+    ("x_aqp_estimate", ["HashAggregate"],
+     ["Join", "NestedLoop", "CartesianProduct"]),
+    # readability: pure projection, runs at scan speed — ZERO shuffles
+    ("x_readability", [], ["Exchange"]),
+    # point-in-time join: STRICT as-of via tag+union+window — a range
+    # join must never degenerate to a nested-loop pair blow-up
+    ("x_feature_pit", ["Window"], ["NestedLoop", "CartesianProduct"]),
+]
+
+
+@pytest.mark.parametrize(
+    "name,want,ban", CASES_R10B, ids=[c[0] for c in CASES_R10B]
+)
+def test_plan_contract_r10b(spark, sf_dir, name, want, ban):
+    df = _REG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in want:
+        assert frag in plan, f"{name}: missing {frag!r}"
+    for frag in ban:
+        assert frag not in plan, f"{name}: banned {frag!r} present"
+    spark.catalog.clearCache()
+
+
 _ALL_EXPLICIT = (
     {c[0] for c in CASES}
     | {c[0] for c in CASES_R3}
@@ -607,6 +649,7 @@ _ALL_EXPLICIT = (
     | {c[0] for c in CASES_R8B}
     | {c[0] for c in CASES_R9}
     | {c[0] for c in CASES_R10}
+    | {c[0] for c in CASES_R10B}
     # audited by dedicated non-parametrized tests above
     | {"x_corpus_pipeline", "x_entity_resolution"}
 )
