@@ -28,6 +28,8 @@ __all__ = [
     "woe_iv",
     "ols_trend",
     "aqp_sum_estimate",
+    "mutual_information",
+    "conformal_split",
 ]
 
 _DEC = "decimal(18,6)"
@@ -280,4 +282,166 @@ def aqp_sum_estimate(
         F.round(lo, 2).alias("ci_lo"),
         F.round(hi, 2).alias("ci_hi"),
         ((lo <= exact) & (exact <= hi)).alias("covered"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    out_round: int = 6,
+) -> DataFrame:
+    """Mutual information (and entropies, and normalized MI) between two
+    categorical columns, in ONE pass over the joint distribution:
+
+        MI  = sum_xy (c_xy/N) * ln(c_xy*N / (c_x*c_y))
+        H_x = -sum_x (c_x/N) * ln(c_x/N)
+        NMI = MI / sqrt(H_x * H_y)
+
+    Returns ONE row: (n, mi, h_x, h_y, nmi) — the model-free feature
+    screen that catches nonlinear association WOE/IV linearizes away.
+
+    Execution shape: one groupBy(x,y) over the facts is the only
+    data-sized shuffle; marginals come from windows over the joint
+    (partitioned by x / by y — parallel), the final reduce is one scalar
+    aggregate of a (|x|*|y|)-sized frame.
+
+    Determinism (the libm-sum trap and its fix): a SUM of ln() terms is
+    doubly nondeterministic — ln differs in the last ulp across engines
+    AND double summation is order-dependent. So each per-cell ln is
+    first pinned to a scaled BIGINT (floor(ln*1e9 + 0.5)), then weighted
+    by the integer cell count and summed as exact integers; the single
+    final division is IEEE-deterministic. Both engines run the identical
+    recipe.
+    """
+    joint = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("cxy"))
+    joint = joint.withColumn(
+        "cx", F.sum("cxy").over(Window.partitionBy("x"))
+    ).withColumn("cy", F.sum("cxy").over(Window.partitionBy("y")))
+    # N via the house 1-row scalar broadcast (never a global window)
+    joint = joint.crossJoin(
+        F.broadcast(joint.groupBy().agg(F.sum("cxy").alias("n")))
+    )
+
+    def _lnsc(expr):
+        return F.floor(F.log(expr) * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    # weights ride DECIMAL so the weighted ln-sums stay exact past the
+    # int64 range (N * max|ln| * 1e9 passes 9.2e18 around N ~ 6e8 rows)
+    cxy_dec = F.col("cxy").cast("decimal(19,0)")
+    cxy = F.col("cxy").cast("double")
+    mi_term = cxy_dec * _lnsc(
+        cxy * F.col("n").cast("double")
+        / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+    )
+    agg = joint.groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum(mi_term).alias("mi_s"),
+        # H_x / H_y from the marginals, folded over the joint cells:
+        # sum_cells cxy*ln(cx/N) == sum_x cx*ln(cx/N) because the cells
+        # sharing an x sum their cxy to exactly cx
+        F.sum(cxy_dec * _lnsc(
+            F.col("cx").cast("double") / F.col("n").cast("double")
+        )).alias("hx_s"),
+        F.sum(cxy_dec * _lnsc(
+            F.col("cy").cast("double") / F.col("n").cast("double")
+        )).alias("hy_s"),
+    )
+    nd = F.col("n").cast("double")
+    mi = F.col("mi_s").cast("double") / (nd * F.lit(1e9))
+    hx = -F.col("hx_s").cast("double") / (nd * F.lit(1e9))
+    hy = -F.col("hy_s").cast("double") / (nd * F.lit(1e9))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(mi, out_round).alias("mi"),
+        F.round(hx, out_round).alias("h_x"),
+        F.round(hy, out_round).alias("h_y"),
+        F.round(mi / F.sqrt(hx * hy), out_round).alias("nmi"),
+    )
+
+
+def conformal_split(
+    df: DataFrame,
+    key_col: str,
+    fold_col: str,
+    y_col: str,
+    alpha: float = 0.1,
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-key split-conformal prediction interval with its own
+    coverage audit: fold 0 fits the (per-key mean) point model, fold 1
+    calibrates q_hat = the ceil((1-alpha)*(n_cal+1))-th smallest
+    absolute residual, fold 2 measures realized coverage — the
+    distribution-free interval construction, finite-sample valid at
+    level 1-alpha under exchangeability. Returns one row per key:
+    (key, n_cal, n_test, q_hat, coverage).
+
+    Execution shape: one groupBy(key) for the model, one key-partitioned
+    window (row_number over residuals) for the order statistic, one
+    groupBy(key) for coverage — all parallel by key, no global sort.
+    Keys whose calibration fold is too small for the order statistic
+    (k > n_cal) report NULL q_hat and NULL coverage (the honest
+    infinite-interval case), not a silent clamp.
+
+    Determinism: the model mean is an exact-DECIMAL sum divided once in
+    double; residuals, the selected order statistic and the coverage
+    comparisons are all IEEE mult/sub/compare of identical doubles —
+    rounding happens only at output.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(fold_col).alias("fold"),
+        F.col(y_col).cast(_DEC).alias("y"),
+    )
+    mu = (
+        base.filter(F.col("fold") == 0)
+        .groupBy("key")
+        .agg(
+            (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("mu")
+        )
+    )
+    resid = base.filter(F.col("fold").isin(1, 2)).join(
+        F.broadcast(mu), "key"
+    ).select(
+        "key",
+        "fold",
+        F.abs(F.col("y").cast("double") - F.col("mu")).alias("r"),
+    )
+    cal = resid.filter(F.col("fold") == 1)
+    ncal = cal.groupBy("key").agg(F.count(F.lit(1)).alias("n_cal"))
+    k = F.ceil(F.lit(1.0 - alpha) * (F.col("n_cal") + 1).cast("double"))
+    wr = Window.partitionBy("key").orderBy("r")
+    qhat = (
+        cal.withColumn("rn", F.row_number().over(wr))
+        .join(F.broadcast(ncal), "key")
+        .filter(F.col("rn") == k)
+        .select("key", "n_cal", F.col("r").alias("q_hat"))
+    )
+    # keys where k > n_cal simply have no rn == k row -> right-join the
+    # n_cal frame back so they surface with NULL q_hat
+    qhat = ncal.join(qhat.drop("n_cal"), "key", "left")
+    test = resid.filter(F.col("fold") == 2)
+    cov = (
+        test.join(F.broadcast(qhat), "key")
+        .groupBy("key", "n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0)
+            ).alias("n_cov"),
+        )
+    )
+    coverage = F.floor(
+        F.col("n_cov").cast("double") / F.col("n_test").cast("double")
+        * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return cov.select(
+        "key",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(F.col("q_hat"), out_round).alias("q_hat"),
+        F.when(F.col("q_hat").isNotNull(), coverage).alias("coverage"),
     )

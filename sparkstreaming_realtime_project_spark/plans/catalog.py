@@ -13087,3 +13087,275 @@ def x_feature_pit(spark, sf_dir):
         ),
         F.when(F.col("cum_lines") > 0, rate).alias("prior_return_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (cont. 2): survival analysis, information-theoretic feature
+# screen, split-conformal intervals, seasonal-naive forecast backtest.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_kaplan_meier",
+    "Kaplan-Meier survival curve over customer reorder gaps (last gap "
+    "right-censored at the dataset horizon): the retention question "
+    "answered WITHOUT dropping not-yet-reordered customers; both "
+    "running quantities (at-risk countdown, log-survival) ride the "
+    "two-pass range-partitioned prefix-sum primitive — no single-task "
+    "global window; the cumulative product is an exact INTEGER prefix "
+    "sum of 1e9-scaled lns, one exp per row at the end (north-star)",
+    """
+    WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+                      o_orderkey AS okey
+               FROM orders),
+    mx AS (SELECT MAX(d) AS maxd FROM o),
+    dur AS (SELECT CASE WHEN nd IS NULL THEN datediff('day', d, maxd)
+                        ELSE datediff('day', d, nd) END AS t,
+                   CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+            FROM (SELECT d, lead(d) OVER
+                    (PARTITION BY ck ORDER BY d, okey) AS nd FROM o), mx),
+    g AS (SELECT t, COUNT(*) AS c, SUM(ev) AS dd FROM dur GROUP BY 1),
+    cum AS (SELECT t, c, dd,
+                   SUM(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cc
+            FROM g),
+    nt AS (SELECT SUM(c) AS n_tot FROM g),
+    r AS (SELECT t, c, dd, n_tot - (cc - c) AS n_risk FROM cum, nt),
+    st AS (SELECT t, dd, n_risk,
+                  CAST(CASE WHEN dd = 0 THEN 0
+                            WHEN dd < n_risk THEN
+                              floor(ln(1.0 - CAST(dd AS DOUBLE)
+                                             / CAST(n_risk AS DOUBLE))
+                                    * 1e9 + 0.5)
+                            ELSE 0 END AS BIGINT) AS lnsc,
+                  CASE WHEN dd >= n_risk THEN 1 ELSE 0 END AS zf
+           FROM r),
+    acc AS (SELECT t, dd, n_risk,
+                   SUM(lnsc) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lc,
+                   SUM(zf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zc
+            FROM st)
+    SELECT CAST(t AS INT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(dd AS BIGINT) AS d_events,
+           round(CASE WHEN zc > 0 THEN 0.0
+                      ELSE exp(CAST(lc AS DOUBLE) / 1e9) END, 6) AS survival
+    FROM acc WHERE dd > 0
+    """,
+)
+def x_kaplan_meier(spark, sf_dir):
+    from ..operators.survival import kaplan_meier
+
+    od = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(d, F.col("o_orderkey"))
+    mx = od.groupBy().agg(F.max(d).alias("maxd"))
+    durs = (
+        od.select(d.alias("d"), F.lead(d).over(w).alias("nd"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("nd").isNull(), F.datediff("maxd", "d")
+            ).otherwise(F.datediff("nd", "d")).alias("dur"),
+            F.when(F.col("nd").isNull(), 0).otherwise(1).alias("event"),
+        )
+    )
+    return kaplan_meier(durs, "dur", "event")
+
+
+def _mi_sql(feature: str) -> str:
+    """One feature's MI/entropy block — the identical scaled-BIGINT ln
+    recipe as operators/mlprep.mutual_information (see its docstring on
+    why a raw sum of lns is doubly nondeterministic)."""
+    return f"""
+    SELECT '{feature}' AS feature, CAST(n AS BIGINT) AS n,
+           round(CAST(mi_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS mi,
+           round(-CAST(hx_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS h_x,
+           round(-CAST(hy_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS h_y,
+           round((CAST(mi_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
+                 / sqrt((-CAST(hx_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
+                        * (-CAST(hy_s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * 1e9))), 6) AS nmi
+    FROM (
+      SELECT MAX(n) AS n,
+             SUM(CAST(cxy AS DECIMAL(19,0))
+                 * CAST(floor(ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+                                 / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                              * 1e9 + 0.5) AS BIGINT)) AS mi_s,
+             SUM(CAST(cxy AS DECIMAL(19,0))
+                 * CAST(floor(ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+                              * 1e9 + 0.5) AS BIGINT)) AS hx_s,
+             SUM(CAST(cxy AS DECIMAL(19,0))
+                 * CAST(floor(ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+                              * 1e9 + 0.5) AS BIGINT)) AS hy_s
+      FROM (
+        SELECT cxy,
+               SUM(cxy) OVER (PARTITION BY x) AS cx,
+               SUM(cxy) OVER (PARTITION BY y) AS cy,
+               SUM(cxy) OVER () AS n
+        FROM (SELECT {feature} AS x, l_returnflag AS y, COUNT(*) AS cxy
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2)
+      )
+    )"""
+
+
+@_register(
+    "x_mutual_info",
+    "mutual information + entropies + normalized MI between part "
+    "features and the returned-line outcome — the model-free feature "
+    "screen that catches what WOE linearizes away; ONE groupBy(x,y) "
+    "per feature is the only data-sized shuffle, marginals are windows "
+    "over the joint; weighted lns ride scaled-BIGINT/DECIMAL sums "
+    "(exact, order-free) (north-star)",
+    _mi_sql("p_brand") + "\nUNION ALL\n" + _mi_sql("p_type"),
+)
+def x_mutual_info(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    fact = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    out = None
+    for feat in ("p_brand", "p_type"):
+        mi = _ml.mutual_information(fact, feat, "l_returnflag").select(
+            F.lit(feat).alias("feature"), "n", "mi", "h_x", "h_y", "nmi"
+        )
+        out = mi if out is None else out.unionAll(mi)
+    return out
+
+
+@_register(
+    "x_conformal_interval",
+    "per-nation split-conformal prediction interval WITH its realized "
+    "coverage on a held-out fold: fold 0 fits the per-key mean, fold 1 "
+    "calibrates q_hat = the ceil(0.9*(n+1))-th smallest |residual| (a "
+    "key-partitioned row_number — parallel, no global sort), fold 2 "
+    "audits coverage; keys too small for the order statistic report "
+    "NULL (the honest infinite interval), never a clamp (north-star)",
+    """
+    WITH f AS (SELECT c_nationkey AS key, CAST(o_orderkey % 3 AS INT) AS fold,
+                      CAST(o_totalprice AS DECIMAL(18,6)) AS y
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    mu AS (SELECT key, CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+           FROM f WHERE fold = 0 GROUP BY 1),
+    r AS (SELECT f.key, fold, abs(CAST(y AS DOUBLE) - mu) AS r
+          FROM f JOIN mu ON f.key = mu.key WHERE fold IN (1, 2)),
+    nc AS (SELECT key, COUNT(*) AS n_cal FROM r WHERE fold = 1 GROUP BY 1),
+    q AS (SELECT rr.key, rr.r AS q_hat
+          FROM (SELECT key, r, row_number() OVER
+                  (PARTITION BY key ORDER BY r) AS rn
+                FROM r WHERE fold = 1) rr
+          JOIN nc ON rr.key = nc.key
+          WHERE rn = CAST(ceil(0.9 * CAST(n_cal + 1 AS DOUBLE)) AS BIGINT)),
+    qn AS (SELECT nc.key, n_cal, q_hat FROM nc LEFT JOIN q ON nc.key = q.key),
+    t AS (SELECT r.key, n_cal, q_hat, COUNT(*) AS n_test,
+                 SUM(CASE WHEN r.r <= q_hat THEN 1 ELSE 0 END) AS n_cov
+          FROM r JOIN qn ON r.key = qn.key WHERE fold = 2
+          GROUP BY 1, 2, 3)
+    SELECT key, CAST(n_cal AS BIGINT) AS n_cal,
+           CAST(n_test AS BIGINT) AS n_test,
+           round(q_hat, 6) AS q_hat,
+           CASE WHEN q_hat IS NOT NULL THEN
+             floor(CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6
+           END AS coverage
+    FROM t
+    """,
+)
+def x_conformal_interval(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    fact = od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey).select(
+        F.col("c_nationkey").alias("key"),
+        (F.col("o_orderkey") % 3).cast("int").alias("fold"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return _ml.conformal_split(fact, "key", "fold", "y", alpha=0.1)
+
+
+@_register(
+    "x_seasonal_naive_backtest",
+    "seasonal-naive forecast backtest per nation (yhat(d) = revenue at "
+    "d-7, matched by keyed equi-join on (nation, date-7) so calendar "
+    "gaps never misalign a row-lag): MAPE/sMAPE from exact scaled-"
+    "BIGINT per-row ratios (order-free sums), bias from DECIMAL "
+    "revenue sums — the honest accuracy floor any forecasting model "
+    "must beat (north-star)",
+    """
+    WITH d AS (SELECT c_nationkey AS key, CAST(o_orderdate AS DATE) AS dt,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                           AS DECIMAL(18,6)) AS y
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1, 2),
+    j AS (SELECT cur.key, cur.y AS y, prv.y AS yhat
+          FROM d cur JOIN d prv
+            ON cur.key = prv.key AND cur.dt = prv.dt + INTERVAL 7 DAY),
+    e AS (SELECT key, y, yhat, abs(y - yhat) AS ae,
+                 CAST(floor(CAST(abs(y - yhat) AS DOUBLE) / CAST(y AS DOUBLE)
+                            * 1e9 + 0.5) AS BIGINT) AS ape_sc,
+                 CAST(floor(2.0 * CAST(abs(y - yhat) AS DOUBLE)
+                            / (CAST(y AS DOUBLE) + CAST(yhat AS DOUBLE))
+                            * 1e9 + 0.5) AS BIGINT) AS sape_sc
+          FROM j),
+    a AS (SELECT key, COUNT(*) AS n, SUM(ape_sc) AS sa, SUM(sape_sc) AS ss,
+                 SUM(y - yhat) AS db, SUM(y) AS sy
+          FROM e GROUP BY 1)
+    SELECT key, CAST(n AS BIGINT) AS n_points,
+           floor(CAST(sa AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)
+                 * 1e6 + 0.5) / 1e6 AS mape,
+           floor(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)
+                 * 1e6 + 0.5) / 1e6 AS smape,
+           round(CAST(db AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS bias
+    FROM a
+    """,
+)
+def x_seasonal_naive_backtest(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    d = (
+        od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("key"),
+            F.to_date("o_orderdate").alias("dt"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+    )
+    cur = d.alias("cur")
+    prv = d.select(
+        F.col("key").alias("pkey"),
+        F.date_add("dt", 7).alias("pdt"),
+        F.col("y").alias("yhat"),
+    )
+    j = cur.join(
+        prv, (F.col("cur.key") == F.col("pkey")) & (F.col("cur.dt") == F.col("pdt"))
+    ).select(F.col("cur.key").alias("key"), F.col("cur.y").alias("y"), "yhat")
+    yd = F.col("y").cast("double")
+    yh = F.col("yhat").cast("double")
+    ae = F.abs(F.col("y") - F.col("yhat"))
+    ape_sc = F.floor(
+        ae.cast("double") / yd * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    sape_sc = F.floor(
+        F.lit(2.0) * ae.cast("double") / (yd + yh) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    a = j.select(
+        "key", "y", "yhat", ape_sc.alias("ape_sc"), sape_sc.alias("sape_sc")
+    ).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ape_sc").alias("sa"),
+        F.sum("sape_sc").alias("ss"),
+        F.sum(F.col("y") - F.col("yhat")).alias("db"),
+        F.sum("y").alias("sy"),
+    )
+    nd = F.col("n").cast("double")
+    return a.select(
+        "key",
+        F.col("n").cast("long").alias("n_points"),
+        (F.floor(F.col("sa").cast("double") / (nd * F.lit(1e9))
+                 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("mape"),
+        (F.floor(F.col("ss").cast("double") / (nd * F.lit(1e9))
+                 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("smape"),
+        F.round(
+            F.col("db").cast("double") / F.col("sy").cast("double"), 6
+        ).alias("bias"),
+    )

@@ -2289,3 +2289,86 @@ def test_readability_hand_computed(spark):
     assert r.band == "easy"
     # zero-word doc: NULL score, NULL band — not a crash, not -inf
     assert got[2].flesch is None and got[2].band is None
+
+
+def test_kaplan_meier_hand_computed(spark):
+    import math
+
+    from sparkstreaming_realtime_project_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 1), (5, 1), (8, 0), (10, 1), (12, 0)], "dur int, event int"
+    )
+    got = {r.t: r for r in kaplan_meier(df).collect()}
+    # censored-only times (8, 12) emit no curve step
+    assert sorted(got) == [5, 10]
+    assert (got[5].n_risk, got[5].d_events) == (5, 2)
+    assert (got[10].n_risk, got[10].d_events) == (2, 1)
+
+    def lnsc(f):
+        return math.floor(math.log(f) * 1e9 + 0.5)
+
+    assert got[5].survival == round(math.exp(lnsc(1 - 2 / 5) / 1e9), 6)
+    assert got[10].survival == round(
+        math.exp((lnsc(1 - 2 / 5) + lnsc(1 - 1 / 2)) / 1e9), 6
+    )
+
+
+def test_kaplan_meier_total_event_hits_zero(spark):
+    """d == n_risk would send ln to -inf; the zero-flag must pin the
+    curve to exactly 0 there and at every later event time."""
+    from sparkstreaming_realtime_project_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame([(3, 1), (1, 1)], "dur int, event int")
+    got = {r.t: r.survival for r in kaplan_meier(df).collect()}
+    assert got[1] == 0.5
+    assert got[3] == 0.0  # last at-risk subject dies: exact zero, no inf
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    from sparkstreaming_realtime_project_spark.operators.mlprep import (
+        mutual_information,
+    )
+
+    dep = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert r.mi == round(math.log(2), 6)
+    assert r.h_x == r.h_y == r.mi
+    assert r.nmi == 1.0
+
+    ind = spark.createDataFrame(
+        [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")],
+        "x string, y string",
+    )
+    r = mutual_information(ind, "x", "y").collect()[0]
+    assert r.mi == 0.0
+    assert r.nmi == 0.0
+
+
+def test_conformal_split_hand_computed(spark):
+    from sparkstreaming_realtime_project_spark.operators.mlprep import (
+        conformal_split,
+    )
+
+    rows = (
+        [("k", 0, 10.0), ("k", 0, 20.0)]  # mu = 15
+        + [("k", 1, 15.0), ("k", 1, 25.0), ("k", 1, 5.0), ("k", 1, 30.0)]
+        + [("k", 2, 20.0), ("k", 2, 40.0)]  # residuals 5, 25
+    )
+    df = spark.createDataFrame(rows, "key string, fold int, y double")
+    r = conformal_split(df, "key", "fold", "y", alpha=0.5).collect()[0]
+    # k = ceil(0.5 * 5) = 3rd smallest of |r| = [0, 10, 10, 15] -> 10
+    assert (r.n_cal, r.n_test, r.q_hat) == (4, 2, 10.0)
+    assert r.coverage == 0.5  # residual 5 covered, 25 not
+
+    # alpha=0.1 needs k = ceil(0.9*5) = 5 > n_cal=4: honest NULL, no clamp
+    r = conformal_split(df, "key", "fold", "y", alpha=0.1).collect()[0]
+    assert r.q_hat is None and r.coverage is None

@@ -624,6 +624,17 @@ CASES_R10B = [
     # point-in-time join: STRICT as-of via tag+union+window — a range
     # join must never degenerate to a nested-loop pair blow-up
     ("x_feature_pit", ["Window"], ["NestedLoop", "CartesianProduct"]),
+    # KM survival: both running quantities ride the range-partitioned
+    # prefix-sum primitive — never a single-task global window
+    ("x_kaplan_meier", ["rangepartitioning"], ["CartesianProduct"]),
+    # MI: joint groupBy + marginal windows; dims broadcast, never a
+    # data-sized sort-merge join
+    ("x_mutual_info", ["HashAggregate", "Window"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    # conformal: order statistic is a KEY-partitioned row_number
+    ("x_conformal_interval", ["Window"], ["CartesianProduct"]),
+    ("x_seasonal_naive_backtest", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
 ]
 
 
