@@ -13359,3 +13359,76 @@ def x_seasonal_naive_backtest(spark, sf_dir):
             F.col("db").cast("double") / F.col("sy").cast("double"), 6
         ).alias("bias"),
     )
+
+
+_MERGE_PATHS: dict = {}
+
+
+def _merge_store(spark, sf_dir: str) -> str:
+    """Build-once (per applicationId + sf_dir, like sources/batch.py's
+    relation cache) MERGE INTO demo table: customers with
+    c_custkey%10==3 withheld form the target; the source updates every
+    c_custkey%7==0 (bal+100), flags %3==0 of those for delete — so the
+    merge exercises matched-update, matched-delete, unmatched-insert
+    and delete-of-nonexistent in one commit."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MERGE_PATHS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        from ..streaming.sinks import merge_into
+
+        root = tempfile.mkdtemp(prefix="spark_merge_into_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        out = os.path.join(root, "table")
+        cust = _t(spark, sf_dir, "customer")
+        cust.filter(F.col("c_custkey") % 10 != 3).select(
+            "c_custkey",
+            F.col("c_acctbal").cast("decimal(18,6)").alias("bal"),
+        ).write.parquet(os.path.join(out, "batch=0"))
+        src = cust.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey",
+            (F.col("c_acctbal").cast("decimal(18,6)") + 100).alias("bal"),
+            (F.col("c_custkey") % 3 == 0).alias("is_del"),
+        )
+        merge_into(spark, out, src, ["c_custkey"], delete_col="is_del")
+        _MERGE_PATHS[key] = out
+    return _MERGE_PATHS[key]
+
+
+@_register(
+    "p_merge_into",
+    "declarative MERGE INTO the manifest-committed table (the Delta/"
+    "Iceberg MERGE subset a CDC-fed dim needs): matched rows update or "
+    "delete by source flag, unmatched source rows insert, deletes of "
+    "absent keys no-op — ONE full-outer key join (copy-on-write), ONE "
+    "atomic manifest rename as the commit point; the entry reads the "
+    "post-merge committed table back (north-star; K5 upgrade)",
+    """
+    WITH tgt AS (SELECT c_custkey AS k,
+                        CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+                 FROM customer WHERE c_custkey % 10 <> 3),
+    src AS (SELECT c_custkey AS k,
+                   CAST(c_acctbal AS DECIMAL(18,6)) + 100 AS bal,
+                   c_custkey % 3 = 0 AS is_del
+            FROM customer WHERE c_custkey % 7 = 0),
+    m AS (SELECT t.k,
+                 CASE WHEN s.k IS NOT NULL THEN s.bal ELSE t.bal END AS bal,
+                 COALESCE(s.is_del, FALSE) AS del
+          FROM tgt t LEFT JOIN src s ON t.k = s.k
+          UNION ALL
+          SELECT s.k, s.bal, s.is_del
+          FROM src s LEFT JOIN tgt t ON s.k = t.k WHERE t.k IS NULL)
+    SELECT k AS c_custkey, round(CAST(bal AS DOUBLE), 2) AS bal
+    FROM m WHERE NOT del
+    """,
+)
+def p_merge_into(spark, sf_dir):
+    from ..streaming.sinks import read_sink
+
+    out = _merge_store(spark, sf_dir)
+    return read_sink(spark, out).select(
+        "c_custkey", F.round(F.col("bal").cast("double"), 2).alias("bal")
+    )

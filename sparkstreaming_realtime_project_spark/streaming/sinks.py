@@ -173,6 +173,151 @@ def read_sink(spark, out_dir: str, at_gen: int | None = None) -> DataFrame:
     return gen.unionByName(batches, allowMissingColumns=True)
 
 
+def _sweep_sink(out_dir: str, live: dict, retain_generations: int) -> None:
+    """Reclaim anything the committed manifest already excludes:
+    compacted batch dirs, uncommitted generations, and committed
+    generations older than the retention window (vacuum). Pure garbage
+    collection — crash-safe to skip or repeat. Shared by compaction and
+    MERGE (both commit a new generation the same way)."""
+    import shutil
+
+    for b in _batch_ids(out_dir):
+        if b <= live["through_batch"]:
+            shutil.rmtree(
+                os.path.join(out_dir, f"batch={b}"), ignore_errors=True
+            )
+    committed = _committed_generations(out_dir)
+    keep = set(committed[-max(retain_generations, 1):])
+    keep.add(live["gen"])
+    for d in os.listdir(out_dir):
+        if d.startswith("gen=") and int(d.split("=", 1)[1]) not in keep:
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+        elif (
+            d.startswith(f"{_MANIFEST}.v")
+            and not d.endswith(".tmp")
+            and int(d[len(_MANIFEST) + 2:]) not in keep
+        ):
+            os.remove(os.path.join(out_dir, d))
+
+
+def merge_into(
+    spark,
+    out_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    partition_col: str | None = None,
+    retain_generations: int = 1,
+) -> dict:
+    """Declarative MERGE INTO the manifest-committed sink (the Delta /
+    Iceberg ``MERGE`` subset a CDC-fed table needs):
+
+      matched target row, source delete flag false -> UPDATED (replaced
+        by the source row);
+      matched target row, delete flag true          -> DELETED;
+      unmatched source row, delete flag false       -> INSERTED;
+      unmatched source row, delete flag true        -> no-op (a delete
+        of a row that doesn't exist);
+      unmatched target row                          -> kept as-is.
+
+    ``delete_col`` names a boolean column on ``source`` (dropped from
+    the table schema); None means pure upsert. Source rows must be
+    UNIQUE on ``key_cols`` — duplicate keys make "the" matched update
+    ambiguous, so the merge fails loudly instead of picking one.
+
+    Protocol (same commit discipline as :func:`compact_sink`): the
+    merged table is written to a NEW ``gen=<g+1>`` dir folding in any
+    live batch dirs (their high-water batch id moves into the
+    manifest), then ONE atomic manifest rename commits — readers see
+    the pre-merge table until that instant, the post-merge table after,
+    never a torn mix. Crash before the rename leaves an uncommitted dir
+    no reader resolves. Time travel (``read_sink(at_gen=...)``) keeps
+    the pre-merge snapshot readable within ``retain_generations``.
+
+    Execution shape: ONE full-outer equi-join of target and source on
+    the key — the copy-on-write MERGE every table format runs. At
+    cluster scale the rewrite narrows to the partitions that contain
+    matched keys (file-level manifests); this local layout rewrites the
+    table, which is the honest local[32] analog, and the COMMIT
+    protocol — the part that matters for correctness — is identical.
+
+    Returns {"gen", "updated", "deleted", "inserted", "kept"}.
+    """
+    tgt = read_sink(spark, out_dir)
+    data_cols = [c for c in source.columns if c != delete_col]
+    if set(data_cols) != set(tgt.columns):
+        raise ValueError(
+            f"merge_into: source columns {sorted(data_cols)} != target "
+            f"columns {sorted(tgt.columns)}"
+        )
+    dupes = (
+        source.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
+    )
+    if dupes:
+        raise ValueError(
+            f"merge_into: {dupes} duplicate source key(s) — dedup the "
+            f"source first (an ambiguous matched update is a silent "
+            f"wrong answer)"
+        )
+    val_cols = [c for c in data_cols if c not in key_cols]
+    s = source.select(
+        *key_cols,
+        *[F.col(c).alias(f"__src_{c}") for c in val_cols],
+        (
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            if delete_col is not None
+            else F.lit(False)
+        ).alias("__del"),
+        F.lit(True).alias("__s"),
+    )
+    t = tgt.withColumn("__t", F.lit(True))
+    j = t.join(s, on=key_cols, how="full_outer").persist()
+    stats = j.groupBy().agg(
+        F.sum(F.when(F.col("__t") & F.col("__s") & ~F.col("__del"), 1)
+              .otherwise(0)).alias("updated"),
+        F.sum(F.when(F.col("__t") & F.col("__s") & F.col("__del"), 1)
+              .otherwise(0)).alias("deleted"),
+        F.sum(F.when(F.col("__t").isNull() & ~F.col("__del"), 1)
+              .otherwise(0)).alias("inserted"),
+        F.sum(F.when(F.col("__s").isNull(), 1).otherwise(0)).alias("kept"),
+    ).collect()[0]
+    merged = j.filter(
+        # survivors: kept targets, updates, inserts — not deletes, not
+        # delete-flagged non-matches
+        F.col("__s").isNull() | ~F.col("__del")
+    ).select(
+        *key_cols,
+        *[
+            F.when(F.col("__s").isNotNull(), F.col(f"__src_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in val_cols
+        ],
+    )
+    man = _read_manifest(out_dir)
+    prev_gen = -1 if man is None else man["gen"]
+    through = -1 if man is None else man["through_batch"]
+    all_batches = _batch_ids(out_dir)
+    high = max([b for b in all_batches if b > through], default=through)
+    new_gen = prev_gen + 1
+    gen_dir = os.path.join(out_dir, f"gen={new_gen}")
+    writer = merged.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(gen_dir)
+    j.unpersist()
+    committed = {"gen": new_gen, "through_batch": high}
+    _commit_manifest(out_dir, committed)
+    _sweep_sink(out_dir, committed, retain_generations)
+    return {
+        "gen": new_gen,
+        "updated": int(stats.updated),
+        "deleted": int(stats.deleted),
+        "inserted": int(stats.inserted),
+        "kept": int(stats.kept),
+    }
+
+
 def compact_sink(
     spark,
     out_dir: str,
@@ -208,30 +353,9 @@ def compact_sink(
     for time travel (``read_sink(at_gen=...)``) — the VACUUM retention
     knob. Default 1 keeps only the live generation; older snapshots'
     dirs and versioned manifests are reclaimed by the sweep."""
-    import shutil
 
     def _sweep(live: dict) -> None:
-        # reclaim anything the committed manifest already excludes:
-        # compacted batch dirs, uncommitted generations, and committed
-        # generations older than the retention window (vacuum). Pure
-        # garbage collection — crash-safe to skip or repeat.
-        for b in _batch_ids(out_dir):
-            if b <= live["through_batch"]:
-                shutil.rmtree(
-                    os.path.join(out_dir, f"batch={b}"), ignore_errors=True
-                )
-        committed = _committed_generations(out_dir)
-        keep = set(committed[-max(retain_generations, 1):])
-        keep.add(live["gen"])
-        for d in os.listdir(out_dir):
-            if d.startswith("gen=") and int(d.split("=", 1)[1]) not in keep:
-                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
-            elif (
-                d.startswith(f"{_MANIFEST}.v")
-                and not d.endswith(".tmp")
-                and int(d[len(_MANIFEST) + 2:]) not in keep
-            ):
-                os.remove(os.path.join(out_dir, d))
+        _sweep_sink(out_dir, live, retain_generations)
 
     man = _read_manifest(out_dir)
     prev_gen = -1 if man is None else man["gen"]

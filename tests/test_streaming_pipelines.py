@@ -40,6 +40,7 @@ from sparkstreaming_realtime_project_spark.streaming.sinks import (
     compact_sink,
     current_dims,
     kafka_frame,
+    merge_into,
     read_sink,
 )
 
@@ -1411,3 +1412,114 @@ def test_compact_cli_subcommand(spark, tmp_path):
     assert exc.value.code == 0
     assert sorted(os.listdir(out)) == ["_MANIFEST", "_MANIFEST.v0", "gen=0"]
     assert read_sink(spark, out).count() == 2  # k1 deduped
+
+
+def test_merge_into_semantics(spark, tmp_path):
+    """MERGE INTO the manifest sink: matched+flag deletes, matched
+    updates, unmatched inserts, delete-of-nonexistent no-ops, unmatched
+    targets survive — and live batch dirs fold into the committed
+    generation."""
+    out = str(tmp_path / "tbl")
+
+    def land(batch_id, rows):
+        spark.createDataFrame(rows, "k string, v string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"batch={batch_id}"))
+
+    def state():
+        return {
+            (r["k"], r["v"])
+            for r in read_sink(spark, out).select("k", "v").collect()
+        }
+
+    land(0, [("k1", "a"), ("k2", "b"), ("k3", "c"), ("k4", "d")])
+    src = spark.createDataFrame(
+        [("k1", "A", False),   # matched update
+         ("k2", None, True),   # matched delete
+         ("k5", "E", False),   # unmatched insert
+         ("k6", None, True)],  # delete of a nonexistent key: no-op
+        "k string, v string, is_del boolean",
+    )
+    stats = merge_into(spark, out, src, ["k"], delete_col="is_del")
+    assert stats == {
+        "gen": 0, "updated": 1, "deleted": 1, "inserted": 1, "kept": 2
+    }
+    assert state() == {("k1", "A"), ("k3", "c"), ("k4", "d"), ("k5", "E")}
+    # batch dirs folded into the generation and swept
+    assert sorted(os.listdir(out)) == ["_MANIFEST", "_MANIFEST.v0", "gen=0"]
+
+    # a batch landing after the merge is visible and the NEXT merge
+    # folds it in
+    land(1, [("k7", "g")])
+    assert ("k7", "g") in state()
+    stats = merge_into(
+        spark, out,
+        spark.createDataFrame([("k3", "C", False)],
+                              "k string, v string, is_del boolean"),
+        ["k"], delete_col="is_del",
+    )
+    assert stats["gen"] == 1 and stats["updated"] == 1 and stats["kept"] == 4
+    assert state() == {
+        ("k1", "A"), ("k3", "C"), ("k4", "d"), ("k5", "E"), ("k7", "g")
+    }
+
+
+def test_merge_into_fails_loud_on_bad_source(spark, tmp_path):
+    out = str(tmp_path / "tbl")
+    spark.createDataFrame([("k1", "a")], "k string, v string").write.parquet(
+        os.path.join(out, "batch=0")
+    )
+    dup = spark.createDataFrame(
+        [("k1", "x", False), ("k1", "y", False)],
+        "k string, v string, is_del boolean",
+    )
+    with pytest.raises(ValueError, match="duplicate source key"):
+        merge_into(spark, out, dup, ["k"], delete_col="is_del")
+    bad_schema = spark.createDataFrame(
+        [("k1", 1, False)], "k string, other int, is_del boolean"
+    )
+    with pytest.raises(ValueError, match="source columns"):
+        merge_into(spark, out, bad_schema, ["k"], delete_col="is_del")
+
+
+def test_merge_into_commit_is_atomic(spark, tmp_path, monkeypatch):
+    """Crash before the manifest rename: the merged gen dir exists but
+    readers still see the pre-merge table; a re-run lands cleanly. With
+    retention, the pre-merge snapshot stays time-travel readable."""
+    from sparkstreaming_realtime_project_spark.streaming import sinks
+
+    out = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("k1", "a"), ("k2", "b")], "k string, v string"
+    ).write.parquet(os.path.join(out, "batch=0"))
+    compact_sink(spark, out, ["k"], partition_col=None,
+                 retain_generations=2)
+    pre = {(r["k"], r["v"])
+           for r in read_sink(spark, out).select("k", "v").collect()}
+
+    src = spark.createDataFrame(
+        [("k1", "A", False)], "k string, v string, is_del boolean"
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(sinks, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_into(spark, out, src, ["k"], delete_col="is_del",
+                   retain_generations=2)
+    assert os.path.isdir(os.path.join(out, "gen=1"))  # torn write exists
+    got = {(r["k"], r["v"])
+           for r in read_sink(spark, out).select("k", "v").collect()}
+    assert got == pre  # ...but is invisible
+    monkeypatch.undo()
+
+    merge_into(spark, out, src, ["k"], delete_col="is_del",
+               retain_generations=2)
+    got = {(r["k"], r["v"])
+           for r in read_sink(spark, out).select("k", "v").collect()}
+    assert got == {("k1", "A"), ("k2", "b")}
+    # time travel: the pre-merge snapshot is still readable at gen 0
+    old = {(r["k"], r["v"])
+           for r in read_sink(spark, out, at_gen=0).select("k", "v").collect()}
+    assert old == pre
