@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 
 from sparkstreaming_realtime_project_spark.operators import dedup as dd
 from sparkstreaming_realtime_project_spark.operators import graph as gr
+from sparkstreaming_realtime_project_spark.operators import mlprep as ml
 from sparkstreaming_realtime_project_spark.operators import similarity as sim
+from sparkstreaming_realtime_project_spark.operators import survival as sv
 from sparkstreaming_realtime_project_spark.operators import textstats as ts
 from sparkstreaming_realtime_project_spark.session import get_spark
 from sparkstreaming_realtime_project_spark.sources.batch import load_table
@@ -280,6 +282,55 @@ def main() -> None:
             )
 
         row["churn_s"] = timed(run_churn)
+
+        def run_km():
+            # K x customers, same calendar: gaps per customer via one
+            # keyed lead window, then the two prefix-sum passes over a
+            # (distinct durations)-sized frame — growth should be the
+            # window's, ~linear in orders
+            from pyspark.sql.window import Window as W
+
+            d = F.to_date("o_orderdate")
+            w = W.partitionBy("o_custkey").orderBy(d)
+            mx = ords.groupBy().agg(F.max(d).alias("maxd"))
+            durs = (
+                ords.select(d.alias("d"), F.lead(d).over(w).alias("nd"))
+                .crossJoin(F.broadcast(mx))
+                .select(
+                    F.when(F.col("nd").isNull(), F.datediff("maxd", "d"))
+                    .otherwise(F.datediff("nd", "d")).alias("dur"),
+                    F.when(F.col("nd").isNull(), 0).otherwise(1).alias(
+                        "event"
+                    ),
+                )
+            )
+            row["km_steps"] = sv.kaplan_meier(durs, "dur", "event").count()
+
+        def run_te():
+            fact = ords.select(
+                (F.col("o_custkey") % 25).alias("key"),
+                ((F.col("o_custkey") / 25).cast("long") % 5).cast("int")
+                .alias("fold"),
+                F.col("o_totalprice").alias("t"),
+            )
+            row["te_rows"] = ml.target_encode_oof(
+                fact, "key", "fold", "t"
+            ).count()
+
+        def run_conformal():
+            fact = ords.select(
+                (F.col("o_custkey") % 25).alias("key"),
+                ((F.col("o_custkey") / 25).cast("long") % 3).cast("int")
+                .alias("fold"),
+                F.col("o_totalprice").alias("y"),
+            )
+            row["conformal_keys"] = ml.conformal_split(
+                fact, "key", "fold", "y"
+            ).count()
+
+        row["kaplan_meier_s"] = timed(run_km)
+        row["target_encode_s"] = timed(run_te)
+        row["conformal_s"] = timed(run_conformal)
         ords.unpersist()
         spark.catalog.clearCache()
         report.append(row)

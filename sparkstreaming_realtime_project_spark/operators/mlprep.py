@@ -30,6 +30,7 @@ __all__ = [
     "aqp_sum_estimate",
     "mutual_information",
     "conformal_split",
+    "stratified_ate",
 ]
 
 _DEC = "decimal(18,6)"
@@ -444,4 +445,75 @@ def conformal_split(
         F.col("n_test").cast("long").alias("n_test"),
         F.round(F.col("q_hat"), out_round).alias("q_hat"),
         F.when(F.col("q_hat").isNotNull(), coverage).alias("coverage"),
+    )
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treated_col,
+    y_col: str,
+    out_round: int = 6,
+) -> DataFrame:
+    """Stratified average-treatment-effect estimate (exact subclass
+    adjustment — the closed-form causal baseline that needs no fitted
+    propensity model):
+
+        ATE = sum over strata s of (n_s/N) * (mean_t(s) - mean_c(s))
+
+    over strata with BOTH arms observed; one-armed strata are dropped
+    from the adjusted estimate and counted in ``n_strata_dropped``
+    (reported, never silently imputed). The naive unadjusted difference
+    and the implied confounding bias ride the same row — the point of
+    the operator is the naive-vs-adjusted gap. Returns ONE row:
+    (n, n_strata_used, n_strata_dropped, ate, naive_diff, bias).
+
+    Execution shape: ONE groupBy(stratum) with conditional sums is the
+    only data-sized pass; the strata-sized frame reduces to a scalar.
+
+    Determinism: arm sums ride DECIMAL; each stratum's mean difference
+    is a deterministic double pinned to a scaled BIGINT
+    (floor(diff*1e6+0.5)) and weighted by the integer n_s into a
+    DECIMAL sum — exact and order-free — so the strata fold can never
+    drift; the naive means divide exact decimals once.
+    """
+    t = F.when(treated_col, 1).otherwise(0)
+    g = df.groupBy(F.col(stratum_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(t).alias("nt"),
+        F.sum(F.when(treated_col, F.col(y_col).cast(_DEC))).alias("st"),
+        F.sum(F.when(~treated_col, F.col(y_col).cast(_DEC))).alias("sc"),
+    )
+    both = (F.col("nt") > 0) & (F.col("nt") < F.col("n_s"))
+    mt = F.col("st").cast("double") / F.col("nt").cast("double")
+    mc = F.col("sc").cast("double") / (F.col("n_s") - F.col("nt")).cast(
+        "double"
+    )
+    diff_sc = F.floor((mt - mc) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    agg = g.groupBy().agg(
+        F.sum("n_s").alias("n"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("used"),
+        F.sum(F.when(~both, 1).otherwise(0)).alias("dropped"),
+        F.sum(
+            F.when(both, F.col("n_s").cast("decimal(19,0)") * diff_sc)
+        ).alias("ate_s"),
+        F.sum(F.when(both, F.col("n_s"))).alias("n_used"),
+        F.sum("st").alias("st_all"),
+        F.sum("nt").alias("nt_all"),
+        F.sum("sc").alias("sc_all"),
+    )
+    ate = F.col("ate_s").cast("double") / (
+        F.col("n_used").cast("double") * F.lit(1e6)
+    )
+    naive = F.col("st_all").cast("double") / F.col("nt_all").cast("double") - (
+        F.col("sc_all").cast("double")
+        / (F.col("n") - F.col("nt_all")).cast("double")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("used").cast("long").alias("n_strata_used"),
+        F.col("dropped").cast("long").alias("n_strata_dropped"),
+        F.round(ate, out_round).alias("ate"),
+        F.round(naive, out_round).alias("naive_diff"),
+        F.round(naive - ate, out_round).alias("bias"),
     )

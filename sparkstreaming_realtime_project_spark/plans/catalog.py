@@ -13432,3 +13432,164 @@ def p_merge_into(spark, sf_dir):
     return read_sink(spark, out).select(
         "c_custkey", F.round(F.col("bal").cast("double"), 2).alias("bal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (cont. 3): causal-inference family — stratified subclass ATE
+# and difference-in-differences, both closed-form (no fitted model).
+# ---------------------------------------------------------------------------
+
+_TREATED_SQL = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+
+@_register(
+    "x_stratified_ate",
+    "stratified average-treatment-effect (exact subclass adjustment): "
+    "urgent-priority orders as 'treatment', order value as outcome, "
+    "customer nation as the confounding stratum — ONE conditional "
+    "groupBy(stratum) pass, per-stratum mean gaps pinned to scaled "
+    "BIGINTs and folded in an exact DECIMAL sum; one-armed strata are "
+    "DROPPED AND COUNTED, never imputed; the naive diff and implied "
+    "bias ride the same row (north-star)",
+    f"""
+    WITH f AS (SELECT c_nationkey AS s,
+                      CASE WHEN {_TREATED_SQL} THEN 1 ELSE 0 END AS t,
+                      CAST(o_totalprice AS DECIMAL(18,6)) AS y
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT s, COUNT(*) AS n_s, SUM(t) AS nt,
+                 SUM(CASE WHEN t = 1 THEN y END) AS st,
+                 SUM(CASE WHEN t = 0 THEN y END) AS sc
+          FROM f GROUP BY 1),
+    d AS (SELECT *,
+                 nt > 0 AND nt < n_s AS two_arm,
+                 CAST(floor((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                             - CAST(sc AS DOUBLE)
+                               / CAST(n_s - nt AS DOUBLE))
+                            * 1e6 + 0.5) AS BIGINT) AS diff_sc
+          FROM g),
+    a AS (SELECT SUM(n_s) AS n,
+                 SUM(CASE WHEN two_arm THEN 1 ELSE 0 END) AS used,
+                 SUM(CASE WHEN NOT two_arm THEN 1 ELSE 0 END) AS dropped,
+                 SUM(CASE WHEN two_arm THEN
+                       CAST(n_s AS DECIMAL(19,0)) * diff_sc END) AS ate_s,
+                 SUM(CASE WHEN two_arm THEN n_s END) AS n_used,
+                 SUM(st) AS st_all, SUM(nt) AS nt_all, SUM(sc) AS sc_all
+          FROM d),
+    c AS (SELECT n, used, dropped,
+                 CAST(ate_s AS DOUBLE)
+                   / (CAST(n_used AS DOUBLE) * 1e6) AS ate,
+                 CAST(st_all AS DOUBLE) / CAST(nt_all AS DOUBLE)
+                   - CAST(sc_all AS DOUBLE)
+                     / CAST(n - nt_all AS DOUBLE) AS naive
+          FROM a)
+    SELECT CAST(n AS BIGINT) AS n, CAST(used AS BIGINT) AS n_strata_used,
+           CAST(dropped AS BIGINT) AS n_strata_dropped,
+           round(ate, 6) AS ate, round(naive, 6) AS naive_diff,
+           round(naive - ate, 6) AS bias
+    FROM c
+    """,
+)
+def x_stratified_ate(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    fact = od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+    return _ml.stratified_ate(
+        fact,
+        "c_nationkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        "o_totalprice",
+    )
+
+
+_DID_POST = "1998-07-01"
+
+
+@_register(
+    "x_did",
+    "difference-in-differences: BUILDING-segment customers as the "
+    "treated group, orders from 1998-07-01 as the post period — the "
+    "2x2 cell means from ONE conditional-aggregate pass over exact "
+    "DECIMAL sums, DiD = (t_post - t_pre) - (c_post - c_pre); the "
+    "parallel-trends counterfactual made explicit as a single row "
+    "(north-star)",
+    f"""
+    WITH f AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+                      END AS grp,
+                      CASE WHEN CAST(o_orderdate AS DATE)
+                                >= DATE '{_DID_POST}' THEN 1 ELSE 0
+                      END AS post,
+                      CAST(o_totalprice AS DECIMAL(18,6)) AS y
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    a AS (SELECT
+            SUM(CASE WHEN grp = 1 AND post = 1 THEN y END) AS s_tp,
+            SUM(CASE WHEN grp = 1 AND post = 1 THEN 1 ELSE 0 END) AS n_tp,
+            SUM(CASE WHEN grp = 1 AND post = 0 THEN y END) AS s_t0,
+            SUM(CASE WHEN grp = 1 AND post = 0 THEN 1 ELSE 0 END) AS n_t0,
+            SUM(CASE WHEN grp = 0 AND post = 1 THEN y END) AS s_cp,
+            SUM(CASE WHEN grp = 0 AND post = 1 THEN 1 ELSE 0 END) AS n_cp,
+            SUM(CASE WHEN grp = 0 AND post = 0 THEN y END) AS s_c0,
+            SUM(CASE WHEN grp = 0 AND post = 0 THEN 1 ELSE 0 END) AS n_c0
+          FROM f),
+    m AS (SELECT CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) AS m_tp,
+                 CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) AS m_t0,
+                 CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) AS m_cp,
+                 CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) AS m_c0,
+                 n_tp, n_t0, n_cp, n_c0
+          FROM a)
+    SELECT CAST(n_tp AS BIGINT) AS n_treated_post,
+           CAST(n_t0 AS BIGINT) AS n_treated_pre,
+           CAST(n_cp AS BIGINT) AS n_control_post,
+           CAST(n_c0 AS BIGINT) AS n_control_pre,
+           round(m_tp, 4) AS mean_treated_post,
+           round(m_t0, 4) AS mean_treated_pre,
+           round(m_cp, 4) AS mean_control_post,
+           round(m_c0, 4) AS mean_control_pre,
+           round((m_tp - m_t0) - (m_cp - m_c0), 6) AS did
+    FROM m
+    """,
+)
+def x_did(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    f = od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+            "grp"
+        ),
+        F.when(
+            F.to_date("o_orderdate") >= F.lit(_DID_POST).cast("date"), 1
+        ).otherwise(0).alias("post"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("y"),
+    )
+
+    def _cell(gv, pv):
+        c = (F.col("grp") == gv) & (F.col("post") == pv)
+        return (
+            F.sum(F.when(c, F.col("y"))),
+            F.sum(F.when(c, 1).otherwise(0)),
+        )
+
+    s_tp, n_tp = _cell(1, 1)
+    s_t0, n_t0 = _cell(1, 0)
+    s_cp, n_cp = _cell(0, 1)
+    s_c0, n_c0 = _cell(0, 0)
+    a = f.groupBy().agg(
+        s_tp.alias("s_tp"), n_tp.alias("n_tp"),
+        s_t0.alias("s_t0"), n_t0.alias("n_t0"),
+        s_cp.alias("s_cp"), n_cp.alias("n_cp"),
+        s_c0.alias("s_c0"), n_c0.alias("n_c0"),
+    )
+    m_tp = F.col("s_tp").cast("double") / F.col("n_tp").cast("double")
+    m_t0 = F.col("s_t0").cast("double") / F.col("n_t0").cast("double")
+    m_cp = F.col("s_cp").cast("double") / F.col("n_cp").cast("double")
+    m_c0 = F.col("s_c0").cast("double") / F.col("n_c0").cast("double")
+    return a.select(
+        F.col("n_tp").cast("long").alias("n_treated_post"),
+        F.col("n_t0").cast("long").alias("n_treated_pre"),
+        F.col("n_cp").cast("long").alias("n_control_post"),
+        F.col("n_c0").cast("long").alias("n_control_pre"),
+        F.round(m_tp, 4).alias("mean_treated_post"),
+        F.round(m_t0, 4).alias("mean_treated_pre"),
+        F.round(m_cp, 4).alias("mean_control_post"),
+        F.round(m_c0, 4).alias("mean_control_pre"),
+        F.round((m_tp - m_t0) - (m_cp - m_c0), 6).alias("did"),
+    )

@@ -2372,3 +2372,24 @@ def test_conformal_split_hand_computed(spark):
     # alpha=0.1 needs k = ceil(0.9*5) = 5 > n_cal=4: honest NULL, no clamp
     r = conformal_split(df, "key", "fold", "y", alpha=0.1).collect()[0]
     assert r.q_hat is None and r.coverage is None
+
+
+def test_stratified_ate_hand_computed(spark):
+    """Confounded toy: stratum adjustment shifts the naive estimate,
+    one-armed strata are dropped and counted, never imputed."""
+    from sparkstreaming_realtime_project_spark.operators.mlprep import (
+        stratified_ate,
+    )
+
+    rows = [
+        ("A", 1, 10.0), ("A", 0, 6.0),               # diff 4, n_s 2
+        ("B", 1, 20.0), ("B", 1, 22.0), ("B", 0, 10.0),  # diff 11, n_s 3
+        ("C", 0, 5.0),                                # control-only: drop
+    ]
+    df = spark.createDataFrame(rows, "s string, t int, y double")
+    r = stratified_ate(df, "s", F.col("t") == 1, "y").collect()[0]
+    assert (r.n, r.n_strata_used, r.n_strata_dropped) == (6, 2, 1)
+    assert r.ate == round((2 * 4 + 3 * 11) / 5, 6)  # 8.2
+    naive = (10 + 20 + 22) / 3 - (6 + 10 + 5) / 3
+    assert r.naive_diff == round(naive, 6)
+    assert r.bias == round(naive - 8.2, 6)

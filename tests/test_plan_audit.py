@@ -635,6 +635,12 @@ CASES_R10B = [
     ("x_conformal_interval", ["Window"], ["CartesianProduct"]),
     ("x_seasonal_naive_backtest", ["HashAggregate"],
      ["NestedLoop", "CartesianProduct"]),
+    # causal pair: single conditional-aggregate passes, dims broadcast;
+    # never a data-sized sort-merge join
+    ("x_stratified_ate", ["BroadcastHashJoin", "HashAggregate"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    ("x_did", ["BroadcastHashJoin", "HashAggregate"],
+     ["SortMergeJoin", "NestedLoop", "CartesianProduct"]),
 ]
 
 
