@@ -43,7 +43,10 @@ def main() -> None:
 
     con = duck_connection(sf_dir)
     bad = []
-    specs = catalog.registry()
+    only = set(sys.argv[2:])
+    specs = [
+        s for s in catalog.registry() if not only or s.name in only
+    ]
     for spec in specs:
         try:
             df = spec.spark(spark, sf_dir)
