@@ -242,7 +242,42 @@ def merge_into(
     protocol — the part that matters for correctness — is identical.
 
     Returns {"gen", "updated", "deleted", "inserted", "kept"}.
+
+    A merge into a NEVER-WRITTEN table bootstraps it: nothing can
+    match, so the non-delete-flagged source rows become generation 0
+    (Delta's MERGE-creates-table semantics) — this is what lets a CDC
+    stream's very first micro-batch use the same writer as every later
+    one.
     """
+    data_cols_src = [c for c in source.columns if c != delete_col]
+    if _read_manifest(out_dir) is None and not _batch_ids(out_dir):
+        keep = (
+            source.filter(
+                ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            )
+            if delete_col is not None
+            else source
+        ).select(*data_cols_src)
+        dupes = (
+            keep.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
+        )
+        if dupes:
+            raise ValueError(
+                f"merge_into: {dupes} duplicate source key(s) — dedup the "
+                f"source first (an ambiguous matched update is a silent "
+                f"wrong answer)"
+            )
+        n_ins = keep.count()
+        os.makedirs(out_dir, exist_ok=True)
+        writer = keep.write.mode("overwrite")
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(os.path.join(out_dir, "gen=0"))
+        _commit_manifest(out_dir, {"gen": 0, "through_batch": -1})
+        return {
+            "gen": 0, "updated": 0, "deleted": 0,
+            "inserted": n_ins, "kept": 0,
+        }
     tgt = read_sink(spark, out_dir)
     data_cols = [c for c in source.columns if c != delete_col]
     if set(data_cols) != set(tgt.columns):
@@ -316,6 +351,58 @@ def merge_into(
         "inserted": int(stats.inserted),
         "kept": int(stats.kept),
     }
+
+
+def merge_stream_writer(
+    out_dir: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    order_col: str | None = None,
+    partition_col: str | None = None,
+    retain_generations: int = 1,
+):
+    """foreachBatch writer: every CDC micro-batch MERGEs INTO the
+    manifest-committed table (the streaming half of :func:`merge_into`
+    — upsert + delete semantics from a change stream, with the same
+    single-atomic-rename commit per batch).
+
+    ``order_col`` picks the in-batch winner per key deterministically
+    (greatest order_col survives) BEFORE the merge, since a CDC batch
+    can legally carry several versions of one key but merge_into
+    rightly refuses ambiguous sources. Without it, duplicate in-batch
+    keys fail loud.
+
+    Exactly-once without an idempotent batch-id trick: CDC rows carry
+    ABSOLUTE row states (not increments), so replaying a micro-batch
+    after a crash re-merges identical values — updates rewrite the same
+    bytes, deletes of deleted keys no-op, inserts of present keys
+    become same-value updates. The committed table is a pure function
+    of the applied prefix of the stream. The very first micro-batch
+    bootstraps the table (merge_into's create-on-merge path).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            src = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        merge_into(
+            batch_df.sparkSession,
+            out_dir,
+            src,
+            key_cols,
+            delete_col=delete_col,
+            partition_col=partition_col,
+            retain_generations=retain_generations,
+        )
+
+    return write
 
 
 def compact_sink(

@@ -1523,3 +1523,71 @@ def test_merge_into_commit_is_atomic(spark, tmp_path, monkeypatch):
     old = {(r["k"], r["v"])
            for r in read_sink(spark, out, at_gen=0).select("k", "v").collect()}
     assert old == pre
+
+
+def test_merge_stream_writer_end_to_end(spark, tmp_path):
+    """CDC stream -> MERGE INTO table: one JSON file per micro-batch
+    (maxFilesPerTrigger=1 + availableNow), committed table after the
+    run equals the absolute-state fold of the stream; an in-batch
+    multi-version key resolves by order_col; replaying the final batch
+    (crash-recovery semantics) leaves the table byte-identical."""
+    import json as _json
+
+    from sparkstreaming_realtime_project_spark.streaming.sinks import (
+        merge_stream_writer,
+    )
+
+    src_dir = str(tmp_path / "cdc")
+    os.makedirs(src_dir)
+    batches = [
+        # batch 0 bootstraps the table
+        [{"k": "k1", "v": "a", "ts": 1, "is_del": False},
+         {"k": "k2", "v": "b", "ts": 1, "is_del": False}],
+        # batch 1: two versions of k1 (ts picks v=c), delete k2, add k3
+        [{"k": "k1", "v": "stale", "ts": 2, "is_del": False},
+         {"k": "k1", "v": "c", "ts": 3, "is_del": False},
+         {"k": "k2", "v": None, "ts": 4, "is_del": True},
+         {"k": "k3", "v": "d", "ts": 5, "is_del": False}],
+    ]
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = os.path.join(src_dir, f"batch-{i:03d}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (base + 60 * i, base + 60 * i))
+
+    out = str(tmp_path / "tbl")
+    schema = "k string, v string, ts long, is_del boolean"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    writer = merge_stream_writer(
+        out, ["k"], delete_col="is_del", order_col="ts"
+    )
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def state():
+        return {
+            (r["k"], r["v"], r["ts"])
+            for r in read_sink(spark, out).select("k", "v", "ts").collect()
+        }
+
+    expected = {("k1", "c", 3), ("k3", "d", 5)}
+    assert state() == expected
+
+    # crash-recovery replay: re-apply the final batch verbatim — the
+    # absolute-state property makes the merge idempotent
+    replay = spark.createDataFrame(
+        [(r["k"], r["v"], r["ts"], r["is_del"]) for r in batches[1]],
+        schema,
+    )
+    writer(replay, batch_id=1)
+    assert state() == expected
