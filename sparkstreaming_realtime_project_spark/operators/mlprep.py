@@ -94,8 +94,13 @@ def target_encode_oof(
     pf = F.broadcast(
         perfold.crossJoin(F.broadcast(tot)).select(
             "fold",
+            # nullif: with a SINGLE fold there is no out-of-fold data
+            # anywhere — the prior is honestly undefined (NULL), and
+            # under Spark's ANSI default an unguarded /0 would throw
             ((F.col("gs") - F.col("fs")).cast("double")
-             / (F.col("gc") - F.col("fc")).cast("double")).alias("prior"),
+             / F.nullif(
+                 (F.col("gc") - F.col("fc")).cast("double"), F.lit(0.0)
+             )).alias("prior"),
         )
     )
     m = F.lit(float(smoothing))
@@ -151,9 +156,17 @@ def woe_iv(
     bad = F.col("n_bad").cast("double")
     tg = (F.col("tn") - F.col("tb")).cast("double")
     tb = F.col("tb").cast("double")
-    ratio = ((good + F.lit(0.5)) * tb) / ((bad + F.lit(0.5)) * tg)
+    # nullif: an all-good or all-bad corpus zeroes a marginal — WOE is
+    # honestly undefined there (NULL), and ANSI /0 would throw
+    ratio = ((good + F.lit(0.5)) * tb) / F.nullif(
+        (bad + F.lit(0.5)) * tg, F.lit(0.0)
+    )
     woe = F.round(F.log(ratio), out_round)
-    iv = F.round((good / tg - bad / tb) * woe, out_round)
+    iv = F.round(
+        (good / F.nullif(tg, F.lit(0.0)) - bad / F.nullif(tb, F.lit(0.0)))
+        * woe,
+        out_round,
+    )
     return a.select(
         F.col("bin"),
         F.col("n").cast("long").alias("n"),
@@ -279,7 +292,9 @@ def aqp_sum_estimate(
         F.col("n_sample").cast("long").alias("n_sample"),
         F.round(exact, 2).alias("exact_total"),
         F.round(est, 2).alias("est_total"),
-        F.round((est - exact) / exact * F.lit(100.0), 4).alias("rel_err_pct"),
+        F.round(
+            (est - exact) / F.nullif(exact, F.lit(0.0)) * F.lit(100.0), 4
+        ).alias("rel_err_pct"),
         F.round(lo, 2).alias("ci_lo"),
         F.round(hi, 2).alias("ci_hi"),
         ((lo <= exact) & (exact <= hi)).alias("covered"),
@@ -359,7 +374,10 @@ def mutual_information(
         F.round(mi, out_round).alias("mi"),
         F.round(hx, out_round).alias("h_x"),
         F.round(hy, out_round).alias("h_y"),
-        F.round(mi / F.sqrt(hx * hy), out_round).alias("nmi"),
+        # nullif: a constant column has zero entropy — NMI undefined
+        F.round(
+            mi / F.nullif(F.sqrt(hx * hy), F.lit(0.0)), out_round
+        ).alias("nmi"),
     )
 
 
@@ -505,9 +523,13 @@ def stratified_ate(
     ate = F.col("ate_s").cast("double") / (
         F.col("n_used").cast("double") * F.lit(1e6)
     )
-    naive = F.col("st_all").cast("double") / F.col("nt_all").cast("double") - (
+    # nullif: a corpus with no treated (or no control) rows anywhere
+    # has no naive contrast — NULL, not an ANSI /0 throw
+    naive = F.col("st_all").cast("double") / F.nullif(
+        F.col("nt_all").cast("double"), F.lit(0.0)
+    ) - (
         F.col("sc_all").cast("double")
-        / (F.col("n") - F.col("nt_all")).cast("double")
+        / F.nullif((F.col("n") - F.col("nt_all")).cast("double"), F.lit(0.0))
     )
     return agg.select(
         F.col("n").cast("long").alias("n"),

@@ -12647,7 +12647,8 @@ from ..operators import mlprep as _ml
     pf AS (SELECT fold, SUM(s) AS fs, SUM(c) AS fc FROM a GROUP BY 1),
     g AS (SELECT SUM(fs) AS gs, SUM(fc) AS gc FROM pf),
     pr AS (SELECT fold,
-                  CAST(gs - fs AS DOUBLE) / CAST(gc - fc AS DOUBLE) AS prior
+                  CAST(gs - fs AS DOUBLE)
+                    / NULLIF(CAST(gc - fc AS DOUBLE), 0.0) AS prior
            FROM pf, g)
     SELECT a.key AS key, a.fold AS fold,
            CAST(kc - c AS BIGINT) AS n_oof,
@@ -12685,12 +12686,13 @@ def x_target_encode_oof(spark, sf_dir):
     t AS (SELECT SUM(n) AS tn, SUM(nb) AS tb FROM a),
     w AS (SELECT bin, n, nb, tn, tb,
                  round(ln(((CAST(n - nb AS DOUBLE) + 0.5) * CAST(tb AS DOUBLE))
-                          / ((CAST(nb AS DOUBLE) + 0.5)
-                             * CAST(tn - tb AS DOUBLE))), 6) AS woe
+                          / NULLIF((CAST(nb AS DOUBLE) + 0.5)
+                                   * CAST(tn - tb AS DOUBLE), 0.0)), 6) AS woe
           FROM a, t)
     SELECT bin, CAST(n AS BIGINT) AS n, CAST(nb AS BIGINT) AS n_bad, woe,
-           round((CAST(n - nb AS DOUBLE) / CAST(tn - tb AS DOUBLE)
-                  - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) * woe, 6) AS iv
+           round((CAST(n - nb AS DOUBLE) / NULLIF(CAST(tn - tb AS DOUBLE), 0.0)
+                  - CAST(nb AS DOUBLE) / NULLIF(CAST(tb AS DOUBLE), 0.0))
+                 * woe, 6) AS iv
     FROM w
     """,
 )
@@ -12797,7 +12799,7 @@ def x_trend_ols(spark, sf_dir):
            CAST(n_sample AS BIGINT) AS n_sample,
            round(ex, 2) AS exact_total,
            round(est, 2) AS est_total,
-           round((est - ex) / ex * 100.0, 4) AS rel_err_pct,
+           round((est - ex) / NULLIF(ex, 0.0) * 100.0, 4) AS rel_err_pct,
            round(est - 1.96 * se, 2) AS ci_lo,
            round(est + 1.96 * se, 2) AS ci_hi,
            (est - 1.96 * se <= ex AND ex <= est + 1.96 * se) AS covered
@@ -13170,9 +13172,10 @@ def _mi_sql(feature: str) -> str:
            round(-CAST(hx_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS h_x,
            round(-CAST(hy_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6) AS h_y,
            round((CAST(mi_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
-                 / sqrt((-CAST(hx_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
-                        * (-CAST(hy_s AS DOUBLE)
-                           / (CAST(n AS DOUBLE) * 1e9))), 6) AS nmi
+                 / NULLIF(sqrt((-CAST(hx_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
+                               * (-CAST(hy_s AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * 1e9))), 0.0),
+                 6) AS nmi
     FROM (
       SELECT MAX(n) AS n,
              SUM(CAST(cxy AS DECIMAL(19,0))
@@ -13478,9 +13481,9 @@ _TREATED_SQL = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
     c AS (SELECT n, used, dropped,
                  CAST(ate_s AS DOUBLE)
                    / (CAST(n_used AS DOUBLE) * 1e6) AS ate,
-                 CAST(st_all AS DOUBLE) / CAST(nt_all AS DOUBLE)
+                 CAST(st_all AS DOUBLE) / NULLIF(CAST(nt_all AS DOUBLE), 0.0)
                    - CAST(sc_all AS DOUBLE)
-                     / CAST(n - nt_all AS DOUBLE) AS naive
+                     / NULLIF(CAST(n - nt_all AS DOUBLE), 0.0) AS naive
           FROM a)
     SELECT CAST(n AS BIGINT) AS n, CAST(used AS BIGINT) AS n_strata_used,
            CAST(dropped AS BIGINT) AS n_strata_dropped,

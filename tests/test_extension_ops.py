@@ -2393,3 +2393,74 @@ def test_stratified_ate_hand_computed(spark):
     naive = (10 + 20 + 22) / 3 - (6 + 10 + 5) / 3
     assert r.naive_diff == round(naive, 6)
     assert r.bias == round(naive - 8.2, 6)
+
+
+def test_new_family_degenerate_edges(spark):
+    """Degenerate inputs produce honest NULLs / empty results, never a
+    crash, an inf, or a silently-wrong number."""
+    from sparkstreaming_realtime_project_spark.operators.mlprep import (
+        aqp_sum_estimate,
+        conformal_split,
+        mutual_information,
+        target_encode_oof,
+        woe_iv,
+    )
+    from sparkstreaming_realtime_project_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    # MI with a constant x column: H_x = 0, NMI undefined -> NULL
+    one = spark.createDataFrame(
+        [("a", "u"), ("a", "v")], "x string, y string"
+    )
+    r = mutual_information(one, "x", "y").collect()[0]
+    assert r.h_x == 0.0 and r.mi == 0.0 and r.nmi is None
+
+    # WOE with an all-bad corpus: total-good = 0 -> NULL woe, not inf
+    allbad = spark.createDataFrame(
+        [("X", 1), ("Y", 1)], "bin string, bad int"
+    )
+    for row in woe_iv(allbad, "bin", F.col("bad") == 1).collect():
+        assert row.woe is None and row.iv is None
+
+    # conformal with identical residuals: q_hat = the value, coverage 1
+    rows = (
+        [("k", 0, 10.0)] * 2
+        + [("k", 1, 12.0)] * 9
+        + [("k", 2, 12.0)] * 3
+    )
+    r = conformal_split(
+        spark.createDataFrame(rows, "key string, fold int, y double"),
+        "key", "fold", "y", alpha=0.1,
+    ).collect()[0]
+    assert r.q_hat == 2.0 and r.coverage == 1.0
+
+    # KM with every duration censored: no event times -> empty curve
+    cens = spark.createDataFrame([(5, 0), (9, 0)], "dur int, event int")
+    assert kaplan_meier(cens).count() == 0
+
+    # OOF encoding with a single fold is undefined (no out-of-fold
+    # data anywhere): honest NULL, not a fabricated prior
+    single = spark.createDataFrame(
+        [("A", 0, 1.0), ("B", 0, 2.0)], "key string, fold int, t double"
+    )
+    for row in target_encode_oof(single, "key", "fold", "t").collect():
+        assert row.n_oof == 0 and row.enc is None
+
+    # AQP on an empty frame: zero counts, NULL estimates, no crash
+    empty = spark.createDataFrame([], "id long, v double")
+    r = aqp_sum_estimate(empty, F.col("id"), "v").collect()[0]
+    assert r.n_total == 0 and r.est_total is None and r.covered is None
+
+
+def test_bfs_hops_disconnected_source(spark):
+    from sparkstreaming_realtime_project_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("z",)], "node string")
+    out = bfs_hops(edges, sources, max_hops=3)
+    got = {r.node: r.hops for r in out.collect()}
+    out.unpersist()
+    assert got == {"z": 0}  # the source itself, nothing else

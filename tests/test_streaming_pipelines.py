@@ -1591,3 +1591,33 @@ def test_merge_stream_writer_end_to_end(spark, tmp_path):
     )
     writer(replay, batch_id=1)
     assert state() == expected
+
+
+def test_merge_into_bootstrap_edge_cases(spark, tmp_path):
+    """First-merge bootstrap: pure upsert (no delete col) creates the
+    table; an all-deletes first batch creates an EMPTY but readable
+    table (schema preserved), and a later merge populates it."""
+    out = str(tmp_path / "t1")
+    src = spark.createDataFrame([("k1", "a")], "k string, v string")
+    stats = merge_into(spark, out, src, ["k"])  # no delete col
+    assert stats == {"gen": 0, "updated": 0, "deleted": 0,
+                     "inserted": 1, "kept": 0}
+    assert {(r["k"], r["v"]) for r in read_sink(spark, out).collect()} == {
+        ("k1", "a")
+    }
+
+    out2 = str(tmp_path / "t2")
+    alldel = spark.createDataFrame(
+        [("k1", None, True)], "k string, v string, is_del boolean"
+    )
+    stats = merge_into(spark, out2, alldel, ["k"], delete_col="is_del")
+    assert stats["inserted"] == 0
+    assert read_sink(spark, out2).count() == 0  # empty but readable
+    follow = spark.createDataFrame(
+        [("k2", "b", False)], "k string, v string, is_del boolean"
+    )
+    stats = merge_into(spark, out2, follow, ["k"], delete_col="is_del")
+    assert stats["inserted"] == 1
+    assert {(r["k"], r["v"]) for r in read_sink(spark, out2).collect()} == {
+        ("k2", "b")
+    }
