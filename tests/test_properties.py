@@ -642,3 +642,147 @@ def test_match_implies_highlight_marks(spark, texts, query):
         if r["m"]:
             assert "<em>" in r["h"], (r["text"], query)
         assert _re.sub(r"</?em>", "", r["h"]) == r["text"]
+
+
+# ------------------------------------------------------------------ r10 cont.
+# Survival, graph and feature-engineering operators vs independent
+# Python references.
+
+DURS = st.lists(
+    st.tuples(st.integers(0, 10), st.integers(0, 1)),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_km(durs: list[tuple[int, int]]) -> dict[int, tuple[int, int, float]]:
+    """Textbook KM by direct product of fractions (a different mechanism
+    than the engine's scaled-integer ln prefix sum)."""
+    n = len(durs)
+    out = {}
+    s = 1.0
+    seen = 0
+    for t in sorted({d for d, _ in durs}):
+        c = sum(1 for d, _ in durs if d == t)
+        dd = sum(1 for d, e in durs if d == t and e == 1)
+        n_risk = n - seen
+        seen += c
+        if dd == 0:
+            continue
+        s = s * (1.0 - dd / n_risk) if dd < n_risk else 0.0
+        out[t] = (n_risk, dd, s)
+    return out
+
+
+@given(durs=DURS)
+@settings(max_examples=6, deadline=None)
+def test_kaplan_meier_equals_python_reference(spark, durs):
+    from sparkstreaming_realtime_project_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame(durs, "dur int, event int")
+    got = {r.t: (r.n_risk, r.d_events, r.survival)
+           for r in kaplan_meier(df).collect()}
+    want = _py_km(durs)
+    assert set(got) == set(want)
+    for t, (n_risk, dd, s) in want.items():
+        assert got[t][0] == n_risk and got[t][1] == dd, t
+        # the engine's 1e9-scaled ln accumulation bounds the drift far
+        # inside 1e-5 of the direct product
+        assert abs(got[t][2] - s) < 1e-5, (t, got[t][2], s)
+
+
+EDGE_NODES = st.sampled_from(list("abcdefg"))
+EDGES = st.lists(
+    st.tuples(EDGE_NODES, EDGE_NODES), min_size=1, max_size=20
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(edges=EDGES, n_src=st.integers(1, 3), hops=st.integers(1, 4))
+@settings(max_examples=8, deadline=None)
+def test_bfs_hops_equals_python_reference(spark, edges, n_src, hops):
+    from sparkstreaming_realtime_project_spark.operators.graph import bfs_hops
+
+    und = edges + [(b, a) for a, b in edges]
+    nodes = sorted({x for e in und for x in e})
+    srcs = nodes[:n_src]
+    # python BFS
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+    want = {s: 0 for s in srcs}
+    frontier = set(srcs)
+    for h in range(1, hops + 1):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ())
+        } - set(want)
+        for v in frontier:
+            want[v] = h
+        if not frontier:
+            break
+    edf = spark.createDataFrame(und, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in srcs], "node string")
+    out = bfs_hops(edf, sdf, max_hops=hops)
+    got = {r.node: r.hops for r in out.collect()}
+    out.unpersist()
+    assert got == want
+
+
+def _py_lpa(und: list[tuple[str, str]], iters: int) -> dict[str, str]:
+    nodes = sorted({x for e in und for x in e})
+    lbl = {v: v for v in nodes}
+    for _ in range(iters):
+        votes: dict = {v: {} for v in nodes}
+        for a, b in und:  # directed vote a -> b
+            votes[b][lbl[a]] = votes[b].get(lbl[a], 0) + 1
+        for v in nodes:  # self-vote
+            votes[v][lbl[v]] = votes[v].get(lbl[v], 0) + 1
+        lbl = {
+            v: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for v, c in votes.items()
+        }
+    return lbl
+
+
+@given(edges=EDGES, iters=st.integers(1, 3))
+@settings(max_examples=8, deadline=None)
+def test_label_propagation_equals_python_reference(spark, edges, iters):
+    from sparkstreaming_realtime_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = sorted({e for e in edges + [(b, a) for a, b in edges]})
+    edf = spark.createDataFrame(und, "src string, dst string")
+    out = label_propagation(edf, iters=iters)
+    got = {r.node: r.community for r in out.collect()}
+    out.unpersist()
+    assert got == _py_lpa(und, iters)
+
+
+MI_ROWS = st.lists(
+    st.tuples(st.sampled_from("ab"), st.sampled_from("uvw")),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=MI_ROWS)
+@settings(max_examples=8, deadline=None)
+def test_mutual_information_symmetric_and_nonnegative(spark, rows):
+    from sparkstreaming_realtime_project_spark.operators.mlprep import (
+        mutual_information,
+    )
+
+    df = spark.createDataFrame(rows, "x string, y string")
+    a = mutual_information(df, "x", "y").collect()[0]
+    b = mutual_information(df, "y", "x").collect()[0]
+    # symmetry is exact: identical counts feed identical integer sums
+    assert a.mi == b.mi
+    assert a.h_x == b.h_y and a.h_y == b.h_x
+    assert a.nmi == b.nmi
+    # MI >= 0 up to the 1e-9-scaled ln rounding
+    assert a.mi >= -1e-6
+    # and bounded by each entropy (information can't exceed the source)
+    if a.h_x is not None and a.h_y is not None:
+        assert a.mi <= min(a.h_x, a.h_y) + 1e-6
