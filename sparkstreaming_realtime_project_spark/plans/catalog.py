@@ -13596,3 +13596,155 @@ def x_did(spark, sf_dir):
         F.round(m_c0, 4).alias("mean_control_pre"),
         F.round((m_tp - m_t0) - (m_cp - m_c0), 6).alias("did"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (cont. 4): graph distribution diagnostics — heavy-tail fit and
+# degree assortativity, both closed-form single aggregates.
+# ---------------------------------------------------------------------------
+
+_PL_DMIN = 2
+
+
+@_register(
+    "x_degree_powerlaw",
+    "Hill/Clauset MLE power-law exponent of the co-supply degree "
+    "distribution (alpha = 1 + n / sum ln(d/dmin), tail d >= dmin): "
+    "the is-this-graph-heavy-tailed diagnostic that decides whether "
+    "hub-skew mitigations (salting, wedge orientation) are needed — "
+    "one degree groupBy + one scalar aggregate; lns pinned to scaled "
+    "BIGINTs so the tail fold is exact and order-free (north-star)",
+    f"""
+    WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem),
+    edges AS (SELECT 'p:' || CAST(p AS VARCHAR) AS src,
+                     's:' || CAST(s AS VARCHAR) AS dst FROM e0
+              UNION ALL SELECT 's:' || CAST(s AS VARCHAR),
+                               'p:' || CAST(p AS VARCHAR) FROM e0),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+    tail AS (SELECT d,
+                    CAST(floor(ln(CAST(d AS DOUBLE) / {_PL_DMIN}.0)
+                               * 1e9 + 0.5) AS BIGINT) AS lnsc
+             FROM deg WHERE d >= {_PL_DMIN}),
+    a AS (SELECT COUNT(*) AS n, SUM(lnsc) AS s, MAX(d) AS dmax FROM tail)
+    SELECT CAST(n AS BIGINT) AS n_tail, {_PL_DMIN} AS dmin,
+           CAST(dmax AS BIGINT) AS d_max,
+           round(1.0 + CAST(n AS DOUBLE)
+                 / NULLIF(CAST(s AS DOUBLE) / 1e9, 0.0), 6) AS alpha
+    FROM a
+    """,
+)
+def x_degree_powerlaw(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    p = F.concat(F.lit("p:"), F.col("p").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("s").cast("string"))
+    edges = e0.select(p.alias("src"), s.alias("dst")).unionAll(
+        e0.select(s.alias("src"), p.alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    tail = deg.filter(F.col("d") >= _PL_DMIN).select(
+        "d",
+        F.floor(
+            F.log(F.col("d").cast("double") / F.lit(float(_PL_DMIN)))
+            * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("lnsc"),
+    )
+    a = tail.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lnsc").alias("s"),
+        F.max("d").alias("dmax"),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n_tail"),
+        F.lit(_PL_DMIN).alias("dmin"),
+        F.col("dmax").cast("long").alias("d_max"),
+        F.round(
+            F.lit(1.0)
+            + F.col("n").cast("double")
+            / F.nullif(F.col("s").cast("double") / F.lit(1e9), F.lit(0.0)),
+            6,
+        ).alias("alpha"),
+    )
+
+
+@_register(
+    "x_assortativity",
+    "degree assortativity (Newman r): Pearson correlation of endpoint "
+    "degrees over every directed edge of the symmetrized co-supply "
+    "graph — do hubs attach to hubs? Two keyed degree joins + ONE "
+    "sufficient-statistic aggregate (exact BIGINT sums, closed form in "
+    "deterministic doubles, the ols_trend recipe) (north-star)",
+    """
+    WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem),
+    edges AS (SELECT 'p:' || CAST(p AS VARCHAR) AS src,
+                     's:' || CAST(s AS VARCHAR) AS dst FROM e0
+              UNION ALL SELECT 's:' || CAST(s AS VARCHAR),
+                               'p:' || CAST(p AS VARCHAR) FROM e0),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+    pairs AS (SELECT du.d AS x, dv.d AS y
+              FROM edges e
+              JOIN deg du ON du.node = e.src
+              JOIN deg dv ON dv.node = e.dst),
+    st AS (SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+           FROM pairs),
+    c AS (SELECT m,
+                 CAST(m AS DOUBLE) AS md, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          FROM st)
+    SELECT CAST(m AS BIGINT) AS m_edges,
+           round((md * sxyd - sxd * syd)
+                 / NULLIF(sqrt((md * sxxd - sxd * sxd)
+                               * (md * syyd - syd * syd)), 0.0),
+                 6) AS r
+    FROM c
+    """,
+)
+def x_assortativity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    p = F.concat(F.lit("p:"), F.col("p").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("s").cast("string"))
+    edges = e0.select(p.alias("src"), s.alias("dst")).unionAll(
+        e0.select(s.alias("src"), p.alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    pairs = edges.join(du, "src").join(dv, "dst").select("x", "y")
+    st = pairs.groupBy().agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    return st.select(
+        F.col("m").cast("long").alias("m_edges"),
+        F.round(
+            (md * sxyd - sxd * syd)
+            / F.nullif(
+                F.sqrt((md * sxxd - sxd * sxd) * (md * syyd - syd * syd)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r"),
+    )

@@ -641,6 +641,11 @@ CASES_R10B = [
      ["SortMergeJoin", "CartesianProduct"]),
     ("x_did", ["BroadcastHashJoin", "HashAggregate"],
      ["SortMergeJoin", "NestedLoop", "CartesianProduct"]),
+    # graph distribution diagnostics: degree groupBy + scalar aggregate
+    ("x_degree_powerlaw", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
+    ("x_assortativity", ["HashAggregate"],
+     ["NestedLoop", "CartesianProduct"]),
 ]
 
 
