@@ -13748,3 +13748,196 @@ def x_assortativity(spark, sf_dir):
             6,
         ).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (cont. 5): chi-square independence (the NHST complement of
+# x_mutual_info) and hierarchical group-mean imputation.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "x_chi2_independence",
+    "chi-square test of independence on the brand x returned-line "
+    "contingency table, with Cramer's V effect size: one joint "
+    "groupBy + marginal windows (the x_mutual_info topology); each "
+    "cell's (o-e)^2/e term is a deterministic double pinned to a "
+    "scaled BIGINT before the fold, so the cell sum is exact and "
+    "order-free (north-star)",
+    """
+    WITH f AS (SELECT p_brand AS x, l_returnflag AS y
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+    j AS (SELECT x, y, COUNT(*) AS cxy FROM f GROUP BY 1, 2),
+    m AS (SELECT x, y, cxy,
+                 SUM(cxy) OVER (PARTITION BY x) AS cx,
+                 SUM(cxy) OVER (PARTITION BY y) AS cy,
+                 SUM(cxy) OVER () AS n
+          FROM j),
+    t AS (SELECT n, cxy,
+                 CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS e,
+                 x, y
+          FROM m),
+    sc AS (SELECT n, x, y,
+                  CAST(floor((CAST(cxy AS DOUBLE) - e)
+                             * (CAST(cxy AS DOUBLE) - e) / e
+                             * 1e9 + 0.5) AS BIGINT) AS term_sc
+           FROM t),
+    a AS (SELECT MAX(n) AS n, SUM(term_sc) AS s,
+                 COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c
+          FROM sc)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(CAST(s AS DOUBLE) / 1e9, 6) AS chi2,
+           round(sqrt(CAST(s AS DOUBLE) / 1e9
+                      / (CAST(n AS DOUBLE)
+                         * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM a
+    """,
+)
+def x_chi2_independence(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("x"), F.col("l_returnflag").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    m = (
+        j.withColumn("cx", F.sum("cxy").over(Window.partitionBy("x")))
+        .withColumn("cy", F.sum("cxy").over(Window.partitionBy("y")))
+        .crossJoin(F.broadcast(j.groupBy().agg(F.sum("cxy").alias("n"))))
+    )
+    e = (
+        F.col("cx").cast("double") * F.col("cy").cast("double")
+        / F.col("n").cast("double")
+    )
+    o = F.col("cxy").cast("double")
+    term_sc = F.floor((o - e) * (o - e) / e * F.lit(1e9) + F.lit(0.5)).cast(
+        "long"
+    )
+    a = m.select("n", "x", "y", term_sc.alias("term_sc")).groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum("term_sc").alias("s"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("c"),
+    )
+    chi2 = F.col("s").cast("double") / F.lit(1e9)
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (F.col("n").cast("double")
+                   * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@_register(
+    "x_impute_hierarchical",
+    "hierarchical group-mean imputation with fallback (cell mean -> "
+    "feature mean -> global mean): rows masked deterministically "
+    "(event_id%7==0) get their value imputed from OBSERVED rows only; "
+    "the summary counts which fallback level filled each row — three "
+    "tiny broadcast mean tables against one scan, per-row imputed "
+    "values pinned to scaled BIGINTs for an order-free average "
+    "(north-star)",
+    """
+    WITH base AS (SELECT event_type AS et,
+                         CAST(strftime(ts, '%H') AS INT) AS hr,
+                         value AS v,
+                         event_id % 7 = 0 AS miss
+                  FROM events),
+    l1 AS (SELECT et, hr,
+                  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS m1
+           FROM base WHERE NOT miss GROUP BY 1, 2),
+    l2 AS (SELECT et,
+                  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS m2
+           FROM base WHERE NOT miss GROUP BY 1),
+    l3 AS (SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS m3
+           FROM base WHERE NOT miss),
+    mrows AS (SELECT b.et,
+                     CASE WHEN m1 IS NOT NULL THEN 1
+                          WHEN m2 IS NOT NULL THEN 2
+                          ELSE 3 END AS lvl,
+                     CAST(floor(COALESCE(m1, m2, m3) * 1e6 + 0.5)
+                          AS BIGINT) AS imp_sc
+              FROM base b
+              LEFT JOIN l1 ON l1.et = b.et AND l1.hr = b.hr
+              LEFT JOIN l2 ON l2.et = b.et
+              CROSS JOIN l3
+              WHERE b.miss)
+    SELECT et AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_missing,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cell_fill,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_feature_fill,
+           CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_global_fill,
+           round(CAST(SUM(imp_sc) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS avg_imputed
+    FROM mrows GROUP BY 1
+    """,
+)
+def x_impute_hierarchical(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("et"),
+        F.date_format("ts", "HH").cast("int").alias("hr"),
+        F.col("value").alias("v"),
+        (F.col("event_id") % 7 == 0).alias("miss"),
+    )
+    obs = base.filter(~F.col("miss"))
+    dec = F.col("v").cast("decimal(18,6)")
+    l1 = obs.groupBy("et", "hr").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("m1")
+    )
+    l2 = obs.groupBy("et").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("m2")
+    )
+    l3 = obs.groupBy().agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("m3")
+    )
+    miss = (
+        base.filter(F.col("miss"))
+        .join(F.broadcast(l1), ["et", "hr"], "left")
+        .join(F.broadcast(l2), ["et"], "left")
+        .crossJoin(F.broadcast(l3))
+    )
+    lvl = (
+        F.when(F.col("m1").isNotNull(), 1)
+        .when(F.col("m2").isNotNull(), 2)
+        .otherwise(3)
+    )
+    imp_sc = F.floor(
+        F.coalesce("m1", "m2", "m3") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return (
+        miss.select("et", lvl.alias("lvl"), imp_sc.alias("imp_sc"))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_missing"),
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+            .cast("long").alias("n_cell_fill"),
+            F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+            .cast("long").alias("n_feature_fill"),
+            F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0))
+            .cast("long").alias("n_global_fill"),
+            F.round(
+                F.sum("imp_sc").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e6)),
+                6,
+            ).alias("avg_imputed"),
+        )
+    )

@@ -646,6 +646,12 @@ CASES_R10B = [
      ["NestedLoop", "CartesianProduct"]),
     ("x_assortativity", ["HashAggregate"],
      ["NestedLoop", "CartesianProduct"]),
+    # chi2: joint groupBy + marginal windows, dims broadcast
+    ("x_chi2_independence", ["HashAggregate", "Window"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    # imputation: three tiny broadcast mean tables against one scan
+    ("x_impute_hierarchical", ["BroadcastHashJoin", "HashAggregate"],
+     ["SortMergeJoin", "CartesianProduct"]),
 ]
 
 
