@@ -13941,3 +13941,169 @@ def x_impute_hierarchical(spark, sf_dir):
             ).alias("avg_imputed"),
         )
     )
+
+
+@_register(
+    "x_cate_by_stratum",
+    "conditional (per-stratum) average treatment effects — the "
+    "heterogeneous-effects table behind x_stratified_ate's scalar: "
+    "one conditional groupBy(stratum) pass; one-armed strata surface "
+    "with NULL effect and their arm counts, never silently dropped "
+    "(north-star)",
+    f"""
+    WITH f AS (SELECT c_nationkey AS stratum,
+                      CASE WHEN {_TREATED_SQL} THEN 1 ELSE 0 END AS t,
+                      CAST(o_totalprice AS DECIMAL(18,6)) AS y
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT stratum, COUNT(*) AS n_s, SUM(t) AS nt,
+                 SUM(CASE WHEN t = 1 THEN y END) AS st,
+                 SUM(CASE WHEN t = 0 THEN y END) AS sc
+          FROM f GROUP BY 1)
+    SELECT stratum, CAST(nt AS BIGINT) AS n_treated,
+           CAST(n_s - nt AS BIGINT) AS n_control,
+           CASE WHEN nt > 0 AND nt < n_s THEN
+             round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                   - CAST(sc AS DOUBLE) / CAST(n_s - nt AS DOUBLE), 6)
+           END AS effect
+    FROM g
+    """,
+)
+def x_cate_by_stratum(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    t = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    y = F.col("o_totalprice").cast("decimal(18,6)")
+    g = (
+        od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_s"),
+            F.sum(t).alias("nt"),
+            F.sum(F.when(t == 1, y)).alias("st"),
+            F.sum(F.when(t == 0, y)).alias("sc"),
+        )
+    )
+    two_arm = (F.col("nt") > 0) & (F.col("nt") < F.col("n_s"))
+    eff = F.round(
+        F.col("st").cast("double") / F.col("nt").cast("double")
+        - F.col("sc").cast("double")
+        / (F.col("n_s") - F.col("nt")).cast("double"),
+        6,
+    )
+    return g.select(
+        "stratum",
+        F.col("nt").cast("long").alias("n_treated"),
+        (F.col("n_s") - F.col("nt")).cast("long").alias("n_control"),
+        F.when(two_arm, eff).alias("effect"),
+    )
+
+
+@_register(
+    "x_kaplan_meier_by_segment",
+    "segment-keyed Kaplan-Meier: one survival curve per market "
+    "segment over reorder gaps — the keyed variant needs NO prefix-sum "
+    "machinery because every running quantity is a SEGMENT-partitioned "
+    "window (parallel by key, the house-legal window shape); same "
+    "scaled-BIGINT ln accumulation as the global curve (north-star)",
+    """
+    WITH o AS (SELECT c_mktsegment AS seg, o_custkey AS ck,
+                      CAST(o_orderdate AS DATE) AS d, o_orderkey AS okey
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    mx AS (SELECT MAX(d) AS maxd FROM o),
+    dur AS (SELECT seg,
+                   CASE WHEN nd IS NULL THEN datediff('day', d, maxd)
+                        ELSE datediff('day', d, nd) END AS t,
+                   CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+            FROM (SELECT seg, d, lead(d) OVER
+                    (PARTITION BY ck ORDER BY d, okey) AS nd FROM o), mx),
+    g AS (SELECT seg, t, COUNT(*) AS c, SUM(ev) AS dd
+          FROM dur GROUP BY 1, 2),
+    cum AS (SELECT seg, t, c, dd,
+                   SUM(c) OVER (PARTITION BY seg ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS cc,
+                   SUM(c) OVER (PARTITION BY seg) AS n_tot
+            FROM g),
+    r AS (SELECT seg, t, dd, n_tot - (cc - c) AS n_risk FROM cum),
+    st AS (SELECT seg, t, dd, n_risk,
+                  CAST(CASE WHEN dd = 0 THEN 0
+                            WHEN dd < n_risk THEN
+                              floor(ln(1.0 - CAST(dd AS DOUBLE)
+                                             / CAST(n_risk AS DOUBLE))
+                                    * 1e9 + 0.5)
+                            ELSE 0 END AS BIGINT) AS lnsc,
+                  CASE WHEN dd >= n_risk THEN 1 ELSE 0 END AS zf
+           FROM r),
+    acc AS (SELECT seg, t, dd, n_risk,
+                   SUM(lnsc) OVER (PARTITION BY seg ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS lc,
+                   SUM(zf) OVER (PARTITION BY seg ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS zc
+            FROM st)
+    SELECT seg AS segment, CAST(t AS INT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk, CAST(dd AS BIGINT) AS d_events,
+           round(CASE WHEN zc > 0 THEN 0.0
+                      ELSE exp(CAST(lc AS DOUBLE) / 1e9) END, 6) AS survival
+    FROM acc WHERE dd > 0
+    """,
+)
+def x_kaplan_meier_by_segment(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    wl = Window.partitionBy("ck").orderBy("d", "okey")
+    mx = o.groupBy().agg(F.max("d").alias("maxd"))
+    dur = (
+        o.select("seg", "d", F.lead("d").over(wl).alias("nd"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "seg",
+            F.when(F.col("nd").isNull(), F.datediff("maxd", "d"))
+            .otherwise(F.datediff("nd", "d")).alias("t"),
+            F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    g = dur.groupBy("seg", "t").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("ev").alias("dd")
+    )
+    wseg = Window.partitionBy("seg").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.withColumn("cc", F.sum("c").over(wseg)).withColumn(
+        "n_tot", F.sum("c").over(Window.partitionBy("seg"))
+    )
+    n_risk = F.col("n_tot") - (F.col("cc") - F.col("c"))
+    frac = F.col("dd").cast("double") / n_risk.cast("double")
+    lnsc = (
+        F.when(F.col("dd") == 0, F.lit(0))
+        .when(
+            F.col("dd") < n_risk,
+            F.floor(F.log(F.lit(1.0) - frac) * F.lit(1e9) + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    zf = F.when(F.col("dd") >= n_risk, 1).otherwise(0).cast("long")
+    st = cum.select(
+        "seg", "t", "dd", n_risk.alias("n_risk"),
+        lnsc.alias("lnsc"), zf.alias("zf"),
+    )
+    acc = st.withColumn("lc", F.sum("lnsc").over(wseg)).withColumn(
+        "zc", F.sum("zf").over(wseg)
+    )
+    surv = F.when(F.col("zc") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("lc").cast("double") / F.lit(1e9))
+    )
+    return acc.filter(F.col("dd") > 0).select(
+        F.col("seg").alias("segment"),
+        F.col("t").cast("int").alias("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("dd").cast("long").alias("d_events"),
+        F.round(surv, 6).alias("survival"),
+    )

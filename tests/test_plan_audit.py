@@ -652,6 +652,12 @@ CASES_R10B = [
     # imputation: three tiny broadcast mean tables against one scan
     ("x_impute_hierarchical", ["BroadcastHashJoin", "HashAggregate"],
      ["SortMergeJoin", "CartesianProduct"]),
+    ("x_cate_by_stratum", ["BroadcastHashJoin", "HashAggregate"],
+     ["SortMergeJoin", "NestedLoop", "CartesianProduct"]),
+    # segment-keyed KM: every running quantity is a SEGMENT-partitioned
+    # window — no prefix-sum machinery, no single-task global window
+    ("x_kaplan_meier_by_segment", ["Window"],
+     ["SortMergeJoin", "CartesianProduct"]),
 ]
 
 
