@@ -302,6 +302,38 @@ _DRIVER_VERIFIED_R9 = frozenset(
 _DRIVER_RED_R9 = frozenset()
 
 
+# Green in the round-10 driver window (CORRECTNESS_r10.json): 50 of 50,
+# zero reds — the 41 newly-registered r10 entries confirmed plus
+# w_rank_functions / x_dedup_snm_multipass / x_group_sample /
+# x_key_skew_report / x_pmi_collocations / x_source_overlap /
+# x_table_profile / x_token_entropy / x_text_knn_e2e re-confirmed.
+_DRIVER_VERIFIED_R10 = frozenset(
+    {
+        "a_dau_hourly_zerofill", "f_text_match_cjk", "j_order_wide_full",
+        "j_order_wide_outer", "p_merge_into", "q_detail_snippet",
+        "w_rank_functions", "x_aqp_estimate", "x_assortativity",
+        "x_bfs_hops", "x_cate_by_stratum", "x_chi2_independence",
+        "x_conformal_interval", "x_decayed_engagement",
+        "x_dedup_snm_multipass", "x_degree_powerlaw", "x_did",
+        "x_domain_caps", "x_feature_pit", "x_funnel_windowed",
+        "x_group_sample", "x_impute_hierarchical", "x_ivm_group_agg",
+        "x_kaplan_meier", "x_kaplan_meier_by_segment", "x_key_skew_report",
+        "x_knn_filtered", "x_knn_filtered_recall", "x_label_propagation",
+        "x_labeler_agreement", "x_mutual_info", "x_pmi_collocations",
+        "x_pseudonymize", "x_readability", "x_seasonal_anomaly",
+        "x_seasonal_naive_backtest", "x_session_bounce",
+        "x_significant_terms", "x_source_overlap", "x_stratified_ate",
+        "x_stutter_trim", "x_table_profile", "x_target_encode_oof",
+        "x_text_knn_e2e", "x_time_split_embargo", "x_token_entropy",
+        "x_trend_ols", "x_url_canonical_dedup", "x_weighted_quantiles",
+        "x_woe_iv",
+    }
+)
+
+# No reds in the round-10 driver window.
+_DRIVER_RED_R10 = frozenset()
+
+
 def registry() -> list[QuerySpec]:
     """Driver-window priority: RED beats never-checked beats green.
 
@@ -311,10 +343,15 @@ def registry() -> list[QuerySpec]:
        first, so every entry lands in the driver's 50-slot CORRECTNESS
        window within ceil(N/50) rounds);
     3. confirmed-green cohorts by exposure staleness — r2 (oldest green
-       row), r3, r5, r6, r7, r8, r9 (most recent). A name's LATEST green
-       row decides its cohort (r9 re-greens of r2/r3-cohort entries live
-       in the r9 cohort). The r4 exposure backlog drained in r7 — every
-       registered entry now has a driver-confirmed green row.
+       row), r3, r5, r6, r7, r8, r9, r10 (most recent). A name's LATEST
+       green row decides its cohort (r10 re-greens of earlier-cohort
+       entries live in the r10 cohort). The r4 exposure backlog drained
+       in r7 — every registered entry now has a driver-confirmed green
+       row.
+
+    Round 11 is a rotation round (VERDICT r10 #1): ≤5 new entries, so
+    the driver's 50-slot window lands on the stalest green cohorts
+    (r3/r5-era entries last externally confirmed on pre-r8 testdata).
 
     All entries stay green under the full local driver-replica
     (scripts/check_oracle.py) regardless of order."""
@@ -322,15 +359,20 @@ def registry() -> list[QuerySpec]:
         _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R2 | _DRIVER_WINDOW_R4
         | _DRIVER_VERIFIED_R5 | _DRIVER_RED_R5 | _DRIVER_VERIFIED_R6
         | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
+        | _DRIVER_VERIFIED_R10
     )
     r6n = (
         _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
-        | _DRIVER_VERIFIED_R9
+        | _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10
     )
-    r7n = _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
-    r8n = _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
-    r9n = _DRIVER_VERIFIED_R9
-    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R9]
+    r7n = (
+        _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
+        | _DRIVER_VERIFIED_R10
+    )
+    r8n = _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10
+    r9n = _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10
+    r10n = _DRIVER_VERIFIED_R10
+    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R10]
     never = [q for q in _REGISTRY if q.name not in seen]
     r4 = [q for q in _REGISTRY
           if q.name in _DRIVER_WINDOW_R4 and q.name not in r6n]
@@ -346,8 +388,10 @@ def registry() -> list[QuerySpec]:
           if q.name in _DRIVER_VERIFIED_R7 and q.name not in r8n]
     r8 = [q for q in _REGISTRY
           if q.name in _DRIVER_VERIFIED_R8 and q.name not in r9n]
-    r9 = [q for q in _REGISTRY if q.name in r9n]
-    return red + never + r4 + r2 + r3 + r5 + r6 + r7 + r8 + r9
+    r9 = [q for q in _REGISTRY
+          if q.name in _DRIVER_VERIFIED_R9 and q.name not in r10n]
+    r10 = [q for q in _REGISTRY if q.name in r10n]
+    return red + never + r4 + r2 + r3 + r5 + r6 + r7 + r8 + r9 + r10
 
 
 def _t(spark, sf_dir, name):
