@@ -157,9 +157,14 @@ def woe_iv(
     tg = (F.col("tn") - F.col("tb")).cast("double")
     tb = F.col("tb").cast("double")
     # nullif: an all-good or all-bad corpus zeroes a marginal — WOE is
-    # honestly undefined there (NULL), and ANSI /0 would throw
-    ratio = ((good + F.lit(0.5)) * tb) / F.nullif(
-        (bad + F.lit(0.5)) * tg, F.lit(0.0)
+    # honestly undefined there (NULL), and ANSI /0 would throw. The
+    # zero-NUMERATOR side (tb=0 -> ratio 0) needs the same guard: Spark
+    # ln(0) is NULL but DuckDB raises, so pin both engines to NULL by
+    # nullif-ing the ratio itself.
+    ratio = F.nullif(
+        ((good + F.lit(0.5)) * tb)
+        / F.nullif((bad + F.lit(0.5)) * tg, F.lit(0.0)),
+        F.lit(0.0),
     )
     woe = F.round(F.log(ratio), out_round)
     iv = F.round(
@@ -477,11 +482,14 @@ def stratified_ate(
     adjustment — the closed-form causal baseline that needs no fitted
     propensity model):
 
-        ATE = sum over strata s of (n_s/N) * (mean_t(s) - mean_c(s))
+        ATE = sum over two-armed strata s of
+              (n_s / n_used) * (mean_t(s) - mean_c(s))
 
-    over strata with BOTH arms observed; one-armed strata are dropped
-    from the adjusted estimate and counted in ``n_strata_dropped``
-    (reported, never silently imputed). The naive unadjusted difference
+    where ``n_used`` is the row total of strata with BOTH arms observed
+    — weights renormalize over the strata that actually enter the
+    estimate, so they sum to 1 even when one-armed strata are dropped
+    (dropped strata are counted in ``n_strata_dropped``; reported,
+    never silently imputed). The naive unadjusted difference
     and the implied confounding bias ride the same row — the point of
     the operator is the naive-vs-adjusted gap. Returns ONE row:
     (n, n_strata_used, n_strata_dropped, ate, naive_diff, bias).

@@ -12729,9 +12729,11 @@ def x_target_encode_oof(spark, sf_dir):
     a AS (SELECT bin, COUNT(*) AS n, SUM(b) AS nb FROM f GROUP BY 1),
     t AS (SELECT SUM(n) AS tn, SUM(nb) AS tb FROM a),
     w AS (SELECT bin, n, nb, tn, tb,
-                 round(ln(((CAST(n - nb AS DOUBLE) + 0.5) * CAST(tb AS DOUBLE))
+                 round(ln(NULLIF(
+                          ((CAST(n - nb AS DOUBLE) + 0.5) * CAST(tb AS DOUBLE))
                           / NULLIF((CAST(nb AS DOUBLE) + 0.5)
-                                   * CAST(tn - tb AS DOUBLE), 0.0)), 6) AS woe
+                                   * CAST(tn - tb AS DOUBLE), 0.0), 0.0)), 6)
+                   AS woe
           FROM a, t)
     SELECT bin, CAST(n AS BIGINT) AS n, CAST(nb AS BIGINT) AS n_bad, woe,
            round((CAST(n - nb AS DOUBLE) / NULLIF(CAST(tn - tb AS DOUBLE), 0.0)

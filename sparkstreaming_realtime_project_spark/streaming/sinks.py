@@ -258,8 +258,12 @@ def merge_into(
             if delete_col is not None
             else source
         ).select(*data_cols_src)
+        # duplicate check on the UNFILTERED source — the existing-table
+        # path below checks the full source, and first-batch semantics
+        # must agree (a source carrying both a delete row and an upsert
+        # row for one key must fail on batch 0, not only on batch 1+)
         dupes = (
-            keep.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
+            source.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
         )
         if dupes:
             raise ValueError(
@@ -386,7 +390,22 @@ def merge_stream_writer(
             return
         src = batch_df
         if order_col is not None:
-            w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            # deterministic tiebreak for equal order_col: a payload hash
+            # over the remaining columns (asof_join's equal-timestamp
+            # discipline) — otherwise a crash-replay of the batch can
+            # pick a different winner and break replay idempotency
+            others = [
+                c for c in batch_df.columns
+                if c not in key_cols and c != order_col
+            ]
+            tiebreak = (
+                F.md5(F.to_json(F.struct(*sorted(others))))
+                if others
+                else F.lit("")  # no payload cols -> ties are identical rows
+            )
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(order_col).desc(), tiebreak
+            )
             src = (
                 batch_df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)

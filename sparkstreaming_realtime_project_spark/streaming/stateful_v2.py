@@ -93,6 +93,105 @@ class _FirstSeenProcessor(StatefulProcessor):
         pass
 
 
+class _SessionizeProcessor(StatefulProcessor):
+    """Gap sessionization as an explicit state machine with first-class
+    TIMERS: in-batch gaps close sessions immediately; one registered
+    event-time timer per open session closes it when the watermark
+    passes end + gap. The v1 setTimeoutTimestamp REPLACES the pending
+    timeout; v2 timers ACCUMULATE, so every input batch deletes the
+    key's stale timers before registering the new close time —
+    otherwise an old timer fires early and emits a still-open session."""
+
+    def __init__(self, key_cols: list[str], ts_col: str, gap_ms: int):
+        self._key_cols = key_cols
+        self._ts_col = ts_col
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "session", "start_ms LONG, end_ms LONG, n LONG"
+        )
+
+    def _emit(self, key, rows):
+        cols = self._key_cols + ["start_ms", "end_ms", "n_events"]
+        return iter(
+            (pd.DataFrame([list(key) + list(r) for r in rows], columns=cols),)
+        )
+
+    def handleInputRows(self, key, rows, timerValues: TimerValues):
+        ts = sorted(
+            int(pd.Timestamp(t).value // 1_000_000)
+            for pdf in rows
+            for t in pdf[self._ts_col]
+        )
+        if not ts:
+            return iter(())
+        closed = []
+        if self._sess.exists():
+            start, end, n = self._sess.get()
+        else:
+            start, end, n = ts[0], ts[0], 0
+        for t in ts:
+            if n > 0 and t - end > self._gap_ms:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                start, end, n = min(start, t), max(end, t), n + 1
+        self._sess.update((start, end, n))
+        for old in self._handle.listTimers():
+            self._handle.deleteTimer(old)
+        wm = timerValues.getCurrentWatermarkInMs()
+        self._handle.registerTimer(max(end + self._gap_ms, wm + 1))
+        return self._emit(key, closed) if closed else iter(())
+
+    def handleExpiredTimer(
+        self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ):
+        if not self._sess.exists():
+            return iter(())
+        start, end, n = self._sess.get()
+        self._sess.clear()
+        return self._emit(key, [(start, end, n)])
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_v2(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """``stateful.sessionize`` on transformWithStateInPandas — identical
+    closed-session semantics (in-batch gap closes immediately; watermark
+    passing end + gap closes by timer; open sessions never emitted;
+    state evicted with the emission), with the close-by-time path on an
+    explicit registered timer instead of setTimeoutTimestamp. Output:
+    key cols + (start_ms, end_ms, n_events) epoch millis. ``stream``
+    must carry a watermark on ``ts_col``."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_fields = [stream.schema[k] for k in key_cols]
+    out_schema = StructType(
+        list(key_fields)
+        + [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    return stream.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_SessionizeProcessor(
+            key_cols, ts_col, gap_minutes * 60 * 1000
+        ),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
 def first_seen_per_key_v2(
     stream: DataFrame,
     key_cols: list[str],

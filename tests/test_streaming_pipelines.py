@@ -1621,3 +1621,78 @@ def test_merge_into_bootstrap_edge_cases(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in read_sink(spark, out2).collect()} == {
         ("k2", "b")
     }
+
+
+def test_sessionize_v2_matches_old_api(spark, tmp_path):
+    """stateful_v2.sessionize_v2 must reproduce stateful.sessionize's
+    golden set on the same replay (in-batch gap close, cross-batch
+    merge, timer-driven close, open session never emitted) — the
+    migration-path proof beyond first-seen, now with explicit timers.
+    Skips where the TWS worker's protobuf dependency is absent (this
+    sandbox cannot pip install; the `tws` extra carries it);
+    test_tws_gate_is_truthful records the decision."""
+    from sparkstreaming_realtime_project_spark.streaming.stateful_v2 import (
+        sessionize_v2,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "google.protobuf unavailable — transformWithState worker cannot "
+            "start (install the `tws` extra: pip install '.[tws]')"
+        )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        base = fx.D1_10
+        mn = 60 * 1000
+        mk = lambda u, i, ts: json.dumps({"user": u, "event_id": i, "ts": ts})
+        in_dir = tmp_path / "in"
+        fx._write_batches(str(in_dir), [
+            [mk("A", 1, base), mk("A", 2, base + 10 * mn),
+             mk("A", 3, base + 120 * mn),
+             mk("B", 10, base)],
+            [mk("B", 11, base + 10 * mn), mk("C", 20, base + 600 * mn)],
+            [mk("C", 21, base + 601 * mn)],
+        ])
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        schema = "user string, event_id long, ts long"
+        events = (
+            text_stream(spark, str(in_dir), max_files_per_trigger=1)
+            .select(F.from_json("value", schema).alias("j"))
+            .select(
+                "j.user", "j.event_id",
+                F.timestamp_millis("j.ts").alias("event_ts"),
+            )
+            .withWatermark("event_ts", "3 hours")
+        )
+        sessions = sessionize_v2(events, ["user"], "event_ts", gap_minutes=30)
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda b, i: b.write.mode("overwrite").parquet(f"{out}/batch={i}")
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        got = {
+            (r["user"], r["start_ms"], r["end_ms"], r["n_events"])
+            for r in read_sink(spark, out).collect()
+        }
+        # the same golden set as test_sessionize_gap_sessions_across_batches
+        assert got == {
+            ("A", base, base + 10 * mn, 2),
+            ("A", base + 120 * mn, base + 120 * mn, 1),
+            ("B", base, base + 10 * mn, 2),
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
