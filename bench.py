@@ -17,6 +17,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sparkstreaming_realtime_project_spark.operators.distributed import (
+    release_persisted,
+)
 from sparkstreaming_realtime_project_spark.plans import catalog
 from sparkstreaming_realtime_project_spark.session import get_spark
 
@@ -106,6 +109,7 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
             spark.catalog.clearCache()
         timings[spec.name] = round(sorted(runs)[len(runs) // 2], 3)
+        release_persisted()  # drop prefix_sums handles with the cache
     calib_after = _calib()
 
     total = round(sum(timings.values()), 3)

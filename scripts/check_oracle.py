@@ -14,6 +14,9 @@ import time
 
 sys.path.insert(0, ".")
 
+from sparkstreaming_realtime_project_spark.operators.distributed import (
+    release_persisted,
+)
 from sparkstreaming_realtime_project_spark.plans import catalog
 from sparkstreaming_realtime_project_spark.session import get_spark
 from tests.oracle import compare, duck_connection
@@ -41,8 +44,11 @@ def main() -> None:
         dt = time.time() - t0
         # Several entries return persisted frames (caller-unpersists
         # contract); drop them so cached blocks don't accumulate across
-        # the 90+ entries of a full run.
+        # the 90+ entries of a full run. release_persisted also empties
+        # the prefix_sums handle registry (the handles pin plan objects
+        # even after clearCache).
         spark.catalog.clearCache()
+        release_persisted()
         print(f"{'ok ' if status else 'FAIL'} {spec.name:32s} {dt:6.2f}s {msg if not status else ''}")
         sys.stdout.flush()
         if not status:

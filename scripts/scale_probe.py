@@ -24,6 +24,7 @@ A quadratic operator would show 16x data -> ~256x time; the caps keep it
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -149,6 +150,13 @@ def timed(fn) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = [int(c) for c in sys.argv[2:]] or [1, 4, 16]
+    # SCALE_PROBE_ONLY=minhash,knn runs a subset (the 64x big-point runs
+    # target just the scale-critical families; everything else would
+    # multiply the wall-clock without informing the exponent)
+    only = {
+        t for t in (os.environ.get("SCALE_PROBE_ONLY") or "").split(",") if t
+    }
+    want = lambda name: not only or name in only  # noqa: E731
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     report = []
@@ -172,8 +180,10 @@ def main() -> None:
             row["ngram_pairs"] = p.count()
             p.unpersist()
 
-        row["minhash_s"] = timed(run_minhash)
-        row["ngram_s"] = timed(run_ngram)
+        if want("minhash"):
+            row["minhash_s"] = timed(run_minhash)
+        if want("ngram"):
+            row["ngram_s"] = timed(run_ngram)
 
         # round-7 families: substring dedup (winnow), graph (triangles
         # over the winnow pair graph — disjoint copies keep triangle
@@ -197,28 +207,36 @@ def main() -> None:
             row["kn_docs"] = out.count()
             out.unpersist()
 
-        row["winnow_s"] = timed(run_winnow)
-        row["triangle_s"] = timed(run_triangles)
-        row["kn_bigram_s"] = timed(run_kn)
+        if want("winnow"):
+            row["winnow_s"] = timed(run_winnow)
+            if want("triangle"):
+                row["triangle_s"] = timed(run_triangles)
+            else:
+                wp["pairs"].unpersist()
+        if want("kn_bigram"):
+            row["kn_bigram_s"] = timed(run_kn)
 
-        emb = scaled_embeddings(spark, sf_dir, k).persist()
-        row["n_vecs"] = emb.count()
-        queries = emb.filter(F.col("vec_id") < 10)
+        if want("knn"):
+            emb = scaled_embeddings(spark, sf_dir, k).persist()
+            row["n_vecs"] = emb.count()
+            queries = emb.filter(F.col("vec_id") < 10)
 
-        def run_knn():
-            out = sim.knn_bucketed(emb, queries, k=5)
-            row["knn_rows"] = out.count()
+            def run_knn():
+                out = sim.knn_bucketed(emb, queries, k=5)
+                row["knn_rows"] = out.count()
 
-        row["knn_bucketed_s"] = timed(run_knn)
+            row["knn_bucketed_s"] = timed(run_knn)
+            emb.unpersist()
         docs.unpersist()
-        emb.unpersist()
 
         # round-9 analytics family: stickiness explode-cover distinct
         # windows (x28 fanout + count_distinct shuffle — the only
         # data-sized explode in the family), new-vs-returning's
         # user-keyed join-back, churn's keyed aggregates
-        ev = scaled_events(spark, sf_dir, k).persist()
-        row["n_events"] = ev.count()
+        ev = None
+        if want("stickiness") or want("new_vs_returning"):
+            ev = scaled_events(spark, sf_dir, k).persist()
+            row["n_events"] = ev.count()
 
         def run_stickiness():
             a = ev.select(
@@ -255,12 +273,18 @@ def main() -> None:
                 j.groupBy("dt").agg(F.sum("is_new")).count()
             )
 
-        row["stickiness_s"] = timed(run_stickiness)
-        row["new_vs_returning_s"] = timed(run_new_ret)
-        ev.unpersist()
+        if want("stickiness"):
+            row["stickiness_s"] = timed(run_stickiness)
+        if want("new_vs_returning"):
+            row["new_vs_returning_s"] = timed(run_new_ret)
+        if ev is not None:
+            ev.unpersist()
 
-        ords = scaled_orders(spark, sf_dir, k).persist()
-        row["n_orders"] = ords.count()
+        ords = None
+        if any(want(t) for t in ("churn", "kaplan_meier", "target_encode",
+                                 "conformal")):
+            ords = scaled_orders(spark, sf_dir, k).persist()
+            row["n_orders"] = ords.count()
 
         def run_churn():
             o = ords.select(
@@ -281,7 +305,8 @@ def main() -> None:
                 c.groupBy((F.col("gap") > 90).cast("int")).count().count()
             )
 
-        row["churn_s"] = timed(run_churn)
+        if want("churn"):
+            row["churn_s"] = timed(run_churn)
 
         def run_km():
             # K x customers, same calendar: gaps per customer via one
@@ -328,10 +353,14 @@ def main() -> None:
                 fact, "key", "fold", "y"
             ).count()
 
-        row["kaplan_meier_s"] = timed(run_km)
-        row["target_encode_s"] = timed(run_te)
-        row["conformal_s"] = timed(run_conformal)
-        ords.unpersist()
+        if want("kaplan_meier"):
+            row["kaplan_meier_s"] = timed(run_km)
+        if want("target_encode"):
+            row["target_encode_s"] = timed(run_te)
+        if want("conformal"):
+            row["conformal_s"] = timed(run_conformal)
+        if ords is not None:
+            ords.unpersist()
         spark.catalog.clearCache()
         report.append(row)
         print(json.dumps(row))

@@ -166,6 +166,12 @@ def main(argv: list[str] | None = None) -> None:
             print(f"wrote {args.out}")
         else:
             df.show(args.limit, truncate=False)
+        # release the prefix_sums handle registry after the consuming
+        # action — the discipline callers looping entries must follow
+        # (one-shot here, but the CLI is the copy-paste template)
+        from .operators.distributed import release_persisted
+
+        release_persisted()
         return
 
     spark = get_spark(app_name=f"app-{args.app}")
