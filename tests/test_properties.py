@@ -786,3 +786,66 @@ def test_mutual_information_symmetric_and_nonnegative(spark, rows):
     # and bounded by each entropy (information can't exceed the source)
     if a.h_x is not None and a.h_y is not None:
         assert a.mi <= min(a.h_x, a.h_y) + 1e-6
+
+
+def _py_maximal_common_spans(docs: dict, k: int, min_len: int):
+    """Independent reference for suffix_span_pairs: for every doc pair,
+    every maximal run of equal tokens a[i+t] == b[j+t] (t = 0..L-1) on
+    a diagonal, L >= min_len AND containing at least one full k-window
+    (L >= k). Brute-force O(n_a * n_b) diagonal walk — a deliberately
+    different mechanism than the engine's gram join."""
+    out = set()
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = docs[ids[x]], docs[ids[y]]
+            # walk each diagonal once: offsets j - i
+            for diag in range(-(len(a) - 1), len(b)):
+                i = max(0, -diag)
+                j = i + diag
+                run = 0
+                while i <= len(a) and j <= len(b):
+                    if i < len(a) and j < len(b) and a[i] == b[j]:
+                        run += 1
+                    else:
+                        if run >= max(min_len, k):
+                            out.add(
+                                (ids[x], ids[y],
+                                 i - run + 1, i,            # a 1-based incl
+                                 j - run + 1, j, run)
+                            )
+                        run = 0
+                    i += 1
+                    j += 1
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=40)
+        .map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_suffix_span_pairs_equal_diagonal_walk(spark, texts):
+    """suffix_span_pairs (uncapped) must equal the brute-force diagonal
+    walk exactly: same pairs, same 1-based inclusive positions, same
+    lengths. The 3-letter alphabet forces dense accidental repeats —
+    the hard case for run merging (overlapping diagonals, within-pair
+    multiple spans)."""
+    k, min_len = 3, 4
+    docs = {i: _py_tokens(t) for i, t in enumerate(texts)}
+    want = _py_maximal_common_spans(docs, k=k, min_len=min_len)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dd.suffix_span_pairs(
+        df, "text", "doc_id", k=k, min_len=min_len, max_df=None
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.a_end, r.b_start, r.b_end, r.span_len)
+        for r in out.collect()
+    }
+    assert got == want
