@@ -1623,6 +1623,45 @@ def test_merge_into_bootstrap_edge_cases(spark, tmp_path):
     }
 
 
+def test_merge_stream_writer_tiebreak_deterministic(spark, tmp_path):
+    """ADVICE r10: two CDC rows for one key with EQUAL order_col must
+    pick a DETERMINISTIC winner (payload-hash tiebreak) so a crash
+    replay of the batch commits the same row — the writer is run twice
+    on the same batch with opposite input row orders and must commit
+    identical tables both times."""
+    from sparkstreaming_realtime_project_spark.streaming.sinks import (
+        merge_stream_writer,
+        read_sink,
+    )
+
+    rows = [("k1", 5, "payload_a"), ("k1", 5, "payload_z"), ("k2", 1, "x")]
+    schema = "k string, ver int, v string"
+    winners = []
+    for order in (rows, rows[::-1]):
+        out = str(tmp_path / f"t_{len(winners)}")
+        batch = spark.createDataFrame(order, schema).repartition(4)
+        merge_stream_writer(out, ["k"], order_col="ver")(batch, 0)
+        winners.append(
+            {(r["k"], r["ver"], r["v"]) for r in read_sink(spark, out).collect()}
+        )
+    assert winners[0] == winners[1]
+    assert len(winners[0]) == 2  # one row per key
+
+
+def test_merge_into_bootstrap_rejects_ambiguous_source(spark, tmp_path):
+    """ADVICE r10: a first batch carrying BOTH a delete row and an
+    upsert row for one key must fail loud on batch 0 exactly as it
+    would on batch 1+ (the dup check runs on the unfiltered source in
+    the bootstrap path too)."""
+    out = str(tmp_path / "t")
+    src = spark.createDataFrame(
+        [("k1", None, True), ("k1", "a", False)],
+        "k string, v string, is_del boolean",
+    )
+    with pytest.raises(ValueError, match="duplicate source key"):
+        merge_into(spark, out, src, ["k"], delete_col="is_del")
+
+
 def test_sessionize_v2_matches_old_api(spark, tmp_path):
     """stateful_v2.sessionize_v2 must reproduce stateful.sessionize's
     golden set on the same replay (in-batch gap close, cross-batch
