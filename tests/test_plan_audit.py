@@ -710,3 +710,39 @@ def test_plan_default_no_cartesian(spark, sf_dir, name):
         f"{name}: CartesianProduct in plan"
     )
     spark.catalog.clearCache()
+
+
+def test_suffix_span_pairs_plan(spark, sf_dir):
+    """Round-11 suffix dedup contracts (un-materialized plan — the
+    catalog path persists the gram cut, which would hide the shape):
+    the df-cap + diagonal merge must be a gram-keyed equi-join plus a
+    fine-grained (pair, diag)-partitioned window — never a nested-loop
+    or cartesian pair blow-up, and no single-task global window."""
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd
+    from sparkstreaming_realtime_project_spark.sources.batch import load_table
+
+    df = dd.suffix_span_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        k=8, min_len=16, max_df=64, materialize=False,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the run-merge window partitions by (doc_a, doc_b, diag) — a
+    # global orderBy-only window would collapse to one task
+    import re
+
+    assert re.search(
+        r"windowspecdefinition\(doc_a#\d+L?, doc_b#\d+L?, diag#\d+", plan
+    ), "run-merge window is not (doc_a, doc_b, diag)-partitioned"
+
+
+def test_detail_keyset_plan(spark, sf_dir):
+    """Keyset page: top-k via TakeOrderedAndProject (never a global
+    sort of the match set), cursor attached as a 1-row broadcast NLJ
+    (the declared pattern), no cartesian."""
+    df = _REG["q_detail_keyset"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
