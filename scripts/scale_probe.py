@@ -161,9 +161,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     report = []
     for k in copies:
-        docs = scaled_documents(spark, sf_dir, k).persist()
-        n_docs = docs.count()
-        row = {"copies": k, "n_docs": n_docs}
+        row = {"copies": k}
+        docs = None
+        if any(want(t) for t in ("minhash", "ngram", "winnow", "triangle",
+                                 "kn_bigram")):
+            docs = scaled_documents(spark, sf_dir, k).persist()
+            row["n_docs"] = docs.count()
 
         def run_minhash():
             p = dd.minhash_dedup_pairs(
@@ -207,8 +210,13 @@ def main() -> None:
             row["kn_docs"] = out.count()
             out.unpersist()
 
-        if want("winnow"):
-            row["winnow_s"] = timed(run_winnow)
+        # triangle consumes winnow's pair graph: selecting it
+        # auto-runs the winnow stage (its timing is recorded only when
+        # winnow itself was selected)
+        if want("winnow") or want("triangle"):
+            t_winnow = timed(run_winnow)
+            if want("winnow"):
+                row["winnow_s"] = t_winnow
             if want("triangle"):
                 row["triangle_s"] = timed(run_triangles)
             else:
@@ -227,7 +235,8 @@ def main() -> None:
 
             row["knn_bucketed_s"] = timed(run_knn)
             emb.unpersist()
-        docs.unpersist()
+        if docs is not None:
+            docs.unpersist()
 
         # round-9 analytics family: stickiness explode-cover distinct
         # windows (x28 fanout + count_distinct shuffle — the only

@@ -75,8 +75,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _param(self, qs: dict, name: str, default=None):
+        # an empty VALUE means "param not supplied": optional params
+        # keep their default (?pageSize= must not 400 on int('')),
+        # required ones 400 — presence-vs-value distinctions (the
+        # keyset-mode switch) test `name in qs` directly
         vals = qs.get(name)
-        if not vals or (vals[0] == "" and default is None):
+        if not vals or vals[0] == "":
             if default is not None:
                 return default
             raise KeyError(name)
@@ -107,6 +111,13 @@ class _Handler(BaseHTTPRequestHandler):
                 if "afterTime" in qs or "afterId" in qs:
                     after_time = self._param(qs, "afterTime", "")
                     after_id = self._param(qs, "afterId", "")
+                    # a half cursor would silently re-serve page 1
+                    # forever — fail loud instead
+                    if bool(after_time) != bool(after_id):
+                        raise ValueError(
+                            "afterTime and afterId must be provided "
+                            "together (or both left empty for page 1)"
+                        )
                     out = detail_by_item_keyset_json(
                         self.wide_provider(),
                         self._param(qs, "date"),

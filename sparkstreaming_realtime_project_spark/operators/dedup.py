@@ -31,6 +31,21 @@ from pyspark.sql.window import Window
 _HEX = "0123456789abcdef"
 
 
+def _parse_bytes(raw: str, default: int) -> int:
+    """Spark byte-string conf (plain number or k/m/g/t/p with optional
+    trailing b) -> bytes; malformed values fall back to ``default``
+    rather than crashing an operator over a conf typo."""
+    s = raw.strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+            "t": 1 << 40, "p": 1 << 50}.get(s[-1:], 1)
+    if mult != 1:
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
+
+
 def tokens_expr(text_col: str | Column) -> Column:
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
@@ -53,28 +68,47 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
     Partition count is ESTIMATED from driver-side file metadata
     (inputFiles + on-disk sizes vs files.maxPartitionBytes), never via
     ``df.rdd`` — touching .rdd on a batch frame materializes the RDD
-    lineage (plans the query) just to read a number. Non-file sources
-    (in-memory test frames) report no files and are treated as
-    single-partition, i.e. spread."""
+    lineage (plans the query) just to read a number. The estimate is
+    min(per-file split count, openCost-padded packed-bytes count): the
+    first bounds splittable big files, the second catches Spark's
+    small-file bin-packing (64 tiny files land in ~2 scan partitions,
+    not 64). Non-file schemes (s3://, hdfs://) can't be stat'ed from
+    here and count one split each — a remote many-small-files corpus
+    may skip a useful spread, and a remote few-big-files corpus pays
+    one avoidable shuffle; both are safe, neither is wrong. In-memory
+    frames report no files and are treated as single-partition, i.e.
+    spread."""
     import os
 
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    est = len(files)
-    if est:
-        raw = spark.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728"
-        ).lower().removesuffix("b")
-        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1:], 1)
-        max_bytes = int(raw.rstrip("kmg") or "134217728") * mult
+    if files:
+        max_bytes = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+            134217728,
+        )
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304"),
+            4194304,
+        )
+        splits, packed = 0, 0
         for f in files:
+            sz = None
             if f.startswith("file:"):
                 try:
                     sz = os.path.getsize(f.removeprefix("file:"))
-                    est += max(0, (sz - 1) // max_bytes)
                 except OSError:
                     pass
+            if sz is None:  # remote/unreadable: one split, one full pack
+                splits += 1
+                packed += max_bytes
+            else:
+                splits += 1 + max(0, (sz - 1) // max_bytes)
+                packed += sz + open_cost
+        est = min(splits, -(-packed // max_bytes))
+    else:
+        est = 0
     if est >= target:
         return df
     return df.repartition(target, F.col(key_col))
@@ -1601,7 +1635,9 @@ def suffix_span_recall(
         .crossJoin(
             F.broadcast(
                 truth.agg(
-                    F.sum("span_len").cast("bigint").alias("truth_token_mass")
+                    F.coalesce(F.sum("span_len"), F.lit(0))
+                    .cast("bigint")
+                    .alias("truth_token_mass")
                 )
             )
         )
@@ -1617,9 +1653,15 @@ def suffix_span_recall(
         .select(
             "n_truth_pairs",
             "n_found_pairs",
+            # nullif denominators: a corpus with NO true pairs makes
+            # recall honestly undefined (NULL) identically in both
+            # engines, instead of NaN-vs-error divergence (the woe_iv
+            # zero-marginal discipline)
             (
                 F.floor(
-                    F.col("n_found_pairs") / F.col("n_truth_pairs") * F.lit(1e4)
+                    F.col("n_found_pairs")
+                    / F.nullif(F.col("n_truth_pairs"), F.lit(0))
+                    * F.lit(1e4)
                     + F.lit(0.5)
                 )
                 / F.lit(1e4)
@@ -1628,7 +1670,8 @@ def suffix_span_recall(
             "found_token_mass",
             (
                 F.floor(
-                    F.col("found_token_mass") / F.col("truth_token_mass")
+                    F.col("found_token_mass")
+                    / F.nullif(F.col("truth_token_mass"), F.lit(0))
                     * F.lit(1e4)
                     + F.lit(0.5)
                 )

@@ -14252,13 +14252,15 @@ def x_suffix_span_pairs(spark, sf_dir):
     SELECT (SELECT count(*) FROM tp) AS n_truth_pairs,
            (SELECT count(*) FROM hit) AS n_found_pairs,
            floor((SELECT count(*) FROM hit) * 1.0
-                 / (SELECT count(*) FROM tp) * 1e4 + 0.5) / 1e4 AS pair_recall,
+                 / NULLIF((SELECT count(*) FROM tp), 0) * 1e4 + 0.5) / 1e4
+             AS pair_recall,
            (SELECT CAST(coalesce(sum(span_len), 0) AS BIGINT) FROM sp_grams)
              AS truth_token_mass,
            (SELECT CAST(coalesce(sum(span_len), 0) AS BIGINT) FROM sp_anch_grams)
              AS found_token_mass,
-           floor((SELECT sum(span_len) FROM sp_anch_grams) * 1.0
-                 / (SELECT sum(span_len) FROM sp_grams) * 1e4 + 0.5) / 1e4
+           floor((SELECT coalesce(sum(span_len), 0) FROM sp_anch_grams) * 1.0
+                 / NULLIF((SELECT coalesce(sum(span_len), 0) FROM sp_grams), 0)
+                 * 1e4 + 0.5) / 1e4
              AS mass_recall
     """,
 )

@@ -87,10 +87,17 @@ def detail_by_item_keyset_json(
     ES's `track_total_hits=false` deep-scroll idiom."""
     after = None
     if after_time is not None and after_id is not None:
+        # the publisher surface pages the order-wide table, whose
+        # detail_id is numeric — a non-numeric cursor must 400 at the
+        # HTTP layer (ValueError), not reach the plan as a string
+        # compared against a bigint column (ANSI runtime cast error the
+        # handler can't map to a client fault)
         try:
             after = (after_time, int(after_id))
         except ValueError:
-            after = (after_time, after_id)
+            raise ValueError(
+                f"afterId must be an integer detail_id, got {after_id!r}"
+            ) from None
     page_df = detail_by_item_keyset(
         wide, date, item_name, after=after, page_size=page_size
     )

@@ -2581,3 +2581,19 @@ def test_detail_keyset_equals_offset(spark):
             cursor = (p[-1].create_time, p[-1].detail_id)
     assert pages_offset == pages_keyset
     assert len(pages_keyset[0]) == 5 and len(pages_keyset[2]) == 2
+
+
+def test_suffix_span_recall_degenerate_no_truth(spark):
+    """A corpus with NO shared spans: recall is honestly undefined —
+    NULL on both axes, masses 0, never NaN or a division error (the
+    engine/oracle symmetry the woe_iv zero-marginal fix established)."""
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd2
+
+    rows = [(1, "a1 a2 a3 a4 a5 a6 a7 a8 a9"), (2, "b1 b2 b3 b4 b5 b6 b7 b8 b9")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd2.suffix_span_recall(df, "text", "doc_id", k=8, min_len=8, max_df=64)
+    r = out.collect()[0]
+    out.unpersist()
+    assert r.n_truth_pairs == 0 and r.n_found_pairs == 0
+    assert r.truth_token_mass == 0 and r.found_token_mass == 0
+    assert r.pair_recall is None and r.mass_recall is None

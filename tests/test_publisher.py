@@ -296,3 +296,29 @@ def test_http_detail_keyset_walk(http_base):
         f"&afterTime={quote(p2['last']['create_time'])}&afterId=1&pageSize=2"
     )
     assert p3 == {"detail": [], "last": None}
+
+
+def test_http_detail_keyset_error_contracts(http_base):
+    """Half cursors and non-numeric afterId are CLIENT faults: 400 with
+    a JSON error body, never a dead handler thread; empty optional
+    params keep their defaults instead of failing int('')."""
+    from urllib.parse import quote
+
+    q = quote("小米")
+    at = quote("2024-01-02 11:00:00")
+    # half cursor (afterTime without afterId)
+    status, out = _get(
+        f"{http_base}/detailByItem?date=2024-01-02&itemName={q}&afterTime={at}"
+    )
+    assert status == 400 and "together" in out["error"]
+    # non-numeric afterId against the numeric detail_id column
+    status, out = _get(
+        f"{http_base}/detailByItem?date=2024-01-02&itemName={q}"
+        f"&afterTime={at}&afterId=abc"
+    )
+    assert status == 400 and "afterId" in out["error"]
+    # empty optional param falls back to its default (offset mode)
+    status, out = _get(
+        f"{http_base}/detailByItem?date=2024-01-02&itemName={q}&pageSize="
+    )
+    assert status == 200 and out["total"] == 3
