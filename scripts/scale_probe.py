@@ -163,8 +163,8 @@ def main() -> None:
     for k in copies:
         row = {"copies": k}
         docs = None
-        if any(want(t) for t in ("minhash", "ngram", "winnow", "triangle",
-                                 "kn_bigram")):
+        if any(want(t) for t in ("minhash", "ngram", "suffix", "winnow",
+                                 "triangle", "kn_bigram")):
             docs = scaled_documents(spark, sf_dir, k).persist()
             row["n_docs"] = docs.count()
 
@@ -183,10 +183,20 @@ def main() -> None:
             row["ngram_pairs"] = p.count()
             p.unpersist()
 
+        def run_suffix():
+            p = dd.suffix_span_pairs(
+                docs, "text", "doc_id", k=8, min_len=16, max_df=64,
+                materialize=True,
+            )
+            row["suffix_spans"] = p.count()
+            p.unpersist()
+
         if want("minhash"):
             row["minhash_s"] = timed(run_minhash)
         if want("ngram"):
             row["ngram_s"] = timed(run_ngram)
+        if want("suffix"):
+            row["suffix_s"] = timed(run_suffix)
 
         # round-7 families: substring dedup (winnow), graph (triangles
         # over the winnow pair graph — disjoint copies keep triangle
