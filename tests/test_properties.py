@@ -849,3 +849,31 @@ def test_suffix_span_pairs_equal_diagonal_walk(spark, texts):
         for r in out.collect()
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10)
+        .map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=4, deadline=None)
+def test_bpe_train_distributed_property(spark, texts):
+    """The distributed trainer must equal the single-node reference on
+    GENERATED corpora too — small alphabets force dense count ties, the
+    hard case for the (count DESC, pair ASC) argmax, and overlapping
+    runs ('a a a') exercise the greedy-left recount."""
+    from sparkstreaming_realtime_project_spark.functions import bpe
+
+    docs = [_py_tokens(t) for t in texts]
+    ref = bpe.train_merges(docs, n_merges=4)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, t array<string>"
+    )
+    got = sorted(
+        bpe.train_merges_distributed(df, "t", n_merges=4).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    assert [(r.merge_left, r.merge_right) for r in got] == ref

@@ -322,3 +322,32 @@ def test_http_detail_keyset_error_contracts(http_base):
         f"{http_base}/detailByItem?date=2024-01-02&itemName={q}&pageSize="
     )
     assert status == 200 and out["total"] == 3
+
+
+def test_keyset_full_walk_reconstructs_total_order(wide_table, spark):
+    """Walking keyset pages to exhaustion must reproduce EXACTLY the
+    full (create_time DESC, detail_id ASC) match sequence — no row
+    duplicated, none skipped — including across tied create_times."""
+    from sparkstreaming_realtime_project_spark.plans.serving import (
+        detail_by_item_keyset,
+    )
+    from pyspark.sql import functions as F
+
+    full = [
+        (r.create_time, r.detail_id)
+        for r in wide_table.filter(
+            (F.col("dt") == "2024-01-02") & F.col("sku_name").contains("小米")
+        )
+        .orderBy(F.col("create_time").desc(), "detail_id")
+        .collect()
+    ]
+    walked, cursor = [], None
+    for _ in range(10):  # bounded: 3 matches / page_size 1 -> 3 pages
+        rows = detail_by_item_keyset(
+            wide_table, "2024-01-02", "小米", after=cursor, page_size=1
+        ).collect()
+        if not rows:
+            break
+        walked.extend((r.create_time, r.detail_id) for r in rows)
+        cursor = (rows[-1].create_time, rows[-1].detail_id)
+    assert walked == full and len(walked) == 3
