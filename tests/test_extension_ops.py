@@ -2597,3 +2597,38 @@ def test_suffix_span_recall_degenerate_no_truth(spark):
     assert r.n_truth_pairs == 0 and r.n_found_pairs == 0
     assert r.truth_token_mass == 0 and r.found_token_mass == 0
     assert r.pair_recall is None and r.mass_recall is None
+
+
+def test_spread_estimate_small_files_and_conf_parse(spark, tmp_path):
+    """spread()'s driver-side partition estimate: (a) many tiny files
+    must still spread (Spark bin-packs them into ~2 scan partitions —
+    the raw file count lied); (b) one small file spreads; (c) Spark
+    byte-string confs parse with any unit suffix and malformed values
+    fall back instead of crashing the caller."""
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        _parse_bytes,
+        spread,
+    )
+
+    # (c) conf parsing
+    assert _parse_bytes("134217728", 1) == 134217728
+    assert _parse_bytes("134217728b", 1) == 134217728
+    assert _parse_bytes("128m", 1) == 128 << 20
+    assert _parse_bytes("1g", 1) == 1 << 30
+    assert _parse_bytes("1t", 1) == 1 << 40
+    assert _parse_bytes("garbage", 42) == 42
+
+    target = spark.sparkContext.defaultParallelism
+    # (a) 40 tiny one-row files: openCost padding packs them into ~2
+    # scan partitions, so spread must repartition to target
+    many = str(tmp_path / "many")
+    spark.range(40).repartition(40).write.parquet(many)
+    df = spark.read.parquet(many)
+    out = spread(df, "id")
+    assert "REPARTITION_BY_COL" in out._jdf.queryExecution().logical().toString() or \
+        out._jdf.queryExecution().executedPlan().toString().count("Exchange") >= 1
+    # (b) a single small file spreads too
+    one = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(one)
+    out1 = spread(spark.read.parquet(one), "id")
+    assert "Exchange" in out1._jdf.queryExecution().executedPlan().toString()
