@@ -2632,3 +2632,35 @@ def test_spread_estimate_small_files_and_conf_parse(spark, tmp_path):
     spark.range(100).coalesce(1).write.parquet(one)
     out1 = spread(spark.read.parquet(one), "id")
     assert "Exchange" in out1._jdf.queryExecution().executedPlan().toString()
+
+
+def test_suffix_recall_hot_boilerplate_cap_binds(spark):
+    """The anchor df-cap under the regime it exists for: 30 docs share
+    one boilerplate sentence (its anchors have df=30), and exactly one
+    doc pair additionally shares a UNIQUE long span. At cap 8 the
+    boilerplate anchors are dropped — the C(30,2) boilerplate-only
+    pairs are lost (that is the cap's measured cost) — while the
+    unique-span pair survives. The sf0.01 catalog entry reads 1.0
+    because that corpus has no hot anchors; this is the other half of
+    the instrument's range."""
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd2
+
+    boiler = " ".join(f"bp{i}" for i in range(16))
+    unique = " ".join(f"u{i}" for i in range(20))
+    rows = [(i, f"doc{i}head {boiler} doc{i}tail") for i in range(30)]
+    rows[3] = (3, f"doc3head {boiler} {unique}")
+    rows[7] = (7, f"{unique} doc7mid {boiler} doc7tail")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd2.suffix_span_recall(df, "text", "doc_id", k=8, min_len=16, max_df=8)
+    r = out.collect()[0]
+    out.unpersist()
+    assert r.n_truth_pairs == 30 * 29 // 2  # every pair shares the boilerplate
+    assert r.n_found_pairs == 1             # only the unique-span pair survives
+    assert 0 < r.pair_recall < 0.01
+    # and the surviving pair's span is the unique one, exactly
+    found = dd2.suffix_span_pairs(
+        df, "text", "doc_id", k=8, min_len=16, max_df=8, materialize=True
+    )
+    got = {(p.doc_a, p.doc_b, p.span_len) for p in found.collect()}
+    found.unpersist()
+    assert got == {(3, 7, 20)}
