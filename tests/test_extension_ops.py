@@ -2664,3 +2664,22 @@ def test_suffix_recall_hot_boilerplate_cap_binds(spark):
     got = {(p.doc_a, p.doc_b, p.span_len) for p in found.collect()}
     found.unpersist()
     assert got == {(3, 7, 20)}
+
+
+def test_bpe_train_distributed_early_stop(spark):
+    """A corpus that exhausts its pairs before n_merges: both trainers
+    stop at the same round with the same merges (the distributed
+    version's empty-argmax break mirrors the reference's empty-counts
+    break), instead of erroring on the emptied state."""
+    from sparkstreaming_realtime_project_spark.functions import bpe
+
+    docs = [["a", "b"], ["a", "b"], ["c"]]
+    ref = bpe.train_merges(docs, n_merges=5)
+    assert ref == [("a", "b")]  # round 2 has no pairs left
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, t array<string>"
+    )
+    got = bpe.train_merges_distributed(df, "t", n_merges=5).collect()
+    assert [(r.merge_left, r.merge_right, r.pair_count) for r in got] == [
+        ("a", "b", 2)
+    ]
