@@ -1511,8 +1511,18 @@ def suffix_span_pairs(
     3. one shuffle keyed on anchor gram: self-join, doc_a < doc_b,
        emitting (doc_a, doc_b, pa, pb, diag = pa - pb) — fan-out
        bounded by max_df^2 per gram;
-    4. per-(pair, diag) gaps-and-islands: consecutive pa merge into
-       maximal runs; span_len = run + k - 1, keep >= ``min_len``.
+    4. per-(pair, diag) gaps-and-islands with a gap threshold of k —
+       the BIDIRECTIONAL-EXTENSION healing, and it is exact both ways:
+       two surviving anchors at pa and pa' <= pa + k have token
+       windows that touch/overlap, so their union is contiguous and
+       every position in it lies inside one of the two matching
+       windows — a common substring by construction (no token
+       re-verification needed). Uncapped this is a no-op (inside a
+       true common substring every intermediate anchor exists and
+       matches, and across a mismatch of m >= 1 tokens the surviving
+       anchors sit m + k apart — never merged); under a df-cap it
+       heals the run splits hot dropped anchors would otherwise cause.
+       span_len = max(pa) - min(pa) + k, the true token length.
 
     At 100 TB the anchor explode is the dominant, linear cost; the join
     shuffles only anchor hashes; each window partition is one (doc
@@ -1567,7 +1577,7 @@ def suffix_span_pairs(
         .withColumn(
             "new_run",
             F.when(
-                F.col("prev").isNull() | (F.col("pa") > F.col("prev") + 1), 1
+                F.col("prev").isNull() | (F.col("pa") > F.col("prev") + k), 1
             ).otherwise(0),
         )
         .withColumn(

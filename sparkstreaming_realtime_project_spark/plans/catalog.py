@@ -14185,7 +14185,7 @@ def _suffix_spans_sql(k: int, min_len: int, max_df: int | None,
                  a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
           FROM {src} a JOIN {src} b ON a.g = b.g AND a.doc_id < b.doc_id),
     i_{src} AS (SELECT doc_a, doc_b, diag, pa, pb,
-                 CASE WHEN lag(pa) OVER w IS NULL OR pa > lag(pa) OVER w + 1
+                 CASE WHEN lag(pa) OVER w IS NULL OR pa > lag(pa) OVER w + {k}
                       THEN 1 ELSE 0 END AS nr
           FROM m_{src} WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)),
     r_{src} AS (SELECT *, sum(nr) OVER (PARTITION BY doc_a, doc_b, diag

@@ -2683,3 +2683,30 @@ def test_bpe_train_distributed_early_stop(spark):
     assert [(r.merge_left, r.merge_right, r.pair_count) for r in got] == [
         ("a", "b", 2)
     ]
+
+
+def test_suffix_span_cap_healing_bridges_hot_interior(spark):
+    """Bidirectional-extension healing: a pair shares A(11) H(14) B(11)
+    where H also appears in 20 filler docs — H's 7 interior anchors go
+    over the df-cap and are dropped, but the surviving boundary anchors
+    (whose windows carry pair-unique A/B context) sit exactly k apart,
+    so the k-gap island merge returns ONE 36-token span. A strict
+    +1-gap merge would have fragmented it into two 18-token spans."""
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd2
+
+    A = " ".join(f"a{i}" for i in range(11))
+    H = " ".join(f"h{i}" for i in range(14))
+    B = " ".join(f"b{i}" for i in range(11))
+    rows = [(1, f"x1 {A} {H} {B} y1"), (2, f"z1 z2 {A} {H} {B} w1")]
+    rows += [(10 + j, f"f{j}_1 {H} f{j}_2") for j in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd2.suffix_span_pairs(
+        df, "text", "doc_id", k=8, min_len=16, max_df=8, materialize=True
+    )
+    got = [
+        (r.doc_a, r.doc_b, r.span_len)
+        for r in out.collect()
+        if r.doc_a == 1 and r.doc_b == 2
+    ]
+    out.unpersist()
+    assert got == [(1, 2, 36)]
