@@ -1606,6 +1606,76 @@ def suffix_span_pairs(
     return out
 
 
+def suffix_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_len: int = 16,
+    max_df: int | None = 64,
+    materialize: bool = False,
+) -> DataFrame:
+    """One-copy-survives REMOVAL at suffix-span precision — the apply
+    step of `suffix_span_pairs`, the Lee et al. 2021 policy on
+    variable-length spans (scrub_repeated_spans applies it per k-window
+    with a single global owner; here ownership is per shared span, and
+    only spans >= ``min_len`` are scrubbed, so short accidental overlaps
+    survive):
+
+    5. ownership: for every pair span (doc_a < doc_b), the LOWER doc id
+       keeps its copy — positions [b_start, b_end] are removable in
+       doc_b only (a doc can keep one span as the a-side and lose
+       another as the b-side in the same text);
+    6. coverage: removable intervals per doc merge through one
+       sequence-explode (output-sized, spans are already maximal);
+    7. rebuild: covered-position lists join back onto the token arrays
+       (only the small position lists shuffle, never the text), one
+       indexed filter drops covered slots.
+
+    Output (doc_id, clean_text, n_tokens, n_removed) — same contract as
+    scrub_repeated_spans; clean_text is the normalized token stream.
+    Registered as a catalog entry next round (round 11 froze catalog
+    growth for the driver-window rotation; pytest covers it now).
+    """
+    pairs = suffix_span_pairs(
+        df, text_col, id_col, k=k, min_len=min_len, max_df=max_df,
+        materialize=True,
+    )
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    cov = (
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(F.col("b_start"), F.col("b_end"))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("cov"))
+    )
+    covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"), lambda x, i: ~F.array_contains(covered, i + F.lit(1))
+    )
+    out = (
+        toks.join(cov, "doc_id", "left")
+        .select("doc_id", "toks", kept.alias("kept"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "kept").alias("clean_text"),
+            F.size("toks").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).alias("n_removed"),
+        )
+    )
+    if materialize:
+        out = out.persist()
+        out.count()
+    pairs.unpersist()
+    return out
+
+
 def suffix_span_recall(
     df: DataFrame,
     text_col: str,

@@ -2710,3 +2710,35 @@ def test_suffix_span_cap_healing_bridges_hot_interior(spark):
     ]
     out.unpersist()
     assert got == [(1, 2, 36)]
+
+
+def test_suffix_scrub_pair_precision(spark):
+    """Pair-precision one-copy-survives: the lower doc id keeps each
+    shared span, the higher loses exactly its covered positions; short
+    overlaps under min_len survive everywhere; a doc can win one span
+    and lose another in the same text."""
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd2
+
+    S = " ".join(f"s{i}" for i in range(20))   # long shared span
+    T = " ".join(f"t{i}" for i in range(20))   # second long shared span
+    short = " ".join(f"q{i}" for i in range(10))  # under min_len=16
+    rows = [
+        (1, f"a1 a2 {S} a3 {short}"),
+        (2, f"{S} b1 {T} {short}"),
+        (3, f"c1 {T} c2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd2.suffix_scrub(
+        df, "text", "doc_id", k=8, min_len=16, max_df=None, materialize=True
+    )
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed) for r in out.collect()}
+    out.unpersist()
+    # doc1: lowest id — keeps everything (2 + 20 + 1 + 10 tokens)
+    assert got[1][2] == 0 and got[1][1] == 33
+    # doc2: loses S (to doc1) but KEEPS T (it is the a-side vs doc3);
+    # the short overlap survives
+    clean2 = got[2][0].split()
+    assert got[2][2] == 20
+    assert "s0" not in clean2 and "t0" in clean2 and "q0" in clean2
+    # doc3: loses T to doc2
+    assert got[3][2] == 20 and "t5" not in got[3][0].split()
