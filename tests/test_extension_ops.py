@@ -2742,3 +2742,41 @@ def test_suffix_scrub_pair_precision(spark):
     assert "s0" not in clean2 and "t0" in clean2 and "q0" in clean2
     # doc3: loses T to doc2
     assert got[3][2] == 20 and "t5" not in got[3][0].split()
+
+
+def test_suffix_scrub_duckdb_parity_sf001(spark):
+    """Cross-engine parity for suffix_scrub on the real sf0.001 corpus:
+    the DuckDB twin replays grams -> capped anchors -> k-gap diagonal
+    runs -> b-side coverage -> indexed token filter. This is the oracle
+    SQL the round-12 catalog registration will ship — verified ahead of
+    time through the driver's own canonicalizing compare."""
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd2
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        _SUFFIX_GRAMS_SQL,
+        _suffix_spans_sql,
+    )
+    from sparkstreaming_realtime_project_spark.sources.batch import load_table
+    from tests.oracle import compare, duck_connection
+
+    sf = "/root/testdata/sf0.001"
+    out = dd2.suffix_scrub(
+        load_table(spark, sf, "documents"), "text", "doc_id",
+        k=8, min_len=16, max_df=64,
+    )
+    sql = f"""
+    WITH {_SUFFIX_GRAMS_SQL},
+    {_suffix_spans_sql(k=8, min_len=16, max_df=64)},
+    covl AS (SELECT doc_id, list(p) AS cov FROM (SELECT DISTINCT doc_id, p FROM
+             (SELECT doc_b AS doc_id, unnest(range(b_start, b_end + 1)) AS p
+              FROM sp_anch_grams)) GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(array_to_string([t.t[i] FOR i IN range(1, len(t.t) + 1)
+                            IF NOT list_contains(coalesce(c.cov, []), i)], ' '),
+                    '') AS clean_text,
+           len(t.t) AS n_tokens,
+           len(coalesce(c.cov, [])) AS n_removed
+    FROM toks t LEFT JOIN covl c USING (doc_id)
+    """
+    con = duck_connection(sf)
+    ok, msg = compare(out, con, sql)
+    assert ok, msg
