@@ -1606,6 +1606,112 @@ def suffix_span_pairs(
     return out
 
 
+def suffix_self_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_len: int = 16,
+    max_df: int | None = 64,
+    materialize: bool = False,
+) -> DataFrame:
+    """WITHIN-document maximal repeated substrings — the self-repeat
+    half of Lee et al. substring dedup that `suffix_span_pairs`
+    (cross-doc only, doc_a < doc_b) deliberately excludes: templated
+    documents repeating their own paragraphs, model-generated loops,
+    boilerplate stitched twice into one page. Same machinery, the join
+    condition becomes same-doc with ``pos_a < pos_b``; diagonals are
+    the repeat DISTANCE (pb - pa > 0), and the k-gap island merge gives
+    maximal repeats with the identical exactness argument.
+
+    A length-L substring repeated at distance d produces one maximal
+    run on diagonal d; overlapping self-repeats (d < L, e.g. "x x x x")
+    are reported on their period's diagonal — span_len counts the
+    FIRST occurrence's length, so a 9-token 'x' stutter is one span of
+    8 on diagonal 1, matching the tandem-repeat view.
+
+    Output (doc_id, dist, a_start, a_end, b_start, b_end, span_len):
+    positions 1-based inclusive, b_* = the repeat occurrence. Scale
+    shape identical to the pairwise operator (anchor-keyed shuffle,
+    df-capped fan-out, per-(doc, dist) windows). Registration as a
+    catalog entry lands next round (round-11 catalog freeze).
+    """
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    grams = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    if materialize:
+        grams = grams.persist()
+    if max_df is not None:
+        low = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("g")
+        )
+        anchors = grams.join(low, "g")
+    else:
+        anchors = grams
+    a, b = anchors.alias("a"), anchors.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("b.pos") - F.col("a.pos")).alias("dist"),
+    )
+    w = Window.partitionBy("doc_id", "dist").orderBy("pa")
+    runs = (
+        matches.withColumn("prev", F.lag("pa").over(w))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull() | (F.col("pa") > F.col("prev") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    out = (
+        runs.groupBy("doc_id", "dist", "run_id")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.max("pa") + (k - 1)).alias("a_end"),
+            F.min("pb").alias("b_start"),
+            (F.max("pb") + (k - 1)).alias("b_end"),
+            (F.max("pa") - F.min("pa") + k).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(
+            "doc_id", "dist", "a_start", "a_end", "b_start", "b_end",
+            "span_len",
+        )
+    )
+    if materialize:
+        out = out.persist()
+        out.count()
+        grams.unpersist()
+    return out
+
+
 def suffix_scrub(
     df: DataFrame,
     text_col: str,

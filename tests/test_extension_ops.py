@@ -2780,3 +2780,35 @@ def test_suffix_scrub_duckdb_parity_sf001(spark):
     con = duck_connection(sf)
     ok, msg = compare(out, con, sql)
     assert ok, msg
+
+
+def test_suffix_self_spans_within_doc_repeats(spark):
+    """Within-doc repeats: a doc repeating a 20-token paragraph at
+    distance 25 yields one span on that diagonal with exact positions;
+    a tandem stutter reports on its period diagonal; cross-doc sharing
+    is ignored; min_len filters short repeats."""
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd2
+
+    P = " ".join(f"p{i}" for i in range(20))
+    stutter = " ".join("x" * 1 for _ in range(24))  # 24 'x' tokens
+    rows = [
+        (1, f"h1 h2 {P} m1 m2 m3 {P} t1"),     # repeat at distance 23
+        (2, stutter),                            # tandem repeat, period 1
+        (3, f"{P} z1 z2"),                       # shares P with doc1 only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd2.suffix_self_spans(
+        df, "text", "doc_id", k=8, min_len=16, max_df=None, materialize=True
+    )
+    got = {
+        (r.doc_id, r.dist, r.a_start, r.a_end, r.b_start, r.b_end, r.span_len)
+        for r in out.collect()
+    }
+    out.unpersist()
+    # doc1: P at tokens 3..22 and 26..45 -> distance 23, exactly once
+    assert [t for t in got if t[0] == 1] == [(1, 23, 3, 22, 26, 45, 20)]
+    # doc2: an all-same stutter is a genuine repeat at EVERY distance
+    # (period-1 is the canonical tandem view; d=2.. are also true)
+    assert (2, 1, 1, 23, 2, 24, 23) in got
+    # doc3 has no self-repeat; cross-doc sharing must NOT appear
+    assert not any(d == 3 for d, *_ in got)
