@@ -2812,3 +2812,44 @@ def test_suffix_self_spans_within_doc_repeats(spark):
     assert (2, 1, 1, 23, 2, 24, 23) in got
     # doc3 has no self-repeat; cross-doc sharing must NOT appear
     assert not any(d == 3 for d, *_ in got)
+
+
+def test_suffix_self_spans_duckdb_parity_sf001(spark):
+    """Cross-engine parity for the within-doc variant on sf0.001 — the
+    round-12 oracle SQL validated ahead (same-doc pos_a < pos_b join,
+    repeat-distance diagonals, k-gap islands)."""
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd2
+    from sparkstreaming_realtime_project_spark.plans.catalog import (
+        _SUFFIX_GRAMS_SQL,
+    )
+    from sparkstreaming_realtime_project_spark.sources.batch import load_table
+    from tests.oracle import compare, duck_connection
+
+    sf = "/root/testdata/sf0.001"
+    out = dd2.suffix_self_spans(
+        load_table(spark, sf, "documents"), "text", "doc_id",
+        k=8, min_len=16, max_df=64,
+    ).withColumn("span_len", F.col("span_len").cast("long"))
+    sql = f"""
+    WITH {_SUFFIX_GRAMS_SQL},
+    keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 64),
+    anch AS (SELECT doc_id, g, pos FROM grams JOIN keep USING (g)),
+    m AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb, b.pos - a.pos AS dist
+          FROM anch a JOIN anch b
+            ON a.g = b.g AND a.doc_id = b.doc_id AND a.pos < b.pos),
+    isl AS (SELECT doc_id, dist, pa, pb,
+                 CASE WHEN lag(pa) OVER w IS NULL OR pa > lag(pa) OVER w + 8
+                      THEN 1 ELSE 0 END AS nr
+          FROM m WINDOW w AS (PARTITION BY doc_id, dist ORDER BY pa)),
+    runs AS (SELECT *, sum(nr) OVER (PARTITION BY doc_id, dist ORDER BY pa
+                                     ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM isl)
+    SELECT doc_id, dist, min(pa) AS a_start, max(pa) + 7 AS a_end,
+           min(pb) AS b_start, max(pb) + 7 AS b_end,
+           CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_len
+    FROM runs GROUP BY doc_id, dist, run_id
+    HAVING max(pa) - min(pa) + 8 >= 16
+    """
+    con = duck_connection(sf)
+    ok, msg = compare(out, con, sql)
+    assert ok, msg
