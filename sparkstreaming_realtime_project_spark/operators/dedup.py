@@ -1782,6 +1782,63 @@ def suffix_scrub(
     return out
 
 
+def suffix_self_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_len: int = 16,
+    max_df: int | None = 64,
+    materialize: bool = False,
+) -> DataFrame:
+    """First-occurrence-survives WITHIN-document repeat removal — the
+    apply step of `suffix_self_spans` (templated pages repeating their
+    own paragraphs, generation loops): every repeat occurrence's
+    positions (the b-side, which by construction starts after the
+    first occurrence) are dropped; overlapping-period tandem repeats
+    collapse to their first ``min_len``-guarded prefix because the
+    covered-position UNION over all distances is what is removed.
+
+    Output (doc_id, clean_text, n_tokens, n_removed) — the
+    suffix_scrub contract. Catalog registration next round (round-11
+    freeze)."""
+    spans = suffix_self_spans(
+        df, text_col, id_col, k=k, min_len=min_len, max_df=max_df,
+        materialize=True,
+    )
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    cov = (
+        spans.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("b_start"), F.col("b_end"))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("cov"))
+    )
+    covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"), lambda x, i: ~F.array_contains(covered, i + F.lit(1))
+    )
+    out = (
+        toks.join(cov, "doc_id", "left")
+        .select("doc_id", "toks", kept.alias("kept"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "kept").alias("clean_text"),
+            F.size("toks").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).alias("n_removed"),
+        )
+    )
+    if materialize:
+        out = out.persist()
+        out.count()
+    spans.unpersist()
+    return out
+
+
 def suffix_span_recall(
     df: DataFrame,
     text_col: str,

@@ -2853,3 +2853,30 @@ def test_suffix_self_spans_duckdb_parity_sf001(spark):
     con = duck_connection(sf)
     ok, msg = compare(out, con, sql)
     assert ok, msg
+
+
+def test_suffix_self_scrub_keeps_first_occurrence(spark):
+    """First occurrence survives, the repeat is dropped; untouched docs
+    pass through; a tandem stutter collapses to the covered-union
+    complement (the first occurrence on the period-1 diagonal)."""
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd2
+
+    P = " ".join(f"p{i}" for i in range(20))
+    rows = [
+        (1, f"h1 h2 {P} m1 m2 m3 {P} t1"),
+        (2, " ".join(["x"] * 24)),
+        (3, "clean doc with no repeats at all here ok fine yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd2.suffix_self_scrub(
+        df, "text", "doc_id", k=8, min_len=16, max_df=None, materialize=True
+    )
+    got = {r.doc_id: (r.clean_text.split(), r.n_removed) for r in out.collect()}
+    out.unpersist()
+    # doc1: second P (tokens 26..45) dropped, everything else kept
+    assert got[1][1] == 20
+    assert got[1][0] == ["h1", "h2"] + P.split() + ["m1", "m2", "m3", "t1"]
+    # doc2: positions 2..24 are covered by the period-1 repeat -> one x
+    assert got[2][0] == ["x"] and got[2][1] == 23
+    # doc3 untouched
+    assert got[3][1] == 0 and len(got[3][0]) == 11
