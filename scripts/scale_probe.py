@@ -163,8 +163,8 @@ def main() -> None:
     for k in copies:
         row = {"copies": k}
         docs = None
-        if any(want(t) for t in ("minhash", "ngram", "suffix", "winnow",
-                                 "triangle", "kn_bigram")):
+        if any(want(t) for t in ("minhash", "ngram", "suffix", "selfspans",
+                                 "winnow", "triangle", "kn_bigram")):
             docs = scaled_documents(spark, sf_dir, k).persist()
             row["n_docs"] = docs.count()
 
@@ -195,8 +195,18 @@ def main() -> None:
             row["minhash_s"] = timed(run_minhash)
         if want("ngram"):
             row["ngram_s"] = timed(run_ngram)
+        def run_selfspans():
+            p = dd.suffix_self_spans(
+                docs, "text", "doc_id", k=8, min_len=16, max_df=64,
+                materialize=True,
+            )
+            row["self_spans"] = p.count()
+            p.unpersist()
+
         if want("suffix"):
             row["suffix_s"] = timed(run_suffix)
+        if want("selfspans"):
+            row["selfspans_s"] = timed(run_selfspans)
 
         # round-7 families: substring dedup (winnow), graph (triangles
         # over the winnow pair graph — disjoint copies keep triangle
