@@ -72,12 +72,17 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
     min(per-file split count, openCost-padded packed-bytes count): the
     first bounds splittable big files, the second catches Spark's
     small-file bin-packing (64 tiny files land in ~2 scan partitions,
-    not 64). Non-file schemes (s3://, hdfs://) can't be stat'ed from
-    here and count one split each — a remote many-small-files corpus
-    may skip a useful spread, and a remote few-big-files corpus pays
-    one avoidable shuffle; both are safe, neither is wrong. In-memory
-    frames report no files and are treated as single-partition, i.e.
-    spread."""
+    not 64). Files whose suffix names a stream-compressed codec
+    (.gz/.zst/.bz2/.lz4/.sz/.deflate) are NOT splittable — Spark scans
+    each as exactly one partition regardless of size, so they count one
+    split each; otherwise a single big .json.gz would inflate the
+    estimate past ``target`` and skip the repartition exactly when a
+    one-partition scan needs it most. Non-file schemes (s3://,
+    hdfs://) can't be stat'ed from here and count one split each — a
+    remote many-small-files corpus may skip a useful spread, and a
+    remote few-big-files corpus pays one avoidable shuffle; both are
+    safe, neither is wrong. In-memory frames report no files and are
+    treated as single-partition, i.e. spread."""
     import os
 
     spark = df.sparkSession
@@ -93,6 +98,7 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
             4194304,
         )
         splits, packed = 0, 0
+        unsplittable = (".gz", ".zst", ".bz2", ".lz4", ".sz", ".deflate")
         for f in files:
             sz = None
             if f.startswith("file:"):
@@ -103,6 +109,9 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
             if sz is None:  # remote/unreadable: one split, one full pack
                 splits += 1
                 packed += max_bytes
+            elif f.lower().endswith(unsplittable):
+                splits += 1  # stream codec: whole file is one partition
+                packed += sz + open_cost
             else:
                 splits += 1 + max(0, (sz - 1) // max_bytes)
                 packed += sz + open_cost
@@ -1479,6 +1488,74 @@ def scrub_repeated_spans(
     return out
 
 
+def suffix_anchors(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """(doc_id, pos, g): every token k-gram start position with the gram
+    md5 — the sorted-k-mer anchor projection shared by the whole suffix
+    family (cross-doc pairs, within-doc self-spans, and the streaming
+    new-docs-vs-corpus twin). One narrow pass, O(tokens) rows; only
+    16-byte hashes ever reach a shuffle, never the text. Positions are
+    1-based; docs shorter than ``k`` tokens emit nothing (they cannot
+    contain a k-gram)."""
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    return (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+
+
+def suffix_runs_to_spans(
+    matches: DataFrame, k: int, min_len: int, pair_cols: list[str]
+) -> DataFrame:
+    """Diagonal gaps-and-islands run merge shared by the suffix family:
+    ``matches`` carries (``pair_cols``..., pa, pb, diag); a maximal
+    common substring of length L >= k is exactly a maximal run of
+    L - k + 1 consecutive anchors on one diagonal, healed across df-cap
+    holes by the k-gap rule (exactness argument in suffix_span_pairs).
+    Output one row per maximal span: (pair_cols..., a_start, a_end,
+    b_start, b_end, span_len >= min_len)."""
+    w = Window.partitionBy(*pair_cols, "diag").orderBy("pa")
+    runs = (
+        matches.withColumn("prev", F.lag("pa").over(w))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull() | (F.col("pa") > F.col("prev") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        runs.groupBy(*pair_cols, "diag", "run_id")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.max("pa") + (k - 1)).alias("a_end"),
+            F.min("pb").alias("b_start"),
+            (F.max("pb") + (k - 1)).alias("b_end"),
+            (F.max("pa") - F.min("pa") + k).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(
+            *pair_cols, "a_start", "a_end", "b_start", "b_end", "span_len"
+        )
+    )
+
+
 def suffix_span_pairs(
     df: DataFrame,
     text_col: str,
@@ -1533,22 +1610,7 @@ def suffix_span_pairs(
     ``materialize=True`` caches the gram explode (feeds the df-cap
     aggregate and both join sides) and releases it before returning.
     """
-    toks = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
-    )
-    grams = (
-        toks.filter(F.size("toks") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
-                )
-            ).alias("pos0", "g"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
-    )
+    grams = suffix_anchors(df, text_col, id_col, k)
     if materialize:
         grams = grams.persist()
     if max_df is not None:
@@ -1571,34 +1633,7 @@ def suffix_span_pairs(
         F.col("b.pos").alias("pb"),
         (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = (
-        matches.withColumn("prev", F.lag("pa").over(w))
-        .withColumn(
-            "new_run",
-            F.when(
-                F.col("prev").isNull() | (F.col("pa") > F.col("prev") + k), 1
-            ).otherwise(0),
-        )
-        .withColumn(
-            "run_id",
-            F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-    )
-    out = (
-        runs.groupBy("doc_a", "doc_b", "diag", "run_id")
-        .agg(
-            F.min("pa").alias("a_start"),
-            (F.max("pa") + (k - 1)).alias("a_end"),
-            F.min("pb").alias("b_start"),
-            (F.max("pb") + (k - 1)).alias("b_end"),
-            (F.max("pa") - F.min("pa") + k).alias("span_len"),
-        )
-        .filter(F.col("span_len") >= min_len)
-        .select(
-            "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end", "span_len"
-        )
-    )
+    out = suffix_runs_to_spans(matches, k, min_len, ["doc_a", "doc_b"])
     if materialize:
         out = out.persist()
         out.count()
@@ -1633,25 +1668,10 @@ def suffix_self_spans(
     Output (doc_id, dist, a_start, a_end, b_start, b_end, span_len):
     positions 1-based inclusive, b_* = the repeat occurrence. Scale
     shape identical to the pairwise operator (anchor-keyed shuffle,
-    df-capped fan-out, per-(doc, dist) windows). Registration as a
-    catalog entry lands next round (round-11 catalog freeze).
+    df-capped fan-out, per-(doc, dist) windows). Registered as
+    x_suffix_self_scrub's span stage (round 12).
     """
-    toks = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
-    )
-    grams = (
-        toks.filter(F.size("toks") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
-                )
-            ).alias("pos0", "g"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
-    )
+    grams = suffix_anchors(df, text_col, id_col, k)
     if materialize:
         grams = grams.persist()
     if max_df is not None:
@@ -1676,34 +1696,11 @@ def suffix_self_spans(
         F.col("b.pos").alias("pb"),
         (F.col("b.pos") - F.col("a.pos")).alias("dist"),
     )
-    w = Window.partitionBy("doc_id", "dist").orderBy("pa")
-    runs = (
-        matches.withColumn("prev", F.lag("pa").over(w))
-        .withColumn(
-            "new_run",
-            F.when(
-                F.col("prev").isNull() | (F.col("pa") > F.col("prev") + k), 1
-            ).otherwise(0),
-        )
-        .withColumn(
-            "run_id",
-            F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-    )
-    out = (
-        runs.groupBy("doc_id", "dist", "run_id")
-        .agg(
-            F.min("pa").alias("a_start"),
-            (F.max("pa") + (k - 1)).alias("a_end"),
-            F.min("pb").alias("b_start"),
-            (F.max("pb") + (k - 1)).alias("b_end"),
-            (F.max("pa") - F.min("pa") + k).alias("span_len"),
-        )
-        .filter(F.col("span_len") >= min_len)
-        .select(
-            "doc_id", "dist", "a_start", "a_end", "b_start", "b_end",
-            "span_len",
-        )
+    # dist IS the diagonal here, so (doc_id, dist, diag) partitions
+    # identically to (doc_id, dist) and dist stays an output column
+    out = suffix_runs_to_spans(
+        matches.withColumn("diag", F.col("dist")), k, min_len,
+        ["doc_id", "dist"],
     )
     if materialize:
         out = out.persist()
@@ -1742,10 +1739,16 @@ def suffix_scrub(
     scrub_repeated_spans; clean_text is the normalized token stream.
     Registered as a catalog entry next round (round 11 froze catalog
     growth for the driver-window rotation; pytest covers it now).
+
+    ``materialize`` passes through to the pair stage: True persists
+    both the pair table (released here once the scrub result is
+    counted) and the result; False keeps the whole chain lazy — the
+    pair plan is consumed exactly once (the coverage explode), so
+    nothing is paid twice, and no forced persist is thrown away.
     """
     pairs = suffix_span_pairs(
         df, text_col, id_col, k=k, min_len=min_len, max_df=max_df,
-        materialize=True,
+        materialize=materialize,
     )
     toks = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
@@ -1778,7 +1781,7 @@ def suffix_scrub(
     if materialize:
         out = out.persist()
         out.count()
-    pairs.unpersist()
+        pairs.unpersist()
     return out
 
 
@@ -1801,10 +1804,12 @@ def suffix_self_scrub(
 
     Output (doc_id, clean_text, n_tokens, n_removed) — the
     suffix_scrub contract. Catalog registration next round (round-11
-    freeze)."""
+    freeze). ``materialize`` passes through to the span stage exactly
+    as in suffix_scrub: lazy mode never pays a persist it then
+    discards."""
     spans = suffix_self_spans(
         df, text_col, id_col, k=k, min_len=min_len, max_df=max_df,
-        materialize=True,
+        materialize=materialize,
     )
     toks = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
@@ -1835,7 +1840,7 @@ def suffix_self_scrub(
     if materialize:
         out = out.persist()
         out.count()
-    spans.unpersist()
+        spans.unpersist()
     return out
 
 

@@ -210,6 +210,158 @@ def streaming_minhash_dedup(
 from ..operators.sketches import hll_finalize, hll_registers  # noqa: E402
 
 
+# --------------------------------------------------------------------------
+# Incremental suffix-span dedup: the streaming twin of the batch
+# suffix family (operators/dedup.py suffix_span_pairs) — "which exact
+# token substrings does this NEW doc share with anything ingested so
+# far", the Lee-et-al.-grade signal in the growing-corpus operating
+# mode of a training-data pipeline.
+#
+# Store layout (all batch={id} subdirs, idempotent on replay):
+#   anchors/  (doc_id, pos, g)  — every accepted doc's k-gram anchors;
+#   gramdf/   (g, n)            — per-batch gram occurrence counts, so
+#                                 the df-cap at batch b is computed by
+#                                 SUMMING sketch-sized per-gram rows
+#                                 instead of re-counting the O(corpus)
+#                                 anchor table.
+# Every incoming doc is accepted (span dedup scrubs spans, it does not
+# reject documents), so the store is simply the corpus-so-far.
+#
+# 100 TB notes: the per-batch cost is O(new docs' anchors + the store
+# slices sharing a gram with the new batch) — the store side is pruned
+# by an equi-join on the new batch's gram set BEFORE anything wide, and
+# at rest anchors/ should be written bucketed by g so that join
+# co-locates without shuffling the store. The df-cap is therefore
+# PREFIX-df: a gram under the cap at batch 3 may exceed it by batch 30,
+# so early batches can report spans on grams a full-corpus batch run
+# would have capped away; that asymmetry is inherent to sequential
+# ingest (the batch run knows the future, the stream does not) and is
+# exactly replayed by the x_suffix_stream oracle.
+# --------------------------------------------------------------------------
+
+from ..operators.dedup import suffix_anchors, suffix_runs_to_spans  # noqa: E402
+
+
+def read_anchor_store(
+    spark, store_dir: str, like_anchors: DataFrame, like_gramdf: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(anchors, gramdf) of every doc ingested so far; empty frames with
+    the incoming batch's schemas before the first committed batch."""
+    return (
+        _read_or_empty(spark, store_dir, "anchors", like_anchors),
+        _read_or_empty(spark, store_dir, "gramdf", like_gramdf),
+    )
+
+
+def suffix_batch_against_store(
+    new_anchors: DataFrame,
+    store_anchors: DataFrame,
+    store_gramdf: DataFrame,
+    k: int = 8,
+    min_len: int = 16,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """The per-batch span decision, as a pure plan (the unit the plan
+    audit inspects): one row per maximal shared span touching a NEW doc
+    — (doc_a, doc_b, a_start, a_end, b_start, b_end, span_len) with
+    doc_a the incumbent (already-ingested, or the smaller-id batch
+    sibling) and doc_b the new doc.
+
+    The df-cap is the batch operator's rule evaluated on the PREFIX
+    corpus: total gram occurrences across store + this batch <=
+    ``max_df``. Store-side df comes from summing the gramdf sketch
+    rows for grams PRESENT in the new batch (a semi-join-pruned
+    aggregate, never an O(corpus) recount); the anchor join is then
+    gram-keyed on both sides — every candidate comes from an anchor
+    hash collision, never a cartesian."""
+    new_g = new_anchors.groupBy("g").agg(F.count(F.lit(1)).alias("n_new"))
+    if max_df is not None:
+        store_g = (
+            store_gramdf.join(new_g.select("g"), "g")
+            .groupBy("g")
+            .agg(F.sum("n").alias("n_store"))
+        )
+        keep = (
+            new_g.join(store_g, "g", "left")
+            .filter(
+                F.col("n_new") + F.coalesce(F.col("n_store"), F.lit(0))
+                <= max_df
+            )
+            .select("g")
+        )
+    else:
+        keep = new_g.select("g")
+    new_a = new_anchors.join(keep, "g")
+    store_a = store_anchors.join(keep, "g")
+    sides = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    ]
+    cross = store_a.alias("a").join(
+        new_a.alias("b"), F.col("a.g") == F.col("b.g")
+    ).select(*sides)
+    inb = new_a.alias("a").join(
+        new_a.alias("b"),
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(*sides)
+    return suffix_runs_to_spans(
+        cross.unionByName(inb), k, min_len, ["doc_a", "doc_b"]
+    )
+
+
+def streaming_suffix_dedup(
+    doc_stream: DataFrame,
+    store_dir: str,
+    decisions_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_len: int = 16,
+    max_df: int | None = 64,
+):
+    """Build the streaming query: doc stream -> per-batch shared-span
+    report vs the corpus-so-far, anchors appended to the store.
+
+    Decisions output rows per batch dir: (doc_a, doc_b, a_start, a_end,
+    b_start, b_end, span_len) — the suffix_span_pairs contract with
+    doc_b always the newly ingested doc. Downstream scrub-on-ingest is
+    the suffix_scrub coverage step applied to each batch's decisions."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_anchors = suffix_anchors(batch_df, text_col, id_col, k).persist()
+        new_gramdf = new_anchors.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        store_anchors, store_gramdf = read_anchor_store(
+            spark, store_dir, new_anchors, new_gramdf
+        )
+        spans = suffix_batch_against_store(
+            new_anchors, store_anchors, store_gramdf, k, min_len, max_df
+        )
+        spans.write.mode("overwrite").parquet(
+            os.path.join(decisions_dir, f"batch={batch_id}")
+        )
+        new_anchors.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "anchors", f"batch={batch_id}")
+        )
+        new_gramdf.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "gramdf", f"batch={batch_id}")
+        )
+        new_anchors.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
 def streaming_hll_distinct(
     stream: DataFrame,
     store_dir: str,

@@ -139,7 +139,9 @@ class _SessionizeProcessor(StatefulProcessor):
             else:
                 start, end, n = min(start, t), max(end, t), n + 1
         self._sess.update((start, end, n))
-        for old in self._handle.listTimers():
+        # materialize before deleting: listTimers() pages lazily from the
+        # state server and mutation-during-iteration is unspecified in TWS
+        for old in list(self._handle.listTimers()):
             self._handle.deleteTimer(old)
         wm = timerValues.getCurrentWatermarkInMs()
         self._handle.registerTimer(max(end + self._gap_ms, wm + 1))

@@ -47,7 +47,7 @@ def test_registry_rotation_order():
     exposed-unconfirmed tier drained to zero in round 7 — every
     registered entry now has a confirmed green row.)"""
     from sparkstreaming_realtime_project_spark.plans.catalog import (
-        _DRIVER_RED_R10,
+        _DRIVER_RED_R11,
         _DRIVER_VERIFIED_R2,
         _DRIVER_VERIFIED_R3,
         _DRIVER_VERIFIED_R5,
@@ -56,6 +56,7 @@ def test_registry_rotation_order():
         _DRIVER_VERIFIED_R8,
         _DRIVER_VERIFIED_R9,
         _DRIVER_VERIFIED_R10,
+        _DRIVER_VERIFIED_R11,
         _DRIVER_WINDOW_R4,
         registry,
     )
@@ -64,11 +65,12 @@ def test_registry_rotation_order():
     green = (
         _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R5
         | _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
-        | _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10 | _DRIVER_WINDOW_R4
+        | _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10
+        | _DRIVER_VERIFIED_R11 | _DRIVER_WINDOW_R4
     )
 
     def tier(n):
-        if n in _DRIVER_RED_R10:
+        if n in _DRIVER_RED_R11:
             return 0  # red beats...
         if n not in green:
             return 1  # ...never-checked beats...
@@ -93,6 +95,7 @@ def test_registry_rotation_order():
             _DRIVER_VERIFIED_R8,
             _DRIVER_VERIFIED_R9,
             _DRIVER_VERIFIED_R10,
+            _DRIVER_VERIFIED_R11,
         ]
     ):
         for n in cohort_set:

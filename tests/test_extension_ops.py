@@ -2491,6 +2491,28 @@ def test_bpe_train_distributed_matches_reference(spark):
     assert all(r.pair_count > 0 for r in got)
 
 
+def test_bpe_train_memo_evicts_dead_applications(spark):
+    """x_bpe_train memoizes collected merge tables keyed by
+    (applicationId, sf_dir); a long-lived process that restarts Spark
+    sessions must not accumulate dead applications' tables — on any
+    miss, keys from other applicationIds are evicted (r11 ADVICE)."""
+    from sparkstreaming_realtime_project_spark.plans import catalog as cat
+
+    app = spark.sparkContext.applicationId
+    saved = dict(cat._BPE_TRAIN_MEMO)
+    try:
+        cat._BPE_TRAIN_MEMO.clear()
+        cat._BPE_TRAIN_MEMO[("dead-app-1", "/x")] = [("stale",)]
+        cat._BPE_TRAIN_MEMO[("dead-app-2", "/y")] = [("stale",)]
+        cat.x_bpe_train(spark, "/root/testdata/sf0.001").count()
+        assert ("dead-app-1", "/x") not in cat._BPE_TRAIN_MEMO
+        assert ("dead-app-2", "/y") not in cat._BPE_TRAIN_MEMO
+        assert (app, "/root/testdata/sf0.001") in cat._BPE_TRAIN_MEMO
+    finally:
+        cat._BPE_TRAIN_MEMO.clear()
+        cat._BPE_TRAIN_MEMO.update(saved)
+
+
 def test_suffix_span_pairs_exact(spark):
     """Known-geometry corpus: a 20-token block shared by docs 1 and 2 at
     different offsets must come back as ONE maximal span with exact
@@ -2632,6 +2654,21 @@ def test_spread_estimate_small_files_and_conf_parse(spark, tmp_path):
     spark.range(100).coalesce(1).write.parquet(one)
     out1 = spread(spark.read.parquet(one), "id")
     assert "Exchange" in out1._jdf.queryExecution().executedPlan().toString()
+    # (d) a stream-compressed file is NOT splittable: Spark scans one
+    # .json.gz as exactly one partition no matter its size, so the
+    # estimate must count it as one split — under a tiny
+    # maxPartitionBytes the splittable formula would claim >= target
+    # splits and silently skip the repartition a one-partition scan
+    # needs (the r11 ADVICE regression)
+    gz = str(tmp_path / "gz")
+    spark.range(200).coalesce(1).write.option("compression", "gzip").json(gz)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+        outg = spread(spark.read.json(gz), "id")
+        assert "Exchange" in outg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
 def test_suffix_recall_hot_boilerplate_cap_binds(spark):

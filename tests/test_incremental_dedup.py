@@ -1032,3 +1032,180 @@ def test_streaming_ivf_crash_restart_partitioned_layout(spark, tmp_path):
         for r in sim.ivf_topk(allv, queries, cents, k=3, n_probe=2).collect()
     }
     assert got == ref and got
+
+
+# ---------------------------------------------------------------------------
+# Streaming suffix-span dedup: incremental new-docs-vs-corpus exact
+# substring detection (the Lee-et-al.-grade span family's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_suffix_known_geometry(spark, tmp_path):
+    """Known-geometry two-batch ingest: a 20-token block copied from an
+    accepted batch-1 doc must come back as ONE maximal cross-batch span
+    with exact positions (doc_a = the incumbent), and an 18-token block
+    shared by two batch-2 siblings as ONE in-batch span (smaller id =
+    doc_a); the anchor + gramdf store accumulates every ingested doc."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        streaming_suffix_dedup,
+    )
+
+    block_a = [f"a{i}" for i in range(30)]
+    doc1 = " ".join(block_a)
+    doc2 = " ".join(f"b{i}" for i in range(30))
+    # doc3 embeds doc1's tokens a5..a24 (20 tokens) at position 4
+    doc3 = " ".join(["c0", "c1", "c2"] + block_a[5:25] + ["c3", "c4"])
+    shared_e = [f"e{i}" for i in range(18)]
+    doc4 = " ".join([f"d{i}" for i in range(10)] + shared_e)
+    doc5 = " ".join(["f0", "f1", "f2"] + shared_e + ["f3"])
+
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(
+        in_dir,
+        [
+            [_doc(1, doc1), _doc(2, doc2)],
+            [_doc(3, doc3), _doc(4, doc4), _doc(5, doc5)],
+        ],
+    )
+    stream = file_stream(
+        spark, in_dir, DOC_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    store = str(tmp_path / "store")
+    decisions = str(tmp_path / "decisions")
+    q = (
+        streaming_suffix_dedup(
+            stream, store, decisions, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    spans = {
+        (r.doc_a, r.doc_b): (
+            r.a_start, r.a_end, r.b_start, r.b_end, r.span_len
+        )
+        for r in spark.read.parquet(
+            os.path.join(decisions, "batch=*")
+        ).collect()
+    }
+    assert spans == {
+        (1, 3): (6, 25, 4, 23, 20),   # cross-batch, incumbent is doc_a
+        (4, 5): (11, 28, 4, 21, 18),  # in-batch, smaller id is doc_a
+    }
+    anchors = spark.read.parquet(os.path.join(store, "anchors", "batch=*"))
+    assert {r.doc_id for r in anchors.select("doc_id").distinct().collect()} \
+        == {1, 2, 3, 4, 5}  # span dedup accepts every doc into the corpus
+    gramdf = spark.read.parquet(os.path.join(store, "gramdf", "batch=*"))
+    # the sketch store's summed df equals the anchor table's df, per gram
+    lhs = {(r.g, r.n) for r in gramdf.groupBy("g")
+           .agg(F.sum("n").alias("n")).collect()}
+    rhs = {(r.g, r.n) for r in anchors.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert lhs == rhs
+
+
+def test_streaming_suffix_matches_batch_when_cap_slack(spark, tmp_path):
+    """Order-equivalence: when no gram approaches the df-cap and batch
+    order follows doc id, the UNION of per-batch streaming spans must
+    equal the batch operator's suffix_span_pairs on the full corpus —
+    the incremental path finds exactly the same maximal spans."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        streaming_suffix_dedup,
+    )
+
+    texts = {}
+    rows = []
+    for d in range(1, 10):
+        base = [f"w{d}_{i}" for i in range(25)]
+        if d in (4, 7):  # share a 17-token block with doc 1
+            base[3:20] = [f"s{i}" for i in range(17)]
+        if d == 1:
+            base[2:19] = [f"s{i}" for i in range(17)]
+        texts[d] = " ".join(base)
+        rows.append((d, texts[d]))
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(
+        in_dir,
+        [
+            [_doc(d, texts[d]) for d in (1, 2, 3)],
+            [_doc(d, texts[d]) for d in (4, 5, 6)],
+            [_doc(d, texts[d]) for d in (7, 8, 9)],
+        ],
+    )
+    stream = file_stream(
+        spark, in_dir, DOC_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    decisions = str(tmp_path / "decisions")
+    q = (
+        streaming_suffix_dedup(
+            stream, str(tmp_path / "store"), decisions, str(tmp_path / "ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    got = {
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(decisions, "batch=*")
+        ).select(
+            "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end",
+            "span_len",
+        ).collect()
+    }
+    batch = dd.suffix_span_pairs(
+        spark.createDataFrame(rows, DOC_SCHEMA), "text", "doc_id"
+    )
+    want = {
+        tuple(r) for r in batch.select(
+            "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end",
+            "span_len",
+        ).collect()
+    }
+    assert got == want and len(want) == 3  # (1,4), (1,7), (4,7)
+
+
+def test_streaming_suffix_plan_is_gram_equi_join(spark):
+    """The per-batch span plan: every candidate comes from an anchor
+    gram-hash collision (equi-join) — never a nested-loop/cartesian —
+    and the store-side df aggregate reads the gramdf SKETCH rows, not
+    the anchor table."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        suffix_batch_against_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(30)))], DOC_SCHEMA
+    )
+    anchors = dd.suffix_anchors(docs, "text", "doc_id", 8)
+    gramdf = anchors.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    plan = (
+        suffix_batch_against_store(anchors, anchors, gramdf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_suffix_stream_catalog_consistent(spark):
+    """Structural invariants of the driver-exposed 3-batch replay on
+    real testdata: doc_b always belongs to the row's batch; doc_a is
+    an earlier-batch incumbent or a smaller-id sibling; spans respect
+    min_len and carry consistent geometry (equal lengths on both
+    sides, 1-based positive positions)."""
+    from sparkstreaming_realtime_project_spark.plans.catalog import _REGISTRY
+
+    spec = next(s for s in _REGISTRY if s.name == "x_suffix_stream")
+    rows = spec.spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "sf0.001 documents contain known duplicated spans"
+    for r in rows:
+        assert r.doc_b % 3 == r.batch_id
+        if r.doc_a % 3 == r.batch_id:
+            assert r.doc_a < r.doc_b, "in-batch incumbent is the smaller id"
+        else:
+            assert r.doc_a % 3 < r.batch_id, (
+                "cross-batch incumbent must be from an earlier batch"
+            )
+        assert r.span_len >= 16
+        assert r.a_end - r.a_start == r.b_end - r.b_start == r.span_len - 1
+        assert r.a_start >= 1 and r.b_start >= 1

@@ -746,3 +746,29 @@ def test_detail_keyset_plan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_suffix_scrub_plan(spark, sf_dir):
+    """Round-12 scrub contracts (un-materialized): the apply step must
+    keep the text out of every shuffle — the coverage side that joins
+    back onto the token arrays is a doc_id-keyed aggregate of POSITION
+    lists — and stays equi-join-only (no cartesian/nested-loop), with
+    the pair stage's (doc_a, doc_b, diag) window intact underneath."""
+    import re
+
+    from sparkstreaming_realtime_project_spark.operators import dedup as dd
+    from sparkstreaming_realtime_project_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for fn, part in (
+        (dd.suffix_scrub, r"doc_a#\d+L?, doc_b#\d+L?, diag#\d+"),
+        (dd.suffix_self_scrub, r"doc_id#\d+L?, dist#\d+"),
+    ):
+        df = fn(docs, "text", "doc_id", materialize=False)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        assert re.search(part, plan), f"{fn.__name__}: run-merge window lost"
+        assert "collect_list" in plan, (
+            f"{fn.__name__}: coverage must aggregate position lists"
+        )
+        spark.catalog.clearCache()
