@@ -1,6 +1,6 @@
 """Sequential-ingest scaling probe for the streaming MinHash dedup
-store: per-batch wall-clock as the accepted store grows, on two corpus
-shapes.
+store AND the streaming suffix-span store (r12): per-batch wall-clock
+as the store grows, on two corpus shapes.
 
 Usage: python scripts/ingest_probe.py [sf_dir] [n_batches]
 
@@ -87,6 +87,69 @@ def ingest(spark, batches, label: str):
     return rows
 
 
+def ingest_suffix(spark, batches, label: str):
+    """Per-batch wall for the suffix-span twin. Expectation differs by
+    corpus: DISJOINT batches never collide with the store, so the
+    gram-pruned store join touches nothing and per-batch cost stays
+    ~flat as the anchor store grows; IDENTICAL-COPY batches are the
+    output-bound case — every doc in batch b genuinely shares its full
+    text with its b earlier copies (all docs enter the store; span
+    dedup scrubs spans, it does not reject documents), so span OUTPUT
+    rows grow ~linearly with b and honest per-batch wall tracks that —
+    the figure to watch is wall per emitted span, which should stay
+    ~flat."""
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        suffix_anchors,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_anchor_store,
+        suffix_batch_against_store,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_suffix_ingest_probe_")
+    store = os.path.join(root, "store")
+    rows = []
+    try:
+        for b, batch in enumerate(batches):
+            t0 = time.perf_counter()
+            new_anchors = suffix_anchors(batch, "text", "doc_id", 8).persist()
+            new_gramdf = new_anchors.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            store_anchors, store_gramdf = read_anchor_store(
+                spark, store, new_anchors, new_gramdf
+            )
+            spans = suffix_batch_against_store(
+                new_anchors, store_anchors, store_gramdf,
+                k=8, min_len=16, max_df=64,
+            ).persist()
+            n_spans = spans.count()
+            spans.write.mode("overwrite").parquet(
+                os.path.join(root, "decisions", f"batch={b}")
+            )
+            new_anchors.write.mode("overwrite").parquet(
+                os.path.join(store, "anchors", f"batch={b}")
+            )
+            new_gramdf.write.mode("overwrite").parquet(
+                os.path.join(store, "gramdf", f"batch={b}")
+            )
+            spans.unpersist()
+            new_anchors.unpersist()
+            spark.catalog.clearCache()
+            rows.append(
+                {
+                    "corpus": label,
+                    "batch": b,
+                    "n_spans": n_spans,
+                    "wall_s": round(time.perf_counter() - t0, 2),
+                }
+            )
+            print(json.dumps(rows[-1]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return rows
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -106,7 +169,12 @@ def main() -> None:
         )
         for k in range(n_batches)
     ]
-    r1 = ingest(spark, disjoint, "disjoint")
+    which = os.environ.get("SPARK_GRAFT_INGEST", "minhash,suffix").split(",")
+    r1 = r2 = s1 = s2 = []
+    if "minhash" in which:
+        r1 = ingest(spark, disjoint, "disjoint")
+    if "suffix" in which:
+        s1 = ingest_suffix(spark, disjoint, "suffix_disjoint")
     all_copies.unpersist()
 
     # identical copies: same text, shifted ids
@@ -114,8 +182,11 @@ def main() -> None:
         base.select((F.col("doc_id") + F.lit(k * n)).alias("doc_id"), "text")
         for k in range(n_batches)
     ]
-    r2 = ingest(spark, ident, "identical")
-    print(json.dumps({"ingest_scaling": r1 + r2}))
+    if "minhash" in which:
+        r2 = ingest(spark, ident, "identical")
+    if "suffix" in which:
+        s2 = ingest_suffix(spark, ident, "suffix_identical")
+    print(json.dumps({"ingest_scaling": r1 + r2 + s1 + s2}))
 
 
 if __name__ == "__main__":

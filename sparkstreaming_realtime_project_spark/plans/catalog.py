@@ -14258,7 +14258,8 @@ _SUFFIX_GRAMS_SQL = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
     "anchors, df-capped, one gram-keyed shuffle self-join, diagonal "
     "gaps-and-islands run merge — exact variable-length shared spans "
     ">= min_len with no window alignment; closes the x_dup_spans "
-    "windowed-signal gap (north-star)",
+    "windowed-signal gap (north-star). Bench headline since r12 "
+    "(VERDICT r11 #5): the repo's most expensive graded operator.",
     f"""
     WITH {_SUFFIX_GRAMS_SQL},
     {_suffix_spans_sql(k=8, min_len=16, max_df=64)}
@@ -14266,6 +14267,7 @@ _SUFFIX_GRAMS_SQL = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
            CAST(span_len AS BIGINT) AS span_len
     FROM sp_anch_grams
     """,
+    bench=True,
 )
 def x_suffix_span_pairs(spark, sf_dir):
     out = _dd.suffix_span_pairs(
