@@ -1209,3 +1209,95 @@ def test_suffix_stream_catalog_consistent(spark):
         assert r.span_len >= 16
         assert r.a_end - r.a_start == r.b_end - r.b_start == r.span_len - 1
         assert r.a_start >= 1 and r.b_start >= 1
+
+
+def test_streaming_suffix_prefix_df_cap_semantics(spark, tmp_path):
+    """The df-cap is PREFIX-df: a gram under the cap when a batch
+    arrives reports its spans THEN; once accumulated store+batch df
+    exceeds the cap, later batches stop matching on it — but earlier
+    batches' decisions stand (sequential ingest cannot know a gram's
+    future df). 5 identical 20-token docs, max_df=4 (= 4 anchor
+    occurrences of each interior gram): batch 1 (doc 2 vs doc 1, df=2)
+    and batch 2 (doc 3 vs docs 1-2, df=3) report spans; batch 3's
+    arrival pushes df to 4 (still <= 4, spans vs 3 incumbents); batch
+    4's arrival pushes df to 5 > 4 — no spans, though the text is a
+    verbatim copy."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        streaming_suffix_dedup,
+    )
+
+    text = " ".join(f"x{i}" for i in range(20))
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(
+        in_dir, [[_doc(d, text)] for d in range(1, 6)]
+    )
+    stream = file_stream(
+        spark, in_dir, DOC_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    decisions = str(tmp_path / "decisions")
+    q = (
+        streaming_suffix_dedup(
+            stream, str(tmp_path / "store"), decisions,
+            str(tmp_path / "ck"), max_df=4,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    got = spark.read.option("basePath", decisions).parquet(
+        os.path.join(decisions, "batch=*")
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    # docs 2..4 each matched every earlier copy; doc 5 matched nothing
+    assert pairs == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    assert all(r.span_len == 20 for r in got.collect())
+
+
+def test_streaming_suffix_batch_split_invariant(spark, tmp_path):
+    """Split-invariance when the cap has slack and batch order follows
+    doc id: ingesting the same corpus as 2 batches or as 5 batches
+    yields the IDENTICAL span set (pair orientation included) — the
+    incremental decomposition, not the batch boundaries, determines
+    the result."""
+    import os as _os
+
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_anchor_store,
+        suffix_batch_against_store,
+    )
+
+    rows = []
+    for d in range(1, 11):
+        base = [f"v{d}_{i}" for i in range(24)]
+        if d in (2, 6, 9):
+            base[4:22] = [f"sh{i}" for i in range(18)]
+        rows.append((d, " ".join(base)))
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+
+    def ingest(splits, tag):
+        store = str(tmp_path / f"store_{tag}")
+        spans = set()
+        for b, ids in enumerate(splits):
+            batch = df.filter(F.col("doc_id").isin(ids))
+            new_anchors = dd.suffix_anchors(
+                batch, "text", "doc_id", 8
+            ).persist()
+            new_gramdf = new_anchors.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            sa, sg = read_anchor_store(spark, store, new_anchors, new_gramdf)
+            out = suffix_batch_against_store(new_anchors, sa, sg)
+            spans |= {tuple(r) for r in out.collect()}
+            new_anchors.write.mode("overwrite").parquet(
+                _os.path.join(store, "anchors", f"batch={b}")
+            )
+            new_gramdf.write.mode("overwrite").parquet(
+                _os.path.join(store, "gramdf", f"batch={b}")
+            )
+            new_anchors.unpersist()
+        return spans
+
+    two = ingest([[1, 2, 3, 4, 5], [6, 7, 8, 9, 10]], "two")
+    five = ingest([[1, 2], [3, 4], [5, 6], [7, 8], [9, 10]], "five")
+    assert two == five
+    assert {(a, b) for (a, b, *_rest) in two} == {(2, 6), (2, 9), (6, 9)}
