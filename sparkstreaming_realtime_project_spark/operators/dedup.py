@@ -1737,8 +1737,8 @@ def suffix_scrub(
 
     Output (doc_id, clean_text, n_tokens, n_removed) — same contract as
     scrub_repeated_spans; clean_text is the normalized token stream.
-    Registered as a catalog entry next round (round 11 froze catalog
-    growth for the driver-window rotation; pytest covers it now).
+    Registered as x_suffix_scrub (round 12) with a DuckDB coverage-
+    rebuild twin.
 
     ``materialize`` passes through to the pair stage: True persists
     both the pair table (released here once the scrub result is
@@ -1803,9 +1803,9 @@ def suffix_self_scrub(
     covered-position UNION over all distances is what is removed.
 
     Output (doc_id, clean_text, n_tokens, n_removed) — the
-    suffix_scrub contract. Catalog registration next round (round-11
-    freeze). ``materialize`` passes through to the span stage exactly
-    as in suffix_scrub: lazy mode never pays a persist it then
+    suffix_scrub contract. Registered as x_suffix_self_scrub (round
+    12). ``materialize`` passes through to the span stage exactly as
+    in suffix_scrub: lazy mode never pays a persist it then
     discards."""
     spans = suffix_self_spans(
         df, text_col, id_col, k=k, min_len=min_len, max_df=max_df,
