@@ -54,25 +54,40 @@ from ..operators.dedup import (
 )
 
 
-def _read_or_empty(spark, root: str, sub: str, like: DataFrame) -> DataFrame:
+def _read_or_empty(
+    spark, root: str, sub: str, like: DataFrame,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Union of the store's committed batch= subdirs. ``exclude_batch``
+    is the crash-recovery guard: a crash BETWEEN a batch's store write
+    and its checkpoint commit leaves a PHANTOM batch dir on disk; when
+    the engine replays that input as the same batch id, the store read
+    must not see the phantom (the batch's own docs would join against
+    themselves, and sketch-counted df would double) — the replaying
+    batch excludes its OWN batch id, which for a committed batch id is
+    a no-op because foreachBatch never re-runs a committed id against
+    the same checkpoint."""
     path = os.path.join(root, sub)
     if not os.path.isdir(path):
         return spark.createDataFrame([], like.schema)
-    return (
-        spark.read.option("basePath", path)
-        .parquet(os.path.join(path, "batch=*"))
-        .drop("batch")
+    df = spark.read.option("basePath", path).parquet(
+        os.path.join(path, "batch=*")
     )
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch") != exclude_batch)
+    return df.drop("batch")
 
 
 def read_signature_store(
-    spark, store_dir: str, like_sigs: DataFrame, like_bands: DataFrame
+    spark, store_dir: str, like_sigs: DataFrame, like_bands: DataFrame,
+    exclude_batch: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(sigs, bands) of every accepted doc so far; empty frames with the
-    incoming batch's schemas before the first committed batch."""
+    incoming batch's schemas before the first committed batch.
+    ``exclude_batch``: see _read_or_empty (phantom-dir replay guard)."""
     return (
-        _read_or_empty(spark, store_dir, "sigs", like_sigs),
-        _read_or_empty(spark, store_dir, "bands", like_bands),
+        _read_or_empty(spark, store_dir, "sigs", like_sigs, exclude_batch),
+        _read_or_empty(spark, store_dir, "bands", like_bands, exclude_batch),
     )
 
 
@@ -102,10 +117,15 @@ def dedup_batch_against_store(
             .select("band", "key")
         )
         store_bands = store_bands.join(small, ["band", "key"])
-    # new-vs-accepted candidates: equi-join on the bucket key
+    # new-vs-accepted candidates: equi-join on the bucket key. The
+    # id-inequality conjunct is defense-in-depth for replay/re-ingest:
+    # a doc id that somehow appears on BOTH sides (phantom store dir
+    # not excluded, or an upstream re-send of an accepted id) must not
+    # become its own canonical at jaccard 1.0.
     cand_ext = (
         new_bands.alias("nb")
         .join(store_bands.alias("sb"), ["band", "key"])
+        .filter(F.col("nb.id") != F.col("sb.id"))
         .select(F.col("nb.id").alias("doc_a"), F.col("sb.id").alias("doc_b"))
         .distinct()
     )
@@ -165,7 +185,7 @@ def streaming_minhash_dedup(
         new_sigs = shingled.select("id", "shingles")
         new_bands = band_keys(minhash_signature(shingled, k), k, bands).persist()
         store_sigs, store_bands = read_signature_store(
-            spark, store_dir, new_sigs, new_bands
+            spark, store_dir, new_sigs, new_bands, exclude_batch=batch_id
         )
         decisions = dedup_batch_against_store(
             new_sigs, new_bands, store_sigs, store_bands, threshold, max_bucket
@@ -243,13 +263,19 @@ from ..operators.dedup import suffix_anchors, suffix_runs_to_spans  # noqa: E402
 
 
 def read_anchor_store(
-    spark, store_dir: str, like_anchors: DataFrame, like_gramdf: DataFrame
+    spark, store_dir: str, like_anchors: DataFrame, like_gramdf: DataFrame,
+    exclude_batch: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(anchors, gramdf) of every doc ingested so far; empty frames with
-    the incoming batch's schemas before the first committed batch."""
+    the incoming batch's schemas before the first committed batch.
+    ``exclude_batch``: see _read_or_empty (phantom-dir replay guard —
+    without it a replayed batch's docs would span-match THEMSELVES and
+    the sketch-summed df would count the batch twice)."""
     return (
-        _read_or_empty(spark, store_dir, "anchors", like_anchors),
-        _read_or_empty(spark, store_dir, "gramdf", like_gramdf),
+        _read_or_empty(spark, store_dir, "anchors", like_anchors,
+                       exclude_batch),
+        _read_or_empty(spark, store_dir, "gramdf", like_gramdf,
+                       exclude_batch),
     )
 
 
@@ -300,8 +326,13 @@ def suffix_batch_against_store(
         F.col("b.pos").alias("pb"),
         (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     ]
+    # doc-id inequality: defense-in-depth against a doc appearing on
+    # both sides (phantom store dir, upstream re-send) self-matching
+    # into a full-length span
     cross = store_a.alias("a").join(
-        new_a.alias("b"), F.col("a.g") == F.col("b.g")
+        new_a.alias("b"),
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
     ).select(*sides)
     inb = new_a.alias("a").join(
         new_a.alias("b"),
@@ -339,7 +370,8 @@ def streaming_suffix_dedup(
             F.count(F.lit(1)).alias("n")
         )
         store_anchors, store_gramdf = read_anchor_store(
-            spark, store_dir, new_anchors, new_gramdf
+            spark, store_dir, new_anchors, new_gramdf,
+            exclude_batch=batch_id,
         )
         spans = suffix_batch_against_store(
             new_anchors, store_anchors, store_gramdf, k, min_len, max_df

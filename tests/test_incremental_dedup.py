@@ -1301,3 +1301,172 @@ def test_streaming_suffix_batch_split_invariant(spark, tmp_path):
     five = ingest([[1, 2], [3, 4], [5, 6], [7, 8], [9, 10]], "five")
     assert two == five
     assert {(a, b) for (a, b, *_rest) in two} == {(2, 6), (2, 9), (6, 9)}
+
+
+def test_streaming_suffix_crash_restart_from_checkpoint(spark, tmp_path):
+    """Kill/restart-from-checkpoint exactly-once for the suffix twin.
+    Worst case: the crash lands BETWEEN the decisions/anchor/gramdf
+    writes and the checkpoint commit — the batch dirs exist but the
+    engine doesn't know. On restart the same input re-runs as the SAME
+    batch id; the idempotent overwrites rewrite identical content, so
+    neither the span decisions nor the store double up (a doubled
+    gramdf row would halve the effective df-cap; doubled anchors would
+    duplicate every future span)."""
+    import os as _os
+
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        suffix_anchors,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_anchor_store,
+        streaming_suffix_dedup,
+        suffix_batch_against_store,
+    )
+
+    text1 = " ".join(f"g{i}" for i in range(25))
+    text2 = " ".join(["h0", "h1"] + [f"g{i}" for i in range(3, 22)])
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    decisions = str(tmp_path / "decisions")
+    ck = str(tmp_path / "ck")
+
+    # run 1: only batch A (doc 1) visible; commits batch_id=0
+    fx._write_batches(in_dir, [[_doc(1, text1)]])
+    stream = file_stream(
+        spark, in_dir, DOC_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    q = (
+        streaming_suffix_dedup(stream, store, decisions, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    # "crash": batch B's three dirs were written (same per-batch body)
+    # but the checkpoint never committed batch_id=1
+    batch_b = spark.createDataFrame([(2, text2)], DOC_SCHEMA)
+    new_anchors = suffix_anchors(batch_b, "text", "doc_id", 8).persist()
+    new_gramdf = new_anchors.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    sa, sg = read_anchor_store(spark, store, new_anchors, new_gramdf)
+    suffix_batch_against_store(new_anchors, sa, sg).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(decisions, "batch=1"))
+    new_anchors.write.mode("overwrite").parquet(
+        _os.path.join(store, "anchors", "batch=1")
+    )
+    new_gramdf.write.mode("overwrite").parquet(
+        _os.path.join(store, "gramdf", "batch=1")
+    )
+    new_anchors.unpersist()
+
+    # restart from the SAME checkpoint with batch B's input now visible
+    fx._write_batches(in_dir, [[_doc(1, text1)], [_doc(2, text2)]])
+    stream2 = file_stream(
+        spark, in_dir, DOC_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    q2 = (
+        streaming_suffix_dedup(stream2, store, decisions, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    got = spark.read.parquet(_os.path.join(decisions, "batch=*")).collect()
+    # exactly ONE span decision: doc 2 shares g3..g21 (19 tokens) with
+    # the accepted doc 1 — no duplicate from the replay
+    assert [(r.doc_a, r.doc_b, r.a_start, r.a_end, r.b_start, r.b_end,
+             r.span_len) for r in got] == [(1, 2, 4, 22, 3, 21, 19)]
+    # store did not double: per-gram summed df equals the anchor count
+    anchors = spark.read.parquet(_os.path.join(store, "anchors", "batch=*"))
+    gramdf = spark.read.parquet(_os.path.join(store, "gramdf", "batch=*"))
+    assert anchors.count() == (25 - 7) + (21 - 7)
+    assert gramdf.agg(F.sum("n")).first()[0] == anchors.count()
+
+
+def test_streaming_minhash_crash_restart_from_checkpoint(spark, tmp_path):
+    """The phantom-dir replay scenario on the MinHash twin (the bug the
+    suffix crash test caught was latent here too): a crash between the
+    store writes and the checkpoint commit leaves batch B's accepted
+    sigs/bands on disk; on replay the batch must NOT see its own
+    phantom — without the exclude_batch guard doc 3 would band-collide
+    with itself, verify at jaccard 1.0, flag dup_of = itself, and the
+    replay would then write an EMPTY accepted set for the batch
+    (silently dropping doc 3 from the corpus)."""
+    import os as _os
+
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_signature_store,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    decisions = str(tmp_path / "decisions")
+    ck = str(tmp_path / "ck")
+
+    fx._write_batches(in_dir, [[_doc(1, TEXT_A), _doc(2, TEXT_B)]])
+    stream = file_stream(
+        spark, in_dir, DOC_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    q = (
+        streaming_minhash_dedup(stream, store, decisions, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    # "crash": batch 1 (docs 3=near-dup-of-1, 4=new) store dirs written
+    # with the exact per-batch body, checkpoint never committed
+    batch_b = spark.createDataFrame(
+        [(3, TEXT_A_NEAR), (4, TEXT_C)], DOC_SCHEMA
+    )
+    shingled = dd.with_shingles(batch_b, "text", "doc_id", 3)
+    new_sigs = shingled.select("id", "shingles")
+    new_bands = dd.band_keys(dd.minhash_signature(shingled, 16), 16, 4)
+    store_sigs, store_bands = read_signature_store(
+        spark, store, new_sigs, new_bands, exclude_batch=1
+    )
+    dec = dedup_batch_against_store(
+        new_sigs, new_bands, store_sigs, store_bands
+    ).persist()
+    accepted = dec.filter(F.col("dup_of").isNull()).select(
+        F.col("doc_id").alias("id")
+    )
+    new_sigs.join(accepted, "id").write.mode("overwrite").parquet(
+        _os.path.join(store, "sigs", "batch=1")
+    )
+    new_bands.join(accepted, "id").write.mode("overwrite").parquet(
+        _os.path.join(store, "bands", "batch=1")
+    )
+    dec.unpersist()
+
+    # restart from the same checkpoint with batch B's input visible
+    fx._write_batches(
+        in_dir,
+        [[_doc(1, TEXT_A), _doc(2, TEXT_B)],
+         [_doc(3, TEXT_A_NEAR), _doc(4, TEXT_C)]],
+    )
+    stream2 = file_stream(
+        spark, in_dir, DOC_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    q2 = (
+        streaming_minhash_dedup(stream2, store, decisions, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(
+            _os.path.join(decisions, "batch=*")
+        ).collect()
+    }
+    # identical to the never-crashed run: 3 flagged vs accepted doc 1,
+    # 4 accepted — NOT flagged against its own phantom
+    assert got == {1: None, 2: None, 3: 1, 4: None}
+    sig_ids = {
+        r["id"] for r in spark.read.parquet(
+            _os.path.join(store, "sigs", "batch=*")
+        ).collect()
+    }
+    assert sig_ids == {1, 2, 4}
