@@ -877,3 +877,65 @@ def test_bpe_train_distributed_property(spark, texts):
         key=lambda r: r.merge_rank,
     )
     assert [(r.merge_left, r.merge_right) for r in got] == ref
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=30)
+        .map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    cut=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_streaming_suffix_equals_batch_uncapped(spark, texts, cut):
+    """Sequential-ingest decomposition property: with no df-cap and
+    id-ordered batches, the union of per-batch streaming span decisions
+    (suffix_batch_against_store over an accumulating store) equals
+    suffix_span_pairs on the whole corpus — for EVERY split point. The
+    3-letter alphabet forces dense cross-batch accidental repeats, the
+    hard case for the store-vs-sibling orientation."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        suffix_batch_against_store,
+    )
+
+    k, min_len = 3, 4
+    cut = min(cut, len(texts) - 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = {
+        tuple(r)
+        for r in dd.suffix_span_pairs(
+            df, "text", "doc_id", k=k, min_len=min_len, max_df=None
+        ).collect()
+    }
+    store_anchors = store_gramdf = None
+    got = set()
+    for lo, hi in ((0, cut), (cut, len(texts))):
+        batch = df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        new_anchors = dd.suffix_anchors(batch, "text", "doc_id", k)
+        new_gramdf = new_anchors.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        if store_anchors is None:
+            sa = new_anchors.limit(0)
+            sg = new_gramdf.limit(0)
+        else:
+            sa, sg = store_anchors, store_gramdf
+        out = suffix_batch_against_store(
+            new_anchors, sa, sg, k=k, min_len=min_len, max_df=None
+        )
+        got |= {tuple(r) for r in out.collect()}
+        store_anchors = (
+            new_anchors if store_anchors is None
+            else store_anchors.unionByName(new_anchors)
+        )
+        store_gramdf = (
+            new_gramdf if store_gramdf is None
+            else store_gramdf.unionByName(new_gramdf)
+        )
+    assert got == want
