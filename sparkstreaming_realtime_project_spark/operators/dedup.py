@@ -1750,12 +1750,34 @@ def suffix_scrub(
         df, text_col, id_col, k=k, min_len=min_len, max_df=max_df,
         materialize=materialize,
     )
+    removable = pairs.select(
+        F.col("doc_b").alias("doc_id"), "b_start", "b_end"
+    )
+    out = scrub_coverage(df, text_col, id_col, removable)
+    if materialize:
+        out = out.persist()
+        out.count()
+        pairs.unpersist()
+    return out
+
+
+def scrub_coverage(
+    df: DataFrame, text_col: str, id_col: str, removable: DataFrame
+) -> DataFrame:
+    """The coverage-rebuild core shared by every span scrub (batch
+    cross-doc, batch within-doc, and the streaming scrub-on-ingest):
+    ``removable`` carries (doc_id, b_start, b_end) 1-based inclusive
+    token intervals to drop; intervals merge through one output-sized
+    sequence-explode + distinct; per-doc position LISTS (scrub-sized,
+    never text-sized) join back onto the token arrays; one indexed
+    array filter drops covered slots. Output (doc_id, clean_text,
+    n_tokens, n_removed)."""
     toks = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     )
     cov = (
-        pairs.select(
-            F.col("doc_b").alias("doc_id"),
+        removable.select(
+            "doc_id",
             F.explode(
                 F.sequence(F.col("b_start"), F.col("b_end"))
             ).alias("p"),
@@ -1768,7 +1790,7 @@ def suffix_scrub(
     kept = F.filter(
         F.col("toks"), lambda x, i: ~F.array_contains(covered, i + F.lit(1))
     )
-    out = (
+    return (
         toks.join(cov, "doc_id", "left")
         .select("doc_id", "toks", kept.alias("kept"))
         .select(
@@ -1778,11 +1800,6 @@ def suffix_scrub(
             (F.size("toks") - F.size("kept")).alias("n_removed"),
         )
     )
-    if materialize:
-        out = out.persist()
-        out.count()
-        pairs.unpersist()
-    return out
 
 
 def suffix_self_scrub(
@@ -1811,31 +1828,8 @@ def suffix_self_scrub(
         df, text_col, id_col, k=k, min_len=min_len, max_df=max_df,
         materialize=materialize,
     )
-    toks = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
-    )
-    cov = (
-        spans.select(
-            "doc_id",
-            F.explode(F.sequence(F.col("b_start"), F.col("b_end"))).alias("p"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.collect_list("p").alias("cov"))
-    )
-    covered = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("toks"), lambda x, i: ~F.array_contains(covered, i + F.lit(1))
-    )
-    out = (
-        toks.join(cov, "doc_id", "left")
-        .select("doc_id", "toks", kept.alias("kept"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "kept").alias("clean_text"),
-            F.size("toks").alias("n_tokens"),
-            (F.size("toks") - F.size("kept")).alias("n_removed"),
-        )
+    out = scrub_coverage(
+        df, text_col, id_col, spans.select("doc_id", "b_start", "b_end")
     )
     if materialize:
         out = out.persist()

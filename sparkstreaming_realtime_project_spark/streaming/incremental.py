@@ -394,6 +394,74 @@ def streaming_suffix_dedup(
     )
 
 
+def streaming_suffix_scrub(
+    doc_stream: DataFrame,
+    store_dir: str,
+    decisions_dir: str,
+    clean_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_len: int = 16,
+    max_df: int | None = 64,
+):
+    """Scrub-on-ingest: streaming_suffix_dedup PLUS the suffix_scrub
+    apply step per micro-batch — each incoming doc is written to
+    ``clean_dir/batch={id}`` with every token span it shares with the
+    corpus-so-far (or with a smaller-id batch sibling) REMOVED, the
+    newcomer-loses policy: the incumbent's copy survives, exactly the
+    batch suffix_scrub ownership rule evaluated in arrival order. The
+    anchor store accumulates the ORIGINAL (pre-scrub) anchors, so a
+    later third copy still matches the full incumbent text rather than
+    the already-scrubbed second copy's remnants.
+
+    Output contract per batch dir: decisions = the suffix_span_pairs
+    row shape; clean = (doc_id, clean_text, n_tokens, n_removed), one
+    row per incoming doc (docs with no shared spans pass through with
+    n_removed = 0). Cost: the scrub adds only the output-sized
+    position explode and one doc_id-keyed list join on top of the
+    detection plan — the batch text never shuffles."""
+    from ..operators.dedup import scrub_coverage
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_anchors = suffix_anchors(batch_df, text_col, id_col, k).persist()
+        new_gramdf = new_anchors.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        store_anchors, store_gramdf = read_anchor_store(
+            spark, store_dir, new_anchors, new_gramdf,
+            exclude_batch=batch_id,
+        )
+        spans = suffix_batch_against_store(
+            new_anchors, store_anchors, store_gramdf, k, min_len, max_df
+        ).persist()
+        spans.write.mode("overwrite").parquet(
+            os.path.join(decisions_dir, f"batch={batch_id}")
+        )
+        removable = spans.select(
+            F.col("doc_b").alias("doc_id"), "b_start", "b_end"
+        )
+        scrub_coverage(batch_df, text_col, id_col, removable).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(clean_dir, f"batch={batch_id}"))
+        new_anchors.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "anchors", f"batch={batch_id}")
+        )
+        new_gramdf.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "gramdf", f"batch={batch_id}")
+        )
+        spans.unpersist()
+        new_anchors.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
 def streaming_hll_distinct(
     stream: DataFrame,
     store_dir: str,

@@ -1470,3 +1470,54 @@ def test_streaming_minhash_crash_restart_from_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert sig_ids == {1, 2, 4}
+
+
+def test_streaming_suffix_scrub_on_ingest(spark, tmp_path):
+    """Scrub-on-ingest composition: doc 3 arrives sharing a 20-token
+    block with accepted doc 1 — its clean output drops exactly those
+    positions (newcomer loses, incumbent untouched); unrelated docs
+    pass through verbatim with n_removed = 0; the store keeps doc 3's
+    ORIGINAL anchors so a batch-3 copy of the same block still matches
+    at full length."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        streaming_suffix_scrub,
+    )
+
+    block = [f"a{i}" for i in range(30)]
+    doc1 = " ".join(block)
+    doc2 = " ".join(f"b{i}" for i in range(30))
+    doc3 = " ".join(["c0", "c1", "c2"] + block[5:25] + ["c3", "c4"])
+    doc4 = " ".join(["d0"] + block[5:25] + ["d1"])  # third copy, batch 3
+
+    in_dir = str(tmp_path / "in")
+    fx._write_batches(
+        in_dir,
+        [[_doc(1, doc1), _doc(2, doc2)], [_doc(3, doc3)], [_doc(4, doc4)]],
+    )
+    stream = file_stream(
+        spark, in_dir, DOC_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    clean = str(tmp_path / "clean")
+    q = (
+        streaming_suffix_scrub(
+            stream, str(tmp_path / "store"), str(tmp_path / "dec"),
+            clean, str(tmp_path / "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in spark.read.parquet(os.path.join(clean, "batch=*")).collect()
+    }
+    assert got[1] == (doc1, 30, 0)          # incumbent untouched
+    assert got[2] == (doc2, 30, 0)          # unrelated passthrough
+    assert got[3] == ("c0 c1 c2 c3 c4", 25, 20)  # shared block scrubbed
+    # third copy matched the ORIGINAL doc-3 anchors (and doc 1's): its
+    # whole embedded block is removed too
+    assert got[4] == ("d0 d1", 22, 20)
+    dec = spark.read.parquet(os.path.join(str(tmp_path / "dec"), "batch=*"))
+    assert {(r.doc_a, r.doc_b) for r in dec.collect()} == {
+        (1, 3), (1, 4), (3, 4)
+    }
