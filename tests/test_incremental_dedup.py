@@ -1521,3 +1521,64 @@ def test_streaming_suffix_scrub_on_ingest(spark, tmp_path):
     assert {(r.doc_a, r.doc_b) for r in dec.collect()} == {
         (1, 3), (1, 4), (3, 4)
     }
+
+
+def test_suffix_anchor_store_bucketed_join_no_store_shuffle(spark, tmp_path):
+    """Substantiates the SCALE.md stance for the streaming suffix
+    store: anchors written BUCKETED BY g co-locate the store side of
+    the gram join — the store scan feeds the sort-merge join with NO
+    Exchange (only the small new-batch side repartitions to the bucket
+    count), vs TWO exchanges when the store is a plain parquet dir.
+    At 100 TB that is the difference between shuffling the corpus's
+    anchor history every batch and shuffling one micro-batch."""
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"t{d}_{i}" for i in range(40))) for d in range(50)],
+        DOC_SCHEMA,
+    )
+    anchors = dd.suffix_anchors(docs, "text", "doc_id", 8)
+    # session warehouse dir is static conf — use it and drop the table
+    name = "suffix_anchor_store_bucketed_test"
+    # force the sort-merge strategy: at TEST scale the planner would
+    # broadcast either side, which hides the bucketing question the
+    # 100 TB stance is about (neither side is broadcastable there)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        anchors.write.bucketBy(8, "g").sortBy("g").mode(
+            "overwrite"
+        ).saveAsTable(name)
+        store = spark.table(name)
+        new = dd.suffix_anchors(
+            spark.createDataFrame(
+                [(99, " ".join(f"t7_{i}" for i in range(40)))], DOC_SCHEMA
+            ),
+            "text", "doc_id", 8,
+        )
+        joined = store.alias("a").join(
+            new.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        plan_bucketed = joined._jdf.queryExecution().executedPlan().toString()
+        plain = dd.suffix_anchors(docs, "text", "doc_id", 8)
+        plan_plain = (
+            plain.alias("a")
+            .join(
+                new.alias("b"),
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan_bucketed.count("Exchange") < plan_plain.count("Exchange"), (
+            "bucketed store side must drop its Exchange"
+        )
+        assert "SortMergeJoin" in plan_bucketed
+        assert "Bucketed: true" in plan_bucketed or "SelectedBucketsCount" in (
+            plan_bucketed
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
