@@ -368,6 +368,35 @@ _DRIVER_VERIFIED_R11 = frozenset(
 _DRIVER_RED_R11 = frozenset()
 
 
+# Green in the round-12 driver window (CORRECTNESS_r12.json): 50 of 50,
+# zero reds — the 4 newly-registered r12 entries (streaming suffix twin
+# + driver-exposed scrubs) confirmed plus the 31-entry r6 cohort and the
+# front of the r7 cohort re-confirmed.
+_DRIVER_VERIFIED_R12 = frozenset(
+    {
+        "a_dau_cumulative", "a_dau_hourly", "a_dau_total", "a_funnel_daily",
+        "a_grouping_sets", "a_pivot_daily_types", "a_session_conversion",
+        "j_asof_nearest", "j_asof_prev_order", "j_dim_enrich",
+        "j_full_outer", "j_order_wide", "j_range_overlap", "j_salted_skew",
+        "j_scd2_asof", "j_semi_anti", "p_cdc_decode", "p_explode_tokens",
+        "p_filter_route", "p_json_extract", "q12_priority_by_status",
+        "q1_pricing_summary", "q3_shipping_priority", "w_event_gap_stats",
+        "w_rolling_7d", "w_value_functions", "x_boilerplate_score",
+        "x_cms_user_counts", "x_compaction_plan", "x_corpus_datasheet",
+        "x_drift_report", "x_embed_covariance", "x_expectations_orders",
+        "x_feature_hash_embed", "x_hll_distinct_users", "x_knn_ivfpq",
+        "x_multimodal_png_roundtrip", "x_ngram_freq", "x_ngram_novelty",
+        "x_pagerank", "x_pagerank_dangling", "x_ppl_bucket_sample",
+        "x_quantile_hist", "x_suffix_scrub", "x_suffix_self_scrub",
+        "x_suffix_stream", "x_suffix_stream_scrub", "x_text_normalize",
+        "x_winnow_recall", "x_winnow_substring_pairs",
+    }
+)
+
+# No reds in the round-12 driver window.
+_DRIVER_RED_R12 = frozenset()
+
+
 def registry() -> list[QuerySpec]:
     """Driver-window priority: RED beats never-checked beats green.
 
@@ -383,9 +412,9 @@ def registry() -> list[QuerySpec]:
        backlog drained in r7 — every registered entry now has a
        driver-confirmed green row.
 
-    Round 12 continues the rotation (VERDICT r11 #1): ≤5 new entries,
-    so the driver's 50-slot window lands on the 31-entry r6 cohort
-    (last externally confirmed in round 6) plus the front of the r7
+    Round 13 continues the rotation (VERDICT r12 #1): ≤5 new entries,
+    so the driver's 50-slot window lands on the 35-entry r7 cohort
+    (last externally confirmed in round 7) plus the front of the r8
     cohort.
 
     All entries stay green under the full local driver-replica
@@ -394,24 +423,29 @@ def registry() -> list[QuerySpec]:
         _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R2 | _DRIVER_WINDOW_R4
         | _DRIVER_VERIFIED_R5 | _DRIVER_RED_R5 | _DRIVER_VERIFIED_R6
         | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
-        | _DRIVER_VERIFIED_R10 | _DRIVER_VERIFIED_R11
+        | _DRIVER_VERIFIED_R10 | _DRIVER_VERIFIED_R11 | _DRIVER_VERIFIED_R12
     )
     r6n = (
         _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
         | _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10 | _DRIVER_VERIFIED_R11
+        | _DRIVER_VERIFIED_R12
     )
     r7n = (
         _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9
-        | _DRIVER_VERIFIED_R10 | _DRIVER_VERIFIED_R11
+        | _DRIVER_VERIFIED_R10 | _DRIVER_VERIFIED_R11 | _DRIVER_VERIFIED_R12
     )
     r8n = (
         _DRIVER_VERIFIED_R8 | _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10
-        | _DRIVER_VERIFIED_R11
+        | _DRIVER_VERIFIED_R11 | _DRIVER_VERIFIED_R12
     )
-    r9n = _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10 | _DRIVER_VERIFIED_R11
-    r10n = _DRIVER_VERIFIED_R10 | _DRIVER_VERIFIED_R11
-    r11n = _DRIVER_VERIFIED_R11
-    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R11]
+    r9n = (
+        _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10 | _DRIVER_VERIFIED_R11
+        | _DRIVER_VERIFIED_R12
+    )
+    r10n = _DRIVER_VERIFIED_R10 | _DRIVER_VERIFIED_R11 | _DRIVER_VERIFIED_R12
+    r11n = _DRIVER_VERIFIED_R11 | _DRIVER_VERIFIED_R12
+    r12n = _DRIVER_VERIFIED_R12
+    red = [q for q in _REGISTRY if q.name in _DRIVER_RED_R12]
     never = [q for q in _REGISTRY if q.name not in seen]
     r4 = [q for q in _REGISTRY
           if q.name in _DRIVER_WINDOW_R4 and q.name not in r6n]
@@ -431,8 +465,11 @@ def registry() -> list[QuerySpec]:
           if q.name in _DRIVER_VERIFIED_R9 and q.name not in r10n]
     r10 = [q for q in _REGISTRY
            if q.name in _DRIVER_VERIFIED_R10 and q.name not in r11n]
-    r11 = [q for q in _REGISTRY if q.name in r11n]
-    return red + never + r4 + r2 + r3 + r5 + r6 + r7 + r8 + r9 + r10 + r11
+    r11 = [q for q in _REGISTRY
+           if q.name in _DRIVER_VERIFIED_R11 and q.name not in r12n]
+    r12 = [q for q in _REGISTRY if q.name in r12n]
+    return (red + never + r4 + r2 + r3 + r5 + r6 + r7 + r8 + r9 + r10
+            + r11 + r12)
 
 
 def _t(spark, sf_dir, name):

@@ -47,7 +47,7 @@ def test_registry_rotation_order():
     exposed-unconfirmed tier drained to zero in round 7 — every
     registered entry now has a confirmed green row.)"""
     from sparkstreaming_realtime_project_spark.plans.catalog import (
-        _DRIVER_RED_R11,
+        _DRIVER_RED_R12,
         _DRIVER_VERIFIED_R2,
         _DRIVER_VERIFIED_R3,
         _DRIVER_VERIFIED_R5,
@@ -57,6 +57,7 @@ def test_registry_rotation_order():
         _DRIVER_VERIFIED_R9,
         _DRIVER_VERIFIED_R10,
         _DRIVER_VERIFIED_R11,
+        _DRIVER_VERIFIED_R12,
         _DRIVER_WINDOW_R4,
         registry,
     )
@@ -66,11 +67,11 @@ def test_registry_rotation_order():
         _DRIVER_VERIFIED_R2 | _DRIVER_VERIFIED_R3 | _DRIVER_VERIFIED_R5
         | _DRIVER_VERIFIED_R6 | _DRIVER_VERIFIED_R7 | _DRIVER_VERIFIED_R8
         | _DRIVER_VERIFIED_R9 | _DRIVER_VERIFIED_R10
-        | _DRIVER_VERIFIED_R11 | _DRIVER_WINDOW_R4
+        | _DRIVER_VERIFIED_R11 | _DRIVER_VERIFIED_R12 | _DRIVER_WINDOW_R4
     )
 
     def tier(n):
-        if n in _DRIVER_RED_R11:
+        if n in _DRIVER_RED_R12:
             return 0  # red beats...
         if n not in green:
             return 1  # ...never-checked beats...
@@ -96,6 +97,7 @@ def test_registry_rotation_order():
             _DRIVER_VERIFIED_R9,
             _DRIVER_VERIFIED_R10,
             _DRIVER_VERIFIED_R11,
+            _DRIVER_VERIFIED_R12,
         ]
     ):
         for n in cohort_set:
