@@ -73,11 +73,13 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
     first bounds splittable big files, the second catches Spark's
     small-file bin-packing (64 tiny files land in ~2 scan partitions,
     not 64). Files whose suffix names a stream-compressed codec
-    (.gz/.zst/.bz2/.lz4/.sz/.deflate) are NOT splittable — Spark scans
-    each as exactly one partition regardless of size, so they count one
+    (.gz/.zst/.lz4/.sz/.deflate) are NOT splittable — Spark scans each
+    as exactly one partition regardless of size, so they count one
     split each; otherwise a single big .json.gz would inflate the
     estimate past ``target`` and skip the repartition exactly when a
-    one-partition scan needs it most. Non-file schemes (s3://,
+    one-partition scan needs it most. .bz2 is grouped with these even
+    though Hadoop's Bzip2Codec IS splittable: counting it low is the
+    safe direction (see the inline note). Non-file schemes (s3://,
     hdfs://) can't be stat'ed from here and count one split each — a
     remote many-small-files corpus may skip a useful spread, and a
     remote few-big-files corpus pays one avoidable shuffle; both are
@@ -98,6 +100,10 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
             4194304,
         )
         splits, packed = 0, 0
+        # .bz2 is deliberately counted as one split despite Hadoop's
+        # Bzip2Codec being splittable: under-estimating existing
+        # parallelism can only ADD a repartition (safe direction),
+        # while over-estimating would skip one that's needed.
         unsplittable = (".gz", ".zst", ".bz2", ".lz4", ".sz", ".deflate")
         for f in files:
             sz = None

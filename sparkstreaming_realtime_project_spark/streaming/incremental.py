@@ -54,9 +54,28 @@ from ..operators.dedup import (
 )
 
 
+def _batch_ids(root: str, sub: str, min_batch: int | None = None) -> list[int]:
+    """Sorted committed batch ids under root/sub/batch=*, optionally
+    only those STRICTLY AFTER ``min_batch`` (the compaction horizon —
+    folded dirs are pruned here, before any reader is built, so a
+    lagging cleanup never re-reads them)."""
+    import glob
+
+    ids = []
+    for p in glob.glob(os.path.join(root, sub, "batch=*")):
+        try:
+            i = int(p.rsplit("=", 1)[1])
+        except ValueError:
+            continue
+        if min_batch is None or i > min_batch:
+            ids.append(i)
+    return sorted(ids)
+
+
 def _read_or_empty(
     spark, root: str, sub: str, like: DataFrame,
     exclude_batch: int | None = None,
+    min_batch: int | None = None,
 ) -> DataFrame:
     """Union of the store's committed batch= subdirs. ``exclude_batch``
     is the crash-recovery guard: a crash BETWEEN a batch's store write
@@ -66,16 +85,66 @@ def _read_or_empty(
     themselves, and sketch-counted df would double) — the replaying
     batch excludes its OWN batch id, which for a committed batch id is
     a no-op because foreachBatch never re-runs a committed id against
-    the same checkpoint."""
+    the same checkpoint. ``min_batch`` prunes dirs a compaction has
+    already folded (read instead via the compacted table)."""
     path = os.path.join(root, sub)
-    if not os.path.isdir(path):
+    ids = _batch_ids(root, sub, min_batch)
+    if not ids:
         return spark.createDataFrame([], like.schema)
     df = spark.read.option("basePath", path).parquet(
-        os.path.join(path, "batch=*")
+        *[os.path.join(path, f"batch={i}") for i in ids]
     )
     if exclude_batch is not None:
         df = df.filter(F.col("batch") != exclude_batch)
     return df.drop("batch")
+
+
+def _checkpoint_query_id(checkpoint: str) -> str | None:
+    """The streaming query's stable identity (StreamMetadata ``id`` —
+    constant across restarts of the SAME checkpoint, fresh for a new
+    checkpoint dir). None before the engine has written it."""
+    import json
+
+    path = os.path.join(checkpoint, "metadata")
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def _guard_store_checkpoint(store_dir: str, checkpoint: str) -> None:
+    """One-checkpoint-per-store, enforced: batch ids are only unique
+    WITHIN a checkpoint, so restarting an existing store with a FRESH
+    checkpoint would replay batch ids from 0 and silently exclude-then-
+    overwrite legitimately committed store dirs (the exclude_batch
+    phantom guard cannot tell the two apart). The first batch stamps
+    the query id into the store; any later mismatch fails fast instead
+    of losing data. Wipe (or compact-and-archive) the store when
+    starting over with a new checkpoint."""
+    qid = _checkpoint_query_id(checkpoint)
+    if qid is None:
+        return
+    stamp = os.path.join(store_dir, "_checkpoint_id")
+    os.makedirs(store_dir, exist_ok=True)
+    if os.path.isfile(stamp):
+        with open(stamp) as f:
+            prev = f.read().strip()
+        if prev != qid:
+            raise ValueError(
+                f"store {store_dir} belongs to streaming query {prev}; "
+                f"refusing to ingest from query {qid} (a fresh checkpoint "
+                "restarts batch ids at 0 and would overwrite committed "
+                "store batches). Use the original checkpoint, or start a "
+                "new store directory."
+            )
+        return
+    tmp = stamp + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(qid)
+    os.replace(tmp, stamp)
 
 
 def read_signature_store(
@@ -177,10 +246,16 @@ def streaming_minhash_dedup(
 
     Decisions output rows: (doc_id, dup_of, jaccard) per batch dir — one
     row per INCOMING doc; accepted docs carry dup_of NULL. The signature
-    store under ``store_dir`` accumulates accepted docs only."""
+    store under ``store_dir`` accumulates accepted docs only.
+
+    One checkpoint per store, enforced (_guard_store_checkpoint): batch
+    ids are only unique within a checkpoint, so pairing an existing
+    store with a fresh checkpoint fails fast instead of silently
+    overwriting committed store batches on replay."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _guard_store_checkpoint(store_dir, checkpoint)
         shingled = with_shingles(batch_df, text_col, id_col, n).persist()
         new_sigs = shingled.select("id", "shingles")
         new_bands = band_keys(minhash_signature(shingled, k), k, bands).persist()
@@ -270,18 +345,243 @@ def read_anchor_store(
     the incoming batch's schemas before the first committed batch.
     ``exclude_batch``: see _read_or_empty (phantom-dir replay guard —
     without it a replayed batch's docs would span-match THEMSELVES and
-    the sketch-summed df would count the batch twice)."""
-    return (
-        _read_or_empty(spark, store_dir, "anchors", like_anchors,
-                       exclude_batch),
-        _read_or_empty(spark, store_dir, "gramdf", like_gramdf,
-                       exclude_batch),
+    the sketch-summed df would count the batch twice).
+
+    Flat-union convenience wrapper over read_anchor_store_slices — use
+    the slices form in per-batch joins so the compacted bucketed slice
+    keeps its co-location (a union with plain tail dirs erases the
+    bucketed output partitioning)."""
+    anchor_slices, gramdf = read_anchor_store_slices(
+        spark, store_dir, like_anchors, like_gramdf, exclude_batch
     )
+    if not anchor_slices:
+        anchors = spark.createDataFrame([], like_anchors.schema)
+    else:
+        anchors = anchor_slices[0]
+        for s in anchor_slices[1:]:
+            anchors = anchors.unionByName(s)
+    return anchors, gramdf
+
+
+# --------------------------------------------------------------------------
+# At-rest compaction for the suffix anchor store (VERDICT r12 #2).
+#
+# The streaming sink appends one plain parquet dir per micro-batch; at a
+# 5 s trigger that is ~17k dirs/day, and the per-batch store-side join
+# shuffles the whole anchor history every batch once the pruned slice
+# stops being broadcastable. compact_suffix_store folds every committed
+# batch dir into ONE bucketed-by-g table (anchors bucketed+sorted on g;
+# gramdf pre-summed per g and bucketed the same way), so the store side
+# of the per-batch gram join co-locates with NO Exchange — only the
+# micro-batch side repartitions to the bucket count. Decisions are
+# IDENTICAL before and after: the fold is a pure union for anchors and
+# an associative re-sum for gramdf, and read_anchor_store_slices keeps
+# the compacted slice separate from the tail so run-merging sees the
+# exact same match set (a given (store doc, new doc) pair's anchors
+# live in exactly one slice).
+#
+# Crash discipline (same as compact_moment_store): write the new
+# bucketed generation to its own through=N path, THEN atomically
+# os.replace the manifest, THEN delete folded dirs + the previous
+# generation. A crash before the manifest flip leaves the old state
+# authoritative; a crash after it leaves stale dirs that the next
+# compaction (or any read — _batch_ids prunes at the horizon) ignores.
+# MUST run while the stream is stopped or only over batches the
+# checkpoint has committed: replaying a compacted-away batch id is a
+# contract violation and the read path fails fast on it.
+# --------------------------------------------------------------------------
+
+
+def _manifest_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_compaction.json")
+
+
+def read_compaction_manifest(store_dir: str) -> dict | None:
+    """The store's current compaction state, or None if never
+    compacted: {"through_batch", "buckets", "tables": {sub: {"name",
+    "path"}}}. Written atomically by compact_suffix_store."""
+    import json
+
+    path = _manifest_path(store_dir)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _bucketed_slice(spark, manifest: dict, sub: str) -> DataFrame:
+    """The compacted bucketed table for store sub-dir ``sub``,
+    re-registered in this session's catalog if absent (the bucketing
+    spec lives in catalog metadata, not the files — a fresh session
+    re-creates the external table entry over the same LOCATION)."""
+    name = manifest["tables"][sub]["name"]
+    path = manifest["tables"][sub]["path"]
+    if not spark.catalog.tableExists(name):
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
+            f"CLUSTERED BY (g) SORTED BY (g) INTO {manifest['buckets']} "
+            f"BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(name)
+
+
+def compact_suffix_store(spark, store_dir: str, buckets: int = 8) -> dict:
+    """Fold the anchor store's committed batch= dirs (and any previous
+    compacted generation) into one bucketed-by-g table per sub-store;
+    returns the new manifest. Idempotent and incremental: re-running
+    with no new batch dirs only re-sweeps stale files; re-running after
+    more batches folds just the tail into the next generation. The
+    caller guarantees every folded batch id is committed to the
+    checkpoint (run while the stream is stopped, or lag the horizon)."""
+    import hashlib
+    import json
+    import shutil
+
+    manifest = read_compaction_manifest(store_dir)
+    prev_through = manifest["through_batch"] if manifest else -1
+    new_ids = _batch_ids(store_dir, "anchors", prev_through)
+    if not new_ids:
+        if manifest is None:
+            raise ValueError("anchor store is empty — nothing to compact")
+        _sweep_folded(spark, store_dir, manifest)
+        return manifest
+    through = max(new_ids)
+    digest = hashlib.md5(
+        os.path.abspath(store_dir).encode()
+    ).hexdigest()[:12]
+    tables = {}
+    for sub in ("anchors", "gramdf"):
+        parts = []
+        if manifest is not None:
+            parts.append(_bucketed_slice(spark, manifest, sub))
+        sub_path = os.path.join(store_dir, sub)
+        parts.append(
+            spark.read.option("basePath", sub_path)
+            .parquet(*[
+                os.path.join(sub_path, f"batch={i}")
+                for i in _batch_ids(store_dir, sub, prev_through)
+            ])
+            .drop("batch")
+        )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if sub == "gramdf":
+            # gram df counts are additive — pre-sum so the store-side
+            # df lookup stays one row per gram no matter how many
+            # batches have been folded
+            df = df.groupBy("g").agg(F.sum("n").alias("n"))
+        name = f"suffix_store_{digest}_{sub}_b{through}"
+        path = os.path.join(store_dir, f"{sub}_compact", f"through={through}")
+        (
+            df.write.bucketBy(buckets, "g").sortBy("g")
+            .option("path", path).mode("overwrite").saveAsTable(name)
+        )
+        tables[sub] = {"name": name, "path": path}
+    new_manifest = {
+        "through_batch": through,
+        "buckets": buckets,
+        "tables": tables,
+    }
+    tmp = _manifest_path(store_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f)
+    os.replace(tmp, _manifest_path(store_dir))
+    if manifest is not None:
+        for sub in ("anchors", "gramdf"):
+            spark.sql(
+                f"DROP TABLE IF EXISTS `{manifest['tables'][sub]['name']}`"
+            )
+            shutil.rmtree(manifest["tables"][sub]["path"], ignore_errors=True)
+    _sweep_folded(spark, store_dir, new_manifest)
+    return new_manifest
+
+
+def _sweep_folded(spark, store_dir: str, manifest: dict) -> None:
+    """Delete batch dirs the manifest says are folded, and compacted
+    generations other than the current one — the post-flip cleanup,
+    re-run on every compaction so a crash between flip and sweep is
+    self-healing."""
+    import glob
+    import shutil
+
+    through = manifest["through_batch"]
+    for sub in ("anchors", "gramdf"):
+        sub_path = os.path.join(store_dir, sub)
+        for p in glob.glob(os.path.join(sub_path, "batch=*")):
+            try:
+                i = int(p.rsplit("=", 1)[1])
+            except ValueError:
+                continue
+            if i <= through:
+                shutil.rmtree(p, ignore_errors=True)
+        current = manifest["tables"][sub]["path"]
+        for p in glob.glob(os.path.join(store_dir, f"{sub}_compact", "through=*")):
+            if os.path.abspath(p) != os.path.abspath(current):
+                shutil.rmtree(p, ignore_errors=True)
+
+
+def read_anchor_store_slices(
+    spark, store_dir: str, like_anchors: DataFrame, like_gramdf: DataFrame,
+    exclude_batch: int | None = None,
+) -> tuple[list[DataFrame], DataFrame]:
+    """(anchor slices, combined gramdf) of every doc ingested so far.
+
+    Anchors come back as SLICES — [compacted bucketed table, tail of
+    post-horizon batch dirs], either possibly absent — so the per-batch
+    join can run per-slice and keep the compacted side's bucket
+    co-location (unioning first would erase its output partitioning).
+    gramdf is returned flat: it is sketch-sized and only feeds a
+    per-gram sum, where partitioning provenance doesn't matter.
+
+    Fails fast if ``exclude_batch`` (a replaying batch id) is at or
+    below the compaction horizon: that means a compaction folded a
+    batch the checkpoint had not committed — the one misuse that would
+    silently double-count, so it must not proceed."""
+    manifest = read_compaction_manifest(store_dir)
+    min_batch = manifest["through_batch"] if manifest else None
+    if (
+        exclude_batch is not None
+        and min_batch is not None
+        and exclude_batch <= min_batch
+    ):
+        raise ValueError(
+            f"batch {exclude_batch} is replaying but the store at "
+            f"{store_dir} was compacted through batch {min_batch}: "
+            "compaction folded an uncommitted batch (it must lag the "
+            "checkpoint horizon). Restore from the pre-compaction store."
+        )
+    anchor_slices: list[DataFrame] = []
+    gram_slices: list[DataFrame] = []
+    if manifest is not None:
+        anchor_slices.append(_bucketed_slice(spark, manifest, "anchors"))
+        gram_slices.append(_bucketed_slice(spark, manifest, "gramdf"))
+    if _batch_ids(store_dir, "anchors", min_batch):
+        anchor_slices.append(
+            _read_or_empty(spark, store_dir, "anchors", like_anchors,
+                           exclude_batch, min_batch)
+        )
+    if _batch_ids(store_dir, "gramdf", min_batch):
+        gram_slices.append(
+            _read_or_empty(spark, store_dir, "gramdf", like_gramdf,
+                           exclude_batch, min_batch)
+        )
+    if not gram_slices:
+        gramdf = spark.createDataFrame([], like_gramdf.schema)
+    else:
+        gramdf = gram_slices[0]
+        for s in gram_slices[1:]:
+            gramdf = gramdf.unionByName(s)
+    return anchor_slices, gramdf
 
 
 def suffix_batch_against_store(
     new_anchors: DataFrame,
-    store_anchors: DataFrame,
+    store_anchors: DataFrame | list[DataFrame],
     store_gramdf: DataFrame,
     k: int = 8,
     min_len: int = 16,
@@ -299,7 +599,16 @@ def suffix_batch_against_store(
     rows for grams PRESENT in the new batch (a semi-join-pruned
     aggregate, never an O(corpus) recount); the anchor join is then
     gram-keyed on both sides — every candidate comes from an anchor
-    hash collision, never a cartesian."""
+    hash collision, never a cartesian.
+
+    ``store_anchors`` may be a list of slices (the
+    read_anchor_store_slices contract: compacted bucketed table +
+    post-horizon tail, either absent). Each slice joins the new batch
+    separately and the match streams union BEFORE run-merging — exactly
+    equivalent to the flat-union join (a given (store doc, new doc)
+    pair's anchors live in exactly one slice), but the bucketed slice
+    keeps its co-location: its side of the gram join has NO Exchange
+    (plan contract tests/test_incremental_dedup.py)."""
     new_g = new_anchors.groupBy("g").agg(F.count(F.lit(1)).alias("n_new"))
     if max_df is not None:
         store_g = (
@@ -317,8 +626,10 @@ def suffix_batch_against_store(
         )
     else:
         keep = new_g.select("g")
+    slices = (
+        store_anchors if isinstance(store_anchors, list) else [store_anchors]
+    )
     new_a = new_anchors.join(keep, "g")
-    store_a = store_anchors.join(keep, "g")
     sides = [
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
@@ -329,19 +640,21 @@ def suffix_batch_against_store(
     # doc-id inequality: defense-in-depth against a doc appearing on
     # both sides (phantom store dir, upstream re-send) self-matching
     # into a full-length span
-    cross = store_a.alias("a").join(
-        new_a.alias("b"),
-        (F.col("a.g") == F.col("b.g"))
-        & (F.col("a.doc_id") != F.col("b.doc_id")),
-    ).select(*sides)
+    matches = None
+    for sl in slices:
+        cross = sl.join(keep, "g").alias("a").join(
+            new_a.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        ).select(*sides)
+        matches = cross if matches is None else matches.unionByName(cross)
     inb = new_a.alias("a").join(
         new_a.alias("b"),
         (F.col("a.g") == F.col("b.g"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(*sides)
-    return suffix_runs_to_spans(
-        cross.unionByName(inb), k, min_len, ["doc_a", "doc_b"]
-    )
+    matches = inb if matches is None else matches.unionByName(inb)
+    return suffix_runs_to_spans(matches, k, min_len, ["doc_a", "doc_b"])
 
 
 def streaming_suffix_dedup(
@@ -361,20 +674,28 @@ def streaming_suffix_dedup(
     Decisions output rows per batch dir: (doc_a, doc_b, a_start, a_end,
     b_start, b_end, span_len) — the suffix_span_pairs contract with
     doc_b always the newly ingested doc. Downstream scrub-on-ingest is
-    the suffix_scrub coverage step applied to each batch's decisions."""
+    the suffix_scrub coverage step applied to each batch's decisions.
+
+    One checkpoint per store, enforced (_guard_store_checkpoint): the
+    first batch stamps the query id; a restart against a FRESH
+    checkpoint fails fast instead of replaying batch ids over committed
+    store dirs. Run compact_suffix_store periodically (stream stopped,
+    or lagging the commit horizon) to fold the per-batch dir sprawl
+    into the bucketed at-rest layout — decisions are unchanged."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _guard_store_checkpoint(store_dir, checkpoint)
         new_anchors = suffix_anchors(batch_df, text_col, id_col, k).persist()
         new_gramdf = new_anchors.groupBy("g").agg(
             F.count(F.lit(1)).alias("n")
         )
-        store_anchors, store_gramdf = read_anchor_store(
+        anchor_slices, store_gramdf = read_anchor_store_slices(
             spark, store_dir, new_anchors, new_gramdf,
             exclude_batch=batch_id,
         )
         spans = suffix_batch_against_store(
-            new_anchors, store_anchors, store_gramdf, k, min_len, max_df
+            new_anchors, anchor_slices, store_gramdf, k, min_len, max_df
         )
         spans.write.mode("overwrite").parquet(
             os.path.join(decisions_dir, f"batch={batch_id}")
@@ -426,16 +747,17 @@ def streaming_suffix_scrub(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _guard_store_checkpoint(store_dir, checkpoint)
         new_anchors = suffix_anchors(batch_df, text_col, id_col, k).persist()
         new_gramdf = new_anchors.groupBy("g").agg(
             F.count(F.lit(1)).alias("n")
         )
-        store_anchors, store_gramdf = read_anchor_store(
+        anchor_slices, store_gramdf = read_anchor_store_slices(
             spark, store_dir, new_anchors, new_gramdf,
             exclude_batch=batch_id,
         )
         spans = suffix_batch_against_store(
-            new_anchors, store_anchors, store_gramdf, k, min_len, max_df
+            new_anchors, anchor_slices, store_gramdf, k, min_len, max_df
         ).persist()
         spans.write.mode("overwrite").parquet(
             os.path.join(decisions_dir, f"batch={batch_id}")

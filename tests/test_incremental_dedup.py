@@ -1582,3 +1582,311 @@ def test_suffix_anchor_store_bucketed_join_no_store_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _suffix_batch_body(spark, store, decisions, batch_df, batch_id):
+    """The streaming_suffix_dedup per-batch body, run directly (the
+    same plumbing the catalog's sequential-ingest builder uses)."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        read_anchor_store_slices,
+        suffix_batch_against_store,
+    )
+
+    new_anchors = dd.suffix_anchors(batch_df, "text", "doc_id", 8).persist()
+    new_gramdf = new_anchors.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    slices, store_gramdf = read_anchor_store_slices(
+        spark, store, new_anchors, new_gramdf
+    )
+    suffix_batch_against_store(
+        new_anchors, slices, store_gramdf
+    ).write.mode("overwrite").parquet(
+        os.path.join(decisions, f"batch={batch_id}")
+    )
+    new_anchors.write.mode("overwrite").parquet(
+        os.path.join(store, "anchors", f"batch={batch_id}")
+    )
+    new_gramdf.write.mode("overwrite").parquet(
+        os.path.join(store, "gramdf", f"batch={batch_id}")
+    )
+    new_anchors.unpersist()
+
+
+def _span_set(spark, decisions):
+    return {
+        (r.batch, r.doc_a, r.doc_b, r.a_start, r.a_end, r.b_start, r.b_end,
+         r.span_len)
+        for r in spark.read.option(
+            "basePath", decisions
+        ).parquet(os.path.join(decisions, "batch=*")).collect()
+    }
+
+
+def test_compact_suffix_store_decisions_identical(spark, tmp_path):
+    """VERDICT r12 #2 done-bar: decisions are IDENTICAL before/after
+    compaction. Twin runs over the same 3-batch arrival order — run A
+    never compacts; run B compacts the store after every batch (so
+    batch 1 joins one bucketed generation, batch 2 joins the NEXT
+    generation produced by an incremental re-compaction) — and every
+    span decision matches. Also pins the at-rest layout contract: after
+    compaction the folded batch dirs are GONE, the manifest points at
+    the current generation only, and gramdf is pre-summed to one row
+    per gram."""
+    import glob
+
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_compaction_manifest,
+    )
+
+    block = [f"a{i}" for i in range(30)]
+    docs = [
+        (1, " ".join(block)),
+        (2, " ".join(f"b{i}" for i in range(30))),
+        (3, " ".join(["c0", "c1", "c2"] + block[5:25] + ["c3", "c4"])),
+        (4, " ".join(["d0"] + block[5:25] + ["d1"])),
+    ]
+    batches = [[docs[0], docs[1]], [docs[2]], [docs[3]]]
+
+    roots = {}
+    for mode in ("plain", "compacted"):
+        store = str(tmp_path / mode / "store")
+        decisions = str(tmp_path / mode / "dec")
+        for b, rows in enumerate(batches):
+            _suffix_batch_body(
+                spark, store, decisions,
+                spark.createDataFrame(rows, DOC_SCHEMA), b,
+            )
+            if mode == "compacted":
+                compact_suffix_store(spark, store, buckets=4)
+        roots[mode] = (store, decisions)
+
+    assert _span_set(spark, roots["plain"][1]) == _span_set(
+        spark, roots["compacted"][1]
+    )
+    assert _span_set(spark, roots["plain"][1])  # non-vacuous: spans exist
+
+    store = roots["compacted"][0]
+    man = read_compaction_manifest(store)
+    assert man["through_batch"] == 2 and man["buckets"] == 4
+    # folded batch dirs swept; exactly one generation per sub-store
+    assert not glob.glob(os.path.join(store, "anchors", "batch=*"))
+    assert not glob.glob(os.path.join(store, "gramdf", "batch=*"))
+    assert glob.glob(os.path.join(store, "anchors_compact", "through=*")) == [
+        man["tables"]["anchors"]["path"]
+    ]
+    # gramdf pre-summed: one row per gram, totals preserved
+    gram = spark.table(man["tables"]["gramdf"]["name"])
+    assert gram.groupBy("g").count().filter("count > 1").count() == 0
+    n_anchors = spark.table(man["tables"]["anchors"]["name"]).count()
+    assert gram.agg(F.sum("n")).first()[0] == n_anchors
+    for sub in ("anchors", "gramdf"):
+        spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
+
+
+def test_compact_suffix_store_streaming_restart(spark, tmp_path):
+    """Compaction in the real operating position: stream ingests two
+    micro-batches, stops (checkpoint committed), compact_suffix_store
+    folds the store, and the RESTARTED stream (same checkpoint) ingests
+    batch 2 against the compacted store — decisions match the
+    never-compacted twin bit-for-bit."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        streaming_suffix_dedup,
+    )
+
+    block = [f"a{i}" for i in range(30)]
+    d1 = " ".join(block)
+    d2 = " ".join(f"b{i}" for i in range(30))
+    d3 = " ".join(["c0", "c1", "c2"] + block[5:25] + ["c3", "c4"])
+
+    def run(root, compact_between):
+        in_dir = str(root / "in")
+        store = str(root / "store")
+        decisions = str(root / "dec")
+        ck = str(root / "ck")
+        fx._write_batches(in_dir, [[_doc(1, d1)], [_doc(2, d2)]])
+        q = (
+            streaming_suffix_dedup(
+                file_stream(spark, in_dir, DOC_SCHEMA, fmt="json",
+                            max_files_per_trigger=1),
+                store, decisions, ck,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        if compact_between:
+            compact_suffix_store(spark, store, buckets=4)
+        fx._write_batches(
+            in_dir, [[_doc(1, d1)], [_doc(2, d2)], [_doc(3, d3)]]
+        )
+        q2 = (
+            streaming_suffix_dedup(
+                file_stream(spark, in_dir, DOC_SCHEMA, fmt="json",
+                            max_files_per_trigger=1),
+                store, decisions, ck,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q2.awaitTermination(180)
+        return _span_set(spark, decisions)
+
+    plain = run(tmp_path / "plain", compact_between=False)
+    compacted = run(tmp_path / "compacted", compact_between=True)
+    assert plain == compacted
+    # non-vacuous: doc 3 shares block[5:25] with doc 1
+    assert any(r[1] == 1 and r[2] == 3 and r[7] == 20 for r in plain)
+
+
+def test_compact_suffix_store_idempotent_and_empty(spark, tmp_path):
+    """Re-compaction with no new batches is a no-op that returns the
+    standing manifest (and re-sweeps stale files — the crash-between-
+    flip-and-sweep recovery); compacting an empty store fails fast."""
+    import pytest
+
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_compaction_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    with pytest.raises(ValueError, match="empty"):
+        compact_suffix_store(spark, store)
+
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], DOC_SCHEMA
+    )
+    _suffix_batch_body(spark, store, str(tmp_path / "dec"), batch, 0)
+    m1 = compact_suffix_store(spark, store, buckets=4)
+    # simulate a crash between manifest flip and sweep: drop a stale
+    # folded dir back in, then re-run with no new batches
+    stale = os.path.join(store, "anchors", "batch=0")
+    os.makedirs(stale, exist_ok=True)
+    m2 = compact_suffix_store(spark, store, buckets=4)
+    assert m2 == m1 == read_compaction_manifest(store)
+    assert not os.path.isdir(stale)
+    for sub in ("anchors", "gramdf"):
+        spark.sql(f"DROP TABLE IF EXISTS `{m1['tables'][sub]['name']}`")
+
+
+def test_compacted_slice_join_has_no_store_exchange(spark, tmp_path):
+    """The plan contract the compaction exists for (upgrades the
+    saveAsTable proof at test_suffix_anchor_store_bucketed_join_no_
+    store_shuffle to the PRODUCTION read path): after
+    compact_suffix_store, the full suffix_batch_against_store plan
+    reads the store through the bucketed table — the store scan feeds
+    the gram sort-merge join with NO Exchange above it, vs a plain
+    batch-dir store whose history reshuffles every micro-batch."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_anchor_store_slices,
+        read_compaction_manifest,
+        suffix_batch_against_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"t{d}_{i}" for i in range(40))) for d in range(50)],
+        DOC_SCHEMA,
+    )
+    plain_store = str(tmp_path / "plain_store")
+    comp_store = str(tmp_path / "comp_store")
+    for store in (plain_store, comp_store):
+        _suffix_batch_body(spark, store, str(tmp_path / "dec"), docs, 0)
+    compact_suffix_store(spark, comp_store, buckets=8)
+
+    new = dd.suffix_anchors(
+        spark.createDataFrame(
+            [(99, " ".join(f"t7_{i}" for i in range(40)))], DOC_SCHEMA
+        ),
+        "text", "doc_id", 8,
+    )
+    new_gramdf = new.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+
+    def plan_for(store):
+        slices, gramdf = read_anchor_store_slices(
+            spark, store, new, new_gramdf
+        )
+        spans = suffix_batch_against_store(new, slices, gramdf)
+        return spans._jdf.queryExecution().executedPlan().toString()
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_comp = plan_for(comp_store)
+        plan_plain = plan_for(plain_store)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "SortMergeJoin" in plan_comp
+    assert "Bucketed: true" in plan_comp or "SelectedBucketsCount" in plan_comp
+    assert plan_comp.count("Exchange") < plan_plain.count("Exchange"), (
+        "compacted store side must drop its Exchange"
+    )
+    man = read_compaction_manifest(comp_store)
+    for sub in ("anchors", "gramdf"):
+        spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
+
+
+def test_store_rejects_fresh_checkpoint(spark, tmp_path):
+    """ADVICE r12: batch ids are only unique within a checkpoint —
+    pairing an existing store with a FRESH checkpoint must fail fast
+    (the replayed batch 0 would silently exclude-then-overwrite the
+    committed batch 0), not lose data."""
+    import pytest
+
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        streaming_suffix_dedup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    fx._write_batches(in_dir, [[_doc(1, " ".join(f"t{i}" for i in range(20)))]])
+    q = (
+        streaming_suffix_dedup(
+            file_stream(spark, in_dir, DOC_SCHEMA, fmt="json"),
+            store, str(tmp_path / "dec"), str(tmp_path / "ck1"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    q2 = (
+        streaming_suffix_dedup(
+            file_stream(spark, in_dir, DOC_SCHEMA, fmt="json"),
+            store, str(tmp_path / "dec2"), str(tmp_path / "ck2"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="refusing to ingest"):
+        q2.awaitTermination(180)
+
+
+def test_replay_below_compaction_horizon_fails_fast(spark, tmp_path):
+    """A replaying batch id at or below the compaction horizon means a
+    compaction folded an uncommitted batch — the read path refuses
+    (proceeding would double-count the batch against itself)."""
+    import pytest
+
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_anchor_store_slices,
+        read_compaction_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], DOC_SCHEMA
+    )
+    _suffix_batch_body(spark, store, str(tmp_path / "dec"), batch, 0)
+    compact_suffix_store(spark, store, buckets=4)
+    anchors = dd.suffix_anchors(batch, "text", "doc_id", 8)
+    gramdf = anchors.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    with pytest.raises(ValueError, match="compacted through"):
+        read_anchor_store_slices(
+            spark, store, anchors, gramdf, exclude_batch=0
+        )
+    man = read_compaction_manifest(store)
+    for sub in ("anchors", "gramdf"):
+        spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
