@@ -14582,23 +14582,30 @@ _SUFFIX_STREAM_BATCHES = 3
 _SUFFIX_STREAM_PATHS: dict = {}
 
 
-def _suffix_stream_store(spark, sf_dir: str) -> str:
+def _suffix_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
     """3-batch sequential suffix-span ingest over documents, sharded by
     doc_id % 3 — the batch replay of streaming_suffix_scrub (identical
     per-batch body: anchor-gram the batch, read the anchor + gramdf
-    store, suffix_batch_against_store, write decisions + the batch's
-    SCRUBBED text + this batch's anchors/gramdf under batch={b}).
-    Returns the run root containing decisions/ and clean/.
-    applicationId-keyed memo, foreign applications evicted on miss
-    (the x_bpe_train discipline)."""
+    store AS SLICES, suffix_batch_against_store, write decisions + the
+    batch's SCRUBBED text + this batch's anchors/gramdf under
+    batch={b}). Returns the run root containing decisions/ and clean/.
+    applicationId-keyed memo, foreign applications evicted on miss with
+    their run roots rmtree'd (the eviction would otherwise leak temp
+    dirs until atexit in a session-restarting process).
+
+    ``compact=True`` runs compact_suffix_store after EVERY batch, so
+    batch 1 joins the first bucketed generation and batch 2 the
+    incrementally re-compacted second — the x_suffix_stream_compacted
+    proof that compaction leaves decisions identical."""
     from ..operators.dedup import scrub_coverage, suffix_anchors
     from ..streaming.incremental import (
-        read_anchor_store,
+        compact_suffix_store,
+        read_anchor_store_slices,
         suffix_batch_against_store,
     )
 
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, _SUFFIX_STREAM_BATCHES)
+    key = (app_id, sf_dir, _SUFFIX_STREAM_BATCHES, compact)
     if key not in _SUFFIX_STREAM_PATHS:
         import atexit
         import os
@@ -14606,6 +14613,7 @@ def _suffix_stream_store(spark, sf_dir: str) -> str:
         import tempfile
 
         for stale in [k for k in _SUFFIX_STREAM_PATHS if k[0] != app_id]:
+            shutil.rmtree(_SUFFIX_STREAM_PATHS[stale], ignore_errors=True)
             del _SUFFIX_STREAM_PATHS[stale]
         root = tempfile.mkdtemp(prefix="spark_suffix_stream_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
@@ -14618,11 +14626,11 @@ def _suffix_stream_store(spark, sf_dir: str) -> str:
             new_gramdf = new_anchors.groupBy("g").agg(
                 F.count(F.lit(1)).alias("n")
             )
-            store_anchors, store_gramdf = read_anchor_store(
+            anchor_slices, store_gramdf = read_anchor_store_slices(
                 spark, store, new_anchors, new_gramdf
             )
             spans = suffix_batch_against_store(
-                new_anchors, store_anchors, store_gramdf,
+                new_anchors, anchor_slices, store_gramdf,
                 k=8, min_len=16, max_df=64,
             ).persist()
             spans.write.mode("overwrite").parquet(
@@ -14642,6 +14650,8 @@ def _suffix_stream_store(spark, sf_dir: str) -> str:
             )
             spans.unpersist()
             new_anchors.unpersist()
+            if compact:
+                compact_suffix_store(spark, store, buckets=8)
         _SUFFIX_STREAM_PATHS[key] = root
     return _SUFFIX_STREAM_PATHS[key]
 
@@ -14782,4 +14792,38 @@ def x_suffix_stream_scrub(spark, sf_dir):
         "doc_id", "clean_text",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+# Round 13 (rotation round: this is the ONLY new registration — VERDICT
+# r12 #1 caps catalog growth at <=5 while the driver window re-confirms
+# the r7 cohort; #2 asks for exactly this entry).
+
+
+@_register(
+    "x_suffix_stream_compacted",
+    "at-rest store compaction equivalence, driver-exposed (VERDICT r12 "
+    "#2): the identical 3-batch sequential suffix ingest as "
+    "x_suffix_stream, except compact_suffix_store folds the anchor + "
+    "gramdf store into a bucketed-by-g table generation after EVERY "
+    "batch — batch 1 joins the first bucketed generation, batch 2 the "
+    "incrementally re-compacted second — and the decisions are "
+    "IDENTICAL: the same 3-batch-unrolled oracle adjudicates both "
+    "(store-side join is Exchange-free on the compacted slice, plan "
+    "contract tests/test_incremental_dedup.py)",
+    _suffix_stream_oracle_sql(),
+)
+def x_suffix_stream_compacted(spark, sf_dir):
+    import os
+
+    decisions_dir = os.path.join(
+        _suffix_stream_store(spark, sf_dir, compact=True), "decisions"
+    )
+    d = spark.read.option("basePath", decisions_dir).parquet(
+        decisions_dir + "/batch=*"
+    )
+    return d.select(
+        F.col("batch").cast("int").alias("batch_id"),
+        "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end",
+        F.col("span_len").cast("long").alias("span_len"),
     )
