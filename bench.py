@@ -82,8 +82,13 @@ def main() -> None:
     # mid-run/after probe sees; the FIRST probe of a session reads
     # ~2x this because JVM-global warm-in is still completing — r10/r11
     # driver "after" values on this probe: 0.125/0.100; local quiet
-    # triplicates 0.10-0.13). Used ONLY to compute the calib-normalized
-    # secondary total below; the raw figures stay the primary metric.
+    # triplicates 0.10-0.13). Provenance measured in-repo: BASELINE.md
+    # "Round-13: CALIB_REF provenance" + scripts/calib_probe.py (cold
+    # first probe 4-4.7 s, early-session warm-in 0.2-0.55 s — the old
+    # "~0.55 s quiet reference" comment was THAT state — fully-warm
+    # floor 0.103-0.146). Used ONLY to compute the calib-normalized
+    # secondary total below; the raw figures stay the primary metric,
+    # and each bar must be met RAW on a quiet host once per round.
     CALIB_REF = float(os.environ.get("SPARK_GRAFT_CALIB_REF", "0.115"))
 
     calib_before = _calib()

@@ -87,7 +87,10 @@ def ingest(spark, batches, label: str):
     return rows
 
 
-def ingest_suffix(spark, batches, label: str):
+def ingest_suffix(
+    spark, batches, label: str,
+    scrub: bool = False, compact_every: int | None = None,
+):
     """Per-batch wall for the suffix-span twin. Expectation differs by
     corpus: DISJOINT batches never collide with the store, so the
     gram-pruned store join touches nothing and per-batch cost stays
@@ -97,12 +100,23 @@ def ingest_suffix(spark, batches, label: str):
     dedup scrubs spans, it does not reject documents), so span OUTPUT
     rows grow ~linearly with b and honest per-batch wall tracks that —
     the figure to watch is wall per emitted span, which should stay
-    ~flat."""
+    ~flat.
+
+    ``scrub=True`` runs the full scrub-on-ingest body (the
+    streaming_suffix_scrub composition): each batch's docs are written
+    back with shared spans removed — n_clean must equal the batch's
+    doc count exactly (every doc passes through, scrubbed or verbatim).
+    ``compact_every=N`` folds the store into its bucketed generation
+    after every Nth batch (compact_suffix_store), so later batches read
+    through the compacted table + tail — the production at-rest layout
+    under sustained ingest."""
     from sparkstreaming_realtime_project_spark.operators.dedup import (
+        scrub_coverage,
         suffix_anchors,
     )
     from sparkstreaming_realtime_project_spark.streaming.incremental import (
-        read_anchor_store,
+        compact_suffix_store,
+        read_anchor_store_slices,
         suffix_batch_against_store,
     )
 
@@ -116,34 +130,50 @@ def ingest_suffix(spark, batches, label: str):
             new_gramdf = new_anchors.groupBy("g").agg(
                 F.count(F.lit(1)).alias("n")
             )
-            store_anchors, store_gramdf = read_anchor_store(
+            anchor_slices, store_gramdf = read_anchor_store_slices(
                 spark, store, new_anchors, new_gramdf
             )
             spans = suffix_batch_against_store(
-                new_anchors, store_anchors, store_gramdf,
+                new_anchors, anchor_slices, store_gramdf,
                 k=8, min_len=16, max_df=64,
             ).persist()
             n_spans = spans.count()
             spans.write.mode("overwrite").parquet(
                 os.path.join(root, "decisions", f"batch={b}")
             )
+            n_clean = None
+            if scrub:
+                removable = spans.select(
+                    F.col("doc_b").alias("doc_id"), "b_start", "b_end"
+                )
+                clean = scrub_coverage(
+                    batch, "text", "doc_id", removable
+                ).persist()
+                n_clean = clean.count()
+                clean.write.mode("overwrite").parquet(
+                    os.path.join(root, "clean", f"batch={b}")
+                )
+                clean.unpersist()
             new_anchors.write.mode("overwrite").parquet(
                 os.path.join(store, "anchors", f"batch={b}")
             )
             new_gramdf.write.mode("overwrite").parquet(
                 os.path.join(store, "gramdf", f"batch={b}")
             )
+            if compact_every and (b + 1) % compact_every == 0:
+                compact_suffix_store(spark, store, buckets=8)
             spans.unpersist()
             new_anchors.unpersist()
             spark.catalog.clearCache()
-            rows.append(
-                {
-                    "corpus": label,
-                    "batch": b,
-                    "n_spans": n_spans,
-                    "wall_s": round(time.perf_counter() - t0, 2),
-                }
-            )
+            row = {
+                "corpus": label,
+                "batch": b,
+                "n_spans": n_spans,
+                "wall_s": round(time.perf_counter() - t0, 2),
+            }
+            if scrub:
+                row["n_clean"] = n_clean
+            rows.append(row)
             print(json.dumps(rows[-1]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -170,11 +200,16 @@ def main() -> None:
         for k in range(n_batches)
     ]
     which = os.environ.get("SPARK_GRAFT_INGEST", "minhash,suffix").split(",")
+    scrub = os.environ.get("SPARK_GRAFT_INGEST_SCRUB", "") == "1"
+    compact_every = int(
+        os.environ.get("SPARK_GRAFT_INGEST_COMPACT_EVERY", "0")
+    ) or None
     r1 = r2 = s1 = s2 = []
     if "minhash" in which:
         r1 = ingest(spark, disjoint, "disjoint")
     if "suffix" in which:
-        s1 = ingest_suffix(spark, disjoint, "suffix_disjoint")
+        s1 = ingest_suffix(spark, disjoint, "suffix_disjoint",
+                           scrub=scrub, compact_every=compact_every)
     all_copies.unpersist()
 
     # identical copies: same text, shifted ids
@@ -185,7 +220,8 @@ def main() -> None:
     if "minhash" in which:
         r2 = ingest(spark, ident, "identical")
     if "suffix" in which:
-        s2 = ingest_suffix(spark, ident, "suffix_identical")
+        s2 = ingest_suffix(spark, ident, "suffix_identical",
+                           scrub=scrub, compact_every=compact_every)
     print(json.dumps({"ingest_scaling": r1 + r2 + s1 + s2}))
 
 

@@ -153,18 +153,78 @@ def read_signature_store(
 ) -> tuple[DataFrame, DataFrame]:
     """(sigs, bands) of every accepted doc so far; empty frames with the
     incoming batch's schemas before the first committed batch.
-    ``exclude_batch``: see _read_or_empty (phantom-dir replay guard)."""
-    return (
-        _read_or_empty(spark, store_dir, "sigs", like_sigs, exclude_batch),
-        _read_or_empty(spark, store_dir, "bands", like_bands, exclude_batch),
+    ``exclude_batch``: see _read_or_empty (phantom-dir replay guard).
+
+    Flat-union convenience wrapper over read_signature_store_slices —
+    use the slices form in per-batch joins so a compacted bucketed
+    bands slice keeps its (band, key) co-location."""
+    sigs, band_slices = read_signature_store_slices(
+        spark, store_dir, like_sigs, like_bands, exclude_batch
     )
+    if not band_slices:
+        bands = spark.createDataFrame([], like_bands.schema)
+    else:
+        bands = band_slices[0]
+        for s in band_slices[1:]:
+            bands = bands.unionByName(s)
+    return sigs, bands
+
+
+def read_signature_store_slices(
+    spark, store_dir: str, like_sigs: DataFrame, like_bands: DataFrame,
+    exclude_batch: int | None = None,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(sigs flat, band slices) of every accepted doc so far. Bands come
+    back as slices — [compacted bucketed table, post-horizon tail] — so
+    the per-batch candidate join keeps the compacted side's (band, key)
+    co-location; sigs are returned flat because the verify join's other
+    side (the candidate pair set) is cap-bounded and broadcasts, so
+    slice provenance doesn't change its plan. Fails fast when a
+    replaying batch id sits at or below the compaction horizon (a
+    compaction folded an uncommitted batch — see
+    read_anchor_store_slices)."""
+    manifest = read_compaction_manifest(store_dir)
+    min_batch = manifest["through_batch"] if manifest else None
+    if (
+        exclude_batch is not None
+        and min_batch is not None
+        and exclude_batch <= min_batch
+    ):
+        raise ValueError(
+            f"batch {exclude_batch} is replaying but the store at "
+            f"{store_dir} was compacted through batch {min_batch}: "
+            "compaction folded an uncommitted batch (it must lag the "
+            "checkpoint horizon). Restore from the pre-compaction store."
+        )
+    sig_slices: list[DataFrame] = []
+    band_slices: list[DataFrame] = []
+    if manifest is not None:
+        sig_slices.append(_bucketed_slice(spark, manifest, "sigs"))
+        band_slices.append(_bucketed_slice(spark, manifest, "bands"))
+    if _batch_ids(store_dir, "sigs", min_batch):
+        sig_slices.append(
+            _read_or_empty(spark, store_dir, "sigs", like_sigs,
+                           exclude_batch, min_batch)
+        )
+    if _batch_ids(store_dir, "bands", min_batch):
+        band_slices.append(
+            _read_or_empty(spark, store_dir, "bands", like_bands,
+                           exclude_batch, min_batch)
+        )
+    if not sig_slices:
+        sigs = spark.createDataFrame([], like_sigs.schema)
+    else:
+        sigs = sig_slices[0]
+        for s in sig_slices[1:]:
+            sigs = sigs.unionByName(s)
+    return sigs, band_slices
 
 
 def dedup_batch_against_store(
     new_sigs: DataFrame,
     new_bands: DataFrame,
     store_sigs: DataFrame,
-    store_bands: DataFrame,
+    store_bands: DataFrame | list[DataFrame],
     threshold: float = 0.8,
     max_bucket: int | None = 50,
 ) -> DataFrame:
@@ -174,30 +234,58 @@ def dedup_batch_against_store(
 
     ``new_sigs``/``store_sigs``: (id, shingles). ``new_bands``/
     ``store_bands``: (id, band, key). Both candidate generators are
-    (band, key) equi-joins; exact Jaccard verifies candidates only."""
-    if max_bucket is not None:
+    (band, key) equi-joins; exact Jaccard verifies candidates only.
+
+    ``store_bands`` may be a list of slices (the
+    read_signature_store_slices contract: compacted bucketed table +
+    post-horizon tail). Bucket sizes are summed ACROSS slices before
+    the cap filter (a hot bucket split over generations is still hot),
+    then each slice joins the new batch separately and the candidate
+    streams union — equivalent to the flat-union join (an accepted
+    doc's band rows live in exactly one slice), but the bucketed slice
+    keeps its (band, key) co-location."""
+    band_slices = (
+        store_bands if isinstance(store_bands, list) else [store_bands]
+    )
+    if max_bucket is not None and band_slices:
         # cap degenerate buckets on the STORE side (boilerplate keys
         # accumulate members forever; a hot bucket is noise, and the
-        # bands-1 other bands still catch true near-dups)
+        # bands-1 other bands still catch true near-dups). Per-slice
+        # partial counts summed to the global size first.
+        sizes = None
+        for sl in band_slices:
+            part = sl.groupBy("band", "key").agg(
+                F.count(F.lit(1)).alias("sz")
+            )
+            sizes = part if sizes is None else sizes.unionByName(part)
         small = (
-            store_bands.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("sz"))
+            sizes.groupBy("band", "key")
+            .agg(F.sum("sz").alias("sz"))
             .filter(F.col("sz") <= max_bucket)
             .select("band", "key")
         )
-        store_bands = store_bands.join(small, ["band", "key"])
+        band_slices = [sl.join(small, ["band", "key"]) for sl in band_slices]
     # new-vs-accepted candidates: equi-join on the bucket key. The
     # id-inequality conjunct is defense-in-depth for replay/re-ingest:
     # a doc id that somehow appears on BOTH sides (phantom store dir
     # not excluded, or an upstream re-send of an accepted id) must not
     # become its own canonical at jaccard 1.0.
-    cand_ext = (
-        new_bands.alias("nb")
-        .join(store_bands.alias("sb"), ["band", "key"])
-        .filter(F.col("nb.id") != F.col("sb.id"))
-        .select(F.col("nb.id").alias("doc_a"), F.col("sb.id").alias("doc_b"))
-        .distinct()
-    )
+    cand_ext = None
+    for sl in band_slices:
+        part = (
+            new_bands.alias("nb")
+            .join(sl.alias("sb"), ["band", "key"])
+            .filter(F.col("nb.id") != F.col("sb.id"))
+            .select(
+                F.col("nb.id").alias("doc_a"), F.col("sb.id").alias("doc_b")
+            )
+        )
+        cand_ext = part if cand_ext is None else cand_ext.unionByName(part)
+    if cand_ext is None:
+        cand_ext = new_bands.select(
+            F.col("id").alias("doc_a"), F.col("id").alias("doc_b")
+        ).filter(F.lit(False))
+    cand_ext = cand_ext.distinct()
     ext_pairs = jaccard_pairs(
         new_sigs.unionByName(store_sigs), threshold, candidates=cand_ext
     )
@@ -259,11 +347,11 @@ def streaming_minhash_dedup(
         shingled = with_shingles(batch_df, text_col, id_col, n).persist()
         new_sigs = shingled.select("id", "shingles")
         new_bands = band_keys(minhash_signature(shingled, k), k, bands).persist()
-        store_sigs, store_bands = read_signature_store(
+        store_sigs, band_slices = read_signature_store_slices(
             spark, store_dir, new_sigs, new_bands, exclude_batch=batch_id
         )
         decisions = dedup_batch_against_store(
-            new_sigs, new_bands, store_sigs, store_bands, threshold, max_bucket
+            new_sigs, new_bands, store_sigs, band_slices, threshold, max_bucket
         ).persist()
         decisions.write.mode("overwrite").parquet(
             os.path.join(decisions_dir, f"batch={batch_id}")
@@ -421,40 +509,50 @@ def _bucketed_slice(spark, manifest: dict, sub: str) -> DataFrame:
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
+        bcols = ", ".join(
+            f"`{c}`" for c in manifest["tables"][sub]["bucket_cols"]
+        )
         spark.sql(
             f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
-            f"CLUSTERED BY (g) SORTED BY (g) INTO {manifest['buckets']} "
-            f"BUCKETS LOCATION '{path}'"
+            f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) INTO "
+            f"{manifest['buckets']} BUCKETS LOCATION '{path}'"
         )
     return spark.table(name)
 
 
-def compact_suffix_store(spark, store_dir: str, buckets: int = 8) -> dict:
-    """Fold the anchor store's committed batch= dirs (and any previous
-    compacted generation) into one bucketed-by-g table per sub-store;
-    returns the new manifest. Idempotent and incremental: re-running
-    with no new batch dirs only re-sweeps stale files; re-running after
-    more batches folds just the tail into the next generation. The
-    caller guarantees every folded batch id is committed to the
-    checkpoint (run while the stream is stopped, or lag the horizon)."""
+def _compact_store(
+    spark, store_dir: str, prefix: str, subs: list[tuple], buckets: int,
+) -> dict:
+    """Shared compaction body: fold each sub-store's committed batch=
+    dirs (and any previous compacted generation) into one bucketed
+    table; returns the new manifest. ``subs`` entries are (sub_dir,
+    bucket_cols, fold) with ``fold`` an optional DataFrame->DataFrame
+    reducer applied after the union (pre-summing additive sketches).
+    Idempotent and incremental: re-running with no new batch dirs only
+    re-sweeps stale files; re-running after more batches folds just the
+    tail into the next generation. The caller guarantees every folded
+    batch id is committed to the checkpoint (run while the stream is
+    stopped, or lag the horizon)."""
     import hashlib
     import json
     import shutil
 
     manifest = read_compaction_manifest(store_dir)
     prev_through = manifest["through_batch"] if manifest else -1
-    new_ids = _batch_ids(store_dir, "anchors", prev_through)
+    new_ids = _batch_ids(store_dir, subs[0][0], prev_through)
     if not new_ids:
         if manifest is None:
-            raise ValueError("anchor store is empty — nothing to compact")
-        _sweep_folded(spark, store_dir, manifest)
+            raise ValueError(
+                f"{prefix} store is empty — nothing to compact"
+            )
+        _sweep_folded(store_dir, manifest)
         return manifest
     through = max(new_ids)
     digest = hashlib.md5(
         os.path.abspath(store_dir).encode()
     ).hexdigest()[:12]
     tables = {}
-    for sub in ("anchors", "gramdf"):
+    for sub, bucket_cols, fold in subs:
         parts = []
         if manifest is not None:
             parts.append(_bucketed_slice(spark, manifest, sub))
@@ -470,18 +568,16 @@ def compact_suffix_store(spark, store_dir: str, buckets: int = 8) -> dict:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        if sub == "gramdf":
-            # gram df counts are additive — pre-sum so the store-side
-            # df lookup stays one row per gram no matter how many
-            # batches have been folded
-            df = df.groupBy("g").agg(F.sum("n").alias("n"))
-        name = f"suffix_store_{digest}_{sub}_b{through}"
+        if fold is not None:
+            df = fold(df)
+        name = f"{prefix}_store_{digest}_{sub}_b{through}"
         path = os.path.join(store_dir, f"{sub}_compact", f"through={through}")
         (
-            df.write.bucketBy(buckets, "g").sortBy("g")
+            df.write.bucketBy(buckets, *bucket_cols).sortBy(*bucket_cols)
             .option("path", path).mode("overwrite").saveAsTable(name)
         )
-        tables[sub] = {"name": name, "path": path}
+        tables[sub] = {"name": name, "path": path,
+                       "bucket_cols": list(bucket_cols)}
     new_manifest = {
         "through_batch": through,
         "buckets": buckets,
@@ -492,16 +588,50 @@ def compact_suffix_store(spark, store_dir: str, buckets: int = 8) -> dict:
         json.dump(new_manifest, f)
     os.replace(tmp, _manifest_path(store_dir))
     if manifest is not None:
-        for sub in ("anchors", "gramdf"):
+        for sub, _cols, _fold in subs:
             spark.sql(
                 f"DROP TABLE IF EXISTS `{manifest['tables'][sub]['name']}`"
             )
             shutil.rmtree(manifest["tables"][sub]["path"], ignore_errors=True)
-    _sweep_folded(spark, store_dir, new_manifest)
+    _sweep_folded(store_dir, new_manifest)
     return new_manifest
 
 
-def _sweep_folded(spark, store_dir: str, manifest: dict) -> None:
+def compact_suffix_store(spark, store_dir: str, buckets: int = 8) -> dict:
+    """Fold the suffix anchor store into its bucketed-by-g at-rest
+    layout: anchors as a pure union, gramdf pre-summed to one row per
+    gram (counts are additive). See _compact_store for the crash and
+    checkpoint-horizon discipline."""
+    return _compact_store(
+        spark, store_dir, "suffix",
+        [
+            ("anchors", ["g"], None),
+            ("gramdf", ["g"],
+             lambda df: df.groupBy("g").agg(F.sum("n").alias("n"))),
+        ],
+        buckets,
+    )
+
+
+def compact_minhash_store(spark, store_dir: str, buckets: int = 8) -> dict:
+    """Fold the MinHash signature store into its bucketed at-rest
+    layout: bands bucketed by (band, key) — the candidate equi-join's
+    key, so the store side of every per-batch join AND the hot-bucket
+    size aggregate run with no Exchange — and sigs bucketed by id (the
+    verify join's key; candidates are cap-bounded so they broadcast,
+    but the bucketed layout keeps the store side shuffle-free even if
+    a pathological batch defeats the broadcast)."""
+    return _compact_store(
+        spark, store_dir, "minhash",
+        [
+            ("sigs", ["id"], None),
+            ("bands", ["band", "key"], None),
+        ],
+        buckets,
+    )
+
+
+def _sweep_folded(store_dir: str, manifest: dict) -> None:
     """Delete batch dirs the manifest says are folded, and compacted
     generations other than the current one — the post-flip cleanup,
     re-run on every compaction so a crash between flip and sweep is
@@ -510,7 +640,7 @@ def _sweep_folded(spark, store_dir: str, manifest: dict) -> None:
     import shutil
 
     through = manifest["through_batch"]
-    for sub in ("anchors", "gramdf"):
+    for sub, entry in manifest["tables"].items():
         sub_path = os.path.join(store_dir, sub)
         for p in glob.glob(os.path.join(sub_path, "batch=*")):
             try:
@@ -519,7 +649,7 @@ def _sweep_folded(spark, store_dir: str, manifest: dict) -> None:
                 continue
             if i <= through:
                 shutil.rmtree(p, ignore_errors=True)
-        current = manifest["tables"][sub]["path"]
+        current = entry["path"]
         for p in glob.glob(os.path.join(store_dir, f"{sub}_compact", "through=*")):
             if os.path.abspath(p) != os.path.abspath(current):
                 shutil.rmtree(p, ignore_errors=True)

@@ -1890,3 +1890,193 @@ def test_replay_below_compaction_horizon_fails_fast(spark, tmp_path):
     man = read_compaction_manifest(store)
     for sub in ("anchors", "gramdf"):
         spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
+
+
+def _mh_batch_body(spark, store, decisions, batch_df, batch_id):
+    """The streaming_minhash_dedup per-batch body, run directly (the
+    slices read path, as production runs it)."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        dedup_batch_against_store,
+        read_signature_store_slices,
+    )
+
+    shingled = dd.with_shingles(batch_df, "text", "doc_id", 3).persist()
+    new_sigs = shingled.select("id", "shingles")
+    new_bands = dd.band_keys(dd.minhash_signature(shingled, 16), 16, 4)
+    store_sigs, band_slices = read_signature_store_slices(
+        spark, store, new_sigs, new_bands
+    )
+    dec = dedup_batch_against_store(
+        new_sigs, new_bands, store_sigs, band_slices,
+        threshold=0.8, max_bucket=50,
+    ).persist()
+    dec.write.mode("overwrite").parquet(
+        os.path.join(decisions, f"batch={batch_id}")
+    )
+    accepted = dec.filter(F.col("dup_of").isNull()).select(
+        F.col("doc_id").alias("id")
+    )
+    new_sigs.join(accepted, "id").write.mode("overwrite").parquet(
+        os.path.join(store, "sigs", f"batch={batch_id}")
+    )
+    new_bands.join(accepted, "id").write.mode("overwrite").parquet(
+        os.path.join(store, "bands", f"batch={batch_id}")
+    )
+    dec.unpersist()
+    shingled.unpersist()
+
+
+def _decision_set(spark, decisions):
+    return {
+        (r.batch, r.doc_id, r.dup_of, r.jaccard)
+        for r in spark.read.option(
+            "basePath", decisions
+        ).parquet(os.path.join(decisions, "batch=*")).collect()
+    }
+
+
+def test_compact_minhash_store_decisions_identical(spark, tmp_path):
+    """MinHash-store twin of the suffix compaction done-bar: 3-batch
+    sequential ingest, plain vs compact-after-every-batch (bands folded
+    bucketed by (band, key), sigs by id) — accept/flag decisions are
+    identical, including the store-side hot-bucket cap whose sizes are
+    summed ACROSS slices."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_minhash_store,
+        read_compaction_manifest,
+    )
+
+    batches = [
+        [(1, TEXT_A), (2, TEXT_B)],
+        [(3, TEXT_A_NEAR), (4, TEXT_C), (5, TEXT_C)],
+        [(6, TEXT_B), (7, " ".join(f"gamma{i}" for i in range(40)))],
+    ]
+    out = {}
+    for mode in ("plain", "compacted"):
+        store = str(tmp_path / mode / "store")
+        decisions = str(tmp_path / mode / "dec")
+        for b, rows in enumerate(batches):
+            _mh_batch_body(
+                spark, store, decisions,
+                spark.createDataFrame(rows, DOC_SCHEMA), b,
+            )
+            if mode == "compacted":
+                compact_minhash_store(spark, store, buckets=4)
+        out[mode] = _decision_set(spark, decisions)
+    assert out["plain"] == out["compacted"]
+    # non-vacuous: cross-batch near-dup, in-batch exact dup, and a
+    # batch-2 exact dup of a STORE doc all flagged
+    flags = {d: (c, j) for (_b, d, c, j) in out["plain"]}
+    assert flags[3] == (1, 0.9487)
+    assert flags[5] == (4, 1.0)
+    assert flags[6] == (2, 1.0)
+    man = read_compaction_manifest(str(tmp_path / "compacted" / "store"))
+    assert man["tables"]["bands"]["bucket_cols"] == ["band", "key"]
+    for sub in ("sigs", "bands"):
+        spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
+
+
+def test_compact_minhash_store_streaming_restart(spark, tmp_path):
+    """Compaction between streaming runs of streaming_minhash_dedup:
+    identical decisions to the never-compacted twin after restart."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_minhash_store,
+        streaming_minhash_dedup,
+    )
+
+    def run(root, compact_between):
+        in_dir = str(root / "in")
+        store = str(root / "store")
+        decisions = str(root / "dec")
+        ck = str(root / "ck")
+        fx._write_batches(in_dir, [[_doc(1, TEXT_A), _doc(2, TEXT_B)]])
+        q = (
+            streaming_minhash_dedup(
+                file_stream(spark, in_dir, DOC_SCHEMA, fmt="json",
+                            max_files_per_trigger=1),
+                store, decisions, ck,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        if compact_between:
+            compact_minhash_store(spark, store, buckets=4)
+        fx._write_batches(
+            in_dir,
+            [[_doc(1, TEXT_A), _doc(2, TEXT_B)],
+             [_doc(3, TEXT_A_NEAR), _doc(4, TEXT_C), _doc(5, TEXT_C)]],
+        )
+        q2 = (
+            streaming_minhash_dedup(
+                file_stream(spark, in_dir, DOC_SCHEMA, fmt="json",
+                            max_files_per_trigger=1),
+                store, decisions, ck,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q2.awaitTermination(180)
+        return _decision_set(spark, decisions)
+
+    plain = run(tmp_path / "plain", compact_between=False)
+    compacted = run(tmp_path / "compacted", compact_between=True)
+    assert plain == compacted
+    assert any(d == 3 and c == 1 for (_b, d, c, _j) in plain)
+
+
+def test_compacted_bands_join_has_no_store_exchange(spark, tmp_path):
+    """Plan contract for the MinHash store's at-rest layout: after
+    compact_minhash_store the full dedup_batch_against_store plan reads
+    the bands store through the (band, key)-bucketed table — fewer
+    Exchanges than the plain batch-dir store (both the hot-bucket size
+    aggregate and the candidate equi-join co-locate on the bucketed
+    side)."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_minhash_store,
+        dedup_batch_against_store,
+        read_compaction_manifest,
+        read_signature_store_slices,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"w{d}_{i}" for i in range(40))) for d in range(50)],
+        DOC_SCHEMA,
+    )
+    plain_store = str(tmp_path / "plain_store")
+    comp_store = str(tmp_path / "comp_store")
+    for store in (plain_store, comp_store):
+        _mh_batch_body(spark, store, str(tmp_path / "dec"), docs, 0)
+    compact_minhash_store(spark, comp_store, buckets=8)
+
+    batch = spark.createDataFrame(
+        [(99, " ".join(f"w7_{i}" for i in range(40)))], DOC_SCHEMA
+    )
+    shingled = dd.with_shingles(batch, "text", "doc_id", 3)
+    new_sigs = shingled.select("id", "shingles")
+    new_bands = dd.band_keys(dd.minhash_signature(shingled, 16), 16, 4)
+
+    def plan_for(store):
+        store_sigs, band_slices = read_signature_store_slices(
+            spark, store, new_sigs, new_bands
+        )
+        dec = dedup_batch_against_store(
+            new_sigs, new_bands, store_sigs, band_slices,
+            threshold=0.8, max_bucket=50,
+        )
+        return dec._jdf.queryExecution().executedPlan().toString()
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_comp = plan_for(comp_store)
+        plan_plain = plan_for(plain_store)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "Bucketed: true" in plan_comp or "SelectedBucketsCount" in plan_comp
+    assert plan_comp.count("Exchange") < plan_plain.count("Exchange"), (
+        "compacted bands side must drop Exchanges"
+    )
+    man = read_compaction_manifest(comp_store)
+    for sub in ("sigs", "bands"):
+        spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
