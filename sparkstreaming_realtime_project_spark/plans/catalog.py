@@ -10501,28 +10501,38 @@ _MH_STREAM_BATCHES = 3
 _MH_STREAM_PATHS: dict = {}
 
 
-def _minhash_stream_store(spark, sf_dir: str) -> str:
+def _minhash_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
     """3-batch sequential MinHash-LSH ingest store over documents,
     sharded by doc_id % 3 — the batch replay of streaming_minhash_dedup
     (the identical per-batch body: shingle -> sign -> band, read the
-    accepted store, dedup_batch_against_store, write decisions +
-    accepted signatures under batch={b})."""
+    accepted store AS SLICES, dedup_batch_against_store, write
+    decisions + accepted signatures under batch={b}).
+
+    ``compact=True`` runs compact_minhash_store after EVERY batch (the
+    x_minhash_stream_compacted proof that folding the store into its
+    bucketed at-rest layout leaves accept/flag decisions identical)."""
     from ..operators.dedup import band_keys, minhash_signature, with_shingles
     from ..streaming.incremental import (
+        compact_minhash_store,
         dedup_batch_against_store,
-        read_signature_store,
+        read_signature_store_slices,
     )
 
     # applicationId in the key (like sources/batch.py's relation cache):
     # a new SparkSession — different confs, regenerated testdata — must
     # rebuild the store rather than serve stale decisions parquet.
-    key = (spark.sparkContext.applicationId, sf_dir, _MH_STREAM_BATCHES)
+    key = (spark.sparkContext.applicationId, sf_dir, _MH_STREAM_BATCHES,
+           compact)
     if key not in _MH_STREAM_PATHS:
         import atexit
         import os
         import shutil
         import tempfile
 
+        for stale in [k for k in _MH_STREAM_PATHS if k[0] != key[0]]:
+            shutil.rmtree(os.path.dirname(_MH_STREAM_PATHS[stale]),
+                          ignore_errors=True)
+            del _MH_STREAM_PATHS[stale]
         root = tempfile.mkdtemp(prefix="spark_mh_stream_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         store = os.path.join(root, "store")
@@ -10537,7 +10547,7 @@ def _minhash_stream_store(spark, sf_dir: str) -> str:
                 _MINHASH_K,
                 _MINHASH_BANDS,
             )
-            store_sigs, store_bands = read_signature_store(
+            store_sigs, store_bands = read_signature_store_slices(
                 spark, store, new_sigs, new_bands
             )
             decisions = dedup_batch_against_store(
@@ -10557,6 +10567,8 @@ def _minhash_stream_store(spark, sf_dir: str) -> str:
                 os.path.join(store, "bands", f"batch={b}")
             )
             decisions.unpersist()
+            if compact:
+                compact_minhash_store(spark, store, buckets=8)
         _MH_STREAM_PATHS[key] = decisions_dir
     return _MH_STREAM_PATHS[key]
 
@@ -10630,6 +10642,37 @@ def _minhash_stream_oracle_sql() -> str:
 )
 def x_minhash_stream(spark, sf_dir):
     decisions_dir = _minhash_stream_store(spark, sf_dir)
+    d = spark.read.option("basePath", decisions_dir).parquet(
+        decisions_dir + "/batch=*"
+    )
+    return d.select(
+        F.col("batch").cast("int").alias("batch_id"),
+        "doc_id",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "jaccard",
+    )
+
+
+# Round 13 (rotation round; second and last new registration with
+# x_suffix_stream_compacted — growth stays well inside the <=5 cap).
+
+
+@_register(
+    "x_minhash_stream_compacted",
+    "at-rest store compaction equivalence for the MinHash twin "
+    "(VERDICT r12 top-next names both streaming stores): the identical "
+    "3-batch sequential ingest as x_minhash_stream, except "
+    "compact_minhash_store folds sigs (bucketed by id) and bands "
+    "(bucketed by the candidate join's (band, key)) into a table "
+    "generation after EVERY batch — accept/flag decisions are "
+    "IDENTICAL under the same 3-batch-unrolled oracle, with the "
+    "hot-bucket cap's sizes summed across slices and the store side "
+    "of the candidate join Exchange-free (plan contract "
+    "tests/test_incremental_dedup.py)",
+    _minhash_stream_oracle_sql(),
+)
+def x_minhash_stream_compacted(spark, sf_dir):
+    decisions_dir = _minhash_stream_store(spark, sf_dir, compact=True)
     d = spark.read.option("basePath", decisions_dir).parquet(
         decisions_dir + "/batch=*"
     )
