@@ -2080,3 +2080,27 @@ def test_compacted_bands_join_has_no_store_exchange(spark, tmp_path):
     man = read_compaction_manifest(comp_store)
     for sub in ("sigs", "bands"):
         spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
+
+
+def test_suffix_stream_memo_evicts_and_rmtrees_dead_applications(
+    spark, tmp_path
+):
+    """The sequential-ingest store memos (suffix + minhash) key by
+    (applicationId, sf_dir, n_batches, compact); on any miss, foreign
+    applications' keys are evicted AND their temp run roots rmtree'd
+    (r12 ADVICE: eviction without rmtree leaked orphaned
+    spark_suffix_stream_* dirs in session-restarting processes)."""
+    from sparkstreaming_realtime_project_spark.plans import catalog as cat
+
+    stale_root = str(tmp_path / "stale_run_root")
+    os.makedirs(stale_root, exist_ok=True)
+    saved = dict(cat._SUFFIX_STREAM_PATHS)
+    try:
+        cat._SUFFIX_STREAM_PATHS.clear()
+        cat._SUFFIX_STREAM_PATHS[("dead-app", "/x", 3, False)] = stale_root
+        cat._suffix_stream_store(spark, "/root/testdata/sf0.001")
+        assert ("dead-app", "/x", 3, False) not in cat._SUFFIX_STREAM_PATHS
+        assert not os.path.isdir(stale_root)
+    finally:
+        cat._SUFFIX_STREAM_PATHS.clear()
+        cat._SUFFIX_STREAM_PATHS.update(saved)
