@@ -1518,6 +1518,139 @@ def compact_moment_store(spark, store_root: str) -> str:
     return dirs[-1]
 
 
+def _fold_batch_dirs(spark, store_root: str, fold) -> str:
+    """Shared fold-into-highest-dir compaction for the mergeable sketch
+    stores (compact_moment_store's discipline, factored): apply the
+    store's OWN read-side merge expression ``fold`` to the union of
+    every ``batch=*`` dir and replace them all with one dir holding the
+    folded state. Because each store's merge is associative and
+    commutative (max for HLL registers, sum for CMS cells and agg
+    partials, counter-add + re-truncate for MG), every read-path result
+    is IDENTICAL before and after — the parity the compaction tests
+    assert frame-for-frame.
+
+    Same operating contract as compact_moment_store: run while the
+    stream is stopped or only over checkpoint-committed batches (a
+    replay of a folded-away batch id would overwrite the folded dir and
+    double-count); local-fs commit via os.rename — a crash between the
+    rmtree sweep and the rename leaves the folded state in
+    ``__compact_tmp`` for manual recovery (cluster deployments swap in
+    the object-store/HDFS atomic-promote equivalent)."""
+    import glob
+    import shutil
+
+    dirs = sorted(
+        glob.glob(os.path.join(store_root, "batch=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    if not dirs:
+        raise ValueError("store is empty — nothing to compact")
+    if len(dirs) == 1:
+        return dirs[-1]
+    merged = fold(
+        spark.read.option("basePath", store_root)
+        .parquet(os.path.join(store_root, "batch=*"))
+        .drop("batch")
+    )
+    tmp = os.path.join(store_root, "__compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    for d in dirs:
+        shutil.rmtree(d)
+    os.rename(tmp, dirs[-1])
+    return dirs[-1]
+
+
+def compact_hll_store(
+    spark, store_root: str, group_cols: list[str] | None = None
+) -> str:
+    """Fold the HLL register store: cell-wise max over every committed
+    batch's registers — exactly read_hll_estimate's merge, so the
+    estimate is bit-identical before/after."""
+    group_cols = group_cols or []
+    return _fold_batch_dirs(
+        spark, store_root,
+        lambda df: df.groupBy(*group_cols, "reg")
+        .agg(F.max("mx").alias("mx"))
+        .coalesce(1),
+    )
+
+
+def compact_cms_store(spark, store_root: str) -> str:
+    """Fold the count-min store: cell-wise sum — read_cms_estimate's
+    merge; point estimates are bit-identical before/after."""
+    return _fold_batch_dirs(
+        spark, store_root,
+        lambda df: df.groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .coalesce(1),
+    )
+
+
+def compact_agg_store(
+    spark, store_root: str, key_cols: list[str]
+) -> str:
+    """Fold the IVM-lite exact-aggregate store: per-key partial merge
+    (sum of cnt/sm, min of mn, max of mx) with the sum cast back to the
+    store's own sm type (decimal(28,6) — sum-of-decimal(18,6) as
+    agg_write_batch stores it) so later batch partials union with an
+    unchanged parquet schema. read_agg_totals is identical
+    before/after."""
+
+    def fold(df):
+        sm_type = df.schema["sm"].dataType.simpleString()
+        return df.groupBy(*key_cols).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sm").cast(sm_type).alias("sm"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+
+    return _fold_batch_dirs(spark, store_root, fold)
+
+
+def compact_mg_store(spark, store_root: str, m: int = 64) -> str:
+    """Fold the Misra-Gries summary store into ONE valid summary: sum
+    kept counters per key, re-truncate to the m largest (the standard
+    mergeable-summaries merge), and write a single eps row carrying
+    sum(batch eps) + the merged (m+1)-th counter. read_mg_topk output
+    — est, upper_bound, and ranking — is IDENTICAL before/after: est
+    sums are associative, and the pre-compaction read's
+    (sum eps + re-truncation cut) is exactly the folded eps row."""
+    from pyspark.sql.window import Window
+
+    def fold(df):
+        merged = (
+            df.filter(F.col("kind") == "k")
+            .groupBy("key")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+        ranked = merged.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= m + 1
+        )
+        kept = ranked.filter(F.col("rn") <= m).select(
+            "key", "cnt", F.lit("k").alias("kind")
+        )
+        tcut = ranked.filter(F.col("rn") == m + 1).agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("t")
+        )
+        etot = df.filter(F.col("kind") == "e").agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("e")
+        )
+        eps = (
+            tcut.crossJoin(etot)
+            .select(
+                F.lit(None).cast(df.schema["key"].dataType).alias("key"),
+                (F.col("t") + F.col("e")).alias("cnt"),
+                F.lit("e").alias("kind"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        return kept.unionByName(eps).coalesce(1)
+
+    return _fold_batch_dirs(spark, store_root, fold)
+
+
 # --------------------------------------------------------------------------
 # Streaming heavy hitters: a Misra-Gries summary store. Each micro-batch
 # IS a row shard of the stream, so it writes ONE summary — its exact

@@ -2104,3 +2104,108 @@ def test_suffix_stream_memo_evicts_and_rmtrees_dead_applications(
     finally:
         cat._SUFFIX_STREAM_PATHS.clear()
         cat._SUFFIX_STREAM_PATHS.update(saved)
+
+
+def test_sketch_store_compaction_read_identical(spark, tmp_path):
+    """Fold-into-one-dir compaction for the four remaining mergeable
+    sketch stores (HLL / CMS / MG / exact-agg — the moment store's
+    compaction discipline generalized): every read-path result is
+    IDENTICAL frame-for-frame before and after, each store ends with
+    exactly one batch dir, and re-compacting a single-dir store is a
+    no-op."""
+    import glob
+
+    from sparkstreaming_realtime_project_spark.operators.sketches import (
+        cms_sketch,
+        hll_registers,
+    )
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        agg_write_batch,
+        compact_agg_store,
+        compact_cms_store,
+        compact_hll_store,
+        compact_mg_store,
+        mg_write_batch,
+        read_agg_totals,
+        read_cms_estimate,
+        read_hll_estimate,
+        read_mg_topk,
+    )
+
+    def batch(b):
+        # overlapping, skewed keys across batches: key k{i % 12} with
+        # frequency skew so MG truncation (m=5) genuinely bites
+        return spark.range(b * 100, b * 100 + 200).selectExpr(
+            "concat('k', cast(id % 16 AS string)) AS key",
+            "cast(id % 37 AS double) AS v",
+        )
+
+    stores = {n: str(tmp_path / n) for n in ("hll", "cms", "mg", "agg")}
+    for b in range(3):
+        df = batch(b)
+        hll_registers(df, "key").write.mode("overwrite").parquet(
+            os.path.join(stores["hll"], f"batch={b}")
+        )
+        cms_sketch(df, "key", d=4, w=64).write.mode("overwrite").parquet(
+            os.path.join(stores["cms"], f"batch={b}")
+        )
+        mg_write_batch(df, b, stores["mg"], "key", m=5)
+        agg_write_batch(df, b, stores["agg"], ["key"], "v")
+
+    keys = spark.createDataFrame([("k0",), ("k1",), ("k9",)], "key string")
+
+    def reads():
+        return {
+            "hll": read_hll_estimate(spark, stores["hll"]).collect(),
+            "cms": sorted(
+                read_cms_estimate(
+                    spark, stores["cms"], keys, "key", d=4, w=64
+                ).collect()
+            ),
+            "mg": sorted(read_mg_topk(spark, stores["mg"], 3, m=5).collect()),
+            "agg": sorted(read_agg_totals(
+                spark, stores["agg"], ["key"]).collect()),
+        }
+
+    before = reads()
+    compact_hll_store(spark, stores["hll"])
+    compact_cms_store(spark, stores["cms"])
+    compact_mg_store(spark, stores["mg"], m=5)
+    compact_agg_store(spark, stores["agg"], ["key"])
+    after = reads()
+    assert before == after
+    # MG certificate is non-vacuous: truncation produced an eps bound
+    assert any(r.upper_bound > r.est for r in before["mg"])
+    for n, store in stores.items():
+        assert len(glob.glob(os.path.join(store, "batch=*"))) == 1, n
+    # single-dir re-compaction is a no-op; reads unchanged
+    compact_hll_store(spark, stores["hll"])
+    compact_mg_store(spark, stores["mg"], m=5)
+    assert reads() == before
+    # a batch arriving AFTER compaction merges cleanly (schema parity
+    # for the decimal agg partial, register/cell addition for sketches)
+    df = batch(3)
+    hll_registers(df, "key").write.mode("overwrite").parquet(
+        os.path.join(stores["hll"], "batch=3")
+    )
+    agg_write_batch(df, 3, stores["agg"], ["key"], "v")
+    four_batches = spark.range(0, 200).union(
+        spark.range(100, 300)
+    ).union(spark.range(200, 400)).union(spark.range(300, 500)).selectExpr(
+        "concat('k', cast(id % 16 AS string)) AS key",
+        "cast(id % 37 AS double) AS v",
+    )
+    expect = sorted(
+        four_batches.groupBy("key").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("sm"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ).select(
+            "key", F.col("cnt").cast("long"),
+            F.col("sm").cast("double"), "mn", "mx",
+            (F.col("sm").cast("double") / F.col("cnt")).alias("avg"),
+        ).collect()
+    )
+    got = sorted(read_agg_totals(spark, stores["agg"], ["key"]).collect())
+    assert got == expect
