@@ -1518,7 +1518,9 @@ def compact_moment_store(spark, store_root: str) -> str:
     return dirs[-1]
 
 
-def _fold_batch_dirs(spark, store_root: str, fold) -> str:
+def _fold_batch_dirs(
+    spark, store_root: str, fold, partition_by: list[str] | None = None,
+) -> str:
     """Shared fold-into-highest-dir compaction for the mergeable sketch
     stores (compact_moment_store's discipline, factored): apply the
     store's OWN read-side merge expression ``fold`` to the union of
@@ -1553,11 +1555,27 @@ def _fold_batch_dirs(spark, store_root: str, fold) -> str:
         .drop("batch")
     )
     tmp = os.path.join(store_root, "__compact_tmp")
-    merged.write.mode("overwrite").parquet(tmp)
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     for d in dirs:
         shutil.rmtree(d)
     os.rename(tmp, dirs[-1])
     return dirs[-1]
+
+
+def compact_ivf_store(spark, store_root: str) -> str:
+    """Fold the streaming IVF index's batch dirs into one, keeping the
+    cell partition layout (the fold is a pure union of vectors — no
+    merge semantics — so query_ivf_store results are identical by
+    construction). Turns B x n_cells probe directories into n_cells,
+    the 'periodic compaction of batch dirs' the ingest docstring
+    promises; same checkpoint-horizon/crash contract as every other
+    store compaction here."""
+    return _fold_batch_dirs(
+        spark, store_root, lambda df: df, partition_by=["cell"]
+    )
 
 
 def compact_hll_store(

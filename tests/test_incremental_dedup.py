@@ -2209,3 +2209,53 @@ def test_sketch_store_compaction_read_identical(spark, tmp_path):
     )
     got = sorted(read_agg_totals(spark, stores["agg"], ["key"]).collect())
     assert got == expect
+
+
+def test_ivf_store_compaction_read_identical(spark, tmp_path):
+    """compact_ivf_store folds B x n_cells probe directories into
+    n_cells while query_ivf_store returns the identical frame (the
+    fold is a pure vector union under the same cell partition
+    layout)."""
+    import glob
+
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_ivf_store,
+        query_ivf_store,
+    )
+
+    store = str(tmp_path / "ivf")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    for b in range(3):
+        rows = [
+            (b * 10 + i,
+             [1.0, 0.05 * i] if i % 2 == 0 else [0.05 * i, 1.0],
+             0 if i % 2 == 0 else 1)
+            for i in range(6)
+        ]
+        spark.createDataFrame(
+            rows, "id long, v array<double>, cell int"
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(store, f"batch={b}")
+        )
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.1]), (101, [0.2, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def read():
+        return sorted(
+            query_ivf_store(
+                spark, store, queries, cents, k=3, n_probe=1
+            ).collect()
+        )
+
+    before = read()
+    compact_ivf_store(spark, store)
+    after = read()
+    assert before == after and len(before) == 6
+    assert len(glob.glob(os.path.join(store, "batch=*"))) == 1
+    # cell partition layout survived the fold
+    assert sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(store, "batch=2", "cell=*"))
+    ) == ["cell=0", "cell=1"]
