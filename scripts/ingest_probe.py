@@ -4,6 +4,13 @@ as the store grows, on two corpus shapes.
 
 Usage: python scripts/ingest_probe.py [sf_dir] [n_batches]
 
+Env knobs: SPARK_GRAFT_INGEST=minhash,suffix selects the twins;
+SPARK_GRAFT_INGEST_SCRUB=1 runs the full scrub-on-ingest body on the
+suffix twin (n_clean must equal the batch doc count every batch);
+SPARK_GRAFT_INGEST_COMPACT_EVERY=N folds the suffix store into its
+bucketed generation after every Nth batch (the round-13 at-rest
+layout under sustained ingest).
+
 - DISJOINT batches (scale_probe's disjoint-vocab copies): every batch
   is all-new content, the store grows linearly, and no batch collides
   with the store — per-batch cost should stay ~flat (the new-vs-store
