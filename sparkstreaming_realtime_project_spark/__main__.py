@@ -135,6 +135,33 @@ def main(argv: list[str] | None = None) -> None:
         help="committed generations kept readable for time travel",
     )
 
+    p = sub.add_parser(
+        "compact-store",
+        help="fold a streaming STORE's batch dirs (anchor/signature "
+        "stores into their bucketed at-rest tables; sketch stores into "
+        "one merged dir). Run with the stream stopped, or only past "
+        "the checkpoint's commit horizon.",
+    )
+    p.add_argument("--dir", required=True, help="store directory")
+    p.add_argument(
+        "--kind", required=True,
+        choices=["suffix", "minhash", "hll", "cms", "mg", "agg",
+                 "moments", "ivf"],
+    )
+    p.add_argument(
+        "--buckets", type=int, default=8,
+        help="bucket count for suffix/minhash generations",
+    )
+    p.add_argument(
+        "--keys",
+        help="comma-separated columns: agg key cols (required), hll "
+        "group cols (optional)",
+    )
+    p.add_argument(
+        "--m", type=int, default=64,
+        help="Misra-Gries summary size; must match the writer's m",
+    )
+
     # the reference's publisher is a separate Spring Boot app beside the
     # Spark jobs (PublisherApplication.java); same topology here — a
     # sidecar serving the sink tables the pipelines write
@@ -178,6 +205,34 @@ def main(argv: list[str] | None = None) -> None:
 
     def dim(path):
         return spark.read.parquet(path) if path else None
+
+    if args.app == "compact-store":
+        from .streaming import incremental as inc
+
+        keys = (
+            [k.strip() for k in args.keys.split(",") if k.strip()]
+            if args.keys else []
+        )
+        if args.kind == "suffix":
+            out = inc.compact_suffix_store(spark, args.dir, args.buckets)
+        elif args.kind == "minhash":
+            out = inc.compact_minhash_store(spark, args.dir, args.buckets)
+        elif args.kind == "hll":
+            out = inc.compact_hll_store(spark, args.dir, keys)
+        elif args.kind == "cms":
+            out = inc.compact_cms_store(spark, args.dir)
+        elif args.kind == "mg":
+            out = inc.compact_mg_store(spark, args.dir, m=args.m)
+        elif args.kind == "agg":
+            if not keys:
+                sys.exit("--keys is required for --kind agg")
+            out = inc.compact_agg_store(spark, args.dir, keys)
+        elif args.kind == "moments":
+            out = inc.compact_moment_store(spark, args.dir)
+        else:
+            out = inc.compact_ivf_store(spark, args.dir)
+        print(f"compacted: {out}")
+        raise SystemExit(0)
 
     if args.app == "compact":
         from .streaming.sinks import compact_sink, read_sink

@@ -1414,6 +1414,61 @@ def test_compact_cli_subcommand(spark, tmp_path):
     assert read_sink(spark, out).count() == 2  # k1 deduped
 
 
+def test_compact_store_cli_subcommand(spark, tmp_path):
+    """Launcher smoke for `compact-store`: the agg sketch store folds
+    batch dirs into one with read_agg_totals unchanged, and the suffix
+    anchor store folds into its bucketed generation with a manifest —
+    the cron surface for the round-13 store-maintenance jobs."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_project_spark.__main__ import main
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        agg_write_batch,
+        read_agg_totals,
+        read_compaction_manifest,
+    )
+
+    agg = str(tmp_path / "agg")
+    for b in range(3):
+        agg_write_batch(
+            spark.range(b * 10, b * 10 + 20).selectExpr(
+                "cast(id % 4 AS string) AS k", "cast(id AS double) AS v"
+            ),
+            b, agg, ["k"], "v",
+        )
+    before = sorted(read_agg_totals(spark, agg, ["k"]).collect())
+    with pytest.raises(SystemExit) as exc:
+        main(["compact-store", "--dir", agg, "--kind", "agg",
+              "--keys", "k"])
+    assert exc.value.code == 0
+    assert sorted(read_agg_totals(spark, agg, ["k"]).collect()) == before
+    assert len(glob.glob(os.path.join(agg, "batch=*"))) == 1
+
+    suffix = str(tmp_path / "suffix")
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        suffix_anchors,
+    )
+
+    anchors = suffix_anchors(docs, "text", "doc_id", 8)
+    anchors.write.parquet(os.path.join(suffix, "anchors", "batch=0"))
+    anchors.groupBy("g").agg(F.count(F.lit(1)).alias("n")).write.parquet(
+        os.path.join(suffix, "gramdf", "batch=0")
+    )
+    with pytest.raises(SystemExit) as exc:
+        main(["compact-store", "--dir", suffix, "--kind", "suffix",
+              "--buckets", "4"])
+    assert exc.value.code == 0
+    man = read_compaction_manifest(suffix)
+    assert man["through_batch"] == 0 and man["buckets"] == 4
+    for sub in ("anchors", "gramdf"):
+        spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
+
+
 def test_merge_into_semantics(spark, tmp_path):
     """MERGE INTO the manifest sink: matched+flag deletes, matched
     updates, unmatched inserts, delete-of-nonexistent no-ops, unmatched
