@@ -153,6 +153,14 @@ def main(argv: list[str] | None = None) -> None:
         help="bucket count for suffix/minhash generations",
     )
     p.add_argument(
+        "--fanout", type=int,
+        help="suffix/minhash only: leveled (size-tiered) compaction — "
+        "fold ONLY the tail into a new generation, merging generations "
+        "when FANOUT share a size tier. O(tail) per run instead of "
+        "O(store); use for sub-hour cadences. Omit for the full fold "
+        "(also the major compaction collapsing a leveled store)",
+    )
+    p.add_argument(
         "--keys",
         help="comma-separated columns: agg key cols (required), hll "
         "group cols (optional)",
@@ -214,9 +222,13 @@ def main(argv: list[str] | None = None) -> None:
             if args.keys else []
         )
         if args.kind == "suffix":
-            out = inc.compact_suffix_store(spark, args.dir, args.buckets)
+            out = inc.compact_suffix_store(
+                spark, args.dir, args.buckets, fanout=args.fanout
+            )
         elif args.kind == "minhash":
-            out = inc.compact_minhash_store(spark, args.dir, args.buckets)
+            out = inc.compact_minhash_store(
+                spark, args.dir, args.buckets, fanout=args.fanout
+            )
         elif args.kind == "hll":
             out = inc.compact_hll_store(spark, args.dir, keys)
         elif args.kind == "cms":

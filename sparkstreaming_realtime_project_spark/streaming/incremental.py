@@ -157,9 +157,13 @@ def read_signature_store(
 
     Flat-union convenience wrapper over read_signature_store_slices —
     use the slices form in per-batch joins so a compacted bucketed
-    bands slice keeps its (band, key) co-location."""
+    bands slice keeps its (band, key) co-location. The wrapper requests
+    PLAIN generation reads (bucketed=False): the slices get unioned
+    here, and a union of identically-bucketed scans mis-plans
+    downstream (see _gen_df)."""
     sigs, band_slices = read_signature_store_slices(
-        spark, store_dir, like_sigs, like_bands, exclude_batch
+        spark, store_dir, like_sigs, like_bands, exclude_batch,
+        bucketed=False,
     )
     if not band_slices:
         bands = spark.createDataFrame([], like_bands.schema)
@@ -173,6 +177,7 @@ def read_signature_store(
 def read_signature_store_slices(
     spark, store_dir: str, like_sigs: DataFrame, like_bands: DataFrame,
     exclude_batch: int | None = None,
+    bucketed: bool = True,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """(sigs flat, band slices) of every accepted doc so far. Bands come
     back as slices — [compacted bucketed table, post-horizon tail] — so
@@ -199,8 +204,19 @@ def read_signature_store_slices(
     sig_slices: list[DataFrame] = []
     band_slices: list[DataFrame] = []
     if manifest is not None:
-        sig_slices.append(_bucketed_slice(spark, manifest, "sigs"))
-        band_slices.append(_bucketed_slice(spark, manifest, "bands"))
+        gens = _manifest_generations(manifest)
+        live = {g["tables"]["bands"]["name"] for g in gens}
+        for g in gens:
+            # bands: bucketed catalog scan — per-slice (band, key)
+            # joins. sigs: PLAIN parquet read — flat-unioned into the
+            # verify join, and a union of identically-bucketed scans
+            # mis-plans downstream (see _gen_df).
+            sig_slices.append(_gen_df(spark, g["tables"]["sigs"]))
+            band_slices.append(
+                _bucketed_slice(spark, manifest, g["tables"]["bands"],
+                                live)
+                if bucketed else _gen_df(spark, g["tables"]["bands"])
+            )
     if _batch_ids(store_dir, "sigs", min_batch):
         sig_slices.append(
             _read_or_empty(spark, store_dir, "sigs", like_sigs,
@@ -437,10 +453,12 @@ def read_anchor_store(
 
     Flat-union convenience wrapper over read_anchor_store_slices — use
     the slices form in per-batch joins so the compacted bucketed slice
-    keeps its co-location (a union with plain tail dirs erases the
-    bucketed output partitioning)."""
+    keeps its co-location. The wrapper requests PLAIN generation reads
+    (bucketed=False): the slices get unioned here, and a union of
+    identically-bucketed scans mis-plans downstream (see _gen_df)."""
     anchor_slices, gramdf = read_anchor_store_slices(
-        spark, store_dir, like_anchors, like_gramdf, exclude_batch
+        spark, store_dir, like_anchors, like_gramdf, exclude_batch,
+        bucketed=False,
     )
     if not anchor_slices:
         anchors = spark.createDataFrame([], like_anchors.schema)
@@ -486,8 +504,12 @@ def _manifest_path(store_dir: str) -> str:
 
 def read_compaction_manifest(store_dir: str) -> dict | None:
     """The store's current compaction state, or None if never
-    compacted: {"through_batch", "buckets", "tables": {sub: {"name",
-    "path"}}}. Written atomically by compact_suffix_store."""
+    compacted. Full-fold shape (the default): {"through_batch",
+    "buckets", "tables": {sub: {"name", "path", "bucket_cols"}}} — one
+    generation. Leveled shape (``fanout`` set): {"through_batch",
+    "buckets", "fanout", "next_gen", "generations": [{"gen", "through",
+    "rows", "tables": {...}}]}. Written atomically by _compact_store;
+    consume via _manifest_generations, which normalizes both."""
     import json
 
     path = _manifest_path(store_dir)
@@ -497,110 +519,319 @@ def read_compaction_manifest(store_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _bucketed_slice(spark, manifest: dict, sub: str) -> DataFrame:
-    """The compacted bucketed table for store sub-dir ``sub``,
+def _manifest_generations(manifest: dict) -> list[dict]:
+    """Normalize a manifest to its list of compacted generations. A
+    full-fold manifest is one generation (gen 0, rows unknown until a
+    leveled compaction needs to tier it); a leveled manifest carries
+    the list explicitly."""
+    if "generations" in manifest:
+        return manifest["generations"]
+    return [{
+        "gen": 0,
+        "through": manifest["through_batch"],
+        "rows": None,
+        "tables": manifest["tables"],
+    }]
+
+
+def _bucketed_slice(
+    spark, manifest: dict, entry: dict, live_names: set[str] | None = None,
+) -> DataFrame:
+    """The compacted bucketed table for one generation's sub-store
+    ``entry`` ({"name", "path", "bucket_cols"[, "buckets"]}),
     re-registered in this session's catalog if absent (the bucketing
     spec lives in catalog metadata, not the files — a fresh session
-    re-creates the external table entry over the same LOCATION)."""
-    name = manifest["tables"][sub]["name"]
-    path = manifest["tables"][sub]["path"]
+    re-creates the external table entry over the same LOCATION).
+
+    On a registration miss, catalog tables from SUPERSEDED generations
+    of the same (store, sub) family — same name up to the final
+    ``_b{N}``/``_g{N}`` segment, absent from ``live_names`` — are
+    dropped: a session that only READS a store another process has
+    re-compacted would otherwise accumulate one dead external-table
+    entry per superseded generation (metadata only, the files are
+    swept, but unbounded in a long-lived session cycling many
+    stores)."""
+    name = entry["name"]
+    path = entry["path"]
     if not spark.catalog.tableExists(name):
-        schema = spark.read.parquet(path).schema
+        if live_names:
+            family = name.rsplit("_", 1)[0] + "_"
+            for t in spark.catalog.listTables():
+                if t.name.startswith(family) and t.name not in live_names:
+                    spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+        schema = _gen_df(spark, entry).schema
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
-        bcols = ", ".join(
-            f"`{c}`" for c in manifest["tables"][sub]["bucket_cols"]
-        )
+        bcols = ", ".join(f"`{c}`" for c in entry["bucket_cols"])
+        buckets = entry.get("buckets", manifest["buckets"])
         spark.sql(
             f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
             f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) INTO "
-            f"{manifest['buckets']} BUCKETS LOCATION '{path}'"
+            f"{buckets} BUCKETS LOCATION '{path}'"
         )
     return spark.table(name)
 
 
-def _compact_store(
-    spark, store_dir: str, prefix: str, subs: list[tuple], buckets: int,
-) -> dict:
-    """Shared compaction body: fold each sub-store's committed batch=
-    dirs (and any previous compacted generation) into one bucketed
-    table; returns the new manifest. ``subs`` entries are (sub_dir,
-    bucket_cols, fold) with ``fold`` an optional DataFrame->DataFrame
-    reducer applied after the union (pre-summing additive sketches).
-    Idempotent and incremental: re-running with no new batch dirs only
-    re-sweeps stale files; re-running after more batches folds just the
-    tail into the next generation. The caller guarantees every folded
-    batch id is committed to the checkpoint (run while the stream is
-    stopped, or lag the horizon)."""
-    import hashlib
-    import json
-    import shutil
+def _tail_df(spark, store_dir: str, sub: str, min_batch: int) -> DataFrame:
+    """Union of the committed batch= dirs strictly after ``min_batch``
+    (the un-compacted tail), batch column dropped."""
+    sub_path = os.path.join(store_dir, sub)
+    return (
+        spark.read.option("basePath", sub_path)
+        .parquet(*[
+            os.path.join(sub_path, f"batch={i}")
+            for i in _batch_ids(store_dir, sub, min_batch)
+        ])
+        .drop("batch")
+    )
 
-    manifest = read_compaction_manifest(store_dir)
-    prev_through = manifest["through_batch"] if manifest else -1
-    new_ids = _batch_ids(store_dir, subs[0][0], prev_through)
-    if not new_ids:
-        if manifest is None:
-            raise ValueError(
-                f"{prefix} store is empty — nothing to compact"
-            )
-        _sweep_folded(store_dir, manifest)
-        return manifest
-    through = max(new_ids)
-    digest = hashlib.md5(
-        os.path.abspath(store_dir).encode()
-    ).hexdigest()[:12]
+
+def _write_generation(
+    spark, store_dir: str, prefix: str, digest: str, subs: list[tuple],
+    sources: dict, gid: int, through: int, buckets: int,
+) -> dict:
+    """Write one bucketed generation (one table per sub-store) and
+    return its manifest entry. ``rows`` is the first sub's row count —
+    the size-tiering key; a count over freshly written parquet, served
+    from footer statistics."""
     tables = {}
     for sub, bucket_cols, fold in subs:
-        parts = []
-        if manifest is not None:
-            parts.append(_bucketed_slice(spark, manifest, sub))
-        sub_path = os.path.join(store_dir, sub)
-        parts.append(
-            spark.read.option("basePath", sub_path)
-            .parquet(*[
-                os.path.join(sub_path, f"batch={i}")
-                for i in _batch_ids(store_dir, sub, prev_through)
-            ])
-            .drop("batch")
-        )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+        df = sources[sub]
         if fold is not None:
             df = fold(df)
-        name = f"{prefix}_store_{digest}_{sub}_b{through}"
-        path = os.path.join(store_dir, f"{sub}_compact", f"through={through}")
+        name = f"{prefix}_store_{digest}_{sub}_g{gid}"
+        path = os.path.join(store_dir, f"{sub}_compact", f"gen={gid}")
         (
             df.write.bucketBy(buckets, *bucket_cols).sortBy(*bucket_cols)
             .option("path", path).mode("overwrite").saveAsTable(name)
         )
         tables[sub] = {"name": name, "path": path,
-                       "bucket_cols": list(bucket_cols)}
-    new_manifest = {
-        "through_batch": through,
-        "buckets": buckets,
-        "tables": tables,
-    }
+                       "bucket_cols": list(bucket_cols), "buckets": buckets,
+                       "schema": df.schema.json()}
+    rows = spark.table(tables[subs[0][0]]["name"]).count()
+    return {"gen": gid, "through": through, "rows": rows, "tables": tables}
+
+
+def _gen_df(spark, entry: dict) -> DataFrame:
+    """A generation's sub-table as a PLAIN parquet read — no bucketing
+    claim. MANDATORY in any plan that UNIONS generations (compaction
+    folds/merges, the flat gramdf/sigs reads): Spark 4.1.2 lets a Union
+    of identically-bucketed scans claim their common HashPartitioning,
+    and a downstream aggregate then skips its Exchange — but the same
+    key lives in a DIFFERENT partition of each child, so the aggregate
+    is silently WRONG (two output rows per duplicated key; pinned by
+    tests/test_incremental_dedup.py::test_union_of_bucketed_
+    generations_aggregates_correctly). The bucketed catalog scan
+    (_bucketed_slice) is reserved for PER-SLICE joins, where one
+    bucketed table per join side is exactly what the layout is for.
+
+    Reads with the schema the manifest recorded at write time (a
+    generation can legitimately be EMPTY — e.g. a signature-store batch
+    where every doc was flagged — and an empty parquet dir cannot infer
+    its own schema); v1 manifests without one fall back to
+    inference."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    if "schema" in entry:
+        schema = StructType.fromJson(json.loads(entry["schema"]))
+        return spark.read.schema(schema).parquet(entry["path"])
+    return spark.read.parquet(entry["path"])
+
+
+def _tier(rows: int, fanout: int) -> int:
+    """Size tier of a generation: floor(log_fanout(rows)), integer
+    arithmetic. Generations in the same tier are within a fanout factor
+    of each other — merging a full tier lands the result at least one
+    tier up, which is what bounds the generation count at
+    O(log_fanout(store))."""
+    t, r = 0, max(int(rows or 0), 1)
+    while r >= fanout:
+        r //= fanout
+        t += 1
+    return t
+
+
+def _gen_rows(spark, gen: dict, first_sub: str) -> int:
+    """The tiering key for a generation, counting (and caching on the
+    gen dict) when a v1 full-fold manifest didn't record it."""
+    if gen.get("rows") is None:
+        gen["rows"] = _gen_df(spark, gen["tables"][first_sub]).count()
+    return gen["rows"]
+
+
+def _compact_store(
+    spark, store_dir: str, prefix: str, subs: list[tuple], buckets: int,
+    fanout: int | None = None,
+) -> dict:
+    """Shared compaction body; returns the new manifest. ``subs``
+    entries are (sub_dir, bucket_cols, fold) with ``fold`` an optional
+    DataFrame->DataFrame reducer applied after each union (pre-summing
+    additive sketches — safe to re-apply at every merge because the
+    reduction is associative).
+
+    ``fanout=None`` (default) is the FULL fold: every prior generation
+    plus the batch-dir tail re-written into ONE bucketed generation.
+    Cost O(store) per run — fine at a daily/cron cadence, and the shape
+    the serving read prefers (one slice per sub). Also the major
+    compaction for a leveled store: it collapses all generations.
+
+    ``fanout=k`` (>= 2) is the LEVELED (size-tiered, LSM-style) mode
+    for cadences where O(store) per fold is too hot: the tail folds
+    into a NEW small generation — cost O(tail), independent of store
+    size — and whenever ``k`` generations share a size tier
+    (floor(log_k(rows))) they merge into one a tier up. Amortized write
+    cost O(N log N) over the store's life vs O(N^2) for full folds at
+    the same cadence, at most O(log_k(store)) live generations, and
+    every generation is bucketed on the join key, so the per-batch
+    store-side join stays Exchange-free per slice (the read paths
+    return one slice per generation).
+
+    Idempotent and incremental in both modes: re-running with no new
+    batch dirs (and, leveled, no tier violation) only re-sweeps stale
+    files. The caller guarantees every folded batch id is committed to
+    the checkpoint (run while the stream is stopped, or lag the
+    horizon)."""
+    import hashlib
+    import json
+    import shutil
+
+    if fanout is not None and fanout < 2:
+        raise ValueError(f"fanout must be >= 2, got {fanout}")
+    manifest = read_compaction_manifest(store_dir)
+    prev_through = manifest["through_batch"] if manifest else -1
+    prev_gens = _manifest_generations(manifest) if manifest else []
+    new_ids = _batch_ids(store_dir, subs[0][0], prev_through)
+    digest = hashlib.md5(
+        os.path.abspath(store_dir).encode()
+    ).hexdigest()[:12]
+    first_sub = subs[0][0]
+
+    if fanout is None:
+        if not new_ids and len(prev_gens) <= 1 and (
+            manifest is None or "generations" not in manifest
+        ):
+            if manifest is None:
+                raise ValueError(
+                    f"{prefix} store is empty — nothing to compact"
+                )
+            _sweep_folded(store_dir, manifest)
+            return manifest
+        through = max(new_ids) if new_ids else prev_through
+        tables = {}
+        for sub, bucket_cols, fold in subs:
+            parts = [
+                _gen_df(spark, g["tables"][sub]) for g in prev_gens
+            ]
+            if new_ids:
+                parts.append(_tail_df(spark, store_dir, sub, prev_through))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            if fold is not None:
+                df = fold(df)
+            name = f"{prefix}_store_{digest}_{sub}_b{through}"
+            path = os.path.join(
+                store_dir, f"{sub}_compact", f"through={through}"
+            )
+            (
+                df.write.bucketBy(buckets, *bucket_cols)
+                .sortBy(*bucket_cols)
+                .option("path", path).mode("overwrite").saveAsTable(name)
+            )
+            tables[sub] = {"name": name, "path": path,
+                           "bucket_cols": list(bucket_cols),
+                           "schema": df.schema.json()}
+        new_manifest = {
+            "through_batch": through,
+            "buckets": buckets,
+            "tables": tables,
+        }
+        dead_gens = prev_gens
+    else:
+        gens = [dict(g) for g in prev_gens]
+        next_gen = (
+            manifest.get("next_gen", max(g["gen"] for g in gens) + 1)
+            if gens else (manifest or {}).get("next_gen", 0)
+        )
+        dead_gens = []
+        if new_ids:
+            sources = {
+                sub: _tail_df(spark, store_dir, sub, prev_through)
+                for sub, _c, _f in subs
+            }
+            gens.append(_write_generation(
+                spark, store_dir, prefix, digest, subs, sources,
+                next_gen, max(new_ids), buckets,
+            ))
+            next_gen += 1
+        if not gens:
+            raise ValueError(f"{prefix} store is empty — nothing to compact")
+        while True:
+            by_tier: dict[int, list[dict]] = {}
+            for g in gens:
+                by_tier.setdefault(
+                    _tier(_gen_rows(spark, g, first_sub), fanout), []
+                ).append(g)
+            violating = sorted(
+                t for t, gs in by_tier.items() if len(gs) >= fanout
+            )
+            if not violating:
+                break
+            group = by_tier[violating[0]]
+            sources = {}
+            for sub, _cols, _fold in subs:
+                df = None
+                for g in group:
+                    part = _gen_df(spark, g["tables"][sub])
+                    df = part if df is None else df.unionByName(part)
+                sources[sub] = df
+            merged = _write_generation(
+                spark, store_dir, prefix, digest, subs, sources,
+                next_gen, max(g["through"] for g in group), buckets,
+            )
+            next_gen += 1
+            dead_gens.extend(group)
+            gens = [g for g in gens if g not in group] + [merged]
+        through = max(prev_through, max(new_ids) if new_ids else -1)
+        if not new_ids and not dead_gens:
+            if manifest is not None:
+                _sweep_folded(store_dir, manifest)
+                return manifest
+        new_manifest = {
+            "through_batch": through,
+            "buckets": buckets,
+            "fanout": fanout,
+            "next_gen": next_gen,
+            "generations": sorted(gens, key=lambda g: g["gen"]),
+        }
+
     tmp = _manifest_path(store_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(new_manifest, f)
     os.replace(tmp, _manifest_path(store_dir))
-    if manifest is not None:
+    for g in dead_gens:
         for sub, _cols, _fold in subs:
             spark.sql(
-                f"DROP TABLE IF EXISTS `{manifest['tables'][sub]['name']}`"
+                f"DROP TABLE IF EXISTS `{g['tables'][sub]['name']}`"
             )
-            shutil.rmtree(manifest["tables"][sub]["path"], ignore_errors=True)
+            shutil.rmtree(g["tables"][sub]["path"], ignore_errors=True)
     _sweep_folded(store_dir, new_manifest)
     return new_manifest
 
 
-def compact_suffix_store(spark, store_dir: str, buckets: int = 8) -> dict:
+def compact_suffix_store(
+    spark, store_dir: str, buckets: int = 8, fanout: int | None = None,
+) -> dict:
     """Fold the suffix anchor store into its bucketed-by-g at-rest
     layout: anchors as a pure union, gramdf pre-summed to one row per
-    gram (counts are additive). See _compact_store for the crash and
+    gram (counts are additive, so the per-generation pre-sum plus the
+    read path's cross-slice sum equals the flat sum). ``fanout=None``
+    is the full O(store) fold; ``fanout=k`` the leveled size-tiered
+    mode — O(tail) per run, <= log_k(store) bucketed generations, for
+    sub-hour compaction cadences. See _compact_store for the crash and
     checkpoint-horizon discipline."""
     return _compact_store(
         spark, store_dir, "suffix",
@@ -610,17 +841,21 @@ def compact_suffix_store(spark, store_dir: str, buckets: int = 8) -> dict:
              lambda df: df.groupBy("g").agg(F.sum("n").alias("n"))),
         ],
         buckets,
+        fanout,
     )
 
 
-def compact_minhash_store(spark, store_dir: str, buckets: int = 8) -> dict:
+def compact_minhash_store(
+    spark, store_dir: str, buckets: int = 8, fanout: int | None = None,
+) -> dict:
     """Fold the MinHash signature store into its bucketed at-rest
     layout: bands bucketed by (band, key) — the candidate equi-join's
     key, so the store side of every per-batch join AND the hot-bucket
     size aggregate run with no Exchange — and sigs bucketed by id (the
     verify join's key; candidates are cap-bounded so they broadcast,
     but the bucketed layout keeps the store side shuffle-free even if
-    a pathological batch defeats the broadcast)."""
+    a pathological batch defeats the broadcast). ``fanout``: None =
+    full fold, k = leveled size-tiered mode (see _compact_store)."""
     return _compact_store(
         spark, store_dir, "minhash",
         [
@@ -628,19 +863,25 @@ def compact_minhash_store(spark, store_dir: str, buckets: int = 8) -> dict:
             ("bands", ["band", "key"], None),
         ],
         buckets,
+        fanout,
     )
 
 
 def _sweep_folded(store_dir: str, manifest: dict) -> None:
     """Delete batch dirs the manifest says are folded, and compacted
-    generations other than the current one — the post-flip cleanup,
-    re-run on every compaction so a crash between flip and sweep is
-    self-healing."""
+    generation dirs the manifest no longer references — the post-flip
+    cleanup, re-run on every compaction so a crash between flip and
+    sweep is self-healing."""
     import glob
     import shutil
 
     through = manifest["through_batch"]
-    for sub, entry in manifest["tables"].items():
+    gens = _manifest_generations(manifest)
+    referenced = {
+        os.path.abspath(e["path"])
+        for g in gens for e in g["tables"].values()
+    }
+    for sub in gens[0]["tables"]:
         sub_path = os.path.join(store_dir, sub)
         for p in glob.glob(os.path.join(sub_path, "batch=*")):
             try:
@@ -649,15 +890,15 @@ def _sweep_folded(store_dir: str, manifest: dict) -> None:
                 continue
             if i <= through:
                 shutil.rmtree(p, ignore_errors=True)
-        current = entry["path"]
-        for p in glob.glob(os.path.join(store_dir, f"{sub}_compact", "through=*")):
-            if os.path.abspath(p) != os.path.abspath(current):
+        for p in glob.glob(os.path.join(store_dir, f"{sub}_compact", "*")):
+            if os.path.abspath(p) not in referenced:
                 shutil.rmtree(p, ignore_errors=True)
 
 
 def read_anchor_store_slices(
     spark, store_dir: str, like_anchors: DataFrame, like_gramdf: DataFrame,
     exclude_batch: int | None = None,
+    bucketed: bool = True,
 ) -> tuple[list[DataFrame], DataFrame]:
     """(anchor slices, combined gramdf) of every doc ingested so far.
 
@@ -688,8 +929,20 @@ def read_anchor_store_slices(
     anchor_slices: list[DataFrame] = []
     gram_slices: list[DataFrame] = []
     if manifest is not None:
-        anchor_slices.append(_bucketed_slice(spark, manifest, "anchors"))
-        gram_slices.append(_bucketed_slice(spark, manifest, "gramdf"))
+        gens = _manifest_generations(manifest)
+        live = {g["tables"]["anchors"]["name"] for g in gens}
+        for g in gens:
+            # anchors: bucketed catalog scan — consumed ONE SLICE PER
+            # JOIN, where the bucket co-location pays. gramdf: PLAIN
+            # parquet read — it is flat-unioned downstream, and a union
+            # of identically-bucketed scans mis-plans its aggregate
+            # (see _gen_df).
+            anchor_slices.append(
+                _bucketed_slice(spark, manifest, g["tables"]["anchors"],
+                                live)
+                if bucketed else _gen_df(spark, g["tables"]["anchors"])
+            )
+            gram_slices.append(_gen_df(spark, g["tables"]["gramdf"]))
     if _batch_ids(store_dir, "anchors", min_batch):
         anchor_slices.append(
             _read_or_empty(spark, store_dir, "anchors", like_anchors,

@@ -2259,3 +2259,417 @@ def test_ivf_store_compaction_read_identical(spark, tmp_path):
         os.path.basename(p)
         for p in glob.glob(os.path.join(store, "batch=2", "cell=*"))
     ) == ["cell=0", "cell=1"]
+
+
+# --------------------------------------------------------------------------
+# Leveled (size-tiered) compaction — ADVICE r13 "gramdf/bands fold
+# cost" watch-item: the full fold re-writes O(store) per run; leveled
+# mode folds only the tail and merges generations when ``fanout`` share
+# a size tier, so sub-hour cadences pay O(tail) amortized O(N log N).
+# --------------------------------------------------------------------------
+
+
+def _equal_size_doc(doc_id, n_tokens=40):
+    return (doc_id, " ".join(f"t{doc_id}_{i}" for i in range(n_tokens)))
+
+
+def test_leveled_compaction_decisions_identical_and_tiering(
+    spark, tmp_path
+):
+    """8-batch twin at fanout=2, compacting after every batch. Three
+    contracts: (1) span decisions identical to the never-compacted run;
+    (2) the generation count follows the binary counter —
+    popcount(batches so far) — because equal-sized batches land in the
+    same tier and a full tier always merges one tier up (the
+    <= log_fanout(store) bound); (3) at-rest hygiene — folded batch
+    dirs gone, exactly the manifest's gen dirs on disk, per-generation
+    gramdf pre-summed."""
+    import glob
+
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_compaction_manifest,
+    )
+
+    block = [f"a{i}" for i in range(40)]
+    # every batch = ONE 40-token doc (equal anchor counts -> equal
+    # tiers); batches 3 and 6 embed a 20-token slice of batch 0's doc
+    # so real cross-batch spans exist against compacted generations
+    docs = {
+        0: (0, " ".join(block)),
+        3: (3, " ".join(["x0"] + block[5:25] + [f"x{i}" for i in range(1, 20)])),
+        6: (6, " ".join(["y0"] + block[5:25] + [f"y{i}" for i in range(1, 20)])),
+    }
+    batches = [
+        [docs.get(b, _equal_size_doc(b))] for b in range(8)
+    ]
+
+    roots = {}
+    gen_counts = []
+    for mode in ("plain", "leveled"):
+        store = str(tmp_path / mode / "store")
+        decisions = str(tmp_path / mode / "dec")
+        for b, rows in enumerate(batches):
+            _suffix_batch_body(
+                spark, store, decisions,
+                spark.createDataFrame(rows, DOC_SCHEMA), b,
+            )
+            if mode == "leveled":
+                man = compact_suffix_store(
+                    spark, store, buckets=4, fanout=2
+                )
+                gen_counts.append(len(man["generations"]))
+        roots[mode] = (store, decisions)
+
+    assert _span_set(spark, roots["plain"][1]) == _span_set(
+        spark, roots["leveled"][1]
+    )
+    assert _span_set(spark, roots["plain"][1])  # non-vacuous
+
+    # binary-counter generation counts: popcount(b+1) for b = 0..7
+    assert gen_counts == [
+        bin(b + 1).count("1") for b in range(8)
+    ], gen_counts
+
+    store = roots["leveled"][0]
+    man = read_compaction_manifest(store)
+    assert man["through_batch"] == 7 and man["fanout"] == 2
+    assert not glob.glob(os.path.join(store, "anchors", "batch=*"))
+    assert not glob.glob(os.path.join(store, "gramdf", "batch=*"))
+    for sub in ("anchors", "gramdf"):
+        on_disk = sorted(
+            glob.glob(os.path.join(store, f"{sub}_compact", "*"))
+        )
+        referenced = sorted(
+            g["tables"][sub]["path"] for g in man["generations"]
+        )
+        assert on_disk == referenced
+    # per-generation gramdf pre-summed (one row per gram per gen) and
+    # the cross-generation total still equals the anchor count
+    total_gram = total_anchor = 0
+    for g in man["generations"]:
+        gram = spark.table(g["tables"]["gramdf"]["name"])
+        assert gram.groupBy("g").count().filter("count > 1").count() == 0
+        total_gram += gram.agg(F.sum("n")).first()[0]
+        total_anchor += spark.table(g["tables"]["anchors"]["name"]).count()
+        assert g["rows"] > 0
+    assert total_gram == total_anchor
+    for g in man["generations"]:
+        for sub in ("anchors", "gramdf"):
+            spark.sql(f"DROP TABLE IF EXISTS `{g['tables'][sub]['name']}`")
+
+
+def test_leveled_then_major_fold(spark, tmp_path):
+    """fanout=None on a leveled store is the major compaction: all
+    generations collapse into the single-table v1 manifest, superseded
+    generation tables leave the session catalog, their dirs are swept,
+    and a subsequent batch's decisions are unchanged vs a twin that
+    stayed leveled."""
+    import glob
+
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_compaction_manifest,
+    )
+
+    block = [f"a{i}" for i in range(40)]
+    batches = [
+        [(0, " ".join(block))],
+        [_equal_size_doc(1)],
+        [_equal_size_doc(2)],
+    ]
+    probe = [(9, " ".join(["p0"] + block[5:25] + [f"p{i}" for i in range(1, 20)]))]
+
+    spans = {}
+    for mode in ("stay", "major"):
+        store = str(tmp_path / mode / "store")
+        decisions = str(tmp_path / mode / "dec")
+        for b, rows in enumerate(batches):
+            _suffix_batch_body(
+                spark, store, decisions,
+                spark.createDataFrame(rows, DOC_SCHEMA), b,
+            )
+            compact_suffix_store(spark, store, buckets=4, fanout=2)
+        if mode == "major":
+            old = read_compaction_manifest(store)
+            man = compact_suffix_store(spark, store, buckets=4)
+            assert "generations" not in man and "tables" in man
+            # superseded generation tables dropped + dirs swept
+            for g in old["generations"]:
+                for sub in ("anchors", "gramdf"):
+                    assert not spark.catalog.tableExists(
+                        g["tables"][sub]["name"]
+                    )
+            assert glob.glob(
+                os.path.join(store, "anchors_compact", "*")
+            ) == [man["tables"]["anchors"]["path"]]
+        _suffix_batch_body(
+            spark, store, decisions,
+            spark.createDataFrame(probe, DOC_SCHEMA), len(batches),
+        )
+        spans[mode] = _span_set(spark, decisions)
+
+    assert spans["stay"] == spans["major"] and spans["stay"]
+    for store in (str(tmp_path / "stay" / "store"),
+                  str(tmp_path / "major" / "store")):
+        man = read_compaction_manifest(store)
+        from sparkstreaming_realtime_project_spark.streaming.incremental import (  # noqa: E501
+            _manifest_generations,
+        )
+        for g in _manifest_generations(man):
+            for sub in ("anchors", "gramdf"):
+                spark.sql(
+                    f"DROP TABLE IF EXISTS `{g['tables'][sub]['name']}`"
+                )
+
+
+def test_leveled_generation_slices_no_exchange(spark, tmp_path):
+    """The plan contract extends to MULTIPLE generations: with two live
+    bucketed generations, each store-side slice of the per-batch gram
+    join reads its bucketed table with no Exchange above the scan (the
+    plain batch-dir twin reshuffles its history)."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_anchor_store_slices,
+        read_compaction_manifest,
+        suffix_batch_against_store,
+    )
+
+    plain_store = str(tmp_path / "plain_store")
+    lev_store = str(tmp_path / "lev_store")
+    # two same-content ingest rounds; sizes differ (50 vs 10 docs) so
+    # the two leveled generations sit in different tiers and BOTH stay
+    # live
+    round1 = spark.createDataFrame(
+        [(d, " ".join(f"t{d}_{i}" for i in range(40))) for d in range(50)],
+        DOC_SCHEMA,
+    )
+    round2 = spark.createDataFrame(
+        [(d, " ".join(f"t{d}_{i}" for i in range(40)))
+         for d in range(50, 60)],
+        DOC_SCHEMA,
+    )
+    for store in (plain_store, lev_store):
+        _suffix_batch_body(spark, store, str(tmp_path / "dec"), round1, 0)
+        if store == lev_store:
+            compact_suffix_store(spark, store, buckets=8, fanout=2)
+        _suffix_batch_body(spark, store, str(tmp_path / "dec"), round2, 1)
+        if store == lev_store:
+            compact_suffix_store(spark, store, buckets=8, fanout=2)
+    man = read_compaction_manifest(lev_store)
+    assert len(man["generations"]) == 2
+
+    new = dd.suffix_anchors(
+        spark.createDataFrame(
+            [(99, " ".join(f"t7_{i}" for i in range(40)))], DOC_SCHEMA
+        ),
+        "text", "doc_id", 8,
+    )
+    new_gramdf = new.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    slices, gramdf = read_anchor_store_slices(
+        spark, lev_store, new, new_gramdf
+    )
+    assert len(slices) == 2
+
+    def plan_for(one_slice):
+        spans = suffix_batch_against_store(new, [one_slice], gramdf)
+        return spans._jdf.queryExecution().executedPlan().toString()
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # every generation slice, joined alone (exactly how
+        # suffix_batch_against_store consumes it), must read bucketed
+        # and spend fewer Exchanges than a plain read of the SAME files
+        for g, sl in zip(man["generations"], slices):
+            plan_b = plan_for(sl)
+            plan_p = plan_for(
+                spark.read.parquet(g["tables"]["anchors"]["path"])
+            )
+            assert "SortMergeJoin" in plan_b
+            assert "Bucketed: true" in plan_b or "SelectedBucketsCount" in (
+                plan_b
+            )
+            assert plan_b.count("Exchange") < plan_p.count("Exchange"), (
+                "every leveled generation slice must keep its bucket "
+                "co-location"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    for g in man["generations"]:
+        for sub in ("anchors", "gramdf"):
+            spark.sql(f"DROP TABLE IF EXISTS `{g['tables'][sub]['name']}`")
+
+
+def test_read_side_drops_stale_generation_tables(spark, tmp_path):
+    """ADVICE r13 watch-item: a session that only READS a store another
+    process re-compacted must not accumulate dead external-table
+    entries — on a registration miss, superseded same-family tables
+    (same name up to the _b{N}/_g{N} tail, absent from the live set)
+    are dropped."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_anchor_store_slices,
+        read_compaction_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame([_equal_size_doc(0)], DOC_SCHEMA)
+    _suffix_batch_body(spark, store, str(tmp_path / "dec"), docs, 0)
+    man = compact_suffix_store(spark, store, buckets=4)
+    live = man["tables"]["anchors"]["name"]
+    stale = live.rsplit("_", 1)[0] + "_g999"
+    # a superseded generation's leftover registration (same LOCATION —
+    # only the catalog entry matters for this test)
+    spark.sql(
+        f"CREATE TABLE `{stale}` (g long, doc_id long, pos int) "
+        f"USING PARQUET LOCATION '{man['tables']['anchors']['path']}'"
+    )
+    # simulate the fresh session: live tables unregistered, files intact
+    for sub in ("anchors", "gramdf"):
+        spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
+    assert spark.catalog.tableExists(stale)
+
+    new = dd.suffix_anchors(docs, "text", "doc_id", 8)
+    new_gramdf = new.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    slices, _ = read_anchor_store_slices(spark, store, new, new_gramdf)
+    assert slices and slices[0].count() > 0  # live gen re-registered
+    assert spark.catalog.tableExists(live)
+    assert not spark.catalog.tableExists(stale), (
+        "superseded generation table must be dropped on re-registration"
+    )
+    man = read_compaction_manifest(store)
+    for sub in ("anchors", "gramdf"):
+        spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
+
+
+def test_leveled_minhash_decisions_identical(spark, tmp_path):
+    """compact_minhash_store at fanout=2 after every batch leaves the
+    per-batch dedup decisions identical to the never-compacted twin
+    (the signature-store analogue of the suffix test — sigs are a pure
+    union, bands keep their (band, key) bucketing per generation)."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_minhash_store,
+        dedup_batch_against_store,
+        read_compaction_manifest,
+        read_signature_store_slices,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    mk = lambda did, words: (did, " ".join(words))  # noqa: E731
+    batches = [
+        [mk(0, base), mk(1, [f"u{i}" for i in range(40)])],
+        [mk(2, base[:38] + ["z0", "z1"])],   # near-dup of 0
+        [mk(3, [f"v{i}" for i in range(40)])],
+        [mk(4, base[:37] + ["q0", "q1", "q2"])],  # near-dup of 0
+    ]
+
+    def run(root, fanout):
+        store = str(root / "store")
+        out = []
+        for b, rows in enumerate(batches):
+            docs = spark.createDataFrame(rows, DOC_SCHEMA)
+            sh = dd.with_shingles(docs, "text", "doc_id", 3).persist()
+            sigs = sh.select("id", "shingles")
+            bands = dd.band_keys(dd.minhash_signature(sh, 16), 16, 4).select(
+                "id", "band", "key"
+            )
+            store_sigs, band_slices = read_signature_store_slices(
+                spark, store, sigs, bands
+            )
+            dec = dedup_batch_against_store(
+                sigs, bands, store_sigs, band_slices, threshold=0.5
+            )
+            out += sorted(
+                (r.doc_id, r.dup_of) for r in dec.collect()
+            )
+            accepted = dec.filter(F.col("dup_of").isNull()).select("doc_id")
+            sigs.join(
+                accepted, sigs.id == accepted.doc_id
+            ).select("id", "shingles").write.mode("overwrite").parquet(
+                os.path.join(store, "sigs", f"batch={b}")
+            )
+            bands.join(
+                accepted, bands.id == accepted.doc_id
+            ).select("id", "band", "key").write.mode("overwrite").parquet(
+                os.path.join(store, "bands", f"batch={b}")
+            )
+            sh.unpersist()
+            if fanout:
+                compact_minhash_store(spark, store, buckets=4, fanout=fanout)
+        return out, store
+
+    plain, _ = run(tmp_path / "plain", None)
+    leveled, lev_store = run(tmp_path / "leveled", 2)
+    assert plain == leveled
+    assert any(d is not None for _, d in plain)  # non-vacuous: dups found
+    man = read_compaction_manifest(lev_store)
+    assert man["fanout"] == 2
+    for g in man["generations"]:
+        for sub in ("sigs", "bands"):
+            spark.sql(f"DROP TABLE IF EXISTS `{g['tables'][sub]['name']}`")
+
+
+def test_union_of_bucketed_generations_aggregates_correctly(
+    spark, tmp_path
+):
+    """Pins the engine around a Spark 4.1.2 planner hazard: a Union of
+    IDENTICALLY-bucketed table scans claims their common
+    HashPartitioning, so a downstream aggregate skips its Exchange —
+    but each child placed the same key in a DIFFERENT partition, and
+    the aggregate silently emits duplicate groups. (Reproducer: two
+    4-bucket tables on g, union, groupBy(g).sum -> two g1 rows.) The
+    store read paths therefore return PLAIN parquet reads in every
+    union context (_gen_df) and reserve bucketed scans for per-slice
+    joins. This test drives the real read path with TWO same-bucketed
+    generations and NO tail — the exact layout that mis-planned — and
+    asserts the gramdf totals seen by the df-cap are flat-sum correct."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_anchor_store_slices,
+        read_compaction_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    block = [f"a{i}" for i in range(40)]
+    # batch 1's doc repeats 20 tokens of batch 0's doc -> 13 shared
+    # 8-grams that MUST sum to n=2 across the two generations; batch 1
+    # is 4x larger so the two generations land in DIFFERENT size tiers
+    # and both stay live (same-size gens would tier-merge into one)
+    batches = [
+        [(0, " ".join(block))],
+        [(1, " ".join(["x0"] + block[5:25] + [f"x{i}" for i in range(1, 140)]))],
+    ]
+    for b, rows in enumerate(batches):
+        _suffix_batch_body(
+            spark, store, str(tmp_path / "dec"),
+            spark.createDataFrame(rows, DOC_SCHEMA), b,
+        )
+        compact_suffix_store(spark, store, buckets=4, fanout=2)
+    man = read_compaction_manifest(store)
+    # two live generations, same bucket count, no batch-dir tail: the
+    # hazard layout
+    assert len(man["generations"]) == 2
+    assert all(
+        g["tables"]["gramdf"]["buckets"] == 4 for g in man["generations"]
+    )
+
+    probe = spark.createDataFrame(batches[0], DOC_SCHEMA)
+    new = dd.suffix_anchors(probe, "text", "doc_id", 8)
+    new_gramdf = new.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    _slices, gramdf = read_anchor_store_slices(
+        spark, store, new, new_gramdf
+    )
+    got = {
+        r.g: r.n
+        for r in gramdf.groupBy("g").agg(F.sum("n").alias("n")).collect()
+    }
+    assert len(got) == 33 + 153 - 13  # distinct grams across both docs
+    assert sum(1 for n in got.values() if n == 2) == 13, (
+        "shared grams must aggregate across generations (one row, n=2) "
+        "— duplicate groups mean the union claimed bucket partitioning"
+    )
+    assert sum(got.values()) == 33 + 153
+    for g in man["generations"]:
+        for sub in ("anchors", "gramdf"):
+            spark.sql(f"DROP TABLE IF EXISTS `{g['tables'][sub]['name']}`")
