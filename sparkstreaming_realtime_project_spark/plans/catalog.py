@@ -14625,7 +14625,9 @@ _SUFFIX_STREAM_BATCHES = 3
 _SUFFIX_STREAM_PATHS: dict = {}
 
 
-def _suffix_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
+def _suffix_stream_store(
+    spark, sf_dir: str, compact: bool = False, fanout: int | None = None,
+) -> str:
     """3-batch sequential suffix-span ingest over documents, sharded by
     doc_id % 3 — the batch replay of streaming_suffix_scrub (identical
     per-batch body: anchor-gram the batch, read the anchor + gramdf
@@ -14639,7 +14641,11 @@ def _suffix_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
     ``compact=True`` runs compact_suffix_store after EVERY batch, so
     batch 1 joins the first bucketed generation and batch 2 the
     incrementally re-compacted second — the x_suffix_stream_compacted
-    proof that compaction leaves decisions identical."""
+    proof that compaction leaves decisions identical. ``fanout``
+    additionally selects the LEVELED size-tiered mode (batch 1 joins
+    one small generation; the equal-size tiers force a merge, so batch
+    2 joins a merged generation) — the x_suffix_stream_leveled proof
+    that the O(tail) mode is decision-identical too."""
     from ..operators.dedup import scrub_coverage, suffix_anchors
     from ..streaming.incremental import (
         compact_suffix_store,
@@ -14648,7 +14654,7 @@ def _suffix_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
     )
 
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, _SUFFIX_STREAM_BATCHES, compact)
+    key = (app_id, sf_dir, _SUFFIX_STREAM_BATCHES, compact, fanout)
     if key not in _SUFFIX_STREAM_PATHS:
         import atexit
         import os
@@ -14694,7 +14700,7 @@ def _suffix_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
             spans.unpersist()
             new_anchors.unpersist()
             if compact:
-                compact_suffix_store(spark, store, buckets=8)
+                compact_suffix_store(spark, store, buckets=8, fanout=fanout)
         _SUFFIX_STREAM_PATHS[key] = root
     return _SUFFIX_STREAM_PATHS[key]
 
@@ -14777,6 +14783,36 @@ def x_suffix_stream(spark, sf_dir):
     )
 
 
+@_register(
+    "x_suffix_stream_leveled",
+    "LEVELED (size-tiered, LSM-style) store compaction equivalence, "
+    "driver-exposed: the identical 3-batch sequential suffix ingest as "
+    "x_suffix_stream, but compact_suffix_store(fanout=2) folds only "
+    "the TAIL into a new bucketed generation after every batch — "
+    "O(tail) per fold instead of O(store), the sub-hour-cadence mode — "
+    "with equal-size generations forcing a same-tier merge mid-run, so "
+    "batch 2 joins a merged generation; decisions are IDENTICAL: the "
+    "same 3-batch-unrolled oracle adjudicates flat, full-fold and "
+    "leveled ingests alike",
+    _suffix_stream_oracle_sql(),
+)
+def x_suffix_stream_leveled(spark, sf_dir):
+    import os
+
+    decisions_dir = os.path.join(
+        _suffix_stream_store(spark, sf_dir, compact=True, fanout=2),
+        "decisions",
+    )
+    d = spark.read.option("basePath", decisions_dir).parquet(
+        decisions_dir + "/batch=*"
+    )
+    return d.select(
+        F.col("batch").cast("int").alias("batch_id"),
+        "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end",
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
 def _suffix_stream_scrub_oracle_sql() -> str:
     """Per-batch coverage rebuild on top of the 3-batch span oracle:
     batch b's cov list comes from sp{b}'s b-side intervals (newcomer
@@ -14838,8 +14874,9 @@ def x_suffix_stream_scrub(spark, sf_dir):
     )
 
 
-# Round 13 (rotation round: this is the ONLY new registration — VERDICT
-# r12 #1 caps catalog growth at <=5 while the driver window re-confirms
+# Round 13 (rotation round: 3 new registrations — this one,
+# x_minhash_stream_compacted, and x_suffix_stream_leveled above —
+# inside VERDICT r12 #1's <=5 cap while the driver window re-confirms
 # the r7 cohort; #2 asks for exactly this entry).
 
 
