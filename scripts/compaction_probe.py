@@ -107,10 +107,15 @@ def main() -> None:
                 n_rows = sum(
                     inc._gen_rows(spark, g, "anchors") for g in gens
                 )
-                rewritten = sum(
-                    g["rows"] for g in gens
-                    if g["tables"]["anchors"]["name"] not in prev_names
-                )
+                # leveled manifests record the exact per-run write cost
+                # (incl. cascade intermediates merged away within the
+                # run); full-fold runs re-write the whole store.
+                rewritten = man.get("last_run_rows_written")
+                if rewritten is None:
+                    rewritten = sum(
+                        g["rows"] for g in gens
+                        if g["tables"]["anchors"]["name"] not in prev_names
+                    )
                 rows.append(
                     {"after_batch": b, "store_anchor_rows": n_rows,
                      "compact_wall_s": wall, "fanout": fanout,

@@ -9,7 +9,11 @@ SPARK_GRAFT_INGEST_SCRUB=1 runs the full scrub-on-ingest body on the
 suffix twin (n_clean must equal the batch doc count every batch);
 SPARK_GRAFT_INGEST_COMPACT_EVERY=N folds the suffix store into its
 bucketed generation after every Nth batch (the round-13 at-rest
-layout under sustained ingest).
+layout under sustained ingest); SPARK_GRAFT_INGEST_COMPACT_FANOUT=k
+makes those folds LEVELED (size-tiered) — the probe then also answers
+the read-amplification question: does the per-batch body joining
+<= log_k(store) generation slices instead of one cost anything
+measurable?
 
 - DISJOINT batches (scale_probe's disjoint-vocab copies): every batch
   is all-new content, the store grows linearly, and no batch collides
@@ -97,6 +101,7 @@ def ingest(spark, batches, label: str):
 def ingest_suffix(
     spark, batches, label: str,
     scrub: bool = False, compact_every: int | None = None,
+    compact_fanout: int | None = None,
 ):
     """Per-batch wall for the suffix-span twin. Expectation differs by
     corpus: DISJOINT batches never collide with the store, so the
@@ -116,7 +121,9 @@ def ingest_suffix(
     ``compact_every=N`` folds the store into its bucketed generation
     after every Nth batch (compact_suffix_store), so later batches read
     through the compacted table + tail — the production at-rest layout
-    under sustained ingest."""
+    under sustained ingest. ``compact_fanout=k`` makes those folds
+    leveled (size-tiered): later batches then join one slice per live
+    generation (<= log_k(store)) — the read-amplification case."""
     from sparkstreaming_realtime_project_spark.operators.dedup import (
         scrub_coverage,
         suffix_anchors,
@@ -168,7 +175,8 @@ def ingest_suffix(
                 os.path.join(store, "gramdf", f"batch={b}")
             )
             if compact_every and (b + 1) % compact_every == 0:
-                compact_suffix_store(spark, store, buckets=8)
+                compact_suffix_store(spark, store, buckets=8,
+                                     fanout=compact_fanout)
             spans.unpersist()
             new_anchors.unpersist()
             spark.catalog.clearCache()
@@ -211,12 +219,16 @@ def main() -> None:
     compact_every = int(
         os.environ.get("SPARK_GRAFT_INGEST_COMPACT_EVERY", "0")
     ) or None
+    compact_fanout = int(
+        os.environ.get("SPARK_GRAFT_INGEST_COMPACT_FANOUT", "0")
+    ) or None
     r1 = r2 = s1 = s2 = []
     if "minhash" in which:
         r1 = ingest(spark, disjoint, "disjoint")
     if "suffix" in which:
         s1 = ingest_suffix(spark, disjoint, "suffix_disjoint",
-                           scrub=scrub, compact_every=compact_every)
+                           scrub=scrub, compact_every=compact_every,
+                           compact_fanout=compact_fanout)
     all_copies.unpersist()
 
     # identical copies: same text, shifted ids
@@ -228,7 +240,8 @@ def main() -> None:
         r2 = ingest(spark, ident, "identical")
     if "suffix" in which:
         s2 = ingest_suffix(spark, ident, "suffix_identical",
-                           scrub=scrub, compact_every=compact_every)
+                           scrub=scrub, compact_every=compact_every,
+                           compact_fanout=compact_fanout)
     print(json.dumps({"ingest_scaling": r1 + r2 + s1 + s2}))
 
 

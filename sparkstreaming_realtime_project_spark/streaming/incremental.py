@@ -507,9 +507,10 @@ def read_compaction_manifest(store_dir: str) -> dict | None:
     compacted. Full-fold shape (the default): {"through_batch",
     "buckets", "tables": {sub: {"name", "path", "bucket_cols"}}} — one
     generation. Leveled shape (``fanout`` set): {"through_batch",
-    "buckets", "fanout", "next_gen", "generations": [{"gen", "through",
-    "rows", "tables": {...}}]}. Written atomically by _compact_store;
-    consume via _manifest_generations, which normalizes both."""
+    "buckets", "fanout", "next_gen", "last_run_rows_written",
+    "generations": [{"gen", "through", "rows", "tables": {...}}]}.
+    Written atomically by _compact_store; consume via
+    _manifest_generations, which normalizes both."""
     import json
 
     path = _manifest_path(store_dir)
@@ -757,6 +758,7 @@ def _compact_store(
             if gens else (manifest or {}).get("next_gen", 0)
         )
         dead_gens = []
+        rows_written = 0
         if new_ids:
             sources = {
                 sub: _tail_df(spark, store_dir, sub, prev_through)
@@ -766,6 +768,7 @@ def _compact_store(
                 spark, store_dir, prefix, digest, subs, sources,
                 next_gen, max(new_ids), buckets,
             ))
+            rows_written += gens[-1]["rows"]
             next_gen += 1
         if not gens:
             raise ValueError(f"{prefix} store is empty — nothing to compact")
@@ -792,6 +795,7 @@ def _compact_store(
                 spark, store_dir, prefix, digest, subs, sources,
                 next_gen, max(g["through"] for g in group), buckets,
             )
+            rows_written += merged["rows"]
             next_gen += 1
             dead_gens.extend(group)
             gens = [g for g in gens if g not in group] + [merged]
@@ -805,6 +809,11 @@ def _compact_store(
             "buckets": buckets,
             "fanout": fanout,
             "next_gen": next_gen,
+            # cost observability: first-sub rows written by THIS run
+            # (tail gen + every cascade merge, including intermediates
+            # that merged away within the run) — the O(tail)-amortized
+            # quantity a deployment's compaction dashboard should plot.
+            "last_run_rows_written": rows_written,
             "generations": sorted(gens, key=lambda g: g["gen"]),
         }
 
