@@ -10501,7 +10501,9 @@ _MH_STREAM_BATCHES = 3
 _MH_STREAM_PATHS: dict = {}
 
 
-def _minhash_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
+def _minhash_stream_store(
+    spark, sf_dir: str, compact: bool = False, fanout: int | None = None,
+) -> str:
     """3-batch sequential MinHash-LSH ingest store over documents,
     sharded by doc_id % 3 — the batch replay of streaming_minhash_dedup
     (the identical per-batch body: shingle -> sign -> band, read the
@@ -10510,7 +10512,10 @@ def _minhash_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
 
     ``compact=True`` runs compact_minhash_store after EVERY batch (the
     x_minhash_stream_compacted proof that folding the store into its
-    bucketed at-rest layout leaves accept/flag decisions identical)."""
+    bucketed at-rest layout leaves accept/flag decisions identical);
+    ``fanout`` selects the LEVELED size-tiered mode for those folds
+    (x_minhash_stream_leveled — equal-size generations force a
+    same-tier merge mid-run)."""
     from ..operators.dedup import band_keys, minhash_signature, with_shingles
     from ..streaming.incremental import (
         compact_minhash_store,
@@ -10522,7 +10527,7 @@ def _minhash_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
     # a new SparkSession — different confs, regenerated testdata — must
     # rebuild the store rather than serve stale decisions parquet.
     key = (spark.sparkContext.applicationId, sf_dir, _MH_STREAM_BATCHES,
-           compact)
+           compact, fanout)
     if key not in _MH_STREAM_PATHS:
         import atexit
         import os
@@ -10568,7 +10573,8 @@ def _minhash_stream_store(spark, sf_dir: str, compact: bool = False) -> str:
             )
             decisions.unpersist()
             if compact:
-                compact_minhash_store(spark, store, buckets=8)
+                compact_minhash_store(spark, store, buckets=8,
+                                      fanout=fanout)
         _MH_STREAM_PATHS[key] = decisions_dir
     return _MH_STREAM_PATHS[key]
 
@@ -10653,8 +10659,9 @@ def x_minhash_stream(spark, sf_dir):
     )
 
 
-# Round 13 (rotation round; second and last new registration with
-# x_suffix_stream_compacted — growth stays well inside the <=5 cap).
+# Round 13 (rotation round; registered with x_suffix_stream_compacted,
+# x_suffix_stream_leveled and x_minhash_stream_leveled below — 4 new
+# registrations total, inside the <=5 cap).
 
 
 @_register(
@@ -10673,6 +10680,34 @@ def x_minhash_stream(spark, sf_dir):
 )
 def x_minhash_stream_compacted(spark, sf_dir):
     decisions_dir = _minhash_stream_store(spark, sf_dir, compact=True)
+    d = spark.read.option("basePath", decisions_dir).parquet(
+        decisions_dir + "/batch=*"
+    )
+    return d.select(
+        F.col("batch").cast("int").alias("batch_id"),
+        "doc_id",
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "jaccard",
+    )
+
+
+@_register(
+    "x_minhash_stream_leveled",
+    "LEVELED (size-tiered) compaction equivalence for the MinHash "
+    "twin: the identical 3-batch sequential ingest as "
+    "x_minhash_stream, but compact_minhash_store(fanout=2) folds only "
+    "the tail into a new bucketed generation after every batch — "
+    "O(tail) per fold, with equal-size generations forcing a same-tier "
+    "merge mid-run, so batch 2's candidate join reads a merged "
+    "generation plus the newest one as separate Exchange-free slices — "
+    "accept/flag decisions IDENTICAL under the same 3-batch-unrolled "
+    "oracle",
+    _minhash_stream_oracle_sql(),
+)
+def x_minhash_stream_leveled(spark, sf_dir):
+    decisions_dir = _minhash_stream_store(
+        spark, sf_dir, compact=True, fanout=2
+    )
     d = spark.read.option("basePath", decisions_dir).parquet(
         decisions_dir + "/batch=*"
     )
