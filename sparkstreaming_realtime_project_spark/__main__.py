@@ -221,6 +221,13 @@ def main(argv: list[str] | None = None) -> None:
             [k.strip() for k in args.keys.split(",") if k.strip()]
             if args.keys else []
         )
+        if args.fanout is not None and args.kind not in ("suffix", "minhash"):
+            sys.exit(
+                f"--fanout is only supported for --kind suffix/minhash; "
+                f"the {args.kind} store folds into one merged dir (its "
+                f"merge is a cheap cell-wise/per-key reduction, not a "
+                f"store re-write — there is no leveled mode to select)"
+            )
         if args.kind == "suffix":
             out = inc.compact_suffix_store(
                 spark, args.dir, args.buckets, fanout=args.fanout

@@ -14909,10 +14909,11 @@ def x_suffix_stream_scrub(spark, sf_dir):
     )
 
 
-# Round 13 (rotation round: 3 new registrations — this one,
-# x_minhash_stream_compacted, and x_suffix_stream_leveled above —
-# inside VERDICT r12 #1's <=5 cap while the driver window re-confirms
-# the r7 cohort; #2 asks for exactly this entry).
+# Round 13 (rotation round: 4 new registrations — this one,
+# x_suffix_stream_leveled above, and x_minhash_stream_compacted +
+# x_minhash_stream_leveled beside the minhash twin — inside VERDICT
+# r12 #1's <=5 cap while the driver window re-confirms the r7 cohort;
+# #2 asks for exactly this entry).
 
 
 @_register(

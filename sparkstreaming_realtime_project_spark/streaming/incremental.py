@@ -184,7 +184,9 @@ def read_signature_store_slices(
     the per-batch candidate join keeps the compacted side's (band, key)
     co-location; sigs are returned flat because the verify join's other
     side (the candidate pair set) is cap-bounded and broadcasts, so
-    slice provenance doesn't change its plan. Fails fast when a
+    slice provenance doesn't change its plan — except when one
+    compacted generation is the WHOLE store (no tail), where the flat
+    frame IS that generation's bucketed-by-id scan. Fails fast when a
     replaying batch id sits at or below the compaction horizon (a
     compaction folded an uncommitted batch — see
     read_anchor_store_slices)."""
@@ -203,21 +205,32 @@ def read_signature_store_slices(
         )
     sig_slices: list[DataFrame] = []
     band_slices: list[DataFrame] = []
+    sig_tail = bool(_batch_ids(store_dir, "sigs", min_batch))
     if manifest is not None:
         gens = _manifest_generations(manifest)
         live = {g["tables"]["bands"]["name"] for g in gens}
+        live_sigs = {g["tables"]["sigs"]["name"] for g in gens}
+        # sigs become a UNION partner as soon as there is a second
+        # generation or a post-horizon tail — the bucketed scan is only
+        # safe (and only useful) while it stands ALONE (see _gen_df's
+        # union-of-bucketed-scans hazard). Exactly one generation and
+        # no tail — the steady post-compaction serving state — keeps
+        # the verify join's store side bucketed by id.
+        sole_sigs = bucketed and len(gens) == 1 and not sig_tail
         for g in gens:
             # bands: bucketed catalog scan — per-slice (band, key)
-            # joins. sigs: PLAIN parquet read — flat-unioned into the
-            # verify join, and a union of identically-bucketed scans
-            # mis-plans downstream (see _gen_df).
-            sig_slices.append(_gen_df(spark, g["tables"]["sigs"]))
+            # joins, never unioned by this function.
+            sig_slices.append(
+                _bucketed_slice(spark, manifest, g["tables"]["sigs"],
+                                live_sigs)
+                if sole_sigs else _gen_df(spark, g["tables"]["sigs"])
+            )
             band_slices.append(
                 _bucketed_slice(spark, manifest, g["tables"]["bands"],
                                 live)
                 if bucketed else _gen_df(spark, g["tables"]["bands"])
             )
-    if _batch_ids(store_dir, "sigs", min_batch):
+    if sig_tail:
         sig_slices.append(
             _read_or_empty(spark, store_dir, "sigs", like_sigs,
                            exclude_batch, min_batch)
@@ -524,15 +537,25 @@ def _manifest_generations(manifest: dict) -> list[dict]:
     """Normalize a manifest to its list of compacted generations. A
     full-fold manifest is one generation (gen 0, rows unknown until a
     leveled compaction needs to tier it); a leveled manifest carries
-    the list explicitly."""
-    if "generations" in manifest:
-        return manifest["generations"]
-    return [{
+    the list explicitly.
+
+    Table entries written before per-entry "buckets" existed get it
+    stamped from the manifest's top-level value HERE — while the
+    matching top-level value is still in hand. A later compaction run
+    with a different ``buckets`` that keeps such a generation live
+    would otherwise re-register it under the NEW manifest's count, and
+    a bucketed table declared with the wrong count silently DROPS join
+    rows."""
+    gens = manifest.get("generations") or [{
         "gen": 0,
         "through": manifest["through_batch"],
         "rows": None,
         "tables": manifest["tables"],
     }]
+    for g in gens:
+        for entry in g["tables"].values():
+            entry.setdefault("buckets", manifest["buckets"])
+    return gens
 
 
 def _bucketed_slice(
@@ -742,8 +765,15 @@ def _compact_store(
                 .sortBy(*bucket_cols)
                 .option("path", path).mode("overwrite").saveAsTable(name)
             )
+            # per-entry "buckets" (like _write_generation): a later
+            # run with a DIFFERENT buckets value must never cause this
+            # generation to be re-registered with the wrong count —
+            # declaring N buckets over files written with M silently
+            # DROPS join rows (no error), so the files' own count
+            # travels with the entry, never the manifest top-level.
             tables[sub] = {"name": name, "path": path,
                            "bucket_cols": list(bucket_cols),
+                           "buckets": buckets,
                            "schema": df.schema.json()}
         new_manifest = {
             "through_batch": through,
@@ -863,8 +893,12 @@ def compact_minhash_store(
     size aggregate run with no Exchange — and sigs bucketed by id (the
     verify join's key; candidates are cap-bounded so they broadcast,
     but the bucketed layout keeps the store side shuffle-free even if
-    a pathological batch defeats the broadcast). ``fanout``: None =
-    full fold, k = leveled size-tiered mode (see _compact_store)."""
+    a pathological batch defeats the broadcast — realized whenever the
+    compacted sigs generation stands alone, i.e. one generation and no
+    post-horizon tail; with union partners the read path deliberately
+    drops the bucketing claim, see read_signature_store_slices).
+    ``fanout``: None = full fold, k = leveled size-tiered mode (see
+    _compact_store)."""
     return _compact_store(
         spark, store_dir, "minhash",
         [

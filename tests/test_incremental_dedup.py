@@ -2673,3 +2673,156 @@ def test_union_of_bucketed_generations_aggregates_correctly(
     for g in man["generations"]:
         for sub in ("anchors", "gramdf"):
             spark.sql(f"DROP TABLE IF EXISTS `{g['tables'][sub]['name']}`")
+
+
+def test_generation_keeps_write_time_bucket_count(spark, tmp_path):
+    """A generation must always re-register with the bucket count its
+    FILES were written with, never a later manifest's: declaring N
+    buckets over files hashed into M silently DROPS join rows (no
+    error). Layout that hit it: full fold at buckets=8, then a leveled
+    run at buckets=4 keeps the old generation live (different size
+    tier) while the manifest top-level flips to 4 — a fresh session's
+    re-registration must still say 8 for the carried generation."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_suffix_store,
+        read_anchor_store_slices,
+        read_compaction_manifest,
+        suffix_batch_against_store,
+    )
+
+    block = [f"a{i}" for i in range(40)]
+    big = [
+        (100 + d, " ".join([f"p{d}_{i}" for i in range(10)]
+                           + block[5:25]
+                           + [f"s{d}_{i}" for i in range(10)]))
+        for d in range(30)
+    ]
+    batches = [
+        [(0, " ".join(block))],  # small gen, written at 8 buckets
+        big,                     # bigger gen, written at 4 buckets
+    ]
+
+    def run(root, bucket_plan):
+        store, dec = str(root / "store"), str(root / "dec")
+        for b, rows in enumerate(batches):
+            _suffix_batch_body(
+                spark, store, dec,
+                spark.createDataFrame(rows, DOC_SCHEMA), b,
+            )
+            if bucket_plan:
+                buckets, fanout = bucket_plan[b]
+                compact_suffix_store(
+                    spark, store, buckets=buckets, fanout=fanout
+                )
+        probe = spark.createDataFrame(
+            [(999, " ".join(["q0"] + block[5:25] + ["q1"]))], DOC_SCHEMA
+        )
+        new = dd.suffix_anchors(probe, "text", "doc_id", 8)
+        new_gramdf = new.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        slices, gramdf = read_anchor_store_slices(
+            spark, store, new, new_gramdf
+        )
+        spans = sorted(
+            (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_len)
+            for r in suffix_batch_against_store(
+                new, slices, gramdf, max_df=1000
+            ).collect()
+        )
+        return store, spans
+
+    _, expected = run(tmp_path / "flat", None)
+    store, _ = run(tmp_path / "mixed", {0: (8, None), 1: (4, 2)})
+
+    man = read_compaction_manifest(store)
+    by_rows = sorted(man["generations"], key=lambda g: g["rows"])
+    assert len(by_rows) == 2
+    assert by_rows[0]["tables"]["anchors"]["buckets"] == 8
+    assert by_rows[1]["tables"]["anchors"]["buckets"] == 4
+
+    # fresh-session re-registration: drop every catalog table, re-read
+    for g in man["generations"]:
+        for sub in ("anchors", "gramdf"):
+            spark.sql(f"DROP TABLE IF EXISTS `{g['tables'][sub]['name']}`")
+    probe = spark.createDataFrame(
+        [(999, " ".join(["q0"] + block[5:25] + ["q1"]))], DOC_SCHEMA
+    )
+    new = dd.suffix_anchors(probe, "text", "doc_id", 8)
+    new_gramdf = new.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    slices, gramdf = read_anchor_store_slices(spark, store, new, new_gramdf)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_len)
+        for r in suffix_batch_against_store(
+            new, slices, gramdf, max_df=1000
+        ).collect()
+    )
+    assert got == expected, (
+        "re-registered generation lost store-side matches — wrong "
+        "declared bucket count silently drops join rows"
+    )
+    assert len(got) >= 31, got  # the probe overlaps every stored doc
+    for g in man["generations"]:
+        for sub in ("anchors", "gramdf"):
+            spark.sql(f"DROP TABLE IF EXISTS `{g['tables'][sub]['name']}`")
+
+
+def test_sole_sigs_generation_reads_bucketed(spark, tmp_path):
+    """With exactly one compacted generation and no tail (the steady
+    post-compaction serving state), the flat sigs frame IS the
+    bucketed-by-id catalog scan — the verify join's store side stays
+    shuffle-free even when the candidate broadcast is defeated. The
+    moment a tail appears, the read path must fall back to plain reads
+    (union partners must not claim bucketing — see _gen_df)."""
+    from sparkstreaming_realtime_project_spark.streaming.incremental import (
+        compact_minhash_store,
+        read_compaction_manifest,
+        read_signature_store_slices,
+    )
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"w{d}_{i}" for i in range(20))) for d in range(30)],
+        DOC_SCHEMA,
+    )
+    sh = dd.with_shingles(docs, "text", "doc_id", 3).persist()
+    sigs = sh.select("id", "shingles")
+    bands = dd.band_keys(dd.minhash_signature(sh, 16), 16, 4).select(
+        "id", "band", "key"
+    )
+    sigs.write.parquet(os.path.join(store, "sigs", "batch=0"))
+    bands.write.parquet(os.path.join(store, "bands", "batch=0"))
+    sh.unpersist()
+    man = compact_minhash_store(spark, store, buckets=4)
+
+    like_sigs = spark.createDataFrame([], "id long, shingles array<string>")
+    like_bands = spark.createDataFrame([], "id long, band int, key long")
+    store_sigs, _ = read_signature_store_slices(
+        spark, store, like_sigs, like_bands
+    )
+    ids = spark.range(30).selectExpr("id AS doc_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            store_sigs.join(ids, store_sigs.id == ids.doc_id)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, (
+        "sole sigs generation must read through the bucketed table"
+    )
+    assert store_sigs.count() == 30
+
+    # a tail batch dir appears -> union context -> plain reads, correct
+    spark.createDataFrame(
+        [(777, ["x", "y", "z"])], "id long, shingles array<string>"
+    ).write.parquet(os.path.join(store, "sigs", "batch=1"))
+    spark.createDataFrame(
+        [(777, 0, 1)], "id long, band int, key long"
+    ).write.parquet(os.path.join(store, "bands", "batch=1"))
+    store_sigs2, _ = read_signature_store_slices(
+        spark, store, like_sigs, like_bands
+    )
+    assert store_sigs2.count() == 31
+    for sub in ("sigs", "bands"):
+        spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")

@@ -1468,6 +1468,15 @@ def test_compact_store_cli_subcommand(spark, tmp_path):
     for sub in ("anchors", "gramdf"):
         spark.sql(f"DROP TABLE IF EXISTS `{man['tables'][sub]['name']}`")
 
+    # --fanout exists only for the generation stores: a kind whose fold
+    # is a cheap merged-dir reduction must REJECT it, not silently run
+    # the full fold the operator chose --fanout to avoid
+    with pytest.raises(SystemExit) as exc:
+        main(["compact-store", "--dir", agg, "--kind", "agg",
+              "--keys", "k", "--fanout", "2"])
+    assert exc.value.code != 0
+    assert "only supported for --kind suffix/minhash" in str(exc.value.code)
+
 
 def test_merge_into_semantics(spark, tmp_path):
     """MERGE INTO the manifest sink: matched+flag deletes, matched
