@@ -1,0 +1,243 @@
+"""Round-13 optimization experiments: candidate rewrites of the three
+bench heavyweights, each timed bench-style (median of 5, plan rebuilt,
+cache cleared) AND checked row-identical against the current
+implementation before it is allowed into the library.
+
+Usage: python scripts/opt_experiments.py [exp ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkstreaming_realtime_project_spark.operators import dedup as dd
+from sparkstreaming_realtime_project_spark.session import get_spark
+from sparkstreaming_realtime_project_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def rows_key(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def bench_style(spark, label, build, n=5):
+    runs = []
+    for i in range(n + 1):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        if i:
+            runs.append(dt)
+        spark.catalog.clearCache()
+    med = sorted(runs)[len(runs) // 2]
+    print(f"  {label:52s} {med:6.3f}s  ({' '.join(f'{r:.2f}' for r in runs)})")
+    return med
+
+
+# --- suffix variants -------------------------------------------------------
+
+def suffix_current(docs):
+    return dd.suffix_span_pairs(docs, "text", "doc_id", k=8, min_len=16,
+                                max_df=64, materialize=True)
+
+
+def suffix_nomat(docs):
+    return dd.suffix_span_pairs(docs, "text", "doc_id", k=8, min_len=16,
+                                max_df=64, materialize=False)
+
+
+def suffix_window_cap(docs, materialize=False, k=8, min_len=16, max_df=64):
+    grams = dd.suffix_anchors(docs, "text", "doc_id", k)
+    if materialize:
+        grams = grams.persist()
+    wg = Window.partitionBy("g")
+    anchors = (
+        grams.withColumn("__df", F.count(F.lit(1)).over(wg))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+    a, b = anchors.alias("a"), anchors.alias("b")
+    matches = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    out = dd.suffix_runs_to_spans(matches, k, min_len, ["doc_a", "doc_b"])
+    return out.withColumn("span_len", F.col("span_len").cast("long"))
+
+
+# --- ngram variants --------------------------------------------------------
+
+def ngram_current(docs):
+    return dd.ngram_jaccard_dedup_pairs(docs, "text", "doc_id", n=3,
+                                        threshold=0.8, max_df=50)
+
+
+def _ngram_window_prefix(shingled, threshold, max_df):
+    ex = shingled.select(
+        "id", F.size("shingles").alias("ln"), F.explode("shingles").alias("g")
+    )
+    wg = Window.partitionBy("g")
+    wid = Window.partitionBy("id").orderBy("df", "g")
+    prefix = (
+        ex.withColumn("df", F.count(F.lit(1)).over(wg))
+        .withColumn("rk", F.row_number().over(wid))
+        .filter(
+            (
+                F.col("rk")
+                <= F.col("ln")
+                - F.ceil(F.col("ln") * F.lit(threshold) - F.lit(1e-9))
+                + 1
+            )
+            & (F.col("df") <= max_df)
+        )
+        .select("id", "ln", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    tl = F.lit(threshold)
+    len_ok = (
+        F.col("a.ln") >= F.ceil(F.col("b.ln") * tl - F.lit(1e-9))
+    ) & (F.col("b.ln") >= F.ceil(F.col("a.ln") * tl - F.lit(1e-9)))
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & len_ok,
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_window(docs, materialize=True, lazy=False, threshold=0.8, max_df=50):
+    shingled = dd.with_shingles(docs, "text", "doc_id", 3, materialize=False)
+    if materialize:
+        shingled = shingled.persist()
+        if not lazy:
+            shingled.count()
+    cands = _ngram_window_prefix(shingled, threshold, max_df)
+    pairs = dd.jaccard_pairs(shingled, threshold, candidates=cands).persist()
+    pairs.count()
+    shingled.unpersist()
+    return pairs
+
+
+def ngram_lazy(docs):
+    """Current topology, but shingled persist is lazy (no count job)."""
+    shingled = dd.with_shingles(docs, "text", "doc_id", 3, materialize=False).persist()
+    pairs = dd.jaccard_pairs(shingled, 0.8, max_df=50).persist()
+    pairs.count()
+    shingled.unpersist()
+    return pairs
+
+
+# --- minhash variants ------------------------------------------------------
+
+def minhash_current(docs):
+    return dd.minhash_dedup_pairs(docs, "text", "doc_id", n=3, k=16, bands=4,
+                                  threshold=0.8, max_bucket=50)
+
+
+def minhash_window(docs, lazy=True, k=16, bands=4, threshold=0.8, max_bucket=50):
+    shingled = dd.with_shingles(docs, "text", "doc_id", 3, materialize=False)
+    sig = dd.minhash_signature(shingled, k).persist()
+    if not lazy:
+        sig.count()
+    banded = dd.band_keys(sig, k, bands)
+    wb = Window.partitionBy("band", "key")
+    kept = (
+        banded.withColumn("__sz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__sz") <= max_bucket)
+        .drop("__sz")
+    )
+    a, b2 = kept.alias("a"), kept.alias("b")
+    cands = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = dd.jaccard_pairs(
+        sig.select("id", "shingles"), threshold, candidates=cands
+    ).persist()
+    pairs.count()
+    sig.unpersist()
+    return pairs
+
+
+def minhash_lazy(docs):
+    """Current topology, sig persist lazy."""
+    shingled = dd.with_shingles(docs, "text", "doc_id", 3, materialize=False)
+    sig = dd.minhash_signature(shingled, 16).persist()
+    cands = dd.lsh_candidate_pairs(sig, 16, 4, max_bucket=50)
+    pairs = dd.jaccard_pairs(
+        sig.select("id", "shingles"), 0.8, candidates=cands
+    ).persist()
+    pairs.count()
+    sig.unpersist()
+    return pairs
+
+
+EXPERIMENTS = {
+    "suffix": [
+        ("suffix current (mat=True)", suffix_current),
+        ("suffix mat=False", suffix_nomat),
+        ("suffix window-cap mat=False", lambda d: suffix_window_cap(d, False)),
+        ("suffix window-cap mat=True", lambda d: suffix_window_cap(d, True)),
+    ],
+    "ngram": [
+        ("ngram current (eager shingle cache)", ngram_current),
+        ("ngram lazy shingle cache", ngram_lazy),
+        ("ngram window-df prefix (eager)", lambda d: ngram_window(d, True, False)),
+        ("ngram window-df prefix (lazy)", lambda d: ngram_window(d, True, True)),
+        ("ngram window-df prefix (no cache)", lambda d: ngram_window(d, False)),
+    ],
+    "minhash": [
+        ("minhash current (eager sig cache)", minhash_current),
+        ("minhash lazy sig cache", minhash_lazy),
+        ("minhash window bucket-cap (lazy)", lambda d: minhash_window(d, True)),
+        ("minhash window bucket-cap (eager)", lambda d: minhash_window(d, False)),
+    ],
+}
+
+
+def main() -> None:
+    which = sys.argv[1:] or list(EXPERIMENTS)
+    spark = get_spark(app_name="opt-experiments")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents")
+    for group in which:
+        print(f"== {group} ==")
+        variants = EXPERIMENTS[group]
+        ref_rows = None
+        for label, build in variants:
+            df = build(docs)
+            key = rows_key(df)
+            if ref_rows is None:
+                ref_rows = key
+                eq = "REF "
+            else:
+                eq = "SAME" if key == ref_rows else "DIFF !!!"
+            spark.catalog.clearCache()
+            print(f"  [{eq}] rows={len(key)}")
+            bench_style(spark, label, lambda b=build: b(docs))
+
+
+if __name__ == "__main__":
+    main()

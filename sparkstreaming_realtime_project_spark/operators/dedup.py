@@ -129,6 +129,32 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
     return df.repartition(target, F.col(key_col))
 
 
+def _capped_by_count(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop every row whose ``keys`` group has more than ``cap`` rows,
+    computed as a count window over the group — NOT as an aggregate
+    joined back (r13 optimization). The aggregate-then-join shape pays
+    for the cap three times: the count partials shuffle, the base table
+    shuffles again for the join, and (because the surviving-keys table
+    is vocabulary-sized — the cap only drops hot keys) AQE happily
+    builds it into a vocabulary-sized broadcast hash relation. The
+    count window needs exactly ONE hash(keys) exchange, and the
+    candidate self-join that always follows these caps joins on the
+    same keys, so it reuses that partitioning outright — no further
+    exchange, no broadcast build. Row set is identical: count(*) over
+    (partition by keys) is the group size on every row.
+
+    ``cap=None`` passes the frame through untouched (uncapped exact
+    mode)."""
+    if cap is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__grp_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__grp_n") <= cap)
+        .drop("__grp_n")
+    )
+
+
 def shingles_from_tokens(tok_col: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an ALREADY-PROJECTED token-array
     column; a doc with < n tokens contributes its whole token string as
@@ -502,15 +528,18 @@ def lsh_candidate_pairs(
     to the same band keys (the classic LSH hot-bucket). A bucket that
     large is noise, not near-dup signal: true near-dup clusters are small,
     and any pair lost here still has bands-1 other chances to collide."""
-    banded = band_keys(signatures, k, bands, hash_fn=hash_fn)
-    if max_bucket is not None:
-        small = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") <= max_bucket)
-            .select("band", "key")
-        )
-        banded = banded.join(small, ["band", "key"])
+    # bucket cap as a count window over (band, key) — see
+    # _capped_by_count: almost every bucket survives the cap, so the
+    # old aggregate + join-back shuffled the band table twice and
+    # broadcast a bucket-list the size of the corpus' bucket vocabulary;
+    # the window shares its one hash(band, key) exchange with the
+    # self-join below (bench 2.64 -> 1.68 s at sf0.1 together with the
+    # lazy signature persist, candidates identical).
+    banded = _capped_by_count(
+        band_keys(signatures, k, bands, hash_fn=hash_fn),
+        ["band", "key"],
+        max_bucket,
+    )
     a, b2 = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -550,9 +579,16 @@ def minhash_dedup_pairs(
     library calls don't accumulate cached signature blocks in the
     session. The RETURNED frame is persisted — unpersist it when done."""
     shingled = with_shingles(df, text_col, id_col, n, materialize=False)
-    # already spread by id inside with_shingles; persist the signature cut
+    # already spread by id inside with_shingles; persist the signature
+    # cut LAZILY (r13): the eager count() paid a full standalone
+    # signature pass (scan + 4 seeded md5 passes + cache write) before
+    # the candidate job even started. Lazy, the first stage that
+    # touches the signature fills the cache en route and the remaining
+    # consumers (self-join far side, bucket cap, verify arrays) read
+    # it; measured 2.64 -> 1.94 s at sf0.1 on its own, identical pairs.
+    # The final pairs.count() below still materializes everything
+    # before sig.unpersist(), so the unpersist never races the cache.
     sig = minhash_signature(shingled, k, hash_fn=hash_fn).persist()
-    sig.count()  # eager
     cands = lsh_candidate_pairs(
         sig, k, bands, max_bucket=max_bucket, hash_fn=hash_fn
     )
@@ -1613,22 +1649,27 @@ def suffix_span_pairs(
     per maximal shared span: (doc_a, doc_b, a_start, a_end, b_start,
     b_end, span_len), token positions 1-based inclusive.
 
-    ``materialize=True`` caches the gram explode (feeds the df-cap
-    aggregate and both join sides) and releases it before returning.
+    ``materialize=True`` caches the gram explode and releases it before
+    returning. Since the r13 count-window df-cap the anchor plan has a
+    single consumer subtree (the window; the self-join's far side is a
+    ReusedExchange of it), so leave it False unless a CALLER composes
+    extra consumers on top — the persist then only buys a cache write.
     """
     grams = suffix_anchors(df, text_col, id_col, k)
     if materialize:
         grams = grams.persist()
-    if max_df is not None:
-        low = (
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("g")
-        )
-        anchors = grams.join(low, "g")
-    else:
-        anchors = grams
+    # df-cap as a COUNT WINDOW over the join key, not aggregate-then-
+    # join-back (r13): the "allowed grams" table is vocabulary-sized
+    # (the cap drops only hot grams), so the old groupBy(g) -> join
+    # shape shuffled the anchor table twice — once as count partials,
+    # once for the join — and under AQE built a vocabulary-sized
+    # broadcast hash relation on top. The window computes df inside the
+    # ONE hash(g) exchange the self-join needs anyway, and the join
+    # then reuses that exact partitioning (plan: 2 Exchange + 32 MiB
+    # BroadcastExchange -> 1 Exchange on the anchor path; bench 2.56 ->
+    # 1.26 s at sf0.1, rows identical). Same rows out: count(*) over
+    # (partition by g) IS df(g) on every anchor row.
+    anchors = _capped_by_count(grams, ["g"], max_df)
     a, b = anchors.alias("a"), anchors.alias("b")
     matches = a.join(
         b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1680,16 +1721,9 @@ def suffix_self_spans(
     grams = suffix_anchors(df, text_col, id_col, k)
     if materialize:
         grams = grams.persist()
-    if max_df is not None:
-        low = (
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("g")
-        )
-        anchors = grams.join(low, "g")
-    else:
-        anchors = grams
+    # window-count df-cap, same rewrite as suffix_span_pairs (r13):
+    # one hash(g) exchange instead of aggregate + join-back.
+    anchors = _capped_by_count(grams, ["g"], max_df)
     a, b = anchors.alias("a"), anchors.alias("b")
     matches = a.join(
         b,
@@ -1981,14 +2015,10 @@ def cross_dedup(
     sh_h = with_shingles(holdout, text_col, id_col, n, materialize=True)
     bands_t = band_keys(minhash_signature(sh_t, k), k, bands)
     bands_h = band_keys(minhash_signature(sh_h, k), k, bands)
-    if max_bucket is not None:
-        small = (
-            bands_h.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") <= max_bucket)
-            .select("band", "key")
-        )
-        bands_h = bands_h.join(small, ["band", "key"])
+    # count-window bucket cap (r13) — see _capped_by_count; the
+    # train-vs-holdout band join on (band, key) reuses the window's
+    # exchange on the holdout side.
+    bands_h = _capped_by_count(bands_h, ["band", "key"], max_bucket)
     cand = (
         bands_t.select("band", "key", F.col("id").alias("tid"))
         .join(bands_h.select("band", "key", F.col("id").alias("hid")), ["band", "key"])
@@ -2219,16 +2249,9 @@ def winnow_substring_pairs(
     if own_fps:
         fps = winnow_fingerprints(df, text_col, id_col, n, w, materialize=True)
     ex = fps.select(F.col("id"), F.explode("fps").alias("fp"))
-    if max_df is not None:
-        low = (
-            ex.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("fp")
-        )
-        capped = ex.join(low, "fp")
-    else:
-        capped = ex
+    # count-window df-cap (r13) — see _capped_by_count; the self-join
+    # below is on fp, so it reuses the window's hash(fp) exchange.
+    capped = _capped_by_count(ex, ["fp"], max_df)
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(

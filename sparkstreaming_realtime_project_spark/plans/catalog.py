@@ -14385,9 +14385,14 @@ _SUFFIX_GRAMS_SQL = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
     bench=True,
 )
 def x_suffix_span_pairs(spark, sf_dir):
+    # materialize=False (r13): under the count-window df-cap the anchor
+    # table has exactly ONE consumer subtree (the window; the self-join
+    # reuses it via ReusedExchange), so persist+eager-count only added a
+    # cache write plus a standalone job — measured 2.56 -> 1.26 s at
+    # sf0.1 together with the window cap, spans identical.
     out = _dd.suffix_span_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
-        k=8, min_len=16, max_df=64, materialize=True,
+        k=8, min_len=16, max_df=64, materialize=False,
     )
     return out.withColumn("span_len", F.col("span_len").cast("long"))
 

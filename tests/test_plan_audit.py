@@ -273,9 +273,14 @@ CASES_R5 = [
     ("x_embed_covariance", ["Generate", "HashAggregate"],
      ["Window", "Join", "CartesianProduct"]),
     # winnowing pairs: fingerprint explode + df-cap + EQUI self-join —
-    # the candidate generator must never degrade to a nested loop
-    ("x_winnow_substring_pairs", ["HashAggregate"],
-     ["NestedLoop", "CartesianProduct", "Window"]),
+    # the candidate generator must never degrade to a nested loop.
+    # r13: the df-cap is a count WINDOW partitioned by fp (one
+    # hash(fp) exchange shared with the self-join) instead of an
+    # aggregate joined back, so a partitioned Window is now REQUIRED;
+    # test_winnow_cap_window_is_partitioned pins that it never becomes
+    # a global (unpartitioned) window.
+    ("x_winnow_substring_pairs", ["HashAggregate", "Window"],
+     ["NestedLoop", "CartesianProduct"]),
     # recall grader: truth and candidate sides are EQUI joins; the three
     # scalar counts combine via 1-row broadcast crossJoins (declared
     # BNLJ on 1-row frames, never a true cartesian of data)
@@ -771,4 +776,48 @@ def test_suffix_scrub_plan(spark, sf_dir):
         assert "collect_list" in plan, (
             f"{fn.__name__}: coverage must aggregate position lists"
         )
+        spark.catalog.clearCache()
+
+
+def test_capped_by_count_matches_aggregate_join(spark, sf_dir):
+    """r13: every candidate-fanout cap (suffix df-cap, LSH bucket cap,
+    winnow fp-cap) now computes the group size as a count window over
+    the join key instead of aggregate + join-back. Pin the rewrite's
+    two contracts: (1) the surviving row set is IDENTICAL to the old
+    shape, including the == cap boundary; (2) the window is partitioned
+    by the key — never a single-task global window."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_project_spark.operators.dedup import (
+        _capped_by_count,
+    )
+
+    rows = [(g, i) for g, n in [("a", 1), ("b", 3), ("c", 4), ("d", 6)]
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, i int")
+    cap = 4
+    got = _capped_by_count(df, ["g"], cap)
+    low = (
+        df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= cap).select("g")
+    )
+    want = df.join(low, "g")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.columns == df.columns  # helper column must not leak
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, "cap window must partition by key"
+    # cap=None is the uncapped exact mode: pure passthrough
+    assert _capped_by_count(df, ["g"], None) is df
+    spark.catalog.clearCache()
+
+
+def test_winnow_cap_window_is_partitioned(spark, sf_dir):
+    """The fp-cap window inside x_winnow_substring_pairs (and the g-cap
+    inside x_suffix_span_pairs) must stay key-partitioned: a global
+    window here would serialize the whole fingerprint table through one
+    task at 100 TB."""
+    for name in ("x_winnow_substring_pairs", "x_suffix_span_pairs"):
+        df = _REG[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, f"{name}: global window/exchange"
         spark.catalog.clearCache()
