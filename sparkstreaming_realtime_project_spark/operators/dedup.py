@@ -47,8 +47,21 @@ def _parse_bytes(raw: str, default: int) -> int:
 
 
 def tokens_expr(text_col: str | Column) -> Column:
-    col = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
+    """Lowercased whitespace tokens with empties dropped.
+
+    For a plain column NAME the expression is built as ONE parsed SQL
+    string (r13): every Python-side Column operation — and especially a
+    higher-order-function lambda, which builds its unresolved lambda
+    variables call by call — is a py4j round-trip, and the tokenize/
+    shingle/hash builders run inside the measured region of every
+    query. One `F.expr` parse replaces the whole chain (construction
+    profile: the expression-heavy builders spent 0.3-0.8 s per plan
+    build in py4j, ~3x more than Catalyst itself). The parsed tree is
+    the same filter(split(lower(..)))) expression, so plans and results
+    are bit-identical."""
+    if isinstance(text_col, str):
+        return F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
 
 
 def spread(df: DataFrame, key_col: str) -> DataFrame:
@@ -147,10 +160,12 @@ def _capped_by_count(df: DataFrame, keys: list[str], cap: int | None) -> DataFra
     mode)."""
     if cap is None:
         return df
-    w = Window.partitionBy(*keys)
+    ks = ", ".join(keys)
     return (
-        df.withColumn("__grp_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("__grp_n") <= cap)
+        df.selectExpr(
+            "*", f"count(1) OVER (PARTITION BY {ks}) AS __grp_n"
+        )
+        .filter(f"__grp_n <= {cap}")
         .drop("__grp_n")
     )
 
@@ -165,8 +180,19 @@ def shingles_from_tokens(tok_col: str | Column, n: int = 3) -> Column:
     element (slice inside the transform lambda), and Catalyst does not
     common-subexpression-eliminate a non-trivial expression across those
     references — inlining tokens_expr here re-tokenizes the document per
-    element, O(tokens^2) per row (measured 9x slower at sf0.1)."""
-    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    element, O(tokens^2) per row (measured 9x slower at sf0.1).
+
+    Built as one parsed SQL string for a column NAME (r13, see
+    tokens_expr): the transform lambda alone was a dozen py4j calls per
+    plan build."""
+    if isinstance(tok_col, str):
+        return F.expr(
+            f"CASE WHEN size({tok_col}) >= {n} THEN "
+            f"array_distinct(transform(sequence(1, size({tok_col}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({tok_col}, i, {n})))) "
+            f"ELSE array(concat_ws(' ', {tok_col})) END"
+        )
+    t = tok_col
     full = F.array(F.concat_ws(" ", t))
     grams = F.array_distinct(
         F.transform(
@@ -274,29 +300,30 @@ def jaccard_pairs(
         # drops. Net: identical post-threshold output, with candidate
         # fan-out sum(df_prefix(g)^2) instead of sum(df(g)^2) —
         # measured 1.13M -> ~2k candidate pairs at sf0.1.
-        from pyspark.sql.window import Window
-
-        ex = shingled.select(
-            "id", F.size("shingles").alias("ln"), F.explode("shingles").alias("g")
+        # expression-heavy steps are parsed SQL strings (r13, see
+        # tokens_expr) — identical trees, a fraction of the py4j calls
+        ex = shingled.selectExpr(
+            "id", "size(shingles) AS ln", "explode(shingles) AS g"
         )
         dftab = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-        w = Window.partitionBy("id").orderBy("df", "g")
+        # CAST(.. AS DOUBLE): a bare 0.8 parses as DECIMAL(1,1) in SQL
+        # while F.lit(0.8) was a double — the cast keeps the arithmetic
+        # (and any boundary rounding) bit-identical to the old tree
+        t_sql = f"CAST({threshold!r} AS DOUBLE)"
         prefix = (
             ex.join(dftab, "g")
-            .withColumn("rk", F.row_number().over(w))
+            .selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY id ORDER BY df, g) AS rk",
+            )
+            # prefix_len = |A| - ceil(T*|A|) + 1, with a 1e-9 guard:
+            # naive floor((1-T)*|A|) is one short whenever (1-T)*|A|
+            # is an exact integer but floats land at N - 4e-16
+            # (T=0.8, |A|=30 -> 5.999... -> 5), silently dropping
+            # boundary pairs. Over-long by one is harmless.
             .filter(
-                # prefix_len = |A| - ceil(T*|A|) + 1, with a 1e-9 guard:
-                # naive floor((1-T)*|A|) is one short whenever (1-T)*|A|
-                # is an exact integer but floats land at N - 4e-16
-                # (T=0.8, |A|=30 -> 5.999... -> 5), silently dropping
-                # boundary pairs. Over-long by one is harmless.
-                (
-                    F.col("rk")
-                    <= F.col("ln")
-                    - F.ceil(F.col("ln") * F.lit(threshold) - F.lit(1e-9))
-                    + 1
-                )
-                & (F.col("df") <= max_df)
+                f"rk <= ln - ceil(ln * {t_sql} - 1e-9) + 1"
+                f" AND df <= {max_df}"
             )
             .select("id", "ln", "g")
         )
@@ -310,18 +337,16 @@ def jaccard_pairs(
         # identical post-threshold output; verify cost is linear in
         # candidates, the dominant term at scale). Same 1e-9 ceil guard as
         # the prefix length (exact-integer boundaries must not round up).
-        tl = F.lit(threshold)
-        len_ok = (
-            F.col("a.ln") >= F.ceil(F.col("b.ln") * tl - F.lit(1e-9))
-        ) & (F.col("b.ln") >= F.ceil(F.col("a.ln") * tl - F.lit(1e-9)))
+        len_ok = F.expr(
+            f"a.ln >= ceil(b.ln * {t_sql} - 1e-9)"
+            f" AND b.ln >= ceil(a.ln * {t_sql} - 1e-9)"
+        )
         candidates = (
             a.join(
                 b,
-                (F.col("a.g") == F.col("b.g"))
-                & (F.col("a.id") < F.col("b.id"))
-                & len_ok,
+                F.expr("a.g = b.g AND a.id < b.id") & len_ok,
             )
-            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .selectExpr("a.id AS doc_a", "b.id AS doc_b")
             .distinct()
         )
     if candidates is None:
@@ -352,15 +377,20 @@ def jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
-    sa = shingled.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sha"))
-    sb = shingled.select(F.col("id").alias("doc_b"), F.col("shingles").alias("shb"))
-    inter = F.size(F.array_intersect("sha", "shb"))
-    union = F.size("sha") + F.size("shb") - inter
+    sa = shingled.selectExpr("id AS doc_a", "shingles AS sha")
+    sb = shingled.selectExpr("id AS doc_b", "shingles AS shb")
+    # CASTs keep literals DOUBLE (a bare 1.0/0.8 parses as DECIMAL in
+    # SQL) so the arithmetic matches the old Column tree bit-for-bit
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(inter * F.lit(1.0) / union, 4))
-        .filter(F.col("jaccard") >= threshold)
+        .selectExpr(
+            "*",
+            "round(size(array_intersect(sha, shb)) * CAST(1.0 AS DOUBLE)"
+            " / (size(sha) + size(shb) - size(array_intersect(sha, shb))), 4)"
+            " AS jaccard",
+        )
+        .filter(f"jaccard >= CAST({threshold!r} AS DOUBLE)")
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -428,56 +458,43 @@ def minhash_signature(
     precision either way) but signatures are NOT cross-engine
     replayable — ship xxhash64 where no oracle parity is needed."""
 
+    # Both paths build their projections as parsed SQL strings (r13):
+    # the 4-20 Python transform lambdas here were the single most
+    # expensive plan-construction site in the repo (~0.28 s of py4j
+    # round-trips per build, measured; 0.09 s as two selectExpr parses)
+    # — and this builder runs inside the measured region of every
+    # MinHash entry. The parsed expressions are identical to the old
+    # Column-API trees, so signatures are bit-identical.
     if hash_fn == "xxhash64":
         n_seeds = (k + 1) // 2
-
-        def seeded64(s: int):
-            return lambda g: F.xxhash64(F.lit(s), g)
-
-        def chunk64(half: int):
-            if half == 0:
-                return lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF))
-            return lambda h: F.shiftrightunsigned(h, 32)
-
-        hashed = shingled.select(
+        chunk64 = ["h & 4294967295", "shiftrightunsigned(h, 32)"]
+        hashed = shingled.selectExpr(
             "*",
             *[
-                F.transform("shingles", seeded64(s)).alias(f"__mh{s}")
+                f"transform(shingles, g -> xxhash64({s}, g)) AS __mh{s}"
                 for s in range(n_seeds)
             ],
         )
-        return hashed.select(
+        return hashed.selectExpr(
             *shingled.columns,
             *[
-                F.array_min(
-                    F.transform(f"__mh{j // 2}", chunk64(j % 2))
-                ).alias(f"h{j}")
+                f"array_min(transform(__mh{j // 2}, h -> {chunk64[j % 2]})) AS h{j}"
                 for j in range(k)
             ],
         )
 
     n_seeds = (k + 3) // 4
-
-    def seeded(s: int):
-        prefix = f"{s}:"
-        return lambda g: F.md5(F.concat(F.lit(prefix), g))
-
-    def chunk_at(off: int):
-        return lambda h: F.substring(h, off, 8)
-
-    hashed = shingled.select(
+    hashed = shingled.selectExpr(
         "*",
         *[
-            F.transform("shingles", seeded(s)).alias(f"__mh{s}")
+            f"transform(shingles, g -> md5(concat('{s}:', g))) AS __mh{s}"
             for s in range(n_seeds)
         ],
     )
-    return hashed.select(
+    return hashed.selectExpr(
         *shingled.columns,
         *[
-            F.array_min(
-                F.transform(f"__mh{j // 4}", chunk_at(8 * (j % 4) + 1))
-            ).alias(f"h{j}")
+            f"array_min(transform(__mh{j // 4}, h -> substring(h, {8 * (j % 4) + 1}, 8))) AS h{j}"
             for j in range(k)
         ],
     )
@@ -495,21 +512,25 @@ def band_keys(
     bucket/partition key of a signature store."""
     r = k // bands
 
-    def _key(b):
-        cols = [F.col(f"h{b * r + i}") for i in range(r)]
+    def _key_sql(b: int) -> str:
+        cols = ", ".join(f"h{b * r + i}" for i in range(r))
         if hash_fn == "xxhash64":
-            return F.xxhash64(*cols).cast("string")
-        return F.md5(F.concat(*cols))
+            return f"CAST(xxhash64({cols}) AS STRING)"
+        return f"md5(concat({cols}))"
 
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), _key(b).alias("key"))
+    # one selectExpr parse; `inline` explodes the array of named
+    # structs straight into (band, key) columns — same rows as the old
+    # explode(array(struct(...))) + field projection, built without the
+    # per-band py4j struct calls (r13, see minhash_signature).
+    return signatures.selectExpr(
+        "id",
+        "inline(array("
+        + ", ".join(
+            f"named_struct('band', {b}, 'key', {_key_sql(b)})"
             for b in range(bands)
-        ]
+        )
+        + "))",
     )
-    return signatures.select(
-        "id", F.explode(band_structs).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
 def lsh_candidate_pairs(
@@ -544,11 +565,9 @@ def lsh_candidate_pairs(
     return (
         a.join(
             b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+            F.expr("a.band = b.band AND a.key = b.key AND a.id < b.id"),
         )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .selectExpr("a.id AS doc_a", "b.id AS doc_b")
         .distinct()
     )
 
@@ -1543,18 +1562,16 @@ def suffix_anchors(
     toks = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     )
+    # single parsed projection (r13, see tokens_expr): the per-position
+    # md5 transform lambda was ~0.1 s of py4j calls per plan build
     return (
         toks.filter(F.size("toks") >= k)
-        .select(
+        .selectExpr(
             "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
-                )
-            ).alias("pos0", "g"),
+            f"posexplode(transform(sequence(1, size(toks) - {k - 1}), "
+            f"i -> md5(concat_ws(' ', slice(toks, i, {k}))))) AS (pos0, g)",
         )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+        .selectExpr("doc_id", "pos0 + 1 AS pos", "g")
     )
 
 
@@ -1568,18 +1585,22 @@ def suffix_runs_to_spans(
     holes by the k-gap rule (exactness argument in suffix_span_pairs).
     Output one row per maximal span: (pair_cols..., a_start, a_end,
     b_start, b_end, span_len >= min_len)."""
-    w = Window.partitionBy(*pair_cols, "diag").orderBy("pa")
+    # windows as parsed OVER clauses (r13, see tokens_expr): same
+    # specs, one parse per projection instead of per-call py4j builds
+    parts = ", ".join([*pair_cols, "diag"])
     runs = (
-        matches.withColumn("prev", F.lag("pa").over(w))
-        .withColumn(
-            "new_run",
-            F.when(
-                F.col("prev").isNull() | (F.col("pa") > F.col("prev") + k), 1
-            ).otherwise(0),
+        matches.selectExpr(
+            "*", f"lag(pa) OVER (PARTITION BY {parts} ORDER BY pa) AS prev"
         )
-        .withColumn(
-            "run_id",
-            F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        .selectExpr(
+            "*",
+            f"CASE WHEN prev IS NULL OR pa > prev + {k} THEN 1 ELSE 0 END"
+            " AS new_run",
+        )
+        .selectExpr(
+            "*",
+            f"sum(new_run) OVER (PARTITION BY {parts} ORDER BY pa"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id",
         )
     )
     return (
@@ -1672,13 +1693,13 @@ def suffix_span_pairs(
     anchors = _capped_by_count(grams, ["g"], max_df)
     a, b = anchors.alias("a"), anchors.alias("b")
     matches = a.join(
-        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.pos").alias("pa"),
-        F.col("b.pos").alias("pb"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        b, F.expr("a.g = b.g AND a.doc_id < b.doc_id")
+    ).selectExpr(
+        "a.doc_id AS doc_a",
+        "b.doc_id AS doc_b",
+        "a.pos AS pa",
+        "b.pos AS pb",
+        "a.pos - b.pos AS diag",
     )
     out = suffix_runs_to_spans(matches, k, min_len, ["doc_a", "doc_b"])
     if materialize:
