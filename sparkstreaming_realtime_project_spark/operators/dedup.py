@@ -624,7 +624,11 @@ def token_md5s(tok_col: str | Column, seed: str = "") -> Column:
     into a column BEFORE computing simhash bits: each of the ``bits``
     aggregates reads one hex digit, so hashing must happen once per
     token, not once per (token, bit) — a 16-64x md5 saving."""
-    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    if isinstance(tok_col, str):
+        # one parsed expression (r13, see tokens_expr)
+        inner = f"md5(concat('{seed}', tok))" if seed else "md5(tok)"
+        return F.expr(f"transform({tok_col}, tok -> {inner})")
+    t = tok_col
     if seed:
         return F.transform(t, lambda tok: F.md5(F.concat(F.lit(seed), tok)))
     return F.transform(t, lambda tok: F.md5(tok))
@@ -644,6 +648,22 @@ def simhash_from_hashes(hash_cols: list[str | Column], bits: int = 16) -> Column
     carry ~log2(N) bits."""
     if bits > 32 * len(hash_cols):
         raise ValueError("need one hash array per 32 bits")
+    if all(isinstance(c, str) for c in hash_cols):
+        # one parsed expression for the whole signature (r13, see
+        # tokens_expr): the per-bit aggregate lambdas were ~10 py4j
+        # round-trips each, x 16-64 bits per plan build
+        def bit_sql(j: int) -> str:
+            arr, digit = hash_cols[j // 32], j % 32
+            return (
+                f"CASE WHEN aggregate({arr}, 0, (acc, h) -> acc + "
+                f"(CASE WHEN position(substring(h, {digit + 1}, 1), "
+                f"'{_HEX}') - 1 >= 8 THEN 1 ELSE -1 END)) > 0 "
+                "THEN '1' ELSE '0' END"
+            )
+
+        return F.expr(
+            "concat(" + ", ".join(bit_sql(j) for j in range(bits)) + ")"
+        )
     arrays = [F.col(c) if isinstance(c, str) else c for c in hash_cols]
 
     def bit(j: int) -> Column:
