@@ -194,6 +194,133 @@ def minhash_lazy(docs):
     return pairs
 
 
+# --- r14 ngram variants -----------------------------------------------------
+#
+# The r13 "window-df prefix" variant lost (2.9-3.5 s vs 2.48) because the
+# prefix pipeline was LAZY: the candidate self-join builds it twice (the r13
+# after-plan shows the full explode -> df -> rank chain duplicated per side —
+# AQE does not reuse exchanges across InMemoryRelation-rooted subtrees). The
+# r14 variants persist the PREFIX once, which also lets the shingle cache
+# fill lazily inside the same single-subtree job (no racing broadcast
+# builds -> the standalone with_shingles count job disappears).
+
+
+def _prefix_window(shingled, threshold, max_df):
+    """Single-read PPJoin prefix: df as a count window over g (no
+    aggregate+join-back), df-prefilter BEFORE the rank window (rank-
+    invariant: ranks count only (df,g)-smaller rows, all of which have
+    df <= this row's df <= max_df)."""
+    t_sql = f"CAST({threshold!r} AS DOUBLE)"
+    return (
+        shingled.selectExpr(
+            "id", "size(shingles) AS ln", "explode(shingles) AS g"
+        )
+        .selectExpr("*", "count(1) OVER (PARTITION BY g) AS df")
+        .filter(f"df <= {max_df}")
+        .selectExpr(
+            "*", "row_number() OVER (PARTITION BY id ORDER BY df, g) AS rk"
+        )
+        .filter(f"rk <= ln - ceil(ln * {t_sql} - 1e-9) + 1")
+        .select("id", "ln", "g")
+    )
+
+
+def _prefix_agg(shingled, threshold, max_df):
+    """Prefix with the CURRENT df computation (aggregate + join back),
+    for isolating window-df vs prefix-caching effects."""
+    t_sql = f"CAST({threshold!r} AS DOUBLE)"
+    ex = shingled.selectExpr(
+        "id", "size(shingles) AS ln", "explode(shingles) AS g"
+    )
+    dftab = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(dftab, "g")
+        .selectExpr(
+            "*", "row_number() OVER (PARTITION BY id ORDER BY df, g) AS rk"
+        )
+        .filter(f"rk <= ln - ceil(ln * {t_sql} - 1e-9) + 1 AND df <= {max_df}")
+        .select("id", "ln", "g")
+    )
+
+
+def _cands_from_prefix(prefix, threshold):
+    t_sql = f"CAST({threshold!r} AS DOUBLE)"
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            F.expr(
+                "a.g = b.g AND a.id < b.id"
+                f" AND a.ln >= ceil(b.ln * {t_sql} - 1e-9)"
+                f" AND b.ln >= ceil(a.ln * {t_sql} - 1e-9)"
+            ),
+        )
+        .selectExpr("a.id AS doc_a", "b.id AS doc_b")
+        .distinct()
+    )
+
+
+def ngram_prefix_cached(docs, dfmode="window", eager_shingles=False,
+                        threshold=0.8, max_df=50):
+    shingled = dd.with_shingles(docs, "text", "doc_id", 3,
+                                materialize=eager_shingles)
+    if not eager_shingles:
+        shingled = shingled.persist()
+    mk = _prefix_window if dfmode == "window" else _prefix_agg
+    prefix = mk(shingled, threshold, max_df).persist()
+    prefix.count()  # one job fills shingle + prefix caches, one subtree
+    cands = _cands_from_prefix(prefix, threshold)
+    pairs = dd.jaccard_pairs(shingled, threshold, candidates=cands).persist()
+    pairs.count()
+    prefix.unpersist()
+    shingled.unpersist()
+    return pairs
+
+
+def ngram_window_lazy_all(docs, threshold=0.8, max_df=50):
+    """window-df prefix, nothing persisted but shingles (lazy): the r13
+    loser shape, re-measured with the df-prefilter."""
+    shingled = dd.with_shingles(docs, "text", "doc_id", 3,
+                                materialize=False).persist()
+    cands = _cands_from_prefix(_prefix_window(shingled, threshold, max_df),
+                               threshold)
+    pairs = dd.jaccard_pairs(shingled, threshold, candidates=cands).persist()
+    pairs.count()
+    shingled.unpersist()
+    return pairs
+
+
+# --- r14 minhash variants ---------------------------------------------------
+
+
+def minhash_banded_cached(docs, k=16, bands=4, threshold=0.8, max_bucket=50):
+    """r14: persist the capped band table once. The sig cache under the
+    band chain breaks AQE exchange reuse (scripts/reuse_probe.py), so
+    the r13 shape executed the explode+exchange+window-cap chain twice
+    (one side as a 9 MiB broadcast build). Caching the 20k-row capped
+    band table makes the self-join read it twice for free, and its fill
+    job also fills the sig cache (single subtree - no race)."""
+    shingled = dd.with_shingles(docs, "text", "doc_id", 3, materialize=False)
+    sig = dd.minhash_signature(shingled, k).persist()
+    banded = dd._capped_by_count(
+        dd.band_keys(sig, k, bands), ["band", "key"], max_bucket
+    ).persist()
+    banded.count()
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b2, F.expr("a.band = b.band AND a.key = b.key AND a.id < b.id"))
+        .selectExpr("a.id AS doc_a", "b.id AS doc_b")
+        .distinct()
+    )
+    pairs = dd.jaccard_pairs(
+        sig.select("id", "shingles"), threshold, candidates=cands
+    ).persist()
+    pairs.count()
+    banded.unpersist()
+    sig.unpersist()
+    return pairs
+
+
 EXPERIMENTS = {
     "suffix": [
         ("suffix current (mat=True)", suffix_current),
@@ -207,6 +334,21 @@ EXPERIMENTS = {
         ("ngram window-df prefix (eager)", lambda d: ngram_window(d, True, False)),
         ("ngram window-df prefix (lazy)", lambda d: ngram_window(d, True, True)),
         ("ngram window-df prefix (no cache)", lambda d: ngram_window(d, False)),
+    ],
+    "ngram14": [
+        ("ngram current (r13 shape)", ngram_current),
+        ("ngram prefix-cached window-df lazy-shingles",
+         lambda d: ngram_prefix_cached(d, "window", False)),
+        ("ngram prefix-cached agg-df lazy-shingles",
+         lambda d: ngram_prefix_cached(d, "agg", False)),
+        ("ngram prefix-cached window-df eager-shingles",
+         lambda d: ngram_prefix_cached(d, "window", True)),
+        ("ngram window-df all-lazy (r13 loser recheck)",
+         ngram_window_lazy_all),
+    ],
+    "minhash14": [
+        ("minhash current (r13 shape)", minhash_current),
+        ("minhash banded-cached", minhash_banded_cached),
     ],
     "minhash": [
         ("minhash current (eager sig cache)", minhash_current),

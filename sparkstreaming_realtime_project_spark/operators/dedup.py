@@ -261,6 +261,84 @@ def with_shingles(
     return out
 
 
+def _ppjoin_prefix(
+    shingled: DataFrame, threshold: float, max_df: int
+) -> DataFrame:
+    """PPJoin prefix rows (id, ln, g): each doc's floor((1-T)*|A|)+1
+    rarest shingles by ascending (df, g), df-capped. Complete, not a
+    recall trade: the rarest SHARED shingle c of a pair with jaccard >=
+    T must sit inside both prefixes — if c ranked past A's prefix, A
+    would have > (1-T)*|A| elements ordered before c and none of them
+    in B (c is the first common element), so |A inter B| < T*|A| <=
+    T*|A union B|, contradiction. And a pair sharing ANY shingle with
+    df <= max_df has df(c) <= max_df, so the df cap on prefix rows
+    drops exactly the pairs the plain low-df join drops. Net: identical
+    post-threshold output, with candidate fan-out sum(df_prefix(g)^2)
+    instead of sum(df(g)^2) — measured 1.13M -> ~2k candidate pairs at
+    sf0.1.
+
+    SINGLE-READ shape (r14): df is a count window over g on the one
+    exploded table — NOT a groupBy(g) aggregate joined back. The
+    aggregate shape read the shingle table twice (explode + df table),
+    and under AQE built the exploded side into a 40 MiB broadcast hash
+    relation; at corpus scale the vocabulary-sized broadcast stops
+    being possible and the join degenerates to shuffling the exploded
+    table ANYWAY plus the count-partials shuffle. The window pays
+    exactly one exchange of the exploded table. The df <= max_df filter
+    runs BEFORE the rank window (shrinking its exchange): rank-
+    invariant, because a surviving row's rank counts only rows with
+    (df, g) <= its own, all of which have df <= max_df and survive the
+    prefilter too.
+
+    CAST(.. AS DOUBLE): a bare 0.8 parses as DECIMAL(1,1) in SQL while
+    F.lit(0.8) was a double — the cast keeps the arithmetic (and any
+    boundary rounding) bit-identical to the old Column tree. The
+    prefix bound carries the same 1e-9 ceil guard as everywhere: naive
+    floor((1-T)*|A|) is one short whenever (1-T)*|A| is an exact
+    integer but floats land at N - 4e-16 (T=0.8, |A|=30 -> 5.999... ->
+    5), silently dropping boundary pairs; over-long by one is harmless.
+    """
+    t_sql = f"CAST({threshold!r} AS DOUBLE)"
+    return (
+        shingled.selectExpr(
+            "id", "size(shingles) AS ln", "explode(shingles) AS g"
+        )
+        .selectExpr("*", "count(1) OVER (PARTITION BY g) AS df")
+        .filter(f"df <= {max_df}")
+        .selectExpr(
+            "*", "row_number() OVER (PARTITION BY id ORDER BY df, g) AS rk"
+        )
+        .filter(f"rk <= ln - ceil(ln * {t_sql} - 1e-9) + 1")
+        .select("id", "ln", "g")
+    )
+
+
+def _ppjoin_candidates(prefix: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs from a PPJoin prefix table: equi-join on the
+    prefix gram with the LENGTH FILTER (the second PPJoin bound, also
+    complete): J(A,B) >= T implies min(|A|,|B|) >= |A inter B| >=
+    T*|A union B| >= T*max(|A|,|B|), so both lengths must be within a
+    factor T of each other. A pure codegen'd comparison in the join
+    condition — it prunes candidates BEFORE the distinct and the
+    array-intersect verify (measured: 119k -> fewer verify pairs at
+    sf0.1 with identical post-threshold output; verify cost is linear
+    in candidates, the dominant term at scale)."""
+    t_sql = f"CAST({threshold!r} AS DOUBLE)"
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            F.expr(
+                "a.g = b.g AND a.id < b.id"
+                f" AND a.ln >= ceil(b.ln * {t_sql} - 1e-9)"
+                f" AND b.ln >= ceil(a.ln * {t_sql} - 1e-9)"
+            ),
+        )
+        .selectExpr("a.id AS doc_a", "b.id AS doc_b")
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     shingled: DataFrame,
     threshold: float = 0.8,
@@ -286,69 +364,14 @@ def jaccard_pairs(
         # Capped candidates, then exact full-array verify below — the
         # intersection must NOT be counted on the capped table (that
         # underestimates jaccard for any pair sharing high-df shingles).
-        #
-        # PREFIX FILTER (PPJoin): only each doc's floor((1-T)*|A|)+1
-        # rarest shingles (ascending (df, g) — a total order) generate
-        # candidates. Complete, not a recall trade: the rarest SHARED
-        # shingle c of a pair with jaccard >= T must sit inside both
-        # prefixes — if c ranked past A's prefix, A would have
-        # > (1-T)*|A| elements ordered before c and none of them in B
-        # (c is the first common element), so |A inter B| < T*|A| <=
-        # T*|A union B|, contradiction. And a pair sharing ANY shingle
-        # with df <= max_df has df(c) <= max_df, so the df cap on
-        # prefix rows drops exactly the pairs the plain low-df join
-        # drops. Net: identical post-threshold output, with candidate
-        # fan-out sum(df_prefix(g)^2) instead of sum(df(g)^2) —
-        # measured 1.13M -> ~2k candidate pairs at sf0.1.
-        # expression-heavy steps are parsed SQL strings (r13, see
-        # tokens_expr) — identical trees, a fraction of the py4j calls
-        ex = shingled.selectExpr(
-            "id", "size(shingles) AS ln", "explode(shingles) AS g"
-        )
-        dftab = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-        # CAST(.. AS DOUBLE): a bare 0.8 parses as DECIMAL(1,1) in SQL
-        # while F.lit(0.8) was a double — the cast keeps the arithmetic
-        # (and any boundary rounding) bit-identical to the old tree
-        t_sql = f"CAST({threshold!r} AS DOUBLE)"
-        prefix = (
-            ex.join(dftab, "g")
-            .selectExpr(
-                "*",
-                "row_number() OVER (PARTITION BY id ORDER BY df, g) AS rk",
-            )
-            # prefix_len = |A| - ceil(T*|A|) + 1, with a 1e-9 guard:
-            # naive floor((1-T)*|A|) is one short whenever (1-T)*|A|
-            # is an exact integer but floats land at N - 4e-16
-            # (T=0.8, |A|=30 -> 5.999... -> 5), silently dropping
-            # boundary pairs. Over-long by one is harmless.
-            .filter(
-                f"rk <= ln - ceil(ln * {t_sql} - 1e-9) + 1"
-                f" AND df <= {max_df}"
-            )
-            .select("id", "ln", "g")
-        )
-        a, b = prefix.alias("a"), prefix.alias("b")
-        # LENGTH FILTER (the second PPJoin bound, also complete):
-        # J(A,B) >= T implies min(|A|,|B|) >= |A inter B| >= T*|A union B|
-        # >= T*max(|A|,|B|), so both lengths must be within a factor T of
-        # each other. A pure codegen'd comparison in the join condition —
-        # it prunes candidates BEFORE the distinct and the array-intersect
-        # verify (measured: 119k -> fewer verify pairs at sf0.1 with
-        # identical post-threshold output; verify cost is linear in
-        # candidates, the dominant term at scale). Same 1e-9 ceil guard as
-        # the prefix length (exact-integer boundaries must not round up).
-        len_ok = F.expr(
-            f"a.ln >= ceil(b.ln * {t_sql} - 1e-9)"
-            f" AND b.ln >= ceil(a.ln * {t_sql} - 1e-9)"
-        )
-        candidates = (
-            a.join(
-                b,
-                F.expr("a.g = b.g AND a.id < b.id") & len_ok,
-            )
-            .selectExpr("a.id AS doc_a", "b.id AS doc_b")
-            .distinct()
-        )
+        # NOTE: built UNPERSISTED here, so the self-join computes the
+        # prefix twice when the input sits on a cache (AQE exchange
+        # reuse does not cross InMemoryRelation subtrees — see
+        # scripts/reuse_probe.py); ngram_jaccard_dedup_pairs persists
+        # the prefix between the two sides instead of calling this
+        # branch.
+        prefix = _ppjoin_prefix(shingled, threshold, max_df)
+        candidates = _ppjoin_candidates(prefix, threshold)
     if candidates is None:
         # Uncapped exact path: count-based intersection — |A ∩ B| is the
         # pair's co-occurrence count across the exploded shingle table,
@@ -404,14 +427,43 @@ def ngram_jaccard_dedup_pairs(
     max_df: int | None = None,
 ) -> DataFrame:
     """text -> shingles -> df-capped candidates -> exact-Jaccard pairs,
-    with cache hygiene: the shingle projection (consumed by both candidate
-    sides and the verify join) is cached for the computation and released
-    before returning — the (small) verified pair list is materialized
-    eagerly so repeated calls don't accumulate cached shingle blocks.
-    The RETURNED frame is persisted — unpersist it when done."""
-    shingled = with_shingles(df, text_col, id_col, n, materialize=True)
-    pairs = jaccard_pairs(shingled, threshold, max_df=max_df).persist()
+    with cache hygiene: the shingle projection (consumed by the prefix
+    pipeline and the verify join) is cached for the computation and
+    released before returning — the (small) verified pair list is
+    materialized eagerly so repeated calls don't accumulate cached
+    shingle blocks. The RETURNED frame is persisted — unpersist it when
+    done.
+
+    The capped path persists the PPJOIN PREFIX table once (r14): AQE
+    exchange reuse does not cross InMemoryRelation subtrees (measured,
+    scripts/reuse_probe.py), so building the prefix lazily over the
+    shingle cache executed the whole explode -> df -> rank chain TWICE
+    — once per self-join side, one of them as a 40 MiB broadcast hash
+    build of the exploded table (the r13 plan). With the prefix cached,
+    its single-subtree fill job also fills the shingle cache en route
+    (the r13 standalone with_shingles count job is gone — there is no
+    second cold subtree left to race it), and the self-join reads the
+    small capped prefix twice for free. Measured at sf0.1: 1.95 ->
+    1.49 s, pairs identical (scripts/opt_experiments.py ngram14)."""
+    if max_df is None:
+        # uncapped exact path: no prefix table exists; the count-based
+        # intersection consumes the shingle table on both join sides,
+        # so the eager cache fill stays (lazy, the two sides race to
+        # fill it and duplicate the tokenize+shingle pass).
+        shingled = with_shingles(df, text_col, id_col, n, materialize=True)
+        pairs = jaccard_pairs(shingled, threshold).persist()
+        pairs.count()
+        shingled.unpersist()
+        return pairs
+    shingled = with_shingles(
+        df, text_col, id_col, n, materialize=False
+    ).persist()
+    prefix = _ppjoin_prefix(shingled, threshold, max_df).persist()
+    prefix.count()  # one job fills the shingle AND prefix caches
+    cands = _ppjoin_candidates(prefix, threshold)
+    pairs = jaccard_pairs(shingled, threshold, candidates=cands).persist()
     pairs.count()
+    prefix.unpersist()
     shingled.unpersist()
     return pairs
 
@@ -608,13 +660,33 @@ def minhash_dedup_pairs(
     # The final pairs.count() below still materializes everything
     # before sig.unpersist(), so the unpersist never races the cache.
     sig = minhash_signature(shingled, k, hash_fn=hash_fn).persist()
-    cands = lsh_candidate_pairs(
-        sig, k, bands, max_bucket=max_bucket, hash_fn=hash_fn
+    # persist the capped band table once (r14): AQE exchange reuse does
+    # not cross InMemoryRelation subtrees (scripts/reuse_probe.py), so
+    # the band self-join over the sig cache executed the explode ->
+    # exchange(band,key) -> count-window chain TWICE, one side as a
+    # 9 MiB broadcast hash build. The banded.count() fill job is one
+    # subtree, so it fills the sig cache en route (no race), and the
+    # self-join then reads the small capped band table twice for free.
+    # Measured at sf0.1: 1.55 -> 1.43 s, pairs identical
+    # (scripts/opt_experiments.py minhash14).
+    banded = _capped_by_count(
+        band_keys(sig, k, bands, hash_fn=hash_fn), ["band", "key"], max_bucket
+    ).persist()
+    banded.count()
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b2,
+            F.expr("a.band = b.band AND a.key = b.key AND a.id < b.id"),
+        )
+        .selectExpr("a.id AS doc_a", "b.id AS doc_b")
+        .distinct()
     )
     pairs = jaccard_pairs(
         sig.select("id", "shingles"), threshold, candidates=cands
     ).persist()
     pairs.count()
+    banded.unpersist()
     sig.unpersist()
     return pairs
 
