@@ -1,5 +1,6 @@
 """Capture .explain("formatted") for the bench headline queries into
-plans/r13/<name>_<tag>.txt (tag = before/after).
+plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt (tag = before/after;
+round defaults to r14).
 
 Usage: python scripts/capture_plans.py <tag> [name ...]
 """
@@ -29,7 +30,8 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"capture-plans-{tag}")
     spark.sparkContext.setLogLevel("ERROR")

@@ -290,6 +290,72 @@ def ngram_window_lazy_all(docs, threshold=0.8, max_df=50):
     return pairs
 
 
+# --- r14 suffix tail variants -----------------------------------------------
+
+
+def runs_to_spans_fold(matches, k, min_len, pair_cols):
+    """Gaps-and-islands as ONE aggregate fold: collect each (pair, diag)
+    group's sorted (pa, pb) anchors and fold them into maximal spans with
+    a single higher-order aggregate() — replaces Sort + lag-Window +
+    sum-Window + min/max HashAggregate above the same exchange."""
+    acc0 = (
+        "named_struct('spans', CAST(array() AS "
+        "ARRAY<STRUCT<s:INT,e:INT,bmin:INT,bmax:INT>>), "
+        "'s', ps[0].pa, 'e', ps[0].pa, 'bmin', ps[0].pb, 'bmax', ps[0].pb)"
+    )
+    step = (
+        f"(acc, x) -> IF(x.pa > acc.e + {k}, "
+        "named_struct('spans', acc.spans || array(named_struct('s', acc.s, "
+        "'e', acc.e, 'bmin', acc.bmin, 'bmax', acc.bmax)), "
+        "'s', x.pa, 'e', x.pa, 'bmin', x.pb, 'bmax', x.pb), "
+        "named_struct('spans', acc.spans, 's', acc.s, 'e', x.pa, "
+        "'bmin', least(acc.bmin, x.pb), 'bmax', greatest(acc.bmax, x.pb)))"
+    )
+    fin = (
+        "acc -> acc.spans || array(named_struct('s', acc.s, 'e', acc.e, "
+        "'bmin', acc.bmin, 'bmax', acc.bmax))"
+    )
+    grouped = (
+        matches.groupBy(*pair_cols, "diag")
+        .agg(F.expr("sort_array(collect_list(struct(pa, pb)))").alias("ps"))
+        .selectExpr(
+            *pair_cols,
+            "diag",
+            f"aggregate(slice(ps, 2, size(ps) - 1), {acc0}, {step}, {fin})"
+            " AS spans",
+        )
+    )
+    return (
+        grouped.selectExpr(*pair_cols, "diag", "inline(spans)")
+        .selectExpr(
+            *pair_cols,
+            "s AS a_start",
+            f"e + {k - 1} AS a_end",
+            "bmin AS b_start",
+            f"bmax + {k - 1} AS b_end",
+            f"e - s + {k} AS span_len",
+        )
+        .filter(f"span_len >= {min_len}")
+    )
+
+
+def suffix_fold(docs, k=8, min_len=16, max_df=64):
+    grams = dd.suffix_anchors(docs, "text", "doc_id", k)
+    anchors = dd._capped_by_count(grams, ["g"], max_df)
+    a, b = anchors.alias("a"), anchors.alias("b")
+    matches = a.join(
+        b, F.expr("a.g = b.g AND a.doc_id < b.doc_id")
+    ).selectExpr(
+        "a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        "a.pos AS pa", "b.pos AS pb", "a.pos - b.pos AS diag",
+    )
+    out = runs_to_spans_fold(matches, k, min_len, ["doc_a", "doc_b"])
+    return out.selectExpr(
+        "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end",
+        "CAST(span_len AS INT) AS span_len",
+    )
+
+
 # --- r14 minhash variants ---------------------------------------------------
 
 
@@ -345,6 +411,10 @@ EXPERIMENTS = {
          lambda d: ngram_prefix_cached(d, "window", True)),
         ("ngram window-df all-lazy (r13 loser recheck)",
          ngram_window_lazy_all),
+    ],
+    "suffix14": [
+        ("suffix current (r13 shape)", suffix_nomat),
+        ("suffix fold tail", suffix_fold),
     ],
     "minhash14": [
         ("minhash current (r13 shape)", minhash_current),

@@ -46,6 +46,18 @@ def _parse_bytes(raw: str, default: int) -> int:
         return default
 
 
+def _plain_ident(name: str) -> bool:
+    """True when ``name`` can be spliced into a parsed SQL string as-is.
+    Anything else (quotes, dots, spaces, leading digits) falls back to
+    the Column-API branch of the caller — the parsed fast paths are a
+    construction-time optimization, never a semantics change (ADVICE
+    r13: an interpolated name needing backticks would otherwise break
+    the parse or silently change the expression)."""
+    import re
+
+    return re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name) is not None
+
+
 def tokens_expr(text_col: str | Column) -> Column:
     """Lowercased whitespace tokens with empties dropped.
 
@@ -58,9 +70,15 @@ def tokens_expr(text_col: str | Column) -> Column:
     profile: the expression-heavy builders spent 0.3-0.8 s per plan
     build in py4j, ~3x more than Catalyst itself). The parsed tree is
     the same filter(split(lower(..)))) expression, so plans and results
-    are bit-identical."""
+    are bit-identical. The regex is a RAW string literal (r'\\s+'):
+    unlike '\\\\s+', its meaning does not flip if a host session enables
+    the Hive-compat spark.sql.parser.escapedStringLiterals flag
+    (ADVICE r13) — the parsed branch now matches the Column branch
+    under every parser config."""
+    if isinstance(text_col, str) and _plain_ident(text_col):
+        return F.expr(f"filter(split(lower({text_col}), r'\\s+'), t -> t != '')")
     if isinstance(text_col, str):
-        return F.expr(f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+        text_col = F.col(text_col)
     return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
 
 
@@ -153,13 +171,20 @@ def _capped_by_count(df: DataFrame, keys: list[str], cap: int | None) -> DataFra
     count window needs exactly ONE hash(keys) exchange, and the
     candidate self-join that always follows these caps joins on the
     same keys, so it reuses that partitioning outright — no further
-    exchange, no broadcast build. Row set is identical: count(*) over
-    (partition by keys) is the group size on every row.
+    exchange, no broadcast build. Row set is identical EXCEPT on NULL
+    keys (ADVICE r13): the old inner join dropped NULL-key rows, while
+    the count window keeps them as one group of their own. Every
+    current call site follows with an inner equi-join on the same keys
+    (which drops NULL-key rows again), so final outputs are unchanged —
+    a future caller that does NOT re-join on the keys must filter NULLs
+    itself if it wants the old semantics.
 
     ``cap=None`` passes the frame through untouched (uncapped exact
     mode)."""
     if cap is None:
         return df
+    if "__grp_n" in df.columns:  # the projection below would duplicate it
+        raise ValueError("_capped_by_count: input already has a __grp_n column")
     ks = ", ".join(keys)
     return (
         df.selectExpr(
@@ -185,14 +210,14 @@ def shingles_from_tokens(tok_col: str | Column, n: int = 3) -> Column:
     Built as one parsed SQL string for a column NAME (r13, see
     tokens_expr): the transform lambda alone was a dozen py4j calls per
     plan build."""
-    if isinstance(tok_col, str):
+    if isinstance(tok_col, str) and _plain_ident(tok_col):
         return F.expr(
             f"CASE WHEN size({tok_col}) >= {n} THEN "
             f"array_distinct(transform(sequence(1, size({tok_col}) - {n - 1}), "
             f"i -> concat_ws(' ', slice({tok_col}, i, {n})))) "
             f"ELSE array(concat_ws(' ', {tok_col})) END"
         )
-    t = tok_col
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     full = F.array(F.concat_ws(" ", t))
     grams = F.array_distinct(
         F.transform(
@@ -696,11 +721,15 @@ def token_md5s(tok_col: str | Column, seed: str = "") -> Column:
     into a column BEFORE computing simhash bits: each of the ``bits``
     aggregates reads one hex digit, so hashing must happen once per
     token, not once per (token, bit) — a 16-64x md5 saving."""
-    if isinstance(tok_col, str):
-        # one parsed expression (r13, see tokens_expr)
-        inner = f"md5(concat('{seed}', tok))" if seed else "md5(tok)"
+    if isinstance(tok_col, str) and _plain_ident(tok_col):
+        # one parsed expression (r13, see tokens_expr); the seed is
+        # escaped for the SQL string literal so a quote/backslash in a
+        # caller-supplied seed can't break the parse or change the
+        # hashed bytes (ADVICE r13)
+        s = seed.replace("\\", "\\\\").replace("'", "\\'")
+        inner = f"md5(concat('{s}', tok))" if seed else "md5(tok)"
         return F.expr(f"transform({tok_col}, tok -> {inner})")
-    t = tok_col
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     if seed:
         return F.transform(t, lambda tok: F.md5(F.concat(F.lit(seed), tok)))
     return F.transform(t, lambda tok: F.md5(tok))
@@ -720,7 +749,7 @@ def simhash_from_hashes(hash_cols: list[str | Column], bits: int = 16) -> Column
     carry ~log2(N) bits."""
     if bits > 32 * len(hash_cols):
         raise ValueError("need one hash array per 32 bits")
-    if all(isinstance(c, str) for c in hash_cols):
+    if all(isinstance(c, str) and _plain_ident(c) for c in hash_cols):
         # one parsed expression for the whole signature (r13, see
         # tokens_expr): the per-bit aggregate lambdas were ~10 py4j
         # round-trips each, x 16-64 bits per plan build
@@ -1676,38 +1705,63 @@ def suffix_runs_to_spans(
     L - k + 1 consecutive anchors on one diagonal, healed across df-cap
     holes by the k-gap rule (exactness argument in suffix_span_pairs).
     Output one row per maximal span: (pair_cols..., a_start, a_end,
-    b_start, b_end, span_len >= min_len)."""
-    # windows as parsed OVER clauses (r13, see tokens_expr): same
-    # specs, one parse per projection instead of per-call py4j builds
-    parts = ", ".join([*pair_cols, "diag"])
-    runs = (
-        matches.selectExpr(
-            "*", f"lag(pa) OVER (PARTITION BY {parts} ORDER BY pa) AS prev"
-        )
-        .selectExpr(
-            "*",
-            f"CASE WHEN prev IS NULL OR pa > prev + {k} THEN 1 ELSE 0 END"
-            " AS new_run",
-        )
-        .selectExpr(
-            "*",
-            f"sum(new_run) OVER (PARTITION BY {parts} ORDER BY pa"
-            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id",
-        )
+    b_start, b_end, span_len >= min_len).
+
+    Shape (r14): ONE aggregate fold per (pair, diag) group — collect
+    the group's (pa, pb) anchors, sort, and fold into maximal spans
+    with a single higher-order ``aggregate``. The r13 form spent a
+    partition-wide Sort + a lag Window + a running-sum Window + a
+    min/max aggregate above the same exchange (lag and the running sum
+    cannot share one Window operator: the sum consumes lag's output).
+    The fold does the identical gaps-and-islands merge in one pass;
+    same exchange, same shuffled bytes, three fewer operators (bench
+    1.23 -> 1.07 s at sf0.1, spans identical). Group buffers hold one
+    (pair, diagonal)'s anchors — bounded by the shorter document's
+    token count, the same bound the window partition had, and far
+    below the per-task sort buffer the old Sort needed (ALL of a
+    task's groups at once)."""
+    # The empty spans array is typed by slicing a 1-element array of
+    # the real accumulator struct to length 0 — the fold then preserves
+    # the caller's pa/pb integer types exactly (a literal CAST(array()
+    # AS ...) would hardcode them).
+    zero = (
+        "slice(array(named_struct('s', ps[0].pa, 'e', ps[0].pa, "
+        "'bmin', ps[0].pb, 'bmax', ps[0].pb)), 1, 0)"
+    )
+    acc0 = (
+        f"named_struct('spans', {zero}, 's', ps[0].pa, 'e', ps[0].pa, "
+        "'bmin', ps[0].pb, 'bmax', ps[0].pb)"
+    )
+    step = (
+        f"(acc, x) -> IF(x.pa > acc.e + {k}, "
+        "named_struct("
+        "'spans', acc.spans || array(named_struct('s', acc.s, 'e', acc.e, "
+        "'bmin', acc.bmin, 'bmax', acc.bmax)), "
+        "'s', x.pa, 'e', x.pa, 'bmin', x.pb, 'bmax', x.pb), "
+        "named_struct('spans', acc.spans, 's', acc.s, 'e', x.pa, "
+        "'bmin', least(acc.bmin, x.pb), 'bmax', greatest(acc.bmax, x.pb)))"
+    )
+    fin = (
+        "acc -> acc.spans || array(named_struct('s', acc.s, 'e', acc.e, "
+        "'bmin', acc.bmin, 'bmax', acc.bmax))"
     )
     return (
-        runs.groupBy(*pair_cols, "diag", "run_id")
-        .agg(
-            F.min("pa").alias("a_start"),
-            (F.max("pa") + (k - 1)).alias("a_end"),
-            F.min("pb").alias("b_start"),
-            (F.max("pb") + (k - 1)).alias("b_end"),
-            (F.max("pa") - F.min("pa") + k).alias("span_len"),
+        matches.groupBy(*pair_cols, "diag")
+        .agg(F.expr("sort_array(collect_list(struct(pa, pb)))").alias("ps"))
+        .selectExpr(
+            *pair_cols,
+            f"inline(aggregate(slice(ps, 2, size(ps) - 1), {acc0}, {step},"
+            f" {fin}))",
         )
-        .filter(F.col("span_len") >= min_len)
-        .select(
-            *pair_cols, "a_start", "a_end", "b_start", "b_end", "span_len"
+        .selectExpr(
+            *pair_cols,
+            "s AS a_start",
+            f"e + {k - 1} AS a_end",
+            "bmin AS b_start",
+            f"bmax + {k - 1} AS b_end",
+            f"e - s + {k} AS span_len",
         )
+        .filter(f"span_len >= {min_len}")
     )
 
 

@@ -721,8 +721,12 @@ def test_suffix_span_pairs_plan(spark, sf_dir):
     """Round-11 suffix dedup contracts (un-materialized plan — the
     catalog path persists the gram cut, which would hide the shape):
     the df-cap + diagonal merge must be a gram-keyed equi-join plus a
-    fine-grained (pair, diag)-partitioned window — never a nested-loop
-    or cartesian pair blow-up, and no single-task global window."""
+    fine-grained (pair, diag)-KEYED run merge — never a nested-loop or
+    cartesian pair blow-up, and no single-task global window. Since r14
+    the run merge is one aggregate fold (sort_array + aggregate()) per
+    (doc_a, doc_b, diag) group instead of lag+sum windows — the
+    contract pins the grouping keys on the aggregate instead of the
+    window partition spec."""
     from sparkstreaming_realtime_project_spark.operators import dedup as dd
     from sparkstreaming_realtime_project_spark.sources.batch import load_table
 
@@ -731,15 +735,17 @@ def test_suffix_span_pairs_plan(spark, sf_dir):
         k=8, min_len=16, max_df=64, materialize=False,
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan and "HashAggregate" in plan
+    # the df-cap count window survives; the run merge is an aggregate
+    assert "Window" in plan and "Aggregate" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
-    # the run-merge window partitions by (doc_a, doc_b, diag) — a
-    # global orderBy-only window would collapse to one task
+    assert "collect_list(struct(pa" in plan, "run-merge fold lost"
+    # the run-merge aggregate groups by (doc_a, doc_b, diag) — a
+    # global orderBy-only shape would collapse to one task
     import re
 
     assert re.search(
-        r"windowspecdefinition\(doc_a#\d+L?, doc_b#\d+L?, diag#\d+", plan
-    ), "run-merge window is not (doc_a, doc_b, diag)-partitioned"
+        r"keys=\[doc_a#\d+L?, doc_b#\d+L?, diag#\d+", plan
+    ), "run-merge aggregate is not (doc_a, doc_b, diag)-keyed"
 
 
 def test_detail_keyset_plan(spark, sf_dir):
