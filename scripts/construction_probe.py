@@ -88,16 +88,17 @@ def main() -> None:
     )
     timed_construction(
         "hll_registers",
-        lambda: sk.hll_registers(ev.select("user_id"), ["user_id"], 64),
+        lambda: sk.hll_registers(ev.select("user_id"), "user_id"),
     )
     timed_construction(
         "cms_sketch", lambda: sk.cms_sketch(ev, "user_id", 4, 128)
     )
     timed_construction(
-        "mg_topk", lambda: sk.mg_topk(ev, "user_id", 16)
+        "mg_topk", lambda: sk.mg_topk(ev, "user_id", "event_type", 16)
     )
     timed_construction(
-        "quantile_hist", lambda: sk.quantile_hist(ev, "value", 32)
+        "quantile_hist",
+        lambda: sk.quantile_hist(ev, "value", 10.0, [0.5, 0.9]),
     )
 
 

@@ -35,7 +35,32 @@ def cms_sketch(
     into its d cells (array of structs + explode — bounded x d, no key
     shuffle), then a single partial-agg'd groupBy on the CELL id, whose
     domain is d*w no matter how many distinct keys exist. Daily/partition
-    sketches merge by summing cnt cell-wise."""
+    sketches merge by summing cnt cell-wise.
+
+    Built as one parsed `inline(array(named_struct...))` for a plain
+    column name (r14, same construction discipline as band_keys): this
+    body runs per MICRO-BATCH in streaming_cms_counts, and the d
+    struct/hash Column chains were ~25 py4j round-trips per plan build.
+    The Column branch remains for exotic names."""
+    from ..operators.dedup import _plain_ident
+
+    if isinstance(key_col, str) and _plain_ident(key_col) and "'" not in salt:
+        def bucket_sql(j: int) -> str:
+            s = salt.replace("\\", "\\\\")
+            return (
+                f"pmod(CAST(conv(substring(md5(concat('{s}{j}:', "
+                f"CAST({key_col} AS STRING))), 1, 8), 16, 10) AS BIGINT), {w})"
+            )
+
+        cells = ", ".join(
+            f"named_struct('row', {j}, 'bucket', {bucket_sql(j)})"
+            for j in range(d)
+        )
+        return (
+            df.selectExpr(f"inline(array({cells}))")
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     cells = F.array(
         *[
             F.struct(
